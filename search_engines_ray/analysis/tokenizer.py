@@ -1,0 +1,123 @@
+"""Analyzer chain: tokenize → possessive strip → lowercase → stop → stem.
+
+Mirrors the semantics of the reference chain
+(``/root/reference/QryEval/EnglishAnalyzerConfigurable.java:142-165``,
+configured at ``QryParser.java:41-48``): StandardTokenizer →
+EnglishPossessiveFilter → LowerCaseFilter → StopFilter(Lucene
+StandardAnalyzer.STOP_WORDS_SET) → KStem.
+
+Two invariants from the reference that everything downstream depends on
+(SURVEY.md §7.4):
+
+* **Gap-preserving positions** — a removed stopword still consumes a
+  position slot, and the field length counts it
+  (``/root/reference/QryEval/Idx.java:87-90``). ``analyze`` therefore
+  returns ``(terms, positions, field_length)`` where ``positions`` may
+  have gaps and ``field_length >= len(terms)``.
+* **Multi-token words** — the StandardTokenizer splits ``near-death``
+  into two tokens (exercised by ``QryParser.java:162-171``): our token
+  regex does the same because ``-`` is not a word character.
+
+``simple_tokenize`` is a separate, deliberately DuckDB-reproducible
+tokenizer (lowercase ``[a-z0-9]+`` runs) used by the oracle-checked
+driver queries, where the SQL side is
+``string_split_regex(lower(text), '[^a-z0-9]+')``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable
+
+from .kstem import kstem
+
+# Lucene StandardAnalyzer.STOP_WORDS_SET (the classic 33-word English set),
+# referenced via EnglishAnalyzerConfigurable.DefaultSetHolder
+# (`EnglishAnalyzerConfigurable.java:64`).
+LUCENE_STOP_WORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was will with""".split()
+)
+
+# Word runs; apostrophes glue ("don't" stays one token, like
+# StandardTokenizer's word-break rules).
+_TOKEN_RE = re.compile(r"\w+(?:'\w+)*", re.UNICODE)
+_POSSESSIVE_RE = re.compile(r"'[sS]$")
+
+# DuckDB-reproducible simple tokenizer.
+_SIMPLE_RE = re.compile(r"[a-z0-9]+")
+
+
+def simple_tokenize(text: str) -> list[str]:
+    """Lowercase alnum-run tokens; exact mirror of the DuckDB expression
+    ``string_split_regex(lower(text), '[^a-z0-9]+')`` minus empties."""
+    return _SIMPLE_RE.findall(text.lower())
+
+
+class Analyzer:
+    """Callable, self-contained analyzer with a per-instance stem cache.
+
+    Instantiate once per actor (``__init__`` of a map_batches class) so the
+    regex/stop-set/cache setup and the Zipf-friendly stem memoization are
+    amortized across batches.
+    """
+
+    def __init__(self, stopwords: Iterable[str] | None = None,
+                 stem: bool = True, lowercase: bool = True,
+                 remove_stopwords: bool = True):
+        self.stopwords = frozenset(LUCENE_STOP_WORDS if stopwords is None else stopwords)
+        self.stem = stem
+        self.lowercase = lowercase
+        self.remove_stopwords = remove_stopwords
+        self._stem_cache: dict[str, str] = {}
+
+    def _stem(self, token: str) -> str:
+        s = self._stem_cache.get(token)
+        if s is None:
+            s = kstem(token)
+            self._stem_cache[token] = s
+        return s
+
+    def analyze(self, text: str) -> tuple[list[str], list[int], int]:
+        """→ (terms, positions, field_length).
+
+        ``positions[i]`` is the 0-based token slot of ``terms[i]``;
+        stopwords burn a slot without emitting a term; ``field_length``
+        is the total number of slots (stopwords included), matching
+        ``Idx.getFieldLength`` semantics (`Idx.java:87-90`).
+        """
+        terms: list[str] = []
+        positions: list[int] = []
+        pos = 0
+        for m in _TOKEN_RE.finditer(text):
+            tok = _POSSESSIVE_RE.sub("", m.group())
+            if not tok:
+                continue
+            if self.lowercase:
+                tok = tok.lower()
+            if self.remove_stopwords and tok in self.stopwords:
+                pos += 1
+                continue
+            if self.stem:
+                tok = self._stem(tok)
+            terms.append(tok)
+            positions.append(pos)
+            pos += 1
+        return terms, positions, pos
+
+    def analyze_query_token(self, token: str) -> list[str]:
+        """Analyze a single query token: may expand to several terms
+        (``near-death`` → 2) or to none (a stopword) — the behavior the
+        query parser needs (`QryParser.java:140-172`)."""
+        terms, _, _ = self.analyze(token)
+        return terms
+
+    __call__ = analyze
+
+
+_DEFAULT = Analyzer()
+
+
+def analyze(text: str) -> tuple[list[str], list[int], int]:
+    """Module-level convenience using the default chain."""
+    return _DEFAULT.analyze(text)

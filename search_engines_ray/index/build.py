@@ -1,0 +1,392 @@
+"""Ray-Data-native inverted-index build pipeline.
+
+The reference consumed a prebuilt Lucene 4.3 index
+(``/root/reference/QryEval/Idx.java:162-197``); per the north rule we build
+the equivalent index ourselves from a Parquet table of web pages
+(columns per BASELINE.json input_hint: ``url, warc_ts, html, text, lang``).
+
+Pipeline (all ``ray.data`` — SURVEY.md §3.4/§7):
+
+1. **project + dedup** — ``select_columns`` drops ``html`` before anything
+   wide; exact dedup by ``url`` (first-wins, deterministic).
+2. **docid assignment** — deterministic dense int64 docids: a stable md5
+   partition of urls (``pid``), per-pid counts (small groupby) → driver
+   cumsum offsets, then per-pid url-sort + offset+rank inside
+   ``map_groups``. One shuffle, no driver-side row loop, scales to any
+   corpus. Docids within a pid are contiguous, which later gives us
+   salt-by-docid-range merge runs for free.
+3. **tokenize** — actor-pool ``map_batches`` (analyzer + stem cache built
+   once per actor in ``__init__``); emits the *forward index*: per doc and
+   field, the term list, gap-preserving positions and stopword-inclusive
+   field length (semantics of ``Idx.java:87-90``). Written to
+   ``<index>/forward/`` parquet — both the tokenize checkpoint and the
+   per-doc TermVector equivalent (``TermVector.java``) used by PRF.
+4. **docmeta + stats** — docid → external_id + per-field lengths table;
+   global ``stats.json`` (N, per-field doc_count / sum_len), matching
+   ``Idx.getSumOfFieldLengths`` / ``getDocCount``.
+5. **postings** — per-batch partial posting fragments (term, field, salt,
+   df, ctf, delta+varbyte blobs; docids ascending within a fragment), then
+   a ``groupby(["bucket","salt"])`` shuffle whose groups are *hash
+   buckets*, not individual terms — the per-term fan-in happens
+   vectorized inside ``map_groups``, so a head term costs one in-memory
+   merge, not a million tiny groups. ``salt`` = contiguous docid range
+   (derived from pid), so a term's runs cover disjoint, ordered docid
+   ranges: skewed head terms split across at most ``merge_salts`` rows
+   and the reader concatenates runs without re-sorting
+   (skew plan from SURVEY.md §4/§7.3).
+6. **write** — ``write_parquet(postings/, partition_cols=["bucket"])`` so
+   query-time term fetch prunes to one bucket directory; per-stage
+   ``_SUCCESS.json`` manifests (config + input fingerprint) make the
+   whole build resumable stage-by-stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..analysis.tokenizer import Analyzer
+from .varbyte import encode_postings, decode_postings
+
+STATS_FILE = "stats.json"
+FORWARD_DIR = "forward"
+DOCMETA_DIR = "docmeta"
+POSTINGS_DIR = "postings"
+
+
+def term_bucket(term: str, num_buckets: int) -> int:
+    """Stable term → bucket hash (md5; never Python's salted hash())."""
+    return int.from_bytes(hashlib.md5(term.encode()).digest()[:8], "big") % num_buckets
+
+
+def url_pid(url: str, num_pids: int) -> int:
+    return int.from_bytes(hashlib.md5(url.encode()).digest()[8:16], "big") % num_pids
+
+
+@dataclass
+class IndexBuildConfig:
+    # field name -> source column on the pages table
+    fields: dict = dc_field(default_factory=lambda: {"body": "text"})
+    url_column: str = "url"
+    num_buckets: int = 32          # postings term-hash partitions (scale: thousands)
+    docid_partitions: int = 32     # pid count for docid assignment
+    merge_salts: int = 4           # posting runs per term (skew bound)
+    tokenize_batch_size: int = 512
+    tokenize_concurrency: int | tuple = 4
+    dedup: bool = True
+
+    def fingerprint(self, input_token: str) -> str:
+        blob = json.dumps(
+            [sorted(self.fields.items()), self.url_column, self.num_buckets,
+             self.docid_partitions, self.merge_salts, input_token],
+            sort_keys=True)
+        return hashlib.md5(blob.encode()).hexdigest()
+
+
+def _stage_done(index_dir: str, stage: str, fp: str) -> bool:
+    p = os.path.join(index_dir, stage + "_SUCCESS.json")
+    if not os.path.exists(p):
+        return False
+    try:
+        with open(p) as f:
+            return json.load(f).get("fingerprint") == fp
+    except Exception:
+        return False
+
+
+def _mark_stage(index_dir: str, stage: str, fp: str, **metrics) -> None:
+    with open(os.path.join(index_dir, stage + "_SUCCESS.json"), "w") as f:
+        json.dump({"fingerprint": fp, "completed_at": time.time(), **metrics}, f)
+
+
+class _Tokenize:
+    """Actor-pool stage: analyzer built once per actor; per batch, emits
+    forward-index rows (docid, external_id, pid, and per field:
+    terms/positions/len)."""
+
+    def __init__(self, fields: dict):
+        self.fields = fields
+        self.analyzer = Analyzer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out: dict = {
+            "docid": batch["docid"],
+            "external_id": batch["external_id"],
+            "pid": batch["pid"],
+        }
+        analyze = self.analyzer.analyze
+        for fname, col in self.fields.items():
+            texts = batch[col].to_pylist()
+            terms_col, pos_col, len_col = [], [], np.empty(n, dtype=np.int32)
+            for i, txt in enumerate(texts):
+                terms, pos, flen = analyze(txt or "")
+                terms_col.append(terms)
+                pos_col.append(pos)
+                len_col[i] = flen
+            out[f"terms_{fname}"] = pa.array(terms_col, type=pa.list_(pa.string()))
+            out[f"pos_{fname}"] = pa.array(pos_col, type=pa.list_(pa.int32()))
+            out[f"len_{fname}"] = pa.array(len_col)
+        return pa.table(out)
+
+
+def _partial_postings_fn(fields: list[str], num_buckets: int, salt_of_pid: np.ndarray):
+    """Returns the map_batches fn building partial posting fragments.
+
+    Within a batch: rows sorted by docid, then for each field a single
+    explode + lexsort over (term, docid) yields per-(term,docid) tf and
+    position segments without a per-posting Python loop.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = batch.sort_by("docid")
+        docid = batch["docid"].to_numpy()
+        pid = batch["pid"].to_numpy()
+        out = {k: [] for k in
+               ("term", "field", "bucket", "salt", "df", "ctf", "min_docid",
+                "docid_blob", "tf_blob", "pos_blob")}
+        for fname in fields:
+            terms_list = batch[f"terms_{fname}"]
+            pos_list = batch[f"pos_{fname}"]
+            flat_terms = terms_list.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+            flat_pos = pos_list.combine_chunks().flatten().to_numpy().astype(np.int64)
+            counts = np.diff(terms_list.combine_chunks().offsets.to_numpy())
+            if flat_terms.size == 0:
+                continue
+            doc_of_tok = np.repeat(docid, counts)
+            salt_of_tok = np.repeat(salt_of_pid[pid], counts)
+            # group by (term, docid); docid already ascending, stable sort by term
+            order = np.argsort(flat_terms, kind="stable")
+            t_sorted = flat_terms[order]
+            d_sorted = doc_of_tok[order]
+            s_sorted = salt_of_tok[order]
+            p_sorted = flat_pos[order]
+            # boundaries where (term, docid) changes
+            new_term = np.empty(t_sorted.size, dtype=bool)
+            new_term[0] = True
+            new_term[1:] = t_sorted[1:] != t_sorted[:-1]
+            new_post = new_term.copy()
+            new_post[1:] |= d_sorted[1:] != d_sorted[:-1]
+            post_starts = np.flatnonzero(new_post)
+            tf = np.diff(np.append(post_starts, t_sorted.size)).astype(np.int32)
+            post_docids = d_sorted[post_starts]
+            post_salts = s_sorted[post_starts]
+            post_terms = t_sorted[post_starts]
+            # positions within a (term,doc) group are ascending already
+            # (docid-major then original position order is preserved by the
+            # stable sort? positions within one doc's term list are in token
+            # order which is ascending) -> p_sorted is the concat we need.
+            term_starts_in_posts = np.flatnonzero(new_term[post_starts])
+            term_bounds = np.append(term_starts_in_posts, post_starts.size)
+            pos_bounds = np.append(post_starts, t_sorted.size)
+            for ti in range(term_starts_in_posts.size):
+                lo, hi = term_bounds[ti], term_bounds[ti + 1]
+                term = str(post_terms[lo])
+                # split this term's postings by salt (runs of equal salt —
+                # docids ascending within term, salt monotone in docid)
+                salts_here = post_salts[lo:hi]
+                salt_breaks = np.flatnonzero(np.diff(salts_here)) + 1
+                seg_starts = np.concatenate(([0], salt_breaks, [hi - lo]))
+                b = term_bucket(term, num_buckets)
+                for si in range(seg_starts.size - 1):
+                    a0, a1 = lo + seg_starts[si], lo + seg_starts[si + 1]
+                    dids = post_docids[a0:a1]
+                    tfs = tf[a0:a1]
+                    pcat = p_sorted[pos_bounds[a0]:pos_bounds[a1]]
+                    dblob, tblob, pblob = encode_postings(dids, tfs, pcat)
+                    out["term"].append(term)
+                    out["field"].append(fname)
+                    out["bucket"].append(b)
+                    out["salt"].append(int(post_salts[a0]))
+                    out["df"].append(int(dids.size))
+                    out["ctf"].append(int(tfs.sum()))
+                    out["min_docid"].append(int(dids[0]))
+                    out["docid_blob"].append(dblob)
+                    out["tf_blob"].append(tblob)
+                    out["pos_blob"].append(pblob)
+        return pa.table({
+            "term": pa.array(out["term"], pa.string()),
+            "field": pa.array(out["field"], pa.string()),
+            "bucket": pa.array(out["bucket"], pa.int32()),
+            "salt": pa.array(out["salt"], pa.int32()),
+            "df": pa.array(out["df"], pa.int64()),
+            "ctf": pa.array(out["ctf"], pa.int64()),
+            "min_docid": pa.array(out["min_docid"], pa.int64()),
+            "docid_blob": pa.array(out["docid_blob"], pa.binary()),
+            "tf_blob": pa.array(out["tf_blob"], pa.binary()),
+            "pos_blob": pa.array(out["pos_blob"], pa.binary()),
+        })
+
+    return fn
+
+
+def _merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+    """Merge partial fragments within one (bucket, salt) group.
+
+    Fan-in is vectorized per (term, field): fragments hold disjoint docid
+    sets (a doc lives in exactly one tokenize batch), each ascending, so a
+    stable argsort over the concatenation is a k-way merge."""
+    rows = {k: [] for k in ("term", "field", "bucket", "salt", "df", "ctf",
+                            "min_docid", "docid_blob", "tf_blob", "pos_blob")}
+    for (term, fld), g in group.groupby(["term", "field"], sort=False):
+        if len(g) == 1:
+            r = g.iloc[0]
+            for k in rows:
+                rows[k].append(r[k])
+            continue
+        dparts, tparts, pparts = [], [], []
+        for db, tb, pb in zip(g["docid_blob"], g["tf_blob"], g["pos_blob"]):
+            d, t, p = decode_postings(db, tb, pb)
+            dparts.append(d); tparts.append(t); pparts.append(p)
+        docids = np.concatenate(dparts)
+        tfs = np.concatenate(tparts)
+        pcat = np.concatenate(pparts)
+        order = np.argsort(docids, kind="stable")
+        docids = docids[order]
+        tfs_o = tfs[order]
+        # gather variable-length position segments in the new order
+        seg_len = tfs.astype(np.int64)
+        seg_start = np.concatenate(([0], np.cumsum(seg_len)[:-1]))
+        new_len = seg_len[order]
+        total = int(new_len.sum())
+        out_start = np.concatenate(([0], np.cumsum(new_len)[:-1]))
+        idx = np.repeat(seg_start[order] - out_start, new_len) + np.arange(total)
+        pnew = pcat[idx]
+        dblob, tblob, pblob = encode_postings(docids, tfs_o, pnew)
+        rows["term"].append(term)
+        rows["field"].append(fld)
+        rows["bucket"].append(g["bucket"].iloc[0])
+        rows["salt"].append(g["salt"].iloc[0])
+        rows["df"].append(int(docids.size))
+        rows["ctf"].append(int(tfs_o.sum()))
+        rows["min_docid"].append(int(docids[0]))
+        rows["docid_blob"].append(dblob)
+        rows["tf_blob"].append(tblob)
+        rows["pos_blob"].append(pblob)
+    return pd.DataFrame(rows)
+
+
+def build_index(pages: "ray.data.Dataset", index_dir: str,
+                config: IndexBuildConfig | None = None,
+                input_token: str = "", resume: bool = True) -> dict:
+    """Build the full index at ``index_dir``; returns build metrics.
+
+    ``input_token`` should identify the input (e.g. its path) for the
+    resume fingerprint; pass ``resume=False`` to force a rebuild.
+    """
+    cfg = config or IndexBuildConfig()
+    os.makedirs(index_dir, exist_ok=True)
+    fp = cfg.fingerprint(input_token)
+    metrics: dict = {}
+    t0 = time.time()
+
+    fields = list(cfg.fields)
+    P = cfg.docid_partitions
+    S = cfg.merge_salts
+    salt_of_pid = (np.arange(P, dtype=np.int64) * S // P).astype(np.int32)
+
+    fwd_path = os.path.join(index_dir, FORWARD_DIR)
+    if not (resume and _stage_done(index_dir, FORWARD_DIR, fp)):
+        url_col = cfg.url_column
+        cols = sorted({url_col, *cfg.fields.values()})
+        ds = pages.select_columns(cols)
+
+        def add_pid(b: pa.Table) -> pa.Table:
+            urls = b[url_col].to_pylist()
+            pids = np.fromiter((url_pid(u, P) for u in urls), dtype=np.int32,
+                               count=len(urls))
+            return b.append_column("pid", pa.array(pids))
+
+        ds = ds.map_batches(add_pid, batch_format="pyarrow")
+
+        if cfg.dedup:
+            def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+                # first-wins deterministically: smallest row under a full
+                # column sort (reference docids are unique by construction;
+                # SURVEY.md §2.5 "dedup")
+                return g.sort_values(list(g.columns)).head(1)
+            ds = ds.groupby(url_col).map_groups(dedup_group, batch_format="pandas")
+
+        # ---- docid assignment: counts per pid -> offsets -> per-pid rank
+        # pin the (projected, deduped) corpus once: the pid-count pass and
+        # the assignment shuffle both consume it, and without this the
+        # dedup shuffle would run twice
+        ds = ds.materialize()
+        counts_pd = ds.groupby("pid").count().to_pandas().sort_values("pid")
+        cnt = np.zeros(P, dtype=np.int64)
+        cnt[counts_pd["pid"].to_numpy()] = counts_pd["count()"].to_numpy()
+        offsets = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        n_docs = int(cnt.sum())
+
+        def assign_docids(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(url_col, kind="mergesort").reset_index(drop=True)
+            pid = int(g["pid"].iloc[0])
+            g["docid"] = offsets[pid] + np.arange(len(g), dtype=np.int64)
+            g["external_id"] = g[url_col]
+            return g
+
+        ds = ds.groupby("pid").map_groups(assign_docids, batch_format="pandas")
+        ds = ds.map_batches(
+            _Tokenize, fn_constructor_args=(cfg.fields,),
+            batch_format="pyarrow", batch_size=cfg.tokenize_batch_size,
+            concurrency=cfg.tokenize_concurrency)
+        ds.write_parquet(fwd_path)
+        _mark_stage(index_dir, FORWARD_DIR, fp, n_docs=n_docs)
+    metrics["forward_s"] = time.time() - t0
+
+    # ---- docmeta + stats
+    t1 = time.time()
+    if not (resume and _stage_done(index_dir, DOCMETA_DIR, fp)):
+        fwd = ray.data.read_parquet(
+            fwd_path, columns=["docid", "external_id"] + [f"len_{f}" for f in fields])
+        fwd.write_parquet(os.path.join(index_dir, DOCMETA_DIR))
+
+        from ray.data.aggregate import Sum, Count
+        aggs = []
+        for f in fields:
+            aggs.append(Sum(f"len_{f}", alias_name=f"sum_{f}"))
+        meta_ds = ray.data.read_parquet(
+            os.path.join(index_dir, DOCMETA_DIR))
+        n_docs = meta_ds.count()
+        sums_row = meta_ds.aggregate(*aggs)
+        field_stats = {}
+        for f in fields:
+            nonzero = meta_ds.filter(
+                expr=f"len_{f} > 0").count()
+            field_stats[f] = {"doc_count": int(nonzero),
+                              "sum_len": int(sums_row[f"sum_{f}"] or 0)}
+        stats = {"version": 1, "n_docs": int(n_docs), "fields": field_stats,
+                 "num_buckets": cfg.num_buckets, "merge_salts": S,
+                 "docid_partitions": P}
+        with open(os.path.join(index_dir, STATS_FILE), "w") as fh:
+            json.dump(stats, fh, indent=1)
+        _mark_stage(index_dir, DOCMETA_DIR, fp, n_docs=int(n_docs))
+    metrics["docmeta_s"] = time.time() - t1
+
+    # ---- postings
+    t2 = time.time()
+    if not (resume and _stage_done(index_dir, POSTINGS_DIR, fp)):
+        fwd_cols = ["docid", "pid"]
+        for f in fields:
+            fwd_cols += [f"terms_{f}", f"pos_{f}"]
+        fwd = ray.data.read_parquet(fwd_path, columns=fwd_cols)
+        partial = fwd.map_batches(
+            _partial_postings_fn(fields, cfg.num_buckets, salt_of_pid),
+            batch_format="pyarrow")
+        merged = partial.groupby(["bucket", "salt"]).map_groups(
+            _merge_bucket, batch_format="pandas")
+        merged.write_parquet(os.path.join(index_dir, POSTINGS_DIR),
+                             partition_cols=["bucket"])
+        _mark_stage(index_dir, POSTINGS_DIR, fp)
+    metrics["postings_s"] = time.time() - t2
+    metrics["total_s"] = time.time() - t0
+    return metrics

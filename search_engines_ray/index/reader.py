@@ -1,0 +1,182 @@
+"""Index reader: the engine's equivalent of the reference's ``Idx`` facade
+(``/root/reference/QryEval/Idx.java``) + ``InvList`` fetch
+(``InvList.java:107-145``) + ``DocLengthStore`` (``DocLengthStore.java``).
+
+Driver-side, pyarrow-only (no Ray session required): query evaluation
+reads a handful of term posting lists via bucket-pruned parquet scans.
+The distributed scoring path (``query/distributed.py``) reads the same
+layout through ``ray.data.read_parquet`` instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from .build import DOCMETA_DIR, FORWARD_DIR, POSTINGS_DIR, STATS_FILE, term_bucket
+from .varbyte import decode_postings
+
+
+@dataclass
+class Posting:
+    """One (term, field) inverted list — reference ``InvList``:
+    df, ctf, docid-ascending postings with positions."""
+    term: str
+    field: str
+    df: int
+    ctf: int
+    docids: np.ndarray          # int64, ascending
+    tfs: np.ndarray             # int32
+    positions: np.ndarray | None = None   # int32, concat of per-doc lists
+    # positions[i0:i1] of doc j where bounds = cumsum(tfs)
+
+    def pos_bounds(self) -> np.ndarray:
+        b = np.empty(self.tfs.size + 1, dtype=np.int64)
+        b[0] = 0
+        np.cumsum(self.tfs, out=b[1:])
+        return b
+
+
+class IndexReader:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, STATS_FILE)) as f:
+            self.stats = json.load(f)
+        self.num_buckets = self.stats["num_buckets"]
+        self._docmeta = None
+        self._doclens: dict[str, np.ndarray] = {}
+        self._external_ids: np.ndarray | None = None
+
+    # ---- corpus statistics (Idx.java:62-65,123-138,150-153) ----
+    @property
+    def n_docs(self) -> int:
+        return self.stats["n_docs"]
+
+    def doc_count(self, field: str) -> int:
+        return self.stats["fields"][field]["doc_count"]
+
+    def sum_field_lengths(self, field: str) -> int:
+        return self.stats["fields"][field]["sum_len"]
+
+    def avg_len(self, field: str) -> float:
+        dc = self.doc_count(field)
+        return self.sum_field_lengths(field) / dc if dc else 0.0
+
+    @property
+    def fields(self) -> list[str]:
+        return list(self.stats["fields"])
+
+    # ---- docmeta ----
+    def _load_docmeta(self):
+        if self._docmeta is None:
+            t = pq.read_table(os.path.join(self.index_dir, DOCMETA_DIR))
+            t = t.sort_by("docid")
+            self._docmeta = t
+        return self._docmeta
+
+    def doclens(self, field: str) -> np.ndarray:
+        """Dense docid-indexed int32 length array (driver-mode; the
+        distributed path shards this by docid range instead)."""
+        arr = self._doclens.get(field)
+        if arr is None:
+            t = self._load_docmeta()
+            arr = np.zeros(self.n_docs, dtype=np.int32)
+            arr[t["docid"].to_numpy()] = t[f"len_{field}"].to_numpy()
+            self._doclens[field] = arr
+        return arr
+
+    def external_ids(self) -> np.ndarray:
+        if self._external_ids is None:
+            t = self._load_docmeta()
+            ids = np.empty(self.n_docs, dtype=object)
+            ids[t["docid"].to_numpy()] = t["external_id"].to_numpy(zero_copy_only=False)
+            self._external_ids = ids
+        return self._external_ids
+
+    def internal_docid(self, external_id: str) -> int:
+        """Reference ``Idx.getInternalDocid`` (Idx.java:100-116): −1 when
+        absent."""
+        ids = self.external_ids()
+        hits = np.flatnonzero(ids == external_id)
+        return int(hits[0]) if hits.size else -1
+
+    # ---- postings ----
+    def postings_many(self, terms: list[str], field: str,
+                      positions: bool = True) -> dict[str, Posting]:
+        """Bucket-pruned fetch of several terms' posting lists at once.
+
+        Reads only the ``bucket=<h>`` partition directories the query
+        terms hash to, with a parquet filter on (term, field); merges a
+        term's salted runs (disjoint docid ranges) by ``min_docid`` order
+        — concatenation, no re-sort (build.py layout contract)."""
+        terms = sorted(set(terms))
+        if not terms:
+            return {}
+        buckets = sorted({term_bucket(t, self.num_buckets) for t in terms})
+        base = os.path.join(self.index_dir, POSTINGS_DIR)
+        paths: list[str] = []
+        for b in buckets:
+            d = os.path.join(base, f"bucket={b}")
+            if os.path.isdir(d):
+                paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                             if f.endswith(".parquet"))
+        if not paths:
+            return {}
+        dset = pads.dataset(paths, format="parquet")
+        cols = ["term", "field", "salt", "df", "ctf", "min_docid",
+                "docid_blob", "tf_blob"] + (["pos_blob"] if positions else [])
+        t = dset.to_table(
+            columns=cols,
+            filter=(pc.field("term").isin(terms) & (pc.field("field") == field)))
+        out: dict[str, Posting] = {}
+        if t.num_rows == 0:
+            return out
+        t = t.sort_by([("term", "ascending"), ("min_docid", "ascending")])
+        tcol = t["term"].to_pylist()
+        dblobs = t["docid_blob"].to_pylist()
+        tblobs = t["tf_blob"].to_pylist()
+        pblobs = t["pos_blob"].to_pylist() if positions else [None] * t.num_rows
+        i = 0
+        while i < len(tcol):
+            j = i
+            while j < len(tcol) and tcol[j] == tcol[i]:
+                j += 1
+            dparts, tparts, pparts = [], [], []
+            for k in range(i, j):
+                d, tf, p = decode_postings(dblobs[k], tblobs[k], pblobs[k])
+                dparts.append(d); tparts.append(tf)
+                if p is not None:
+                    pparts.append(p)
+            docids = np.concatenate(dparts)
+            tfs = np.concatenate(tparts)
+            pos = np.concatenate(pparts) if (positions and pparts) else None
+            out[tcol[i]] = Posting(
+                term=tcol[i], field=field, df=int(docids.size),
+                ctf=int(tfs.sum()), docids=docids, tfs=tfs, positions=pos)
+            i = j
+        return out
+
+    def postings(self, term: str, field: str, positions: bool = True) -> Posting | None:
+        return self.postings_many([term], field, positions).get(term)
+
+    # ---- forward index (TermVector.java equivalent) ----
+    def term_vectors(self, docids: list[int], field: str):
+        """Per-doc (terms, positions, len) for the given docids — used by
+        PRF (QryEval.java:98-119). Scans the forward table with a docid
+        filter; fbDocs×queries docs only, never the whole corpus."""
+        dset = pads.dataset(os.path.join(self.index_dir, FORWARD_DIR),
+                            format="parquet")
+        t = dset.to_table(
+            columns=["docid", f"terms_{field}", f"pos_{field}", f"len_{field}"],
+            filter=pc.field("docid").isin([int(d) for d in docids]))
+        res = {}
+        for row in t.to_pylist():
+            res[row["docid"]] = (row[f"terms_{field}"], row[f"pos_{field}"],
+                                 row[f"len_{field}"])
+        return res

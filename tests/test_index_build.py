@@ -1,0 +1,75 @@
+import numpy as np
+
+from search_engines_ray.analysis import analyze
+
+
+def test_stats(toy_index):
+    r = toy_index
+    # 8 rows - 1 duplicate url = 7 docs
+    assert r.n_docs == 7
+    # doc 6 has empty body; doc 7 is stopword-only but its slots count
+    assert r.doc_count("body") == 6
+    # sum of stopword-inclusive field lengths
+    expected = sum(analyze(t)[2] for t in [
+        "the quick brown fox jumps over the lazy dog",
+        "a quick brown cat sat on the mat",
+        "dogs and cats running quickly through fields",
+        "the lazy dog sleeps near the lazy cat all day",
+        "fox fox fox den", "", "the of and to a"])
+    assert r.sum_field_lengths("body") == expected
+
+
+def test_postings_df_ctf(toy_index):
+    r = toy_index
+    fox = r.postings("fox", "body")
+    assert fox.df == 2 and fox.ctf == 4            # docs 1 and 5 (tf 1 + 3)
+    dog = r.postings("dog", "body")                # docs 1, 3 (dogs), 4
+    assert dog.df == 3 and dog.ctf == 3
+    assert (np.diff(dog.docids) > 0).all()         # ascending docids
+    assert r.postings("zzz", "body") is None
+    # title field is indexed independently
+    tfox = r.postings("fox", "title")
+    assert tfox.df == 2                            # "quick fox", "fox den"
+
+
+def test_positions_are_gap_preserving(toy_index):
+    r = toy_index
+    # "the lazy dog sleeps near the lazy cat all day"
+    #  0   1    2   3      4    5   6    7   8   9   ("the" burns slots)
+    lazy = r.postings("lazy", "body")
+    docid = None
+    ids = toy_index.external_ids()
+    for d in lazy.docids:
+        if ids[d] == "http://t.example.com/4":
+            docid = d
+    i = int(np.flatnonzero(lazy.docids == docid)[0])
+    b = lazy.pos_bounds()
+    assert lazy.positions[b[i]:b[i + 1]].tolist() == [1, 6]
+
+
+def test_doclens_and_external_ids(toy_index):
+    r = toy_index
+    ids = r.external_ids()
+    assert len(set(ids.tolist())) == 7
+    lens = r.doclens("body")
+    by_url = {ids[d]: int(lens[d]) for d in range(r.n_docs)}
+    assert by_url["http://t.example.com/1"] == 9
+    assert by_url["http://t.example.com/6"] == 0
+    assert by_url["http://t.example.com/7"] == 5
+    assert r.internal_docid("http://t.example.com/5") >= 0
+    assert r.internal_docid("http://nope/") == -1
+
+
+def test_docids_dense_and_deterministic(toy_index):
+    r = toy_index
+    meta = r._load_docmeta()
+    assert meta["docid"].to_pylist() == list(range(7))
+
+
+def test_term_vectors(toy_index):
+    r = toy_index
+    d = r.internal_docid("http://t.example.com/5")
+    tv = r.term_vectors([d], "body")
+    terms, pos, flen = tv[d]
+    assert terms == ["fox", "fox", "fox", "den"]
+    assert flen == 4
