@@ -1,0 +1,393 @@
+"""Columnar query evaluator over the Parquet index.
+
+The reference evaluates queries document-at-a-time through iterator
+protocols (``/root/reference/QryEval/Qry.java:248-348``,
+``QryEval.java:421-445``). Here scoring is term-at-a-time and columnar:
+each leaf yields (docids, scores) numpy vectors, combinators align them
+with sorted-merge/searchsorted, and Indri's absent-arg default scores
+(``QrySopAnd.java:86-107``) become vectorized default-score closures.
+Mathematically identical per SURVEY.md §2.4 invariants; the §7.0 design
+note explains why this replaces DAAT.
+
+Positional operators (#NEAR/n `QryIopNear.java:80-128`, #WINDOW/n
+`QryIopWindow.java:106-143`, #SYN `QryIopSyn.java:17-71`) materialize
+derived inverted lists first — their *derived* df/ctf feed the scorers,
+exactly as ``QryIop.evaluate`` materializes before scoring
+(``QryIop.java:174-190``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from ..index.reader import IndexReader, Posting
+from .models import (
+    BM25Model, IndriModel, RankedBooleanModel, RetrievalModel,
+    UnrankedBooleanModel,
+)
+from .parser import QueryParser
+from .plan import IopNode, PlanNode, ScoreNode, SopNode, TermNode, is_iop
+from .trec import rank_results
+
+
+@dataclass
+class InvList:
+    """Evaluated inverted list (reference ``InvList``): docid-ascending,
+    with per-doc position segments (bounds = cumsum(tfs))."""
+    docids: np.ndarray
+    tfs: np.ndarray
+    positions: np.ndarray
+    df: int
+    ctf: int
+    field: str
+
+    @classmethod
+    def empty(cls, field: str) -> "InvList":
+        return cls(np.empty(0, np.int64), np.empty(0, np.int32),
+                   np.empty(0, np.int32), 0, 0, field)
+
+    @classmethod
+    def from_posting(cls, p: Posting) -> "InvList":
+        pos = p.positions if p.positions is not None else np.empty(0, np.int32)
+        return cls(p.docids, p.tfs, pos, p.df, p.ctf, p.field)
+
+    def pos_bounds(self) -> np.ndarray:
+        b = np.empty(self.tfs.size + 1, dtype=np.int64)
+        b[0] = 0
+        np.cumsum(self.tfs, out=b[1:])
+        return b
+
+
+class _Scored:
+    """(matching docids asc, scores) + a default-score closure for the
+    Indri absent-arg case."""
+
+    def __init__(self, docids: np.ndarray, scores: np.ndarray, default_fn=None):
+        self.docids = docids
+        self.scores = scores
+        self._default_fn = default_fn
+
+    def default(self, docids: np.ndarray) -> np.ndarray:
+        if self._default_fn is None:
+            return np.zeros(docids.size, dtype=np.float64)
+        return self._default_fn(docids)
+
+    def scores_for(self, docids: np.ndarray, model) -> np.ndarray:
+        """Scores aligned to ``docids``; non-matching docs get the
+        default score (Indri) or 0."""
+        idx = np.searchsorted(self.docids, docids)
+        idx_c = np.clip(idx, 0, max(self.docids.size - 1, 0))
+        hit = (self.docids.size > 0) & (self.docids[idx_c] == docids) if self.docids.size \
+            else np.zeros(docids.size, dtype=bool)
+        if isinstance(model, IndriModel):
+            out = self.default(docids)
+        else:
+            out = np.zeros(docids.size, dtype=np.float64)
+        if self.docids.size:
+            out[hit] = self.scores[idx_c[hit]]
+        return out
+
+
+# ---------------------------------------------------------------- Iop plane
+
+def _syn(args: list[InvList], field: str) -> InvList:
+    """#SYN: docid union; positions = sorted concat (QryIopSyn.java:17-71)."""
+    doc_rep = np.concatenate([np.repeat(a.docids, a.tfs) for a in args])
+    pos_all = np.concatenate([a.positions for a in args])
+    order = np.lexsort((pos_all, doc_rep))
+    doc_s, pos_s = doc_rep[order], pos_all[order]
+    if doc_s.size == 0:
+        return InvList.empty(field)
+    new = np.empty(doc_s.size, dtype=bool)
+    new[0] = True
+    new[1:] = doc_s[1:] != doc_s[:-1]
+    starts = np.flatnonzero(new)
+    tfs = np.diff(np.append(starts, doc_s.size)).astype(np.int32)
+    return InvList(doc_s[starts], tfs, pos_s.astype(np.int32),
+                   int(starts.size), int(doc_s.size), field)
+
+
+def _near_positions(lists: list[np.ndarray], n: int) -> list[int]:
+    """Left→right pairwise two-pointer match (QryIopNear.java:80-128):
+    keep right position r when an unconsumed left l satisfies
+    l <= r <= l + n; matched pairs are consumed."""
+    cur = lists[0]
+    for right in lists[1:]:
+        out = []
+        i = j = 0
+        while i < cur.size and j < right.size:
+            l, r = cur[i], right[j]
+            if r < l:
+                j += 1
+            elif r - l <= n:
+                out.append(r)
+                i += 1
+                j += 1
+            else:
+                i += 1
+        cur = np.asarray(out, dtype=np.int64)
+        if cur.size == 0:
+            break
+    return cur.tolist() if isinstance(cur, np.ndarray) else cur
+
+
+def _window_positions(lists: list[np.ndarray], n: int) -> list[int]:
+    """#WINDOW/n scan (QryIopWindow.java:106-143): while all heads live,
+    if max-min < n emit max and advance all, else advance the min."""
+    heads = [0] * len(lists)
+    out = []
+    while all(h < len(li) for h, li in zip(heads, lists)):
+        vals = [li[h] for h, li in zip(heads, lists)]
+        mx, mn = max(vals), min(vals)
+        if mx - mn < n:
+            out.append(mx)
+            heads = [h + 1 for h in heads]
+        else:
+            heads[vals.index(mn)] += 1
+    return out
+
+
+def _positional(args: list[InvList], field: str, n: int, kind: str) -> InvList:
+    common = args[0].docids
+    for a in args[1:]:
+        common = common[np.isin(common, a.docids, assume_unique=True)]
+    if common.size == 0:
+        return InvList.empty(field)
+    idxs = [np.searchsorted(a.docids, common) for a in args]
+    bounds = [a.pos_bounds() for a in args]
+    match_fn = _near_positions if kind == "near" else _window_positions
+    docids_out, tfs_out, pos_out = [], [], []
+    for k, d in enumerate(common):
+        lists = []
+        for a, idx, b in zip(args, idxs, bounds):
+            i = idx[k]
+            lists.append(a.positions[b[i]:b[i + 1]].astype(np.int64))
+        matched = match_fn(lists, n)
+        if matched:
+            docids_out.append(d)
+            tfs_out.append(len(matched))
+            pos_out.extend(matched)
+    if not docids_out:
+        return InvList.empty(field)
+    tfs = np.asarray(tfs_out, dtype=np.int32)
+    return InvList(np.asarray(docids_out, dtype=np.int64), tfs,
+                   np.asarray(pos_out, dtype=np.int32),
+                   len(docids_out), int(tfs.sum()), field)
+
+
+# ---------------------------------------------------------------- engine
+
+class QueryEngine:
+    """Driver-side evaluator: parse → fetch postings (bucket-pruned, one
+    batched read per field) → evaluate → rank. One instance per index;
+    reuse across queries (doclens/docmeta cached)."""
+
+    def __init__(self, reader: IndexReader, model: RetrievalModel,
+                 parser: QueryParser | None = None):
+        self.reader = reader
+        self.model = model
+        self.parser = parser or QueryParser()
+
+    # ---- plan-wide postings fetch ----
+    def _collect_terms(self, node: PlanNode, under_iop: bool, acc: dict):
+        if isinstance(node, TermNode):
+            acc.setdefault(node.field, {})[node.term] = (
+                acc.get(node.field, {}).get(node.term, False) or under_iop)
+        elif isinstance(node, IopNode):
+            for a in node.args:
+                self._collect_terms(a, True, acc)
+        elif isinstance(node, ScoreNode):
+            self._collect_terms(node.child, under_iop, acc)
+        elif isinstance(node, SopNode):
+            for a in node.args:
+                self._collect_terms(a, under_iop, acc)
+
+    def _fetch(self, root: PlanNode) -> dict:
+        acc: dict = {}
+        self._collect_terms(root, False, acc)
+        cache: dict = {}
+        for field, terms in acc.items():
+            need_pos = any(terms.values())
+            got = self.reader.postings_many(list(terms), field,
+                                            positions=need_pos)
+            for t in terms:
+                p = got.get(t)
+                cache[(t, field)] = (InvList.from_posting(p) if p
+                                     else InvList.empty(field))
+        return cache
+
+    # ---- Iop plane ----
+    def _eval_iop(self, node, cache) -> InvList:
+        if isinstance(node, TermNode):
+            return cache[(node.term, node.field)]
+        assert isinstance(node, IopNode)
+        args = [self._eval_iop(a, cache) for a in node.args]
+        field = node.field_name
+        if node.op == "syn":
+            return _syn(args, field)
+        if any(a.df == 0 for a in args):
+            return InvList.empty(field)
+        return _positional(args, field, node.dist, node.op)
+
+    # ---- Sop plane ----
+    def _score_leaf(self, inv: InvList) -> _Scored:
+        m = self.model
+        r = self.reader
+        if isinstance(m, UnrankedBooleanModel):
+            return _Scored(inv.docids, np.ones(inv.docids.size))
+        if isinstance(m, RankedBooleanModel):
+            return _Scored(inv.docids, inv.tfs.astype(np.float64))
+        if isinstance(m, BM25Model):
+            # QrySopScore.java:90-120: idf floored at 0; k3 term == 1
+            N = r.n_docs
+            idf = max(0.0, np.log((N - inv.df + 0.5) / (inv.df + 0.5)))
+            doclen = r.doclens(inv.field)[inv.docids].astype(np.float64)
+            avglen = r.avg_len(inv.field)
+            tf = inv.tfs.astype(np.float64)
+            k1, b = m.k1, m.b
+            tfw = tf / (tf + k1 * ((1.0 - b) + b * doclen / avglen))
+            return _Scored(inv.docids, idf * tfw)
+        if isinstance(m, IndriModel):
+            # QrySopScore.java:140-161 (+ default, :123-138)
+            mle = inv.ctf / max(r.sum_field_lengths(inv.field), 1)
+            mu, lam = m.mu, m.lambda_
+            doclens = r.doclens(inv.field)
+
+            def score(docids, tf):
+                dl = doclens[docids].astype(np.float64)
+                return (1.0 - lam) * (tf + mu * mle) / (dl + mu) + lam * mle
+
+            def default_fn(docids):
+                return score(docids, 0.0)
+
+            return _Scored(inv.docids, score(inv.docids, inv.tfs.astype(np.float64)),
+                           default_fn)
+        raise TypeError(f"unsupported model {type(m).__name__}")
+
+    def _eval_sop(self, node: PlanNode, cache) -> _Scored:
+        m = self.model
+        if is_iop(node):                      # bare Iop root after collapse
+            node = ScoreNode(child=node)
+        if isinstance(node, ScoreNode):
+            return self._score_leaf(self._eval_iop(node.child, cache))
+        assert isinstance(node, SopNode)
+        args = [self._eval_sop(a, cache) for a in node.args]
+        op = node.op
+        boolean = isinstance(m, (UnrankedBooleanModel, RankedBooleanModel))
+        indri = isinstance(m, IndriModel)
+        bm25 = isinstance(m, BM25Model)
+
+        if op == "and" and boolean:
+            docids = args[0].docids
+            for a in args[1:]:
+                docids = docids[np.isin(docids, a.docids, assume_unique=True)]
+            if isinstance(m, UnrankedBooleanModel):
+                return _Scored(docids, np.ones(docids.size))
+            s = args[0].scores_for(docids, m)
+            for a in args[1:]:
+                s = np.minimum(s, a.scores_for(docids, m))
+            return _Scored(docids, s)
+
+        if op == "and" and indri:
+            docids = _union([a.docids for a in args])
+            k = len(args)
+            s = np.ones(docids.size, dtype=np.float64)
+            for a in args:
+                s *= a.scores_for(docids, m) ** (1.0 / k)
+
+            def default_fn(d, args=args, k=k):
+                out = np.ones(d.size, dtype=np.float64)
+                for a in args:
+                    out *= a.default(d) ** (1.0 / k)
+                return out
+            return _Scored(docids, s, default_fn)
+
+        if op == "or":
+            if not boolean:
+                raise ValueError(
+                    f"{type(m).__name__} doesn't support the OR operator")
+            docids = _union([a.docids for a in args])
+            if isinstance(m, UnrankedBooleanModel):
+                return _Scored(docids, np.ones(docids.size))
+            s = args[0].scores_for(docids, m)
+            for a in args[1:]:
+                s = np.maximum(s, a.scores_for(docids, m))
+            return _Scored(docids, s)
+
+        if op == "sum":
+            if not bm25:
+                raise ValueError(
+                    f"{type(m).__name__} doesn't support the SUM operator")
+            docids = _union([a.docids for a in args])
+            s = np.zeros(docids.size, dtype=np.float64)
+            for a in args:
+                s += a.scores_for(docids, m)
+            return _Scored(docids, s)
+
+        if op in ("wsum", "wand"):
+            if not indri:
+                raise ValueError(
+                    f"{type(m).__name__} doesn't support the {op.upper()} operator")
+            w = np.asarray(node.weights, dtype=np.float64)
+            wn = w / w.sum()
+            docids = _union([a.docids for a in args])
+            if op == "wsum":
+                s = np.zeros(docids.size, dtype=np.float64)
+                for a, wi in zip(args, wn):
+                    s += a.scores_for(docids, m) * wi
+
+                def default_fn(d, args=args, wn=wn):
+                    out = np.zeros(d.size, dtype=np.float64)
+                    for a, wi in zip(args, wn):
+                        out += a.default(d) * wi
+                    return out
+            else:
+                s = np.ones(docids.size, dtype=np.float64)
+                for a, wi in zip(args, wn):
+                    s *= a.scores_for(docids, m) ** wi
+
+                def default_fn(d, args=args, wn=wn):
+                    out = np.ones(d.size, dtype=np.float64)
+                    for a, wi in zip(args, wn):
+                        out *= a.default(d) ** wi
+                    return out
+            return _Scored(docids, s, default_fn)
+
+        raise ValueError(f"unknown Sop #{op}")
+
+    # ---- public API ----
+    def search(self, query: str, k: int = 100) -> pa.Table:
+        """→ Arrow table (external_id, score, rank), reference ordering:
+        score desc, externalId asc, top-k, scores >= 0 only
+        (ScoreList.java:87-126, QryEval.java:437,491)."""
+        plan = self.parser.parse(query, self.model.default_op)
+        if plan is None:
+            return _empty_results()
+        cache = self._fetch(plan)
+        scored = self._eval_sop(plan, cache)
+        ext = self.reader.external_ids()
+        return rank_results(scored.docids, scored.scores, ext, k)
+
+    def run_queries(self, queries: list[tuple[str, str]], k: int = 100) -> pa.Table:
+        tables = []
+        for qid, q in queries:
+            t = self.search(q, k)
+            t = t.append_column("qid", pa.array([qid] * t.num_rows, pa.string()))
+            tables.append(t)
+        return pa.concat_tables(tables) if tables else _empty_results(with_qid=True)
+
+
+def _union(arrs: list[np.ndarray]) -> np.ndarray:
+    return np.unique(np.concatenate(arrs)) if arrs else np.empty(0, np.int64)
+
+
+def _empty_results(with_qid: bool = False) -> pa.Table:
+    cols = {"external_id": pa.array([], pa.string()),
+            "score": pa.array([], pa.float64()),
+            "rank": pa.array([], pa.int32())}
+    if with_qid:
+        cols["qid"] = pa.array([], pa.string())
+    return pa.table(cols)

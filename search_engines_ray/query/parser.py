@@ -1,0 +1,205 @@
+"""Structured query parser: prefix-notation ``#OP( args )`` →  plan tree.
+
+Reimplements the semantics of the reference parser
+(``/root/reference/QryEval/QryParser.java``):
+
+- operator dispatch incl. ``/n`` suffix for #NEAR/#WINDOW
+  (``createOperator``, QryParser.java:81-129);
+- ``term.field`` splitting against the known field list and analyzer
+  expansion of multi-term tokens (``near-death`` → 2 TERM args) or to
+  nothing (stopwords) (``createTerms``, QryParser.java:140-172);
+- weight-before-arg parsing for #WSUM/#WAND (QryParser.java:317-366);
+  a multi-term token under a weighted op binds the pending weight to
+  each expanded arg, and a stopword token drops its weight;
+- the optimizer pass: remove arg-less ops, collapse single-arg non-SCORE
+  ops (QryParser.java:224-261);
+- well-forming: implicit #SCORE inserted between a Sop parent and an Iop
+  child; Iop args must share one field (Qry.java:110-181).
+"""
+
+from __future__ import annotations
+
+from ..analysis.tokenizer import Analyzer
+from .plan import (
+    IOP_OPS, SOP_OPS, WEIGHTED_OPS, IopNode, PlanNode, ScoreNode, SopNode,
+    TermNode, is_iop,
+)
+
+# QryParser.java:156-158 / QryEval.java:23
+KNOWN_FIELDS = ("body", "title", "url", "keywords", "inlink")
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+def _lex(query: str) -> list[str]:
+    return query.replace("(", " ( ").replace(")", " ) ").split()
+
+
+def _is_weight(tok: str) -> bool:
+    try:
+        float(tok)
+        return True
+    except ValueError:
+        return False
+
+
+class QueryParser:
+    def __init__(self, analyzer: Analyzer | None = None,
+                 default_field: str = "body"):
+        self.analyzer = analyzer or Analyzer()
+        self.default_field = default_field
+
+    # ---- public API ----
+    def parse(self, query: str, default_op: str | None = None) -> PlanNode | None:
+        """Parse (optionally wrapping in the model's default op); returns
+        the optimized, well-formed plan or None if the query optimizes
+        away entirely (e.g. all stopwords)."""
+        q = query.strip()
+        if default_op:
+            q = f"{default_op}({q})"
+        toks = _lex(q)
+        node, rest = self._parse_node(toks, 0)
+        if rest != len(toks):
+            raise QueryParseError(f"trailing tokens after position {rest}: {toks[rest:]}")
+        node = self._optimize(node)
+        if node is None:
+            return None
+        return self._well_form(node)
+
+    # ---- recursive descent ----
+    def _parse_node(self, toks: list[str], i: int):
+        if i >= len(toks):
+            raise QueryParseError("unexpected end of query")
+        tok = toks[i]
+        if tok.startswith("#"):
+            return self._parse_op(toks, i)
+        return self._make_terms(tok), i + 1
+
+    def _parse_op(self, toks: list[str], i: int):
+        name = toks[i][1:].lower()
+        dist = 1
+        if "/" in name:
+            name, d = name.split("/", 1)
+            try:
+                dist = int(d)
+            except ValueError:
+                raise QueryParseError(f"bad /n suffix in #{name}/{d}")
+        if name not in SOP_OPS and name not in IOP_OPS and name != "score":
+            raise QueryParseError(f"unknown operator #{name}")
+        if i + 1 >= len(toks) or toks[i + 1] != "(":
+            raise QueryParseError(f"expected ( after #{name}")
+        i += 2
+        weighted = name in WEIGHTED_OPS
+        args: list[PlanNode] = []
+        weights: list[float] = []
+        while True:
+            if i >= len(toks):
+                raise QueryParseError(f"unclosed #{name}")
+            if toks[i] == ")":
+                i += 1
+                break
+            w = None
+            if weighted:
+                if not _is_weight(toks[i]):
+                    raise QueryParseError(
+                        f"#{name} expects weight before arg, got {toks[i]!r}")
+                w = float(toks[i])
+                i += 1
+                if i >= len(toks) or toks[i] == ")":
+                    raise QueryParseError(f"#{name}: dangling weight")
+            node, i = self._parse_node(toks, i)
+            produced = node if isinstance(node, list) else [node]
+            for p in produced:
+                args.append(p)
+                if weighted:
+                    weights.append(w)
+        if name in IOP_OPS:
+            node = IopNode(op=name, args=args, dist=dist)
+        elif name == "score":
+            if len(args) != 1:
+                raise QueryParseError("#score takes exactly one arg")
+            node = ScoreNode(child=args[0])
+        else:
+            node = SopNode(op=name, args=args,
+                           weights=weights if weighted else None)
+        return node, i
+
+    def _make_terms(self, tok: str):
+        """token → 0..k TermNodes (QryParser createTerms semantics)."""
+        field = self.default_field
+        if "." in tok:
+            base, suffix = tok.rsplit(".", 1)
+            if suffix.lower() in KNOWN_FIELDS and base:
+                tok, field = base, suffix.lower()
+        terms = self.analyzer.analyze_query_token(tok)
+        return [TermNode(term=t, field=field) for t in terms]
+
+    # ---- optimizer (QryParser.java:224-261) ----
+    def _optimize(self, node) -> PlanNode | None:
+        if isinstance(node, list):          # bare top-level multi-term token
+            if not node:
+                return None
+            if len(node) == 1:
+                return node[0]
+            return SopNode(op="or", args=node)
+        if isinstance(node, TermNode):
+            return node
+        if isinstance(node, ScoreNode):
+            child = self._optimize(node.child)
+            return ScoreNode(child=child) if child is not None else None
+        kept, kept_w = [], []
+        weights = node.weights if isinstance(node, SopNode) else None
+        for idx, a in enumerate(node.args):
+            o = self._optimize(a)
+            if o is None:
+                continue
+            kept.append(o)
+            if weights is not None:
+                kept_w.append(weights[idx])
+        if not kept:
+            return None
+        if len(kept) == 1:
+            return kept[0]
+        if isinstance(node, IopNode):
+            return IopNode(op=node.op, args=kept, dist=node.dist)
+        return SopNode(op=node.op, args=kept,
+                       weights=kept_w if weights is not None else None)
+
+    # ---- well-forming (Qry.java:110-181) ----
+    def _well_form(self, node: PlanNode) -> PlanNode:
+        if isinstance(node, TermNode):
+            return node
+        if isinstance(node, IopNode):
+            args = [self._well_form(a) for a in node.args]
+            for a in args:
+                if not is_iop(a):
+                    raise QueryParseError(
+                        f"#{node.op} requires inverted-list args, got {type(a).__name__}")
+            flds = {a.field if isinstance(a, TermNode) else a.field_name
+                    for a in args}
+            if len(flds) > 1:
+                raise QueryParseError(
+                    f"#{node.op} args must share one field, got {sorted(flds)}")
+            return IopNode(op=node.op, args=args, dist=node.dist)
+        if isinstance(node, ScoreNode):
+            child = self._well_form(node.child)
+            if not is_iop(child):
+                raise QueryParseError("#score requires an inverted-list arg")
+            return ScoreNode(child=child)
+        # SopNode: wrap Iop children in implicit #SCORE
+        args = []
+        for a in node.args:
+            a = self._well_form(a)
+            if is_iop(a):
+                a = ScoreNode(child=a)
+            args.append(a)
+        return SopNode(op=node.op, args=args, weights=node.weights)
+
+
+_DEFAULT_PARSER = QueryParser()
+
+
+def parse_query(query: str, default_op: str | None = None) -> PlanNode | None:
+    return _DEFAULT_PARSER.parse(query, default_op)

@@ -1,0 +1,47 @@
+"""Result ordering + trec_eval output — the reference's ``ScoreList``
+sort/truncate contract (``/root/reference/QryEval/ScoreList.java:87-126``)
+and ``printResults`` writer (``QryEval.java:781-801``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def rank_results(docids: np.ndarray, scores: np.ndarray,
+                 external_ids: np.ndarray, k: int = 100) -> pa.Table:
+    """Order by score desc then external_id asc (byte-wise string compare,
+    ScoreList.java:90-97), keep top-k, drop negative scores
+    (QryEval.java:437 keeps ``score >= 0`` only)."""
+    keep = scores >= 0
+    docids, scores = docids[keep], scores[keep]
+    ext = external_ids[docids]
+    order = np.lexsort((ext, -scores))
+    order = order[:k]
+    return pa.table({
+        "external_id": pa.array(ext[order].tolist(), pa.string()),
+        "score": pa.array(scores[order], pa.float64()),
+        "rank": pa.array(np.arange(1, order.size + 1, dtype=np.int32)),
+    })
+
+
+def format_trec(results: pa.Table, run_id: str = "run-1",
+                default_qid: str = "1") -> str:
+    """``qid Q0 externalDocid rank score runID`` lines; a dummy line for
+    empty result sets, as the reference writes (QryEval.java:788-791)."""
+    lines = []
+    qids = results["qid"].to_pylist() if "qid" in results.column_names \
+        else [default_qid] * results.num_rows
+    if results.num_rows == 0:
+        return f"{default_qid}\tQ0\tdummyDocid\t1\t0\t{run_id}\n"
+    for qid, ext, rank, score in zip(qids, results["external_id"].to_pylist(),
+                                     results["rank"].to_pylist(),
+                                     results["score"].to_pylist()):
+        lines.append(f"{qid}\tQ0\t{ext}\t{rank}\t{score:.12f}\t{run_id}")
+    return "\n".join(lines) + "\n"
+
+
+def write_trec(results: pa.Table, path: str, run_id: str = "run-1") -> None:
+    with open(path, "w") as f:
+        f.write(format_trec(results, run_id))

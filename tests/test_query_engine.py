@@ -1,0 +1,156 @@
+"""Engine vs pure-Python-oracle parity (FIXTURES.md §3): rank- and
+score-identical results per retrieval model over the toy corpus and the
+500-doc sf0.001 documents corpus."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from search_engines_ray.query import (
+    BM25Model, IndriModel, QueryEngine, RankedBooleanModel,
+    UnrankedBooleanModel,
+)
+from search_engines_ray.query.parser import QueryParser
+
+from .oracle import OracleIndex, oracle_search
+
+MODELS = {
+    "unranked": UnrankedBooleanModel(),
+    "ranked": RankedBooleanModel(),
+    "bm25": BM25Model(k1=1.2, b=0.75),
+    "indri": IndriModel(mu=2500, lambda_=0.4),
+}
+
+TOY_QUERIES = [
+    "quick fox",
+    "lazy dog",
+    "fox",
+    "#near/1(quick brown)",
+    "#near/2(lazy dog)",
+    "#window/4(dog cat)",
+    "#syn(dog cat)",
+    "brown.title cat",
+    "the of",                       # stopword-only
+    "nonexistentterm",
+]
+
+STRUCTURED = {
+    "unranked": ["#and(quick brown)", "#or(fox mat)", "#or(#and(lazy dog) cat)"],
+    "ranked": ["#and(quick brown)", "#or(fox mat)", "#or(#and(lazy dog) cat)"],
+    "bm25": ["#sum(quick brown fox)", "#sum(#near/1(quick brown) fox)"],
+    "indri": [
+        "#and(quick fox)",
+        "#wand( 0.7 #and( lazy dog ) 0.2 #and( #near/1( lazy dog ) ) "
+        "0.1 #and( #window/8( lazy dog ) ) )",
+        "#wsum( 0.5 fox 0.5 #near/1(brown cat) )",
+    ],
+}
+
+
+def _compare(engine_t, oracle_rows, tol=1e-10):
+    got = list(zip(engine_t["external_id"].to_pylist(),
+                   engine_t["score"].to_pylist()))
+    assert len(got) == len(oracle_rows), (got, oracle_rows)
+    for (ge, gs), (oe, os) in zip(got, oracle_rows):
+        assert ge == oe, (got, oracle_rows)
+        assert gs == pytest.approx(os, abs=tol, rel=tol)
+
+
+@pytest.fixture(scope="session")
+def toy_oracle(toy_pages):
+    return OracleIndex(toy_pages, fields={"body": "text", "title": "title"})
+
+
+@pytest.mark.parametrize("model_name", list(MODELS))
+def test_toy_parity(toy_index, toy_oracle, model_name):
+    model = MODELS[model_name]
+    engine = QueryEngine(toy_index, model)
+    parser = QueryParser()
+    for q in TOY_QUERIES + STRUCTURED[model_name]:
+        res = engine.search(q, k=50)
+        plan = parser.parse(q, model.default_op)
+        exp = oracle_search(toy_oracle, plan, model, k=50)
+        _compare(res, exp)
+
+
+def test_trec_output(toy_index):
+    from search_engines_ray.query.trec import format_trec
+    engine = QueryEngine(toy_index, BM25Model())
+    t = engine.run_queries([("1", "quick fox"), ("2", "zzz")], k=10)
+    txt = format_trec(t, run_id="test")
+    lines = [l for l in txt.strip().split("\n") if l]
+    assert all(len(l.split("\t")) == 6 for l in lines)
+    assert lines[0].split("\t")[0] == "1"
+
+
+@pytest.fixture(scope="session")
+def docs_pages() -> pd.DataFrame:
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"])
+    df = t.to_pandas()
+    return pd.DataFrame({
+        "url": [f"http://docs.example.com/{i:08d}" for i in df["doc_id"]],
+        "text": df["text"],
+    })
+
+
+@pytest.fixture(scope="session")
+def docs_index(tmp_path_factory, docs_pages, ray_session):
+    import ray.data as rd
+    from search_engines_ray.index import (
+        IndexBuildConfig, IndexReader, build_index,
+    )
+    idx_dir = str(tmp_path_factory.mktemp("idx") / "docs")
+    build_index(rd.from_pandas(docs_pages), idx_dir,
+                IndexBuildConfig(num_buckets=8, docid_partitions=8,
+                                 tokenize_concurrency=2),
+                input_token="sf0.001", resume=False)
+    return IndexReader(idx_dir)
+
+
+@pytest.fixture(scope="session")
+def docs_oracle(docs_pages):
+    return OracleIndex(docs_pages)
+
+
+DOC_QUERIES = [
+    "fast sort merge",
+    "hash join",
+    "#near/2(table scan)",
+    "window",
+    "#syn(sort merge) scan",
+]
+DOC_STRUCTURED = {
+    "unranked": ["#and(fast sort)", "#or(hash scan)"],
+    "ranked": ["#and(fast sort)", "#or(hash scan)"],
+    "bm25": ["#sum(fast sort merge)", "#sum(#near/1(table scan) key)"],
+    "indri": [
+        "#and(fast sort)",
+        "#wand( 0.7 #and( hash join ) 0.3 #and( #near/1( hash join ) ) )",
+    ],
+}
+
+
+@pytest.mark.parametrize("model_name", list(MODELS))
+def test_docs_parity(docs_index, docs_oracle, model_name):
+    model = MODELS[model_name]
+    engine = QueryEngine(docs_index, model)
+    parser = QueryParser()
+    for q in DOC_QUERIES + DOC_STRUCTURED[model_name]:
+        res = engine.search(q, k=100)
+        plan = parser.parse(q, model.default_op)
+        exp = oracle_search(docs_oracle, plan, model, k=100)
+        _compare(res, exp)
+
+
+def test_rank_ordering_contract(docs_index):
+    """score desc, external_id asc (ScoreList.java:87-114)."""
+    engine = QueryEngine(docs_index, UnrankedBooleanModel())
+    t = engine.search("#or(fast sort)", k=100)
+    scores = np.array(t["score"].to_pylist())
+    ids = t["external_id"].to_pylist()
+    assert (np.diff(scores) <= 0).all()
+    for i in range(len(ids) - 1):
+        if scores[i] == scores[i + 1]:
+            assert ids[i] < ids[i + 1]
