@@ -64,11 +64,15 @@ class Analyzer:
 
     def __init__(self, stopwords: Iterable[str] | None = None,
                  stem: bool = True, lowercase: bool = True,
-                 remove_stopwords: bool = True):
+                 remove_stopwords: bool = True, simple: bool = False):
+        """``simple=True`` switches to the DuckDB-reproducible chain:
+        ``[a-z0-9]+`` runs on lowercased text, no stopwords, no stemming,
+        dense positions — the mode used for oracle-SQL-checked pipelines."""
         self.stopwords = frozenset(LUCENE_STOP_WORDS if stopwords is None else stopwords)
         self.stem = stem
         self.lowercase = lowercase
         self.remove_stopwords = remove_stopwords
+        self.simple = simple
         self._stem_cache: dict[str, str] = {}
 
     def _stem(self, token: str) -> str:
@@ -86,6 +90,9 @@ class Analyzer:
         is the total number of slots (stopwords included), matching
         ``Idx.getFieldLength`` semantics (`Idx.java:87-90`).
         """
+        if self.simple:
+            terms = _SIMPLE_RE.findall(text.lower())
+            return terms, list(range(len(terms))), len(terms)
         terms: list[str] = []
         positions: list[int] = []
         pos = 0

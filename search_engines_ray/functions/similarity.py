@@ -1,0 +1,154 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``ann_cosine_topk`` — exact brute-force cosine top-k: the query matrix
+  is broadcast once (``ray.put``), each batch does one numpy matmul and
+  keeps its local top-k, a tiny per-qid merge finishes. Per-batch
+  partials bound the shuffle at (num_batches × k) rows.
+- ``lsh_ann_topk`` — the scale path: random-hyperplane signs bucket the
+  vectors; only buckets within ``probe`` Hamming distance of the query's
+  bucket are scanned. Approximate; same output schema.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _as_matrix(col) -> np.ndarray:
+    """list<float> column → (n, d) float32 matrix, zero-copy-ish."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    offs = arr.offsets.to_numpy()
+    d = offs[1] - offs[0] if len(offs) > 1 else flat.size
+    return flat.reshape(-1, int(d))
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def ann_cosine_topk(ds, queries: np.ndarray, k: int = 10,
+                    vec_col: str = "embedding", id_col: str = "vec_id"):
+    """→ Dataset (query_id, vec_id, score) — exact cosine top-k per query
+    row of ``queries`` (shape (q, d))."""
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    q_ref = ray.put(q)
+
+    class Scorer:
+        def __init__(self):
+            self.q = ray.get(q_ref).T          # (d, q)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            m = _normalize(_as_matrix(b[vec_col]))
+            ids = b[id_col].to_numpy()
+            sims = m @ self.q                   # (n, q)
+            kk = min(k, sims.shape[0])
+            out_q, out_id, out_s = [], [], []
+            for qi in range(sims.shape[1]):
+                s = sims[:, qi]
+                top = np.argpartition(-s, kk - 1)[:kk]
+                out_q.append(np.full(kk, qi, dtype=np.int32))
+                out_id.append(ids[top])
+                out_s.append(s[top].astype(np.float64))
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "score": pa.array(np.concatenate(out_s)),
+            })
+
+    partials = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=2)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return g.reset_index(drop=True)
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, planes: int = 12,
+                 probe_hamming: int = 1, seed: int = 11,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Random-hyperplane LSH ANN: bucket = sign pattern of ``planes``
+    projections; scan only buckets within ``probe_hamming`` of each
+    query bucket. → Dataset (query_id, vec_id, score), approximate."""
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    rng = np.random.default_rng(seed)
+    d = q.shape[1]
+    H = rng.standard_normal((d, planes)).astype(np.float32)
+
+    def bucket_of(m: np.ndarray) -> np.ndarray:
+        signs = (m @ H) > 0
+        return (signs.astype(np.uint32)
+                << np.arange(planes, dtype=np.uint32)).sum(axis=1)
+
+    q_buckets = bucket_of(q)
+    # all buckets within probe distance of any query bucket
+    wanted: set[int] = set()
+    for qb in q_buckets.tolist():
+        wanted.add(qb)
+        if probe_hamming >= 1:
+            for i in range(planes):
+                wanted.add(qb ^ (1 << i))
+    wanted_ref = ray.put(np.array(sorted(wanted), dtype=np.uint32))
+    q_ref = ray.put(q)
+
+    class Scorer:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+            self.qb = q_buckets
+            self.wanted = ray.get(wanted_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            m = _normalize(_as_matrix(b[vec_col]))
+            ids = b[id_col].to_numpy()
+            bk = bucket_of(m)
+            keep = np.isin(bk, self.wanted)
+            if not keep.any():
+                return pa.table({"query_id": pa.array([], pa.int32()),
+                                 id_col: pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})
+            m, ids, bk = m[keep], ids[keep], bk[keep]
+            sims = m @ self.q.T
+            out_q, out_id, out_s = [], [], []
+            for qi in range(self.q.shape[0]):
+                # only candidates whose bucket probes this query's bucket
+                mask = (bk ^ self.qb[qi]).astype(np.uint32)
+                ham = np.zeros(mask.size, dtype=np.int32)
+                mm = mask.copy()
+                while mm.any():
+                    ham += (mm & 1).astype(np.int32)
+                    mm >>= 1
+                cand = ham <= probe_hamming
+                if not cand.any():
+                    continue
+                s = sims[cand, qi]
+                kk = min(k, s.size)
+                top = np.argpartition(-s, kk - 1)[:kk]
+                out_q.append(np.full(kk, qi, dtype=np.int32))
+                out_id.append(ids[cand][top])
+                out_s.append(s[top].astype(np.float64))
+            if not out_q:
+                return pa.table({"query_id": pa.array([], pa.int32()),
+                                 id_col: pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "score": pa.array(np.concatenate(out_s)),
+            })
+
+    partials = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=2)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return g.reset_index(drop=True)
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")

@@ -83,11 +83,12 @@ class IndexBuildConfig:
     tokenize_batch_size: int = 512
     tokenize_concurrency: int | tuple = 4
     dedup: bool = True
+    analyzer: str = "lucene"       # "lucene" (full chain) | "simple" (SQL-checkable)
 
     def fingerprint(self, input_token: str) -> str:
         blob = json.dumps(
             [sorted(self.fields.items()), self.url_column, self.num_buckets,
-             self.docid_partitions, self.merge_salts, input_token],
+             self.docid_partitions, self.merge_salts, self.analyzer, input_token],
             sort_keys=True)
         return hashlib.md5(blob.encode()).hexdigest()
 
@@ -113,9 +114,9 @@ class _Tokenize:
     forward-index rows (docid, external_id, pid, and per field:
     terms/positions/len)."""
 
-    def __init__(self, fields: dict):
+    def __init__(self, fields: dict, analyzer_mode: str = "lucene"):
         self.fields = fields
-        self.analyzer = Analyzer()
+        self.analyzer = Analyzer(simple=(analyzer_mode == "simple"))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -336,7 +337,7 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
 
         ds = ds.groupby("pid").map_groups(assign_docids, batch_format="pandas")
         ds = ds.map_batches(
-            _Tokenize, fn_constructor_args=(cfg.fields,),
+            _Tokenize, fn_constructor_args=(cfg.fields, cfg.analyzer),
             batch_format="pyarrow", batch_size=cfg.tokenize_batch_size,
             concurrency=cfg.tokenize_concurrency)
         ds.write_parquet(fwd_path)
@@ -366,7 +367,7 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
                               "sum_len": int(sums_row[f"sum_{f}"] or 0)}
         stats = {"version": 1, "n_docs": int(n_docs), "fields": field_stats,
                  "num_buckets": cfg.num_buckets, "merge_salts": S,
-                 "docid_partitions": P}
+                 "docid_partitions": P, "analyzer": cfg.analyzer}
         with open(os.path.join(index_dir, STATS_FILE), "w") as fh:
             json.dump(stats, fh, indent=1)
         _mark_stage(index_dir, DOCMETA_DIR, fp, n_docs=int(n_docs))

@@ -189,7 +189,11 @@ class QueryEngine:
                  parser: QueryParser | None = None):
         self.reader = reader
         self.model = model
-        self.parser = parser or QueryParser()
+        if parser is None:
+            from ..analysis.tokenizer import Analyzer
+            simple = reader.stats.get("analyzer") == "simple"
+            parser = QueryParser(Analyzer(simple=simple))
+        self.parser = parser
 
     # ---- plan-wide postings fetch ----
     def _collect_terms(self, node: PlanNode, under_iop: bool, acc: dict):

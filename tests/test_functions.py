@@ -1,0 +1,140 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def dup_docs(ray_session):
+    import ray.data as rd
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")
+    for i in range(10):
+        rows.append({"doc_id": i, "text": f"unique document number {i} about topic {i*7}"})
+    rows.append({"doc_id": 100, "text": base})
+    rows.append({"doc_id": 101, "text": base})           # exact dup
+    rows.append({"doc_id": 102, "text": near})           # near dup
+    rows.append({"doc_id": 103, "text": ""})
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_exact_dedup(dup_docs):
+    from search_engines_ray.functions import exact_dedup
+    out = exact_dedup(dup_docs).to_pandas()
+    grp = out[out["n_dups"] > 1]
+    assert len(grp) == 1
+    assert grp.iloc[0]["canonical_id"] == 100 and grp.iloc[0]["n_dups"] == 2
+    assert len(out) == 13            # 14 docs, one collapsed pair
+
+
+def test_minhash_lsh_dedup(dup_docs):
+    from search_engines_ray.functions import minhash_lsh_dedup
+    out = minhash_lsh_dedup(dup_docs, jaccard_threshold=0.5).to_pandas()
+    m = dict(zip(out["doc_id"], out["canonical_id"]))
+    # exact + near dup both map to canonical 100
+    assert m.get(101) == 100
+    assert m.get(102) == 100
+    # unique docs never appear as non-trivial members
+    for i in range(10):
+        assert m.get(i, i) == i
+
+
+def test_simhash_dedup(dup_docs):
+    from search_engines_ray.functions import simhash_dedup
+    out = simhash_dedup(dup_docs).to_pandas()
+    m = dict(zip(out["doc_id"], out["canonical_id"]))
+    assert m.get(101) == 100         # identical text -> identical simhash
+
+
+def test_ngram_jaccard():
+    from search_engines_ray.functions import ngram_jaccard
+    assert ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert ngram_jaccard("a b c d", "x y z w") == 0.0
+    assert 0.0 < ngram_jaccard("a b c d e", "a b c d f") < 1.0
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data as rd
+    return rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_ann_cosine_topk_matches_numpy(emb_ds):
+    from search_engines_ray.functions import ann_cosine_topk
+    import pyarrow.parquet as pq
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    M = np.array(t["embedding"].to_pylist(), dtype=np.float32)
+    ids = t["vec_id"].to_numpy()
+    q = M[:2]
+    out = ann_cosine_topk(emb_ds, q, k=5).to_pandas()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = Mn @ qn.T
+    for qi in range(2):
+        exp_order = np.lexsort((ids, -sims[:, qi]))[:5]
+        got = out[out["query_id"] == qi]
+        assert list(got["vec_id"]) == ids[exp_order].tolist()
+        np.testing.assert_allclose(got["score"], sims[exp_order, qi],
+                                   rtol=1e-5)
+    # self-match is rank 1
+    assert out[out["query_id"] == 0].iloc[0]["vec_id"] == ids[0]
+
+
+def test_lsh_ann_topk_contains_self(emb_ds):
+    from search_engines_ray.functions import lsh_ann_topk
+    import pyarrow.parquet as pq
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    M = np.array(t["embedding"].to_pylist(), dtype=np.float32)
+    out = lsh_ann_topk(emb_ds, M[:2], k=5).to_pandas()
+    got0 = out[out["query_id"] == 0]
+    assert len(got0) >= 1
+    assert got0.iloc[0]["vec_id"] == t["vec_id"][0].as_py()
+
+
+def test_language_id(ray_session):
+    import ray.data as rd
+    from search_engines_ray.functions import language_id
+    ds = rd.from_pandas(pd.DataFrame({
+        "text": ["the cat is on the mat and it was good",
+                 "der hund ist nicht zu haus und ich bin müde",
+                 "le chat est dans la maison et je ne sais pas",
+                 ""]}))
+    out = language_id(ds).to_pandas()
+    assert list(out["detected_lang"]) == ["en", "de", "fr", "unknown"]
+
+
+def test_quality_and_token_stats(ray_session):
+    import ray.data as rd
+    from search_engines_ray.functions import quality_scores, token_stats
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2], "text": ["The cat!! 99", ""]}))
+    q = quality_scores(ds).to_pandas().sort_values("doc_id")
+    assert q.iloc[0]["n_tokens"] == 3
+    assert q.iloc[1]["n_tokens"] == 0 and q.iloc[1]["alpha_ratio"] == 0.0
+    t = token_stats(ds).to_pandas().sort_values("doc_id")
+    assert t.iloc[0]["ws_tokens"] == 3
+    assert t.iloc[0]["bpe_ish_tokens"] == 6      # the, cat, !, !, 9, 9
+
+
+def test_doc_fingerprint_deterministic(ray_session):
+    import ray.data as rd
+    from search_engines_ray.functions import doc_fingerprint
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "text": ["word " * 30, "other text entirely here now"]})
+    a = doc_fingerprint(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    b = doc_fingerprint(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert list(a["fingerprint"].map(list)) == list(b["fingerprint"].map(list))
+    assert len(a.iloc[0]["fingerprint"]) >= 1
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+    from search_engines_ray.functions.multimodal import (
+        DecodeImage, decode_features, make_fake_media_batch,
+    )
+    media = rd.from_arrow(make_fake_media_batch(20))
+    out = decode_features(media, fake=True).to_pandas()
+    assert len(out) == 20
+    assert all(len(f) == 16 for f in out["features"])
+    with pytest.raises(NotImplementedError):
+        DecodeImage(fake=False)._decode_one(b"xx")

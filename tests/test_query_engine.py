@@ -154,3 +154,19 @@ def test_rank_ordering_contract(docs_index):
     for i in range(len(ids) - 1):
         if scores[i] == scores[i + 1]:
             assert ids[i] < ids[i + 1]
+
+
+def test_distributed_bm25_matches_driver_path(docs_index):
+    """The Ray Data batch-scoring pipeline must be rank- and
+    score-identical to the driver-side engine."""
+    from search_engines_ray.query.distributed import bm25_batch_search
+    model = BM25Model()
+    engine = QueryEngine(docs_index, model)
+    queries = [("1", "fast sort merge"), ("2", "hash join"), ("3", "window scan")]
+    dist = bm25_batch_search(docs_index.index_dir, queries, model, k=50)
+    dp = dist.to_pandas()
+    for qid, q in queries:
+        drv = engine.search(q, k=50).to_pandas()
+        sub = dp[dp["qid"] == qid].reset_index(drop=True)
+        assert list(sub["external_id"]) == list(drv["external_id"]), qid
+        np.testing.assert_allclose(sub["score"], drv["score"], rtol=1e-12)
