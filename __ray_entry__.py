@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()`` — flagship pipeline at sf0.001: build the inverted index
+  (full analyzer chain) over the pages derived from ``documents``, then
+  run a mixed BM25 + structured query batch; returns the ranked-results
+  table (qid, external_id, rank, score).
+- ``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+  (SURVEY.md §2 + training-data ops); oracle-checked entries use the
+  simple (SQL-reproducible) analyzer, rows-only entries exercise the
+  full engine and are covered by the pytest oracle suite instead.
 """
 
 from __future__ import annotations
@@ -20,25 +20,31 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from search_engines_ray.pipelines.driver_queries import get_index
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import BM25Model, IndriModel
+
+    sf_dir = "/root/testdata/sf0.001"
+    reader = get_index(sf_dir, "lucene")
+    bm25 = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    indri = QueryEngine(reader, IndriModel(mu=2500, lambda_=0.4))
+    out = bm25.run_queries([
+        ("q1", "fast sort merge"),
+        ("q2", "hash join table"),
+        ("q3", "#sum(#near/2(fast sort) scan)"),
+    ], k=100)
+    out2 = indri.run_queries([
+        ("q4", "#wand( 0.7 #and( fast sort ) 0.3 #and( #near/1( fast sort ) ) )"),
+    ], k=100)
+    import pyarrow as pa
+    return pa.concat_tables([out, out2])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from search_engines_ray.pipelines.driver_queries import QUERIES
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from search_engines_ray.pipelines.driver_queries import ORACLE_SQL
+    return dict(ORACLE_SQL)

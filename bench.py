@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR at
+$RAY_GRAFT_CPUS, printing ONE JSON line.
+
+Headline = the north-rule pipeline: full-analyzer inverted-index build
+over the pages table derived from ``documents`` (tokenize → forward →
+postings merge → partitioned parquet), then a BM25 query batch (driver
+path + distributed batch path) and a structured-operator batch.
+
+``--scaling`` runs the same bench twice in fresh subprocesses at 8 and
+32 CPUs on the same input (page cache warmed) and reports throughputs +
+scaling efficiency — the sandbox proxy for the two-cluster-size
+criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# deterministic corpus replication: the documents table is ≤5k rows while
+# the headline metric is indexing throughput — expand so compute dwarfs
+# fixed pipeline overhead (see pages_from_documents)
+EXPAND = int(os.environ.get("GRAFT_EXPAND", "40"))
+
+BOW_QUERIES = [
+    "fast sort merge", "hash join table", "window scan", "dup line",
+    "group order filter", "vector batch column", "spark stream value",
+    "key part customer", "slow big agg", "row data small",
+    "merge sort fast key", "scan table hash", "filter group by order",
+    "stream window agg", "join hash spark", "line dup row",
+    "column vector value", "customer part key", "big slow query",
+    "data small batch",
+]
+STRUCTURED_QUERIES = [                  # (model, query)
+    ("bm25", "#sum(#near/2(fast sort) merge)"),
+    ("bm25", "#sum(#window/8(hash join) table)"),
+    ("indri", "#wand( 0.7 #and( fast sort ) 0.2 #and( #near/1( fast sort ) ) "
+              "0.1 #and( #window/8( fast sort ) ) )"),
+    ("indri", "#and(#syn(fast quick) merge)"),
+]
+
+
+def run_bench() -> dict:
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from search_engines_ray.index import IndexBuildConfig, IndexReader, build_index
+    from search_engines_ray.pipelines.corpus import pages_from_documents
+    from search_engines_ray.query.distributed import bm25_batch_search
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import BM25Model, IndriModel
+
+    # warm page cache so we measure compute+shuffle, not first disk read
+    import pyarrow.parquet as pq
+    n_docs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id"]).num_rows * EXPAND
+
+    idx_dir = f"/tmp/bench_idx_{NUM_CPUS}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    cfg = IndexBuildConfig(
+        num_buckets=32, docid_partitions=max(NUM_CPUS, 8), merge_salts=4,
+        tokenize_batch_size=1024,
+        tokenize_concurrency=max(2, min(NUM_CPUS - 2, 24)))
+
+    t0 = time.time()
+    build_index(pages_from_documents(SF_DIR, expand=EXPAND), idx_dir, cfg,
+                input_token=SF_DIR, resume=False)
+    t_build = time.time() - t0
+
+    reader = IndexReader(idx_dir)
+    bm25 = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    # warm doclens/docmeta caches outside the timed region (mirrors the
+    # reference opening the index before the query loop)
+    reader.doclens("body"); reader.external_ids()
+
+    t0 = time.time()
+    for i, q in enumerate(BOW_QUERIES):
+        bm25.search(q, k=100)
+    t_bm25 = time.time() - t0
+
+    indri = QueryEngine(reader, IndriModel(mu=2500, lambda_=0.4))
+    engines = {"bm25": bm25, "indri": indri}
+    t0 = time.time()
+    for model, q in STRUCTURED_QUERIES:
+        engines[model].search(q, k=100)
+    t_structured = time.time() - t0
+
+    t0 = time.time()
+    bm25_batch_search(idx_dir, [(str(i), q) for i, q in enumerate(BOW_QUERIES)],
+                      BM25Model(), k=100)
+    t_dist = time.time() - t0
+
+    ray.shutdown()
+    total = t_build + t_bm25 + t_structured + t_dist
+    return {
+        "metric": "index_build_plus_query_batch",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {
+            "index_build": round(t_build, 3),
+            "bm25_bow_batch20": round(t_bm25, 3),
+            "structured_batch4": round(t_structured, 3),
+            "bm25_distributed_batch20": round(t_dist, 3),
+        },
+        "sf": SF_DIR,
+        "expand": EXPAND,
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "index_docs_per_sec": round(n_docs / t_build, 1),
+        "bm25_query_p50_ms": round(t_bm25 / len(BOW_QUERIES) * 1000, 1),
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    tput_lo = r_lo["index_docs_per_sec"]
+    tput_hi = r_hi["index_docs_per_sec"]
+    eff = tput_hi / (tput_lo * (hi / lo))
+    return {
+        "metric": "scaling_efficiency",
+        "cpus": [lo, hi],
+        "sec": [r_lo["value"], r_hi["value"]],
+        "index_docs_per_sec": [tput_lo, tput_hi],
+        "e2e_speedup": round(r_lo["value"] / r_hi["value"], 3),
+        "scaling_efficiency_index": round(eff, 3),
+        "detail": {"lo": r_lo, "hi": r_hi},
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

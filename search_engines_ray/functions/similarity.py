@@ -18,10 +18,10 @@ import pyarrow as pa
 import ray
 
 
-def _as_matrix(col) -> np.ndarray:
-    """list<float> column → (n, d) float32 matrix, zero-copy-ish."""
+def _as_matrix(col, dtype=np.float32) -> np.ndarray:
+    """list<float> column → (n, d) matrix."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(dtype)
     offs = arr.offsets.to_numpy()
     d = offs[1] - offs[0] if len(offs) > 1 else flat.size
     return flat.reshape(-1, int(d))
@@ -34,10 +34,12 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def ann_cosine_topk(ds, queries: np.ndarray, k: int = 10,
-                    vec_col: str = "embedding", id_col: str = "vec_id"):
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    dtype=np.float32):
     """→ Dataset (query_id, vec_id, score) — exact cosine top-k per query
-    row of ``queries`` (shape (q, d))."""
-    q = _normalize(np.asarray(queries, dtype=np.float32))
+    row of ``queries`` (shape (q, d)). ``dtype=np.float64`` for
+    oracle-exact runs."""
+    q = _normalize(np.asarray(queries, dtype=dtype))
     q_ref = ray.put(q)
 
     class Scorer:
@@ -45,7 +47,7 @@ def ann_cosine_topk(ds, queries: np.ndarray, k: int = 10,
             self.q = ray.get(q_ref).T          # (d, q)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            m = _normalize(_as_matrix(b[vec_col]))
+            m = _normalize(_as_matrix(b[vec_col], dtype))
             ids = b[id_col].to_numpy()
             sims = m @ self.q                   # (n, q)
             kk = min(k, sims.shape[0])

@@ -24,6 +24,13 @@ _LANG_PROFILES = {
 _BPE_ISH_RE = re.compile(r"[a-z]+|[0-9]|[^a-z0-9\s]")
 
 
+def round6(x) -> np.ndarray:
+    """Half-away-from-zero 6-dp rounding — matches the DuckDB oracle
+    expression ``floor(x*1000000 + 0.5)/1000000`` bit for bit (numpy/
+    Python ``round`` banker's-rounds, DuckDB rounds half away)."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
+
+
 class LanguageId:
     """Function-word-ratio language ID; ``unknown`` under ``min_hits``."""
 
@@ -65,16 +72,18 @@ def quality_batch(b: pa.Table, text_col: str = "text") -> pa.Table:
         t = t or ""
         toks = simple_tokenize(t)
         n_tok[i] = len(toks)
-        n_alpha = sum(1 for c in t if c.isalpha())
+        # ascii-alpha on purpose: mirrors the DuckDB oracle expression
+        # regexp_replace(text, '[^a-zA-Z]', '', 'g')
+        n_alpha = sum(1 for c in t if ("a" <= c <= "z") or ("A" <= c <= "Z"))
         alpha[i] = n_alpha / len(t) if t else 0.0
         stopr[i] = (sum(1 for w in toks if w in LUCENE_STOP_WORDS) / len(toks)
                     if toks else 0.0)
         mtl[i] = (sum(map(len, toks)) / len(toks)) if toks else 0.0
     out = pa.table({c: b[c] for c in b.column_names})
     out = out.append_column("n_tokens", pa.array(n_tok))
-    out = out.append_column("alpha_ratio", pa.array(np.round(alpha, 6)))
-    out = out.append_column("stopword_ratio", pa.array(np.round(stopr, 6)))
-    out = out.append_column("mean_token_len", pa.array(np.round(mtl, 6)))
+    out = out.append_column("alpha_ratio", pa.array(round6(alpha)))
+    out = out.append_column("stopword_ratio", pa.array(round6(stopr)))
+    out = out.append_column("mean_token_len", pa.array(round6(mtl)))
     return out
 
 

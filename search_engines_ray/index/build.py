@@ -309,26 +309,40 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
 
         ds = ds.map_batches(add_pid, batch_format="pyarrow")
 
-        if cfg.dedup:
-            def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
-                # first-wins deterministically: smallest row under a full
-                # column sort (reference docids are unique by construction;
-                # SURVEY.md §2.5 "dedup")
-                return g.sort_values(list(g.columns)).head(1)
-            ds = ds.groupby(url_col).map_groups(dedup_group, batch_format="pandas")
-
-        # ---- docid assignment: counts per pid -> offsets -> per-pid rank
-        # pin the (projected, deduped) corpus once: the pid-count pass and
-        # the assignment shuffle both consume it, and without this the
-        # dedup shuffle would run twice
+        # pin the projected corpus once: the pid-count pass and the
+        # assignment shuffle both consume it
         ds = ds.materialize()
-        counts_pd = ds.groupby("pid").count().to_pandas().sort_values("pid")
+
+        # ---- docid assignment: distinct-url counts per pid -> driver
+        # cumsum offsets -> per-pid dedup + url-sort + offset+rank.
+        # Dedup is pid-local because pid = hash(url): folding it into the
+        # per-pid groups avoids a full per-url shuffle (20k one-row pandas
+        # groups cost ~10s; 32 pid groups are free).
+        if cfg.dedup:
+            counts_pd = (ds.select_columns(["pid", url_col])
+                         .groupby("pid")
+                         .map_groups(lambda g: pd.DataFrame(
+                             {"pid": [g["pid"].iloc[0]],
+                              "n": [g[url_col].nunique()]}),
+                             batch_format="pandas")
+                         .to_pandas())
+        else:
+            counts_pd = ds.groupby("pid").count().to_pandas().rename(
+                columns={"count()": "n"})
         cnt = np.zeros(P, dtype=np.int64)
-        cnt[counts_pd["pid"].to_numpy()] = counts_pd["count()"].to_numpy()
+        cnt[counts_pd["pid"].to_numpy()] = counts_pd["n"].to_numpy()
         offsets = np.concatenate(([0], np.cumsum(cnt)[:-1]))
         n_docs = int(cnt.sum())
 
+        dedup = cfg.dedup
+
         def assign_docids(g: pd.DataFrame) -> pd.DataFrame:
+            if dedup:
+                # first-wins deterministically: smallest row under a full
+                # column sort (reference docids are unique by construction;
+                # SURVEY.md §2.5 "dedup")
+                g = g.sort_values(list(g.columns)).drop_duplicates(
+                    url_col, keep="first")
             g = g.sort_values(url_col, kind="mergesort").reset_index(drop=True)
             pid = int(g["pid"].iloc[0])
             g["docid"] = offsets[pid] + np.arange(len(g), dtype=np.int64)

@@ -65,11 +65,32 @@ def documents_to_pages_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-def pages_from_documents(sf_dir: str):
-    """Lazy Dataset of pages derived from ``{sf_dir}/documents.parquet``."""
+def pages_from_documents(sf_dir: str, expand: int = 1):
+    """Lazy Dataset of pages derived from ``{sf_dir}/documents.parquet``.
+
+    ``expand > 1`` deterministically replicates each document into
+    ``expand`` distinct pages (suffixed url, one varied marker token) —
+    the benchmark corpus generator: the driver's documents table is tiny
+    (≤5k rows) while the north rule targets web scale, so throughput
+    benchmarks need a corpus whose size dwarfs fixed pipeline overhead."""
     import ray.data as rd
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])
+    if expand > 1:
+        def replicate(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_pylist()
+            texts = b["text"].to_pylist()
+            langs = b["lang"].to_pylist()
+            out_id, out_tx, out_lg = [], [], []
+            for i, t, l in zip(ids, texts, langs):
+                for j in range(expand):
+                    out_id.append(i * expand + j)
+                    out_tx.append(t if j == 0 else f"{t} variant{j}")
+                    out_lg.append(l)
+            return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                             "text": pa.array(out_tx, pa.string()),
+                             "lang": pa.array(out_lg, pa.string())})
+        ds = ds.map_batches(replicate, batch_format="pyarrow")
     return ds.map_batches(documents_to_pages_batch, batch_format="pyarrow")
 
 

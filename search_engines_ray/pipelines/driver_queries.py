@@ -1,0 +1,488 @@
+"""Driver-contract pipelines (``__ray_entry__.queries()``) and their
+DuckDB oracle SQL, kept side by side so names and semantics stay in sync.
+
+Each oracle-checked pipeline uses the *simple* analyzer mode
+(``[a-z0-9]+`` runs on lowercased text) so DuckDB's
+``string_split_regex(lower(text), '[^a-z0-9]+')`` reproduces tokenization
+exactly; floats are rounded to 6 dp on both sides AFTER ranking. Ranked
+pipelines order by (raw score desc, id asc) before rounding, so both
+sides cut the same top-k set.
+
+Rows-only pipelines (positional operators, PRF, sketch dedup, LSH ANN,
+multimodal) exercise the full-analyzer engine; their correctness lives in
+the pytest oracle suite (tests/oracle.py) instead.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..analysis.tokenizer import LUCENE_STOP_WORDS, simple_tokenize
+from ..functions.text import round6
+from ..index.build import IndexBuildConfig, build_index
+from ..index.reader import IndexReader
+from ..query.eval import QueryEngine
+from ..query.models import (
+    BM25Model, IndriModel, RankedBooleanModel, UnrankedBooleanModel,
+)
+from .corpus import pages_from_documents
+
+_IDX_ROOT = "/tmp/se_ray_indexes"
+
+SIMPLE_TOKS_SQL = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+                   "x -> len(x) > 0)")
+_STOPLIST_SQL = "(" + ",".join(f"'{w}'" for w in sorted(LUCENE_STOP_WORDS)) + ")"
+
+
+def get_index(sf_dir: str, mode: str) -> IndexReader:
+    """Build (or resume) the index for one sf_dir + analyzer mode; cached
+    on disk so repeated queries() calls are cheap."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(_IDX_ROOT, f"{tag}_{mode}")
+    os.makedirs(path, exist_ok=True)
+    import ray
+    # leave headroom for the read/write task stages: an actor pool that
+    # reserves every session CPU starves them and the pipeline stalls
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    cfg = IndexBuildConfig(num_buckets=16, docid_partitions=16,
+                           analyzer=mode,
+                           tokenize_concurrency=max(1, min(ncpu - 2, 8)))
+    build_index(pages_from_documents(sf_dir), path, cfg,
+                input_token=sf_dir, resume=True)
+    return IndexReader(path)
+
+
+def _docid_of_external(ext_ids: list[str]) -> np.ndarray:
+    """external_id 'http://docs.example.com/00000042' → doc_id 42."""
+    return np.array([int(e.rsplit("/", 1)[1]) for e in ext_ids], dtype=np.int64)
+
+
+def _ranked_to_table(res: pa.Table, k: int | None = None) -> pa.Table:
+    ids = _docid_of_external(res["external_id"].to_pylist())
+    scores = round6(res["score"].to_pylist())
+    if k is not None:
+        ids, scores = ids[:k], scores[:k]
+    return pa.table({"doc_id": pa.array(ids), "score": pa.array(scores)})
+
+
+# ------------------------------------------------------------------ queries
+
+def q_doc_token_counts(sf_dir: str):
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        n = [len(simple_tokenize(t or "")) for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_tokens": pa.array(np.asarray(n, dtype=np.int64))})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_DOC_TOKEN_COUNTS = f"""
+select doc_id, len({SIMPLE_TOKS_SQL})::bigint as n_tokens from documents
+"""
+
+
+def q_term_df_ctf_top50(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df: dict[str, int] = {}
+        ctf: dict[str, int] = {}
+        for t in b["text"].to_pylist():
+            toks = simple_tokenize(t or "")
+            for w in toks:
+                ctf[w] = ctf.get(w, 0) + 1
+            for w in set(toks):
+                df[w] = df.get(w, 0) + 1
+        terms = sorted(ctf)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "df": pa.array([df[t] for t in terms], pa.int64()),
+            "ctf": pa.array([ctf[t] for t in terms], pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("df", alias_name="df"),
+                                   Sum("ctf", alias_name="ctf"))
+    pdf = agg.to_pandas().sort_values(["ctf", "term"],
+                                      ascending=[False, True]).head(50)
+    return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
+
+
+SQL_TERM_DF_CTF_TOP50 = f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents)
+select term, count(distinct doc_id)::bigint as df, count(*)::bigint as ctf
+from tok group by term order by ctf desc, term asc limit 50
+"""
+
+
+# "dup" is the one low-df term in the synthetic vocabulary; the others
+# exercise the idf floor (df > N/2 → idf clamped to 0 on both sides)
+BM25_QUERY_TERMS = ("dup", "line", "hash")
+
+
+def q_index_bm25_top10(sf_dir: str):
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    res = engine.search(" ".join(BM25_QUERY_TERMS), k=10)
+    return _ranked_to_table(res)
+
+
+SQL_INDEX_BM25_TOP10 = f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+doclen as (select doc_id, count(*)::double as dl from tok group by doc_id),
+stats as (select
+  (select count(*) from documents)::double as n,
+  (select count(*) from doclen)::double as dc,
+  (select sum(dl) from doclen)::double as suml),
+tfs as (select doc_id, term, count(*)::double as tf from tok
+        where term in ('dup','line','hash') group by doc_id, term),
+dfs as (select term, count(*)::double as df from tfs group by term),
+scored as (
+  select tfs.doc_id,
+         sum(greatest(0.0, ln((stats.n - dfs.df + 0.5)/(dfs.df + 0.5)))
+             * (tfs.tf / (tfs.tf + 1.2*((1.0-0.75) + 0.75*doclen.dl/(stats.suml/stats.dc)))))
+           as raw
+  from tfs
+  join dfs on tfs.term = dfs.term
+  join doclen on tfs.doc_id = doclen.doc_id
+  cross join stats
+  group by tfs.doc_id)
+select doc_id, floor(raw*1000000 + 0.5)/1000000 as score from scored
+order by raw desc, doc_id asc limit 10
+"""
+
+
+INDRI_QUERY_TERMS = ("dup", "sort", "merge")
+
+
+def q_index_indri_top10(sf_dir: str):
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, IndriModel(mu=2500, lambda_=0.4))
+    res = engine.search(" ".join(INDRI_QUERY_TERMS), k=10)
+    return _ranked_to_table(res)
+
+
+SQL_INDEX_INDRI_TOP10 = f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+doclen as (select doc_id, count(*)::double as dl from tok group by doc_id),
+suml as (select sum(dl)::double as v from doclen),
+qterms as (select * from (values ('dup'),('sort'),('merge')) t(term)),
+ctfs as (select term, count(*)::double as ctf from tok
+         where term in (select term from qterms) group by term),
+tfs as (select doc_id, term, count(*)::double as tf from tok
+        where term in (select term from qterms) group by doc_id, term),
+cands as (select distinct doc_id from tfs),
+cells as (
+  select c.doc_id, q.term,
+         coalesce(tfs.tf, 0.0) as tf, ctfs.ctf, doclen.dl
+  from cands c cross join qterms q
+  join ctfs on ctfs.term = q.term
+  join doclen on doclen.doc_id = c.doc_id
+  left join tfs on tfs.doc_id = c.doc_id and tfs.term = q.term),
+scored as (
+  select doc_id,
+         product(pow((1.0-0.4)*(tf + 2500.0*(ctf/suml.v))/(dl + 2500.0)
+                     + 0.4*(ctf/suml.v), 1.0/3.0)) as raw
+  from cells cross join suml group by doc_id)
+select doc_id, floor(raw*1000000 + 0.5)/1000000 as score from scored
+order by raw desc, doc_id asc limit 10
+"""
+
+
+def q_ranked_and(sf_dir: str):
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, RankedBooleanModel())
+    res = engine.search("#and(fast sort)", k=10**9)
+    return _ranked_to_table(res)
+
+
+SQL_RANKED_AND = f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+tfs as (select doc_id, term, count(*)::double as tf from tok
+        where term in ('fast','sort') group by doc_id, term)
+select doc_id, floor(min(tf)*1000000 + 0.5)/1000000 as score from tfs
+group by doc_id having count(distinct term) = 2
+"""
+
+
+def q_ranked_or(sf_dir: str):
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, RankedBooleanModel())
+    res = engine.search("#or(fast sort)", k=10**9)
+    return _ranked_to_table(res)
+
+
+SQL_RANKED_OR = f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+tfs as (select doc_id, term, count(*)::double as tf from tok
+        where term in ('fast','sort') group by doc_id, term)
+select doc_id, floor(max(tf)*1000000 + 0.5)/1000000 as score from tfs group by doc_id
+"""
+
+
+def q_unranked_and_count(sf_dir: str):
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, UnrankedBooleanModel())
+    res = engine.search("#and(fast sort merge)", k=10**9)
+    return pa.table({"n_matches": pa.array([res.num_rows], pa.int64())})
+
+
+SQL_UNRANKED_AND_COUNT = f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents)
+select count(*)::bigint as n_matches from (
+  select doc_id from tok where term in ('fast','sort','merge')
+  group by doc_id having count(distinct term) = 3)
+"""
+
+
+def q_exact_dedup(sf_dir: str):
+    import ray.data as rd
+    from ..functions.dedup import exact_dedup
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+SQL_EXACT_DEDUP = """
+select md5(text) as content_hash, min(doc_id)::bigint as canonical_id,
+       count(*)::bigint as n_dups
+from documents group by text
+"""
+
+
+def q_lang_counts(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+SQL_LANG_COUNTS = "select lang, count(*)::bigint as n from documents group by lang"
+
+
+def q_quality_scores(sf_dir: str):
+    import ray.data as rd
+    from ..functions.text import quality_batch
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(lambda b: quality_batch(b), batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_tokens", "alpha_ratio",
+                               "stopword_ratio", "mean_token_len"])
+
+
+SQL_QUALITY_SCORES = f"""
+with t as (select doc_id, text, {SIMPLE_TOKS_SQL} as toks from documents)
+select doc_id,
+  len(toks)::bigint as n_tokens,
+  floor((case when len(text) > 0
+        then len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::double / len(text)
+        else 0.0 end)*1000000 + 0.5)/1000000 as alpha_ratio,
+  floor((case when len(toks) > 0
+        then len(list_filter(toks, x -> x in {_STOPLIST_SQL}))::double / len(toks)
+        else 0.0 end)*1000000 + 0.5)/1000000 as stopword_ratio,
+  floor((case when len(toks) > 0
+        then list_aggregate(list_transform(toks, x -> len(x)), 'sum')::double / len(toks)
+        else 0.0 end)*1000000 + 0.5)/1000000 as mean_token_len
+from t
+"""
+
+
+def q_ann_cosine_top10(sf_dir: str):
+    import ray.data as rd
+    from ..functions.similarity import ann_cosine_topk
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qvec = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)[None, :]
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = ann_cosine_topk(ds, qvec, k=10, dtype=np.float64).to_pandas()
+    out = out.sort_values(["score", "vec_id"], ascending=[False, True],
+                          kind="mergesort")
+    return pa.table({
+        "vec_id": pa.array(out["vec_id"].to_numpy(), pa.int64()),
+        "score": pa.array(round6(out["score"].to_numpy())),
+    })
+
+
+SQL_ANN_COSINE_TOP10 = """
+with q as (select embedding::DOUBLE[] as qv from embeddings where vec_id = 0)
+select vec_id,
+       floor(list_cosine_similarity(embedding::DOUBLE[], q.qv)*1000000 + 0.5)/1000000
+         as score
+from embeddings, q
+order by list_cosine_similarity(embedding::DOUBLE[], q.qv) desc, vec_id asc
+limit 10
+"""
+
+
+def q_top_docs_by_chars(sf_dir: str):
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "n_chars"])
+    ds = ds.filter(expr="lang == 'en'")
+    pdf = ds.to_pandas().sort_values(["n_chars", "doc_id"],
+                                     ascending=[False, True]).head(20)
+    return pa.table({"doc_id": pa.array(pdf["doc_id"].to_numpy(), pa.int64()),
+                     "n_chars": pa.array(pdf["n_chars"].to_numpy(), pa.int64())})
+
+
+SQL_TOP_DOCS_BY_CHARS = """
+select doc_id, n_chars from documents where lang = 'en'
+order by n_chars desc, doc_id asc limit 20
+"""
+
+
+# ---------------------------------------------------------------- rows-only
+
+def q_near_search(sf_dir: str):
+    reader = get_index(sf_dir, "lucene")
+    engine = QueryEngine(reader, BM25Model())
+    return engine.search("#sum(#near/2(fast sort) merge)", k=100)
+
+
+def q_window_search(sf_dir: str):
+    reader = get_index(sf_dir, "lucene")
+    engine = QueryEngine(reader, BM25Model())
+    return engine.search("#sum(#window/8(fast sort) merge)", k=100)
+
+
+def q_syn_search(sf_dir: str):
+    reader = get_index(sf_dir, "lucene")
+    engine = QueryEngine(reader, RankedBooleanModel())
+    return engine.search("#or(#syn(fast quick) merge)", k=100)
+
+
+def q_sdm_wand_search(sf_dir: str):
+    reader = get_index(sf_dir, "lucene")
+    engine = QueryEngine(reader, IndriModel(mu=2500, lambda_=0.4))
+    q = ("#wand( 0.7 #and( fast sort ) 0.2 #and( #near/1( fast sort ) ) "
+         "0.1 #and( #window/8( fast sort ) ) )")
+    return engine.search(q, k=100)
+
+
+def q_prf_expansion(sf_dir: str):
+    from .prf import prf_search
+    reader = get_index(sf_dir, "lucene")
+    engine = QueryEngine(reader, IndriModel(mu=2500, lambda_=0.4))
+    res, expanded = prf_search(engine, "fast sort", fb_docs=10, fb_terms=5,
+                               fb_mu=0.0, fb_orig_weight=0.5, k=100)
+    return res
+
+
+def q_bm25_batch_distributed(sf_dir: str):
+    from ..query.distributed import bm25_batch_search
+    reader = get_index(sf_dir, "lucene")
+    return bm25_batch_search(reader.index_dir,
+                             [("1", "fast sort merge"), ("2", "hash join"),
+                              ("3", "window scan table")], k=100)
+
+
+def q_minhash_dedup(sf_dir: str):
+    import ray.data as rd
+    from ..functions.dedup import minhash_lsh_dedup
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return minhash_lsh_dedup(ds, jaccard_threshold=0.8)
+
+
+def q_simhash_dedup(sf_dir: str):
+    import ray.data as rd
+    from ..functions.dedup import simhash_dedup
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return simhash_dedup(ds)
+
+
+def q_lsh_ann(sf_dir: str):
+    import ray.data as rd
+    from ..functions.similarity import lsh_ann_topk
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qvecs = np.asarray(t["embedding"].to_pylist()[:3], dtype=np.float32)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return lsh_ann_topk(ds, qvecs, k=10)
+
+
+def q_language_id(sf_dir: str):
+    import ray.data as rd
+    from ..functions.text import language_id
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return language_id(ds).select_columns(["doc_id", "detected_lang"])
+
+
+def q_doc_fingerprint(sf_dir: str):
+    import ray.data as rd
+    from ..functions.text import doc_fingerprint
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return doc_fingerprint(ds)
+
+
+def q_multimodal_decode(sf_dir: str):
+    import ray.data as rd
+    from ..functions.multimodal import decode_features, make_fake_media_batch
+    media = rd.from_arrow(make_fake_media_batch(256, seed=3))
+    return decode_features(media, fake=True)
+
+
+QUERIES = {
+    # oracle-checked
+    "doc_token_counts": q_doc_token_counts,
+    "term_df_ctf_top50": q_term_df_ctf_top50,
+    "index_bm25_top10": q_index_bm25_top10,
+    "index_indri_top10": q_index_indri_top10,
+    "ranked_and": q_ranked_and,
+    "ranked_or": q_ranked_or,
+    "unranked_and_count": q_unranked_and_count,
+    "exact_dedup": q_exact_dedup,
+    "lang_counts": q_lang_counts,
+    "quality_scores": q_quality_scores,
+    "ann_cosine_top10": q_ann_cosine_top10,
+    "top_docs_by_chars": q_top_docs_by_chars,
+    # rows-only (not SQL-expressible: positional ops, PRF, sketches, LSH)
+    "near_search": q_near_search,
+    "window_search": q_window_search,
+    "syn_search": q_syn_search,
+    "sdm_wand_search": q_sdm_wand_search,
+    "prf_expansion": q_prf_expansion,
+    "bm25_batch_distributed": q_bm25_batch_distributed,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_dedup": q_simhash_dedup,
+    "lsh_ann": q_lsh_ann,
+    "language_id": q_language_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_decode": q_multimodal_decode,
+}
+
+ORACLE_SQL = {
+    "doc_token_counts": SQL_DOC_TOKEN_COUNTS,
+    "term_df_ctf_top50": SQL_TERM_DF_CTF_TOP50,
+    "index_bm25_top10": SQL_INDEX_BM25_TOP10,
+    "index_indri_top10": SQL_INDEX_INDRI_TOP10,
+    "ranked_and": SQL_RANKED_AND,
+    "ranked_or": SQL_RANKED_OR,
+    "unranked_and_count": SQL_UNRANKED_AND_COUNT,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "lang_counts": SQL_LANG_COUNTS,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "ann_cosine_top10": SQL_ANN_COSINE_TOP10,
+    "top_docs_by_chars": SQL_TOP_DOCS_BY_CHARS,
+}

@@ -2,23 +2,23 @@
 
 The driver-side ``QueryEngine`` fetches a handful of posting lists per
 query — right for interactive use. This module is the *batch* path: score
-a whole query set against a huge index as one Ray Data pipeline, the way
-the index itself was built:
+a whole query set against a huge index as one Ray Data pipeline:
 
   read postings (bucket-pruned, term-filtered)
-    → map_batches decode+score (BM25 leaf math per posting row, vectorized)
-    → per-batch partial accumulate per (qid, docid)
-    → groupby(["qid","docid"]).sum      [the one shuffle]
-    → per-qid candidate cut (score >= kth) → external_id attach → exact
-      (score desc, external_id asc) top-k
+    → map_batches decode+score (vectorized BM25 leaf math per posting row)
+      with per-batch partial accumulation on packed int64 keys
+      ``qcode << 44 | docid`` (never string keys in the hot path)
+    → groupby(gkey).sum                       [the one shuffle]
+    → per-batch partial top-k per query (exact: a row below its batch's
+      kth score has ≥k strictly-greater rows in that batch alone)
+    → driver merge: attach external ids, exact (score desc, external_id
+      asc) top-k per qid.
 
-Scale notes: the postings read prunes to the buckets the query terms hash
-to; doclens are broadcast via ``ray.put`` (at 10^12 docs this becomes a
-docid-range-sharded side table — each scoring task would read only the
-ranges its posting runs cover; the layout already orders runs by docid
-range, see build.py salt contract). The per-(qid,docid) partial
-aggregation inside each batch bounds shuffle volume at one row per
-(query, doc) per batch.
+Scale notes: the postings read prunes to the buckets the query terms
+hash to; doclens are broadcast once via ``ray.put`` (at 10^12 docs this
+becomes a docid-range-sharded side table — the salt layout already
+orders posting runs by docid range, see build.py). The packed key leaves
+44 bits for docids and 19 for queries per batch.
 
 BM25 #SUM (bag-of-words) only — the model whose accumulation is a plain
 sum and hence expressible as groupby().sum() (SURVEY.md §2.4 #SUM row).
@@ -42,6 +42,9 @@ from ..index.reader import IndexReader
 from ..index.varbyte import decode_postings
 from .models import BM25Model
 
+_DOC_BITS = 44
+_DOC_MASK = (1 << _DOC_BITS) - 1
+
 
 def bm25_batch_search(index_dir: str, queries: list[tuple[str, str]],
                       model: BM25Model | None = None, k: int = 100,
@@ -52,22 +55,23 @@ def bm25_batch_search(index_dir: str, queries: list[tuple[str, str]],
     reader = IndexReader(index_dir)
     an = Analyzer(simple=(reader.stats.get("analyzer") == "simple"))
 
-    # qid -> multiset of analyzed terms (a repeated query term scores per
-    # occurrence, as #SUM over duplicate args does)
-    term_queries: dict[str, list[tuple[str, int]]] = {}
+    qids = [qid for qid, _ in queries]
+    qcode = {qid: i for i, qid in enumerate(qids)}
+    # term -> [(qcode, multiplicity)]: a repeated query term scores per
+    # occurrence, as #SUM over duplicate args does
+    term_queries: dict[str, list[tuple[int, int]]] = {}
     for qid, q in queries:
         terms: list[str] = []
         for tok in q.split():
             terms.extend(an.analyze_query_token(tok))
-        for t in terms:
-            term_queries.setdefault(t, []).append((qid, terms.count(t)))
-    term_queries = {t: sorted(set(v)) for t, v in term_queries.items()}
+        for t in set(terms):
+            term_queries.setdefault(t, []).append((qcode[qid], terms.count(t)))
     if not term_queries:
         return _empty()
 
     buckets = sorted({term_bucket(t, reader.num_buckets) for t in term_queries})
     base = os.path.join(index_dir, POSTINGS_DIR)
-    paths = []
+    paths: list[str] = []
     for b in buckets:
         d = os.path.join(base, f"bucket={b}")
         if os.path.isdir(d):
@@ -79,13 +83,14 @@ def bm25_batch_search(index_dir: str, queries: list[tuple[str, str]],
     # broadcast small sides once (ray.put), read per actor — never per batch
     doclen_ref = ray.put(reader.doclens(field))
     tq_ref = ray.put(term_queries)
+    df_ref = ray.put(_global_dfs(index_dir, reader, list(term_queries), field))
     N = reader.n_docs
     avglen = reader.avg_len(field)
     k1, b = model.k1, model.b
     terms_list = sorted(term_queries)
 
     ds = ray.data.read_parquet(
-        paths, columns=["term", "field", "df", "docid_blob", "tf_blob"],
+        paths, columns=["term", "field", "docid_blob", "tf_blob"],
         filter=(pa.compute.field("term").isin(terms_list)
                 & (pa.compute.field("field") == field)))
 
@@ -93,83 +98,120 @@ def bm25_batch_search(index_dir: str, queries: list[tuple[str, str]],
         def __init__(self):
             self.doclens = ray.get(doclen_ref)
             self.tq = ray.get(tq_ref)
-            # global df per term needs all runs; reader stats are exact and
-            # already computed at build time, so fetch df from the
-            # bucket-pruned metadata once per actor
-            r = IndexReader(index_dir)
-            posts = r.postings_many(terms_list, field, positions=False)
-            self.global_df = {t: p.df for t, p in posts.items()}
+            self.global_df = ray.get(df_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            qids_out, docids_out, scores_out = [], [], []
-            terms = batch["term"].to_pylist()
-            dblobs = batch["docid_blob"].to_pylist()
-            tblobs = batch["tf_blob"].to_pylist()
-            for term, db, tb in zip(terms, dblobs, tblobs):
+            keys_out, scores_out = [], []
+            for term, db, tb in zip(batch["term"].to_pylist(),
+                                    batch["docid_blob"].to_pylist(),
+                                    batch["tf_blob"].to_pylist()):
                 docids, tfs, _ = decode_postings(db, tb, None)
                 df = self.global_df[term]
                 idf = max(0.0, np.log((N - df + 0.5) / (df + 0.5)))
                 dl = self.doclens[docids].astype(np.float64)
                 tf = tfs.astype(np.float64)
                 s = idf * (tf / (tf + k1 * ((1.0 - b) + b * dl / avglen)))
-                for qid, mult in self.tq[term]:
-                    qids_out.append(np.full(docids.size, qid, dtype=object))
-                    docids_out.append(docids)
-                    scores_out.append(s * mult)
-            if not qids_out:
+                for qc, mult in self.tq[term]:
+                    keys_out.append((np.int64(qc) << _DOC_BITS) | docids)
+                    scores_out.append(s if mult == 1 else s * mult)
+            if not keys_out:
                 return _partial_empty()
-            qid_c = np.concatenate(qids_out)
-            doc_c = np.concatenate(docids_out)
+            key_c = np.concatenate(keys_out)
             sc_c = np.concatenate(scores_out)
-            # partial per-(qid, docid) accumulate inside the batch
-            order = np.lexsort((doc_c, qid_c))
-            qid_c, doc_c, sc_c = qid_c[order], doc_c[order], sc_c[order]
-            new = np.empty(qid_c.size, dtype=bool)
-            new[0] = True
-            new[1:] = (qid_c[1:] != qid_c[:-1]) | (doc_c[1:] != doc_c[:-1])
-            gid = np.cumsum(new) - 1
-            agg = np.zeros(int(gid[-1]) + 1, dtype=np.float64)
-            np.add.at(agg, gid, sc_c)
-            starts = np.flatnonzero(new)
+            # partial per-(query, docid) accumulate inside the batch
+            uniq, inv = np.unique(key_c, return_inverse=True)
+            agg = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(agg, inv, sc_c)
             return pa.table({
-                "qid": pa.array(qid_c[starts].tolist(), pa.string()),
-                "docid": pa.array(doc_c[starts], pa.int64()),
-                "score": pa.array(agg, pa.float64()),
-            })
+                "part": pa.array((uniq % _NPART).astype(np.int32)),
+                "gkey": pa.array(uniq),
+                "score": pa.array(agg)})
 
+    _NPART = max(8, int(ray.cluster_resources().get("CPU", 8)))
     scored = ds.map_batches(ScoreBatch, batch_format="pyarrow", concurrency=2)
-    from ray.data.aggregate import Sum
-    summed = scored.groupby(["qid", "docid"]).aggregate(
-        Sum("score", alias_name="score"))
 
-    def topk_group(g):
-        import pandas as pd
-        s = g["score"].to_numpy()
-        if s.size > k:
-            kth = np.partition(s, -k)[-k]
-            g = g[s >= kth]          # keep boundary ties for exact ordering
-        return g
-    cands = summed.groupby("qid").map_groups(topk_group, batch_format="pandas")
-    pdf = cands.to_pandas()
-    if pdf.empty:
+    def agg_topk(bt: pa.Table) -> pa.Table:
+        """One hash partition of (query, docid) keys: final sum + exact
+        per-query candidate cut, all numpy (keys are co-located because
+        part = gkey % NPART). Rows below their query's kth score in a
+        partition have ≥k strictly-greater rows in that partition alone,
+        so dropping them is exact."""
+        gk = bt["gkey"].to_numpy()
+        sc = bt["score"].to_numpy()
+        uniq, inv = np.unique(gk, return_inverse=True)
+        agg = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(agg, inv, sc)
+        qc = (uniq >> _DOC_BITS).astype(np.int64)
+        keep = np.ones(uniq.size, dtype=bool)
+        for q in np.unique(qc):
+            m = qc == q
+            s = agg[m]
+            if s.size > k:
+                kth = np.partition(s, -k)[-k]
+                keep[m] = s >= kth
+        return pa.table({"gkey": pa.array(uniq[keep]),
+                         "score": pa.array(agg[keep])})
+
+    cand_batches = list(
+        scored.groupby("part").map_groups(agg_topk, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    cands = pa.concat_tables(cand_batches) if cand_batches else _partial_empty()
+    if "part" in cands.column_names:
+        cands = cands.drop_columns(["part"])
+    if cands.num_rows == 0:
         return _empty()
+    gk = cands["gkey"].to_numpy()
+    sc = cands["score"].to_numpy()
+    qc = (gk >> _DOC_BITS).astype(np.int64)
+    docid = (gk & _DOC_MASK).astype(np.int64)
     ext = reader.external_ids()
-    pdf["external_id"] = ext[pdf["docid"].to_numpy()]
-    out = []
-    for qid, g in pdf.groupby("qid", sort=True):
-        g = g.sort_values(["score", "external_id"],
-                          ascending=[False, True], kind="mergesort").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        out.append(g[["qid", "external_id", "rank", "score"]])
-    import pandas as pd
-    return pa.Table.from_pandas(pd.concat(out, ignore_index=True),
-                                preserve_index=False)
+    eids = ext[docid]
+    out_qid, out_eid, out_rank, out_score = [], [], [], []
+    for q in range(len(qids)):
+        m = qc == q
+        if not m.any():
+            continue
+        order = np.lexsort((eids[m], -sc[m]))[:k]
+        ids_q = eids[m][order]
+        sc_q = sc[m][order]
+        out_qid.extend([qids[q]] * order.size)
+        out_eid.extend(ids_q.tolist())
+        out_rank.extend(range(1, order.size + 1))
+        out_score.extend(sc_q.tolist())
+    return pa.table({
+        "qid": pa.array(out_qid, pa.string()),
+        "external_id": pa.array(out_eid, pa.string()),
+        "rank": pa.array(np.asarray(out_rank, dtype=np.int32)),
+        "score": pa.array(out_score, pa.float64()),
+    })
+
+
+def _global_dfs(index_dir: str, reader: IndexReader, terms: list[str],
+                field: str) -> dict[str, int]:
+    """Global df per term = sum of run dfs — a metadata-only parquet scan
+    (no blob decode)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    base = os.path.join(index_dir, POSTINGS_DIR)
+    paths = []
+    for b in sorted({term_bucket(t, reader.num_buckets) for t in terms}):
+        d = os.path.join(base, f"bucket={b}")
+        if os.path.isdir(d):
+            paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                         if f.endswith(".parquet"))
+    if not paths:
+        return {}
+    t = pads.dataset(paths, format="parquet").to_table(
+        columns=["term", "df"],
+        filter=(pc.field("term").isin(terms) & (pc.field("field") == field)))
+    out: dict[str, int] = {}
+    for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+        out[term] = out.get(term, 0) + df
+    return out
 
 
 def _partial_empty() -> pa.Table:
-    return pa.table({"qid": pa.array([], pa.string()),
-                     "docid": pa.array([], pa.int64()),
+    return pa.table({"gkey": pa.array([], pa.int64()),
                      "score": pa.array([], pa.float64())})
 
 
