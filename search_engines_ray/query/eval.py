@@ -110,15 +110,16 @@ def _syn(args: list[InvList], field: str) -> InvList:
                    int(starts.size), int(doc_s.size), field)
 
 
-def _near_positions(lists: list[np.ndarray], n: int) -> list[int]:
+def _near_positions(lists: list, n: int) -> list[int]:
     """Left→right pairwise two-pointer match (QryIopNear.java:80-128):
     keep right position r when an unconsumed left l satisfies
-    l <= r <= l + n; matched pairs are consumed."""
-    cur = lists[0]
+    l <= r <= l + n; matched pairs are consumed. Plain-list kernel."""
+    cur = list(lists[0])
     for right in lists[1:]:
         out = []
         i = j = 0
-        while i < cur.size and j < right.size:
+        nl, nr = len(cur), len(right)
+        while i < nl and j < nr:
             l, r = cur[i], right[j]
             if r < l:
                 j += 1
@@ -128,13 +129,13 @@ def _near_positions(lists: list[np.ndarray], n: int) -> list[int]:
                 j += 1
             else:
                 i += 1
-        cur = np.asarray(out, dtype=np.int64)
-        if cur.size == 0:
+        cur = out
+        if not cur:
             break
-    return cur.tolist() if isinstance(cur, np.ndarray) else cur
+    return cur
 
 
-def _window_positions(lists: list[np.ndarray], n: int) -> list[int]:
+def _window_positions(lists: list, n: int) -> list[int]:
     """#WINDOW/n scan (QryIopWindow.java:106-143): while all heads live,
     if max-min < n emit max and advance all, else advance the min."""
     heads = [0] * len(lists)
@@ -158,24 +159,74 @@ def _positional(args: list[InvList], field: str, n: int, kind: str) -> InvList:
         return InvList.empty(field)
     idxs = [np.searchsorted(a.docids, common) for a in args]
     bounds = [a.pos_bounds() for a in args]
+
+    # fast path: docs where every arg has tf == 1 (the overwhelming case
+    # in web text) reduce to scalar position chains — fully vectorized.
+    tf_mat = np.stack([a.tfs[i] for a, i in zip(args, idxs)])
+    simple = (tf_mat == 1).all(axis=0)
+    docids_s = np.empty(0, np.int64)
+    pos_s = np.empty(0, np.int64)
+    if simple.any():
+        P = np.stack([a.positions[b[i[simple]]].astype(np.int64)
+                      for a, i, b in zip(args, idxs, bounds)])
+        if kind == "near":
+            d = np.diff(P, axis=0)
+            ok = ((d >= 0) & (d <= n)).all(axis=0)
+            last = P[-1]
+        else:
+            ok = (P.max(axis=0) - P.min(axis=0)) < n
+            last = P.max(axis=0)
+        docids_s = common[simple][ok]
+        pos_s = last[ok]
+
     match_fn = _near_positions if kind == "near" else _window_positions
     docids_out, tfs_out, pos_out = [], [], []
-    for k, d in enumerate(common):
-        lists = []
-        for a, idx, b in zip(args, idxs, bounds):
-            i = idx[k]
-            lists.append(a.positions[b[i]:b[i + 1]].astype(np.int64))
-        matched = match_fn(lists, n)
-        if matched:
-            docids_out.append(d)
-            tfs_out.append(len(matched))
-            pos_out.extend(matched)
-    if not docids_out:
+    rest = np.flatnonzero(~simple)
+    if rest.size:
+        # plain-list slicing: per-doc numpy views cost ~30µs each in
+        # allocation/boxing; python lists make the per-doc two-pointer
+        # loops ~10× cheaper on short position lists
+        plists = [a.positions.tolist() for a in args]
+        blists = [b.tolist() for b in bounds]
+        ilists = [i.tolist() for i in idxs]
+        common_l = common.tolist()
+        for k in rest.tolist():
+            lists = []
+            for pl, bl, il in zip(plists, blists, ilists):
+                i = il[k]
+                lists.append(pl[bl[i]:bl[i + 1]])
+            matched = match_fn(lists, n)
+            if matched:
+                docids_out.append(common_l[k])
+                tfs_out.append(len(matched))
+                pos_out.extend(matched)
+
+    # merge the two paths back into docid order
+    docids_g = np.asarray(docids_out, dtype=np.int64)
+    all_doc = np.concatenate([docids_s, docids_g])
+    if all_doc.size == 0:
         return InvList.empty(field)
-    tfs = np.asarray(tfs_out, dtype=np.int32)
-    return InvList(np.asarray(docids_out, dtype=np.int64), tfs,
-                   np.asarray(pos_out, dtype=np.int32),
-                   len(docids_out), int(tfs.sum()), field)
+    all_tf = np.concatenate([np.ones(docids_s.size, np.int32),
+                             np.asarray(tfs_out, dtype=np.int32)])
+    order = np.argsort(all_doc, kind="stable")
+    # gather variable-length position segments in docid order
+    seg_pos = [pos_s.astype(np.int32)]
+    seg_start_g = np.concatenate(([0], np.cumsum(tfs_out))).astype(np.int64)
+    pos_g = np.asarray(pos_out, dtype=np.int32)
+    starts = np.concatenate([np.arange(docids_s.size, dtype=np.int64),
+                             docids_s.size + seg_start_g[:-1]]) \
+        if docids_g.size else np.arange(docids_s.size, dtype=np.int64)
+    all_pos = np.concatenate([pos_s.astype(np.int32), pos_g])
+    lens = all_tf.astype(np.int64)
+    new_starts = starts[order]
+    new_lens = lens[order]
+    total = int(new_lens.sum())
+    out_start = np.concatenate(([0], np.cumsum(new_lens)[:-1]))
+    idx_g = np.repeat(new_starts - out_start, new_lens) + np.arange(total)
+    pos_final = all_pos[idx_g]
+    tfs = all_tf[order]
+    return InvList(all_doc[order], tfs, pos_final,
+                   int(all_doc.size), int(tfs.sum()), field)
 
 
 # ---------------------------------------------------------------- engine
@@ -194,6 +245,10 @@ class QueryEngine:
             simple = reader.stats.get("analyzer") == "simple"
             parser = QueryParser(Analyzer(simple=simple))
         self.parser = parser
+        # per-engine posting-list cache: repeated query terms hit memory
+        # instead of parquet (the reference leans on Lucene's mmap page
+        # cache for the same effect). Keyed by (term, field, with_pos).
+        self._post_cache: dict = {}
 
     # ---- plan-wide postings fetch ----
     def _collect_terms(self, node: PlanNode, under_iop: bool, acc: dict):
@@ -215,12 +270,17 @@ class QueryEngine:
         cache: dict = {}
         for field, terms in acc.items():
             need_pos = any(terms.values())
-            got = self.reader.postings_many(list(terms), field,
-                                            positions=need_pos)
+            missing = [t for t in terms
+                       if (t, field, need_pos) not in self._post_cache]
+            if missing:
+                got = self.reader.postings_many(missing, field,
+                                                positions=need_pos)
+                for t in missing:
+                    p = got.get(t)
+                    self._post_cache[(t, field, need_pos)] = (
+                        InvList.from_posting(p) if p else InvList.empty(field))
             for t in terms:
-                p = got.get(t)
-                cache[(t, field)] = (InvList.from_posting(p) if p
-                                     else InvList.empty(field))
+                cache[(t, field)] = self._post_cache[(t, field, need_pos)]
         return cache
 
     # ---- Iop plane ----
