@@ -28,6 +28,9 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # the headline metric is indexing throughput — expand so compute dwarfs
 # fixed pipeline overhead (see pages_from_documents)
 EXPAND = int(os.environ.get("GRAFT_EXPAND", "40"))
+# build_only: skip the query batches (used by --scaling, where the
+# indexing-throughput headline is the scaling metric)
+BUILD_ONLY = os.environ.get("GRAFT_BENCH_MODE", "") == "build_only"
 
 BOW_QUERIES = [
     "fast sort merge", "hash join table", "window scan", "dup line",
@@ -79,6 +82,16 @@ def run_bench() -> dict:
                 input_token=SF_DIR, resume=False)
     t_build = time.time() - t0
 
+    if BUILD_ONLY:
+        ray.shutdown()
+        return {
+            "metric": "index_build", "value": round(t_build, 3),
+            "unit": "sec", "queries": {"index_build": round(t_build, 3)},
+            "sf": SF_DIR, "expand": EXPAND, "num_cpus": NUM_CPUS,
+            "n_docs": n_docs,
+            "index_docs_per_sec": round(n_docs / t_build, 1),
+        }
+
     reader = IndexReader(idx_dir)
     bm25 = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
     # warm doclens/docmeta caches outside the timed region (mirrors the
@@ -125,7 +138,11 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_MODE="build_only",
+                   # scaling needs compute to dwarf fixed session/stage
+                   # overheads: use a larger deterministic corpus
+                   GRAFT_EXPAND=os.environ.get("GRAFT_SCALING_EXPAND", "400"))
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])

@@ -96,17 +96,25 @@ class Analyzer:
         terms: list[str] = []
         positions: list[int] = []
         pos = 0
-        for m in _TOKEN_RE.finditer(text):
-            tok = _POSSESSIVE_RE.sub("", m.group())
-            if not tok:
-                continue
+        stopwords = self.stopwords
+        cache = self._stem_cache
+        cache_get = cache.get
+        for tok in _TOKEN_RE.findall(text):
+            if "'" in tok:
+                tok = _POSSESSIVE_RE.sub("", tok)
+                if not tok:
+                    continue
             if self.lowercase:
                 tok = tok.lower()
-            if self.remove_stopwords and tok in self.stopwords:
+            if self.remove_stopwords and tok in stopwords:
                 pos += 1
                 continue
             if self.stem:
-                tok = self._stem(tok)
+                s = cache_get(tok)
+                if s is None:
+                    s = kstem(tok)
+                    cache[tok] = s
+                tok = s
             terms.append(tok)
             positions.append(pos)
             pos += 1

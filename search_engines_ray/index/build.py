@@ -156,18 +156,23 @@ def _partial_postings_fn(fields: list[str], num_buckets: int, salt_of_pid: np.nd
                ("term", "field", "bucket", "salt", "df", "ctf", "min_docid",
                 "docid_blob", "tf_blob", "pos_blob")}
         for fname in fields:
-            terms_list = batch[f"terms_{fname}"]
+            terms_arr = batch[f"terms_{fname}"].combine_chunks()
             pos_list = batch[f"pos_{fname}"]
-            flat_terms = terms_list.combine_chunks().flatten().to_numpy(zero_copy_only=False)
-            flat_pos = pos_list.combine_chunks().flatten().to_numpy().astype(np.int64)
-            counts = np.diff(terms_list.combine_chunks().offsets.to_numpy())
-            if flat_terms.size == 0:
+            flat = terms_arr.flatten()
+            if len(flat) == 0:
                 continue
+            # dictionary-encode so the (term, docid) grouping sorts int32
+            # codes (a million python string compares per batch otherwise)
+            denc = flat.dictionary_encode()
+            codes = denc.indices.to_numpy().astype(np.int32)
+            vocab = denc.dictionary.to_pylist()
+            flat_pos = pos_list.combine_chunks().flatten().to_numpy().astype(np.int64)
+            counts = np.diff(terms_arr.offsets.to_numpy())
             doc_of_tok = np.repeat(docid, counts)
             salt_of_tok = np.repeat(salt_of_pid[pid], counts)
             # group by (term, docid); docid already ascending, stable sort by term
-            order = np.argsort(flat_terms, kind="stable")
-            t_sorted = flat_terms[order]
+            order = np.argsort(codes, kind="stable")
+            t_sorted = codes[order]
             d_sorted = doc_of_tok[order]
             s_sorted = salt_of_tok[order]
             p_sorted = flat_pos[order]
@@ -191,7 +196,7 @@ def _partial_postings_fn(fields: list[str], num_buckets: int, salt_of_pid: np.nd
             pos_bounds = np.append(post_starts, t_sorted.size)
             for ti in range(term_starts_in_posts.size):
                 lo, hi = term_bounds[ti], term_bounds[ti + 1]
-                term = str(post_terms[lo])
+                term = vocab[post_terms[lo]]
                 # split this term's postings by salt (runs of equal salt —
                 # docids ascending within term, salt monotone in docid)
                 salts_here = post_salts[lo:hi]
@@ -358,27 +363,33 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
         _mark_stage(index_dir, FORWARD_DIR, fp, n_docs=n_docs)
     metrics["forward_s"] = time.time() - t0
 
-    # ---- docmeta + stats
+    # ---- stats (docmeta is a column projection of the forward parquet —
+    # no separate write; the reader scans forward/ with pruned columns)
     t1 = time.time()
     if not (resume and _stage_done(index_dir, DOCMETA_DIR, fp)):
-        fwd = ray.data.read_parquet(
-            fwd_path, columns=["docid", "external_id"] + [f"len_{f}" for f in fields])
-        fwd.write_parquet(os.path.join(index_dir, DOCMETA_DIR))
-
-        from ray.data.aggregate import Sum, Count
-        aggs = []
-        for f in fields:
-            aggs.append(Sum(f"len_{f}", alias_name=f"sum_{f}"))
+        # single pass: per-batch partial (n, sum_len, nonzero-count per
+        # field) → tiny table → driver sum. One Ray job instead of 2+F.
         meta_ds = ray.data.read_parquet(
-            os.path.join(index_dir, DOCMETA_DIR))
-        n_docs = meta_ds.count()
-        sums_row = meta_ds.aggregate(*aggs)
+            fwd_path,
+            columns=["docid"] + [f"len_{f}" for f in fields])
+
+        def partial_stats(b: pa.Table) -> pa.Table:
+            row = {"n": [b.num_rows]}
+            for f in fields:
+                lens = b[f"len_{f}"].to_numpy()
+                row[f"sum_{f}"] = [int(lens.sum())]
+                row[f"nz_{f}"] = [int((lens > 0).sum())]
+            return pa.table(row)
+
+        parts = pa.concat_tables(
+            meta_ds.map_batches(partial_stats, batch_format="pyarrow")
+            .iter_batches(batch_size=None, batch_format="pyarrow"))
+        n_docs = int(np.sum(parts["n"].to_numpy()))
         field_stats = {}
         for f in fields:
-            nonzero = meta_ds.filter(
-                expr=f"len_{f} > 0").count()
-            field_stats[f] = {"doc_count": int(nonzero),
-                              "sum_len": int(sums_row[f"sum_{f}"] or 0)}
+            field_stats[f] = {
+                "doc_count": int(np.sum(parts[f"nz_{f}"].to_numpy())),
+                "sum_len": int(np.sum(parts[f"sum_{f}"].to_numpy()))}
         stats = {"version": 1, "n_docs": int(n_docs), "fields": field_stats,
                  "num_buckets": cfg.num_buckets, "merge_salts": S,
                  "docid_partitions": P, "analyzer": cfg.analyzer}

@@ -74,8 +74,12 @@ class IndexReader:
 
     # ---- docmeta ----
     def _load_docmeta(self):
+        """docid → external_id + per-field lengths: a pruned column scan
+        of the forward parquet (no separate docmeta table on disk)."""
         if self._docmeta is None:
-            t = pq.read_table(os.path.join(self.index_dir, DOCMETA_DIR))
+            cols = ["docid", "external_id"] + [f"len_{f}" for f in self.fields]
+            t = pq.read_table(os.path.join(self.index_dir, FORWARD_DIR),
+                              columns=cols)
             t = t.sort_by("docid")
             self._docmeta = t
         return self._docmeta

@@ -73,9 +73,15 @@ def pages_from_documents(sf_dir: str, expand: int = 1):
     the benchmark corpus generator: the driver's documents table is tiny
     (≤5k rows) while the north rule targets web scale, so throughput
     benchmarks need a corpus whose size dwarfs fixed pipeline overhead."""
+    import ray
     import ray.data as rd
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "lang"])
+    # the source is one small parquet file = one block; split it so the
+    # expansion/html stages parallelize across the cluster instead of
+    # running inside a single task
+    nblocks = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    ds = ds.repartition(nblocks)
     if expand > 1:
         def replicate(b: pa.Table) -> pa.Table:
             ids = b["doc_id"].to_pylist()
