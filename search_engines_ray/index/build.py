@@ -81,7 +81,8 @@ class IndexBuildConfig:
     docid_partitions: int = 32     # pid count for docid assignment
     merge_salts: int = 4           # posting runs per term (skew bound)
     tokenize_batch_size: int = 512
-    tokenize_concurrency: int | tuple = 4
+    tokenize_concurrency: int | tuple = 4   # retained for API compat; unused
+    postings_batch_size: int = 16384        # docs per partial-postings batch
     dedup: bool = True
     analyzer: str = "lucene"       # "lucene" (full chain) | "simple" (SQL-checkable)
 
@@ -109,14 +110,29 @@ def _mark_stage(index_dir: str, stage: str, fp: str, **metrics) -> None:
         json.dump({"fingerprint": fp, "completed_at": time.time(), **metrics}, f)
 
 
+# Ray reuses worker processes across tasks, so a process-global analyzer
+# gives actor-style setup amortization (stem cache, compiled regexes)
+# WITHOUT an actor pool — tasks schedule elastically on every CPU and
+# there is no pool spin-up or read-starvation to tune (the earlier actor
+# pool variant stalled when concurrency == session CPUs).
+_PROC_ANALYZERS: dict = {}
+
+
+def _get_analyzer(mode: str) -> Analyzer:
+    an = _PROC_ANALYZERS.get(mode)
+    if an is None:
+        an = Analyzer(simple=(mode == "simple"))
+        _PROC_ANALYZERS[mode] = an
+    return an
+
+
 class _Tokenize:
-    """Actor-pool stage: analyzer built once per actor; per batch, emits
-    forward-index rows (docid, external_id, pid, and per field:
-    terms/positions/len)."""
+    """Tokenize stage (stateless task form): emits forward-index rows
+    (docid, external_id, pid, and per field: terms/positions/len)."""
 
     def __init__(self, fields: dict, analyzer_mode: str = "lucene"):
         self.fields = fields
-        self.analyzer = Analyzer(simple=(analyzer_mode == "simple"))
+        self.mode = analyzer_mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -125,7 +141,7 @@ class _Tokenize:
             "external_id": batch["external_id"],
             "pid": batch["pid"],
         }
-        analyze = self.analyzer.analyze
+        analyze = _get_analyzer(self.mode).analyze
         for fname, col in self.fields.items():
             texts = batch[col].to_pylist()
             terms_col, pos_col, len_col = [], [], np.empty(n, dtype=np.int32)
@@ -355,10 +371,10 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
             return g
 
         ds = ds.groupby("pid").map_groups(assign_docids, batch_format="pandas")
+        tokenize = _Tokenize(cfg.fields, cfg.analyzer)
         ds = ds.map_batches(
-            _Tokenize, fn_constructor_args=(cfg.fields, cfg.analyzer),
-            batch_format="pyarrow", batch_size=cfg.tokenize_batch_size,
-            concurrency=cfg.tokenize_concurrency)
+            tokenize, batch_format="pyarrow",
+            batch_size=cfg.tokenize_batch_size)
         ds.write_parquet(fwd_path)
         _mark_stage(index_dir, FORWARD_DIR, fp, n_docs=n_docs)
     metrics["forward_s"] = time.time() - t0
@@ -407,7 +423,7 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
         fwd = ray.data.read_parquet(fwd_path, columns=fwd_cols)
         partial = fwd.map_batches(
             _partial_postings_fn(fields, cfg.num_buckets, salt_of_pid),
-            batch_format="pyarrow")
+            batch_format="pyarrow", batch_size=cfg.postings_batch_size)
         merged = partial.groupby(["bucket", "salt"]).map_groups(
             _merge_bucket, batch_format="pandas")
         merged.write_parquet(os.path.join(index_dir, POSTINGS_DIR),
