@@ -34,6 +34,8 @@ def _register_pickle_by_value() -> None:
         pkg = sys.modules[__name__]
         cloudpickle.register_pickle_by_value(pkg)
         for pkginfo in pkgutil.walk_packages(pkg.__path__, prefix=__name__ + "."):
+            if pkginfo.name.endswith("__main__"):
+                continue
             try:
                 mod = importlib.import_module(pkginfo.name)
                 cloudpickle.register_pickle_by_value(mod)

@@ -84,4 +84,6 @@ def prf_search(engine, query: str, fb_docs: int = 10, fb_terms: int = 10,
                             fb_mu, field)
     new_q = (f"#wand ({fb_orig_weight:.4f} #and({query}) "
              f"{1.0 - fb_orig_weight:.4f} {expanded})")
-    return engine.search(new_q, k=k), new_q
+    # second element is the EXPANSION only — what the reference logs to
+    # fbExpansionQueryFile (QryEval.java:202-205)
+    return engine.search(new_q, k=k), expanded

@@ -55,3 +55,34 @@ def toy_index(tmp_path_factory, toy_pages, ray_session):
     build_index(rd.from_pandas(toy_pages), idx_dir, cfg,
                 input_token="toy", resume=False)
     return IndexReader(idx_dir)
+
+
+@pytest.fixture(scope="session")
+def docs_pages() -> pd.DataFrame:
+    import pyarrow.parquet as pq
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"])
+    df = t.to_pandas()
+    return pd.DataFrame({
+        "url": [f"http://docs.example.com/{i:08d}" for i in df["doc_id"]],
+        "text": df["text"],
+    })
+
+
+@pytest.fixture(scope="session")
+def docs_index(tmp_path_factory, docs_pages, ray_session):
+    import ray.data as rd
+    from search_engines_ray.index import (
+        IndexBuildConfig, IndexReader, build_index,
+    )
+    idx_dir = str(tmp_path_factory.mktemp("idx") / "docs")
+    build_index(rd.from_pandas(docs_pages), idx_dir,
+                IndexBuildConfig(num_buckets=8, docid_partitions=8),
+                input_token="sf0.001", resume=False)
+    return IndexReader(idx_dir)
+
+
+@pytest.fixture(scope="session")
+def docs_oracle(docs_pages):
+    from .oracle import OracleIndex
+    return OracleIndex(docs_pages)

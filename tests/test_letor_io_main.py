@@ -1,0 +1,149 @@
+import os
+
+import numpy as np
+import pytest
+
+
+def test_readers(tmp_path):
+    from search_engines_ray.io import (
+        read_initial_ranking, read_intents, read_pagerank, read_qrels,
+        split_diversity_rankings,
+    )
+    trec = tmp_path / "rank.teIn"
+    trec.write_text(
+        "1 Q0 docB 1 2.5 run\n1 Q0 docA 2 1.5 run\n"
+        "1.1 Q0 docC 1 0.9 run\n2 Q0 docD 1 3.0 run\n")
+    r = read_initial_ranking(str(trec))
+    assert r["1"] == [("docB", 2.5), ("docA", 1.5)]
+    initial, intents = split_diversity_rankings(str(trec), max_input=10)
+    assert set(initial) == {"1", "2"}
+    assert intents["1"][1] == [("docC", 0.9)]
+
+    iv = tmp_path / "intents.txt"
+    iv.write_text("1.1:first intent\n1.2:second intent\n")
+    ii = read_intents(str(iv))
+    assert ii["1"] == [(1, "first intent"), (2, "second intent")]
+
+    pr = tmp_path / "pagerank.tsv"
+    pr.write_text("docA\t0.5\ndocB\t0.7\n")
+    assert read_pagerank(str(pr))["docB"] == 0.7
+
+    qr = tmp_path / "qrels.txt"
+    qr.write_text("1 0 docA 2\n1 0 docB 0\n")
+    assert read_qrels(str(qr))["1"]["docA"] == 2
+
+
+def test_letor_features_and_rerank(toy_index):
+    from search_engines_ray.query.letor import (
+        FeatureExtractor, LinearRanker, minmax_normalize, letor_rerank,
+    )
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import BM25Model
+
+    engine = QueryEngine(toy_index, BM25Model())
+    initial = engine.search("quick fox", k=10)
+    pairs = list(zip(initial["external_id"].to_pylist(),
+                     initial["score"].to_pylist()))
+    ex = FeatureExtractor(toy_index,
+                          pagerank={"http://t.example.com/1": 0.9})
+    mat, q_terms = ex.feature_matrix(
+        "quick fox",
+        [toy_index.internal_docid(e) for e, _ in pairs])
+    assert mat.shape == (len(pairs), 18)
+    assert q_terms == ["quick", "fox"]
+    # doc 1 contains both -> overlap(body)=1
+    i1 = [e for e, _ in pairs].index("http://t.example.com/1")
+    assert mat[i1, 6] == 1.0          # f7 overlap body
+    assert mat[i1, 3] == 0.9          # pagerank
+    norm = minmax_normalize(mat)
+    assert np.nanmax(norm) <= 1.0 and np.nanmin(norm) >= 0.0
+    out = letor_rerank(toy_index, "quick fox", pairs, extractor=ex, k=5)
+    assert len(out) <= 5
+    assert out[0][0] == "http://t.example.com/1"
+
+
+def test_svm_file_roundtrip(tmp_path):
+    from search_engines_ray.query.letor import (
+        read_svm_scores, write_svm_features,
+    )
+    p = tmp_path / "feat.txt"
+    write_svm_features(str(p), [
+        {"rel": 1, "qid": "7", "features": [0.1] * 18, "external_id": "dA"}])
+    line = p.read_text().strip()
+    assert line.startswith("1 qid:7 1:0.100000") and line.endswith("# dA")
+    sp = tmp_path / "scores.txt"
+    sp.write_text("0.5\n-1.25\n")
+    assert read_svm_scores(str(sp)) == [0.5, -1.25]
+
+
+def test_inspect(toy_index, capsys):
+    from search_engines_ray.index import inspect as ins
+    assert ins.cmd_stats(toy_index)["n_docs"] == 7
+    p = ins.cmd_postings(toy_index, "fox", "body")
+    assert p["df"] == 2 and p["ctf"] == 4
+    tv = ins.cmd_termvector(toy_index, "http://t.example.com/5", "body")
+    assert tv["terms"] == ["fox", "fox", "fox", "den"]
+    d = ins.cmd_doc(toy_index, "http://t.example.com/1")
+    assert d["len_body"] == 9
+    v = ins.cmd_vocab(toy_index, "body", 5)
+    assert len(v["top_terms"]) == 5
+    assert ins.cmd_postings(toy_index, "zzz")["df"] == 0
+
+
+def test_param_file_main(toy_index, tmp_path, toy_pages):
+    from search_engines_ray.main import run
+    qf = tmp_path / "queries.txt"
+    qf.write_text("1:quick fox\n2:lazy dog\n")
+    out_path = tmp_path / "out.teIn"
+    params = {
+        "indexPath": toy_index.index_dir,
+        "queryFilePath": str(qf),
+        "trecEvalOutputPath": str(out_path),
+        "retrievalAlgorithm": "bm25",
+        "BM25:k_1": "1.2", "BM25:b": "0.75", "BM25:k_3": "0",
+        "result_range": "10",
+    }
+    text = run(params)
+    assert out_path.read_text() == text
+    lines = [l for l in text.strip().split("\n")]
+    assert all(len(l.split("\t")) == 6 for l in lines)
+    qids = {l.split("\t")[0] for l in lines}
+    assert qids == {"1", "2"}
+
+
+def test_param_file_diversity(toy_index, tmp_path):
+    from search_engines_ray.main import run
+    qf = tmp_path / "queries.txt"
+    qf.write_text("1:dog cat\n")
+    intents = tmp_path / "intents.txt"
+    intents.write_text("1.1:lazy dog\n1.2:brown cat\n")
+    out_path = tmp_path / "div.teIn"
+    params = {
+        "indexPath": toy_index.index_dir,
+        "queryFilePath": str(qf),
+        "trecEvalOutputPath": str(out_path),
+        "retrievalAlgorithm": "bm25",
+        "diversity": "true",
+        "diversity:algorithm": "xquad",
+        "diversity:lambda": "0.4",
+        "diversity:intentsFile": str(intents),
+        "diversity:maxInputRankingsLength": "10",
+        "diversity:maxResultRankingLength": "5",
+    }
+    text = run(params)
+    assert len(text.strip().split("\n")) >= 1
+
+
+def test_prf_expansion(docs_index):
+    from search_engines_ray.pipelines.prf import expand_query, prf_search
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import IndriModel
+    engine = QueryEngine(docs_index, IndriModel())
+    res, expanded = prf_search(engine, "fast sort", fb_docs=5, fb_terms=3,
+                               fb_mu=0.0, k=20)
+    assert expanded.startswith("#wand (")
+    assert res.num_rows > 0
+    # expansion terms come from top docs, weights formatted %.4f
+    inner = expanded[len("#wand ("):-1].split()
+    assert len(inner) == 6
+    float(inner[0])

@@ -84,36 +84,6 @@ def test_trec_output(toy_index):
     assert lines[0].split("\t")[0] == "1"
 
 
-@pytest.fixture(scope="session")
-def docs_pages() -> pd.DataFrame:
-    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
-                      columns=["doc_id", "text"])
-    df = t.to_pandas()
-    return pd.DataFrame({
-        "url": [f"http://docs.example.com/{i:08d}" for i in df["doc_id"]],
-        "text": df["text"],
-    })
-
-
-@pytest.fixture(scope="session")
-def docs_index(tmp_path_factory, docs_pages, ray_session):
-    import ray.data as rd
-    from search_engines_ray.index import (
-        IndexBuildConfig, IndexReader, build_index,
-    )
-    idx_dir = str(tmp_path_factory.mktemp("idx") / "docs")
-    build_index(rd.from_pandas(docs_pages), idx_dir,
-                IndexBuildConfig(num_buckets=8, docid_partitions=8,
-                                 tokenize_concurrency=2),
-                input_token="sf0.001", resume=False)
-    return IndexReader(idx_dir)
-
-
-@pytest.fixture(scope="session")
-def docs_oracle(docs_pages):
-    return OracleIndex(docs_pages)
-
-
 DOC_QUERIES = [
     "fast sort merge",
     "hash join",
