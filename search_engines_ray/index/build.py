@@ -45,6 +45,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 import time
 from dataclasses import dataclass, field as dc_field
 
@@ -318,6 +319,9 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
 
     fwd_path = os.path.join(index_dir, FORWARD_DIR)
     if not (resume and _stage_done(index_dir, FORWARD_DIR, fp)):
+        # idempotent re-run: write_parquet APPENDS into an existing
+        # directory, so a crashed/invalidated stage must start clean
+        shutil.rmtree(fwd_path, ignore_errors=True)
         url_col = cfg.url_column
         cols = sorted({url_col, *cfg.fields.values()})
         ds = pages.select_columns(cols)
@@ -417,6 +421,8 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
     # ---- postings
     t2 = time.time()
     if not (resume and _stage_done(index_dir, POSTINGS_DIR, fp)):
+        shutil.rmtree(os.path.join(index_dir, POSTINGS_DIR),
+                      ignore_errors=True)
         fwd_cols = ["docid", "pid"]
         for f in fields:
             fwd_cols += [f"terms_{f}", f"pos_{f}"]
