@@ -33,7 +33,10 @@ Pipeline (all ``ray.data`` — SURVEY.md §3.4/§7):
    (derived from pid), so a term's runs cover disjoint, ordered docid
    ranges: skewed head terms split across at most ``merge_salts`` rows
    and the reader concatenates runs without re-sorting
-   (skew plan from SURVEY.md §4/§7.3).
+   (skew plan from SURVEY.md §4/§7.3). Each run carries block-max
+   metadata (``min_docid``, ``max_tf``) — a run is a docid-range block,
+   so WAND/BMW-style scorers can upper-bound a run's contribution as
+   ``idf · tfw(max_tf)`` and skip runs that cannot reach the top-k.
 6. **write** — ``write_parquet(postings/, partition_cols=["bucket"])`` so
    query-time term fetch prunes to one bucket directory; per-stage
    ``_SUCCESS.json`` manifests (config + input fingerprint) make the
@@ -171,7 +174,7 @@ def _partial_postings_fn(fields: list[str], num_buckets: int, salt_of_pid: np.nd
         pid = batch["pid"].to_numpy()
         out = {k: [] for k in
                ("term", "field", "bucket", "salt", "df", "ctf", "min_docid",
-                "docid_blob", "tf_blob", "pos_blob")}
+                "max_tf", "docid_blob", "tf_blob", "pos_blob")}
         for fname in fields:
             terms_arr = batch[f"terms_{fname}"].combine_chunks()
             pos_list = batch[f"pos_{fname}"]
@@ -233,6 +236,7 @@ def _partial_postings_fn(fields: list[str], num_buckets: int, salt_of_pid: np.nd
                     out["df"].append(int(dids.size))
                     out["ctf"].append(int(tfs.sum()))
                     out["min_docid"].append(int(dids[0]))
+                    out["max_tf"].append(int(tfs.max()))
                     out["docid_blob"].append(dblob)
                     out["tf_blob"].append(tblob)
                     out["pos_blob"].append(pblob)
@@ -244,6 +248,7 @@ def _partial_postings_fn(fields: list[str], num_buckets: int, salt_of_pid: np.nd
             "df": pa.array(out["df"], pa.int64()),
             "ctf": pa.array(out["ctf"], pa.int64()),
             "min_docid": pa.array(out["min_docid"], pa.int64()),
+            "max_tf": pa.array(out["max_tf"], pa.int32()),
             "docid_blob": pa.array(out["docid_blob"], pa.binary()),
             "tf_blob": pa.array(out["tf_blob"], pa.binary()),
             "pos_blob": pa.array(out["pos_blob"], pa.binary()),
@@ -259,7 +264,8 @@ def _merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
     sets (a doc lives in exactly one tokenize batch), each ascending, so a
     stable argsort over the concatenation is a k-way merge."""
     rows = {k: [] for k in ("term", "field", "bucket", "salt", "df", "ctf",
-                            "min_docid", "docid_blob", "tf_blob", "pos_blob")}
+                            "min_docid", "max_tf", "docid_blob", "tf_blob",
+                            "pos_blob")}
     for (term, fld), g in group.groupby(["term", "field"], sort=False):
         if len(g) == 1:
             r = g.iloc[0]
@@ -292,6 +298,7 @@ def _merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
         rows["df"].append(int(docids.size))
         rows["ctf"].append(int(tfs_o.sum()))
         rows["min_docid"].append(int(docids[0]))
+        rows["max_tf"].append(int(tfs_o.max()))
         rows["docid_blob"].append(dblob)
         rows["tf_blob"].append(tblob)
         rows["pos_blob"].append(pblob)

@@ -436,6 +436,64 @@ def q_doc_fingerprint(sf_dir: str):
     return doc_fingerprint(ds)
 
 
+def q_xquad_rerank(sf_dir: str):
+    """Diversified reranking: initial + 2 intent rankings → xQuAD."""
+    from ..query.diversity import build_diversity_data, xquad
+    reader = get_index(sf_dir, "lucene")
+    engine = QueryEngine(reader, BM25Model())
+
+    def ranking(q):
+        t = engine.search(q, k=50)
+        return list(zip(t["external_id"].to_pylist(),
+                        t["score"].to_pylist()))
+
+    data = build_diversity_data(
+        "1", ranking("fast sort merge"),
+        [ranking("fast scan"), ranking("merge join")], max_input=50)
+    ranked = xquad(data, lam=0.4, max_result=20)
+    return pa.table({
+        "external_id": pa.array([e for e, _ in ranked], pa.string()),
+        "rank": pa.array(np.arange(1, len(ranked) + 1, dtype=np.int32)),
+        "score": pa.array([s for _, s in ranked], pa.float64()),
+    })
+
+
+def q_pm2_rerank(sf_dir: str):
+    from ..query.diversity import build_diversity_data, pm2
+    reader = get_index(sf_dir, "lucene")
+    engine = QueryEngine(reader, BM25Model())
+
+    def ranking(q):
+        t = engine.search(q, k=50)
+        return list(zip(t["external_id"].to_pylist(),
+                        t["score"].to_pylist()))
+
+    data = build_diversity_data(
+        "1", ranking("hash join table"),
+        [ranking("hash scan"), ranking("join merge")], max_input=50)
+    ranked = pm2(data, lam=0.4, max_result=20)
+    return pa.table({
+        "external_id": pa.array([e for e, _ in ranked], pa.string()),
+        "rank": pa.array(np.arange(1, len(ranked) + 1, dtype=np.int32)),
+        "score": pa.array([s for _, s in ranked], pa.float64()),
+    })
+
+
+def q_letor_rerank(sf_dir: str):
+    from ..query.letor import letor_rerank
+    reader = get_index(sf_dir, "lucene")
+    engine = QueryEngine(reader, BM25Model())
+    t = engine.search("fast sort merge", k=50)
+    initial = list(zip(t["external_id"].to_pylist(),
+                       t["score"].to_pylist()))
+    ranked = letor_rerank(reader, "fast sort merge", initial, k=20)
+    return pa.table({
+        "external_id": pa.array([e for e, _ in ranked], pa.string()),
+        "rank": pa.array(np.arange(1, len(ranked) + 1, dtype=np.int32)),
+        "score": pa.array([s for _, s in ranked], pa.float64()),
+    })
+
+
 def q_multimodal_decode(sf_dir: str):
     import ray.data as rd
     from ..functions.multimodal import decode_features, make_fake_media_batch
@@ -470,6 +528,9 @@ QUERIES = {
     "language_id": q_language_id,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_decode": q_multimodal_decode,
+    "xquad_rerank": q_xquad_rerank,
+    "pm2_rerank": q_pm2_rerank,
+    "letor_rerank": q_letor_rerank,
 }
 
 ORACLE_SQL = {
