@@ -74,6 +74,104 @@ def ann_cosine_topk(ds, queries: np.ndarray, k: int = 10,
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def ivf_ann_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
+                 n_probe: int = 4, kmeans_iters: int = 3, seed: int = 5,
+                 sample_size: int = 4096,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+    """IVF (inverted-file) ANN — the classic scale path: k-means
+    centroids trained distributed (per-batch partial sums → driver
+    update), vectors assigned to their nearest list, queries scan only
+    the ``n_probe`` nearest lists. Approximate; → (query_id, vec_id,
+    score).
+
+    Centroid init is a deterministic seeded sample; training is
+    ``kmeans_iters`` rounds of map_batches partial (sum, count) per
+    centroid — the canonical pre-aggregated distributed k-means."""
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+
+    sample = ds.random_sample(1.0, seed=seed).limit(sample_size)
+    import pyarrow as pa2
+    batches = list(sample.iter_batches(batch_size=None, batch_format="pyarrow"))
+    M0 = _normalize(np.concatenate([_as_matrix(b[vec_col]) for b in batches]))
+    rng = np.random.default_rng(seed)
+    cent = M0[rng.choice(M0.shape[0], size=min(n_lists, M0.shape[0]),
+                         replace=False)]
+
+    for _ in range(kmeans_iters):
+        cent_ref = ray.put(cent)
+
+        def partial(b: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            m = _normalize(_as_matrix(b[vec_col]))
+            assign = (m @ c.T).argmax(axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=c.shape[0])
+            return pa.table({
+                "cid": pa.array(np.arange(c.shape[0], dtype=np.int32)),
+                "vsum": pa.array(sums.tolist(), pa2.list_(pa2.float32())),
+                "n": pa.array(counts.astype(np.int64)),
+            })
+
+        parts = pa.concat_tables(
+            ds.map_batches(partial, batch_format="pyarrow")
+            .iter_batches(batch_size=None, batch_format="pyarrow"))
+        sums = np.zeros_like(cent)
+        counts = np.zeros(cent.shape[0], dtype=np.int64)
+        for cid, vs, n in zip(parts["cid"].to_numpy(),
+                              parts["vsum"].to_pylist(),
+                              parts["n"].to_numpy()):
+            sums[cid] += np.asarray(vs, dtype=np.float32)
+            counts[cid] += n
+        nz = counts > 0
+        cent[nz] = _normalize(sums[nz] / counts[nz, None])
+
+    cent_ref = ray.put(cent)
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]   # (nq, n_probe)
+    probe_ref = ray.put(probes)
+    q_ref = ray.put(q)
+
+    class Scorer:
+        def __init__(self):
+            self.c = ray.get(cent_ref)
+            self.q = ray.get(q_ref)
+            self.probes = ray.get(probe_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            m = _normalize(_as_matrix(b[vec_col]))
+            ids = b[id_col].to_numpy()
+            assign = (m @ self.c.T).argmax(axis=1)
+            out_q, out_id, out_s = [], [], []
+            for qi in range(self.q.shape[0]):
+                cand = np.isin(assign, self.probes[qi])
+                if not cand.any():
+                    continue
+                s = m[cand] @ self.q[qi]
+                kk = min(k, s.size)
+                top = np.argpartition(-s, kk - 1)[:kk]
+                out_q.append(np.full(kk, qi, dtype=np.int32))
+                out_id.append(ids[cand][top])
+                out_s.append(s[top].astype(np.float64))
+            if not out_q:
+                return pa.table({"query_id": pa.array([], pa.int32()),
+                                 id_col: pa.array([], pa.int64()),
+                                 "score": pa.array([], pa.float64())})
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "score": pa.array(np.concatenate(out_s)),
+            })
+
+    partials = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=2)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return g.reset_index(drop=True)
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
 def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, planes: int = 12,
                  probe_hamming: int = 1, seed: int = 11,
                  vec_col: str = "embedding", id_col: str = "vec_id"):

@@ -61,6 +61,11 @@ import ray.data
 from ..analysis.tokenizer import Analyzer
 from .varbyte import encode_postings, decode_postings
 
+# bump when the on-disk layout changes: resume fingerprints include it,
+# so indexes cached by an older code version rebuild instead of
+# half-matching
+FORMAT_VERSION = 2
+
 STATS_FILE = "stats.json"
 FORWARD_DIR = "forward"
 DOCMETA_DIR = "docmeta"
@@ -92,8 +97,9 @@ class IndexBuildConfig:
 
     def fingerprint(self, input_token: str) -> str:
         blob = json.dumps(
-            [sorted(self.fields.items()), self.url_column, self.num_buckets,
-             self.docid_partitions, self.merge_salts, self.analyzer, input_token],
+            [FORMAT_VERSION, sorted(self.fields.items()), self.url_column,
+             self.num_buckets, self.docid_partitions, self.merge_salts,
+             self.analyzer, input_token],
             sort_keys=True)
         return hashlib.md5(blob.encode()).hexdigest()
 

@@ -420,6 +420,16 @@ def q_lsh_ann(sf_dir: str):
     return lsh_ann_topk(ds, qvecs, k=10)
 
 
+def q_ivf_ann(sf_dir: str):
+    import ray.data as rd
+    from ..functions.similarity import ivf_ann_topk
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qvecs = np.asarray(t["embedding"].to_pylist()[:3], dtype=np.float32)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return ivf_ann_topk(ds, qvecs, k=10)
+
+
 def q_language_id(sf_dir: str):
     import ray.data as rd
     from ..functions.text import language_id
@@ -525,6 +535,7 @@ QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
     "lsh_ann": q_lsh_ann,
+    "ivf_ann": q_ivf_ann,
     "language_id": q_language_id,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_decode": q_multimodal_decode,

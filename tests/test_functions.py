@@ -138,3 +138,30 @@ def test_multimodal_plumbing(ray_session):
     assert all(len(f) == 16 for f in out["features"])
     with pytest.raises(NotImplementedError):
         DecodeImage(fake=False)._decode_one(b"xx")
+
+
+def test_ivf_ann_topk(emb_ds):
+    import pyarrow.parquet as pq
+    from search_engines_ray.functions import ivf_ann_topk
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    M = np.array(t["embedding"].to_pylist(), dtype=np.float32)
+    out = ivf_ann_topk(emb_ds, M[:2], k=5, n_lists=8, n_probe=8).to_pandas()
+    # n_probe == n_lists -> exhaustive -> exact: self-match first
+    got0 = out[out["query_id"] == 0]
+    assert got0.iloc[0]["vec_id"] == t["vec_id"][0].as_py()
+    assert len(got0) == 5
+    # approximate mode still returns self-match (its own bucket is probed)
+    out2 = ivf_ann_topk(emb_ds, M[:2], k=5, n_lists=8, n_probe=2).to_pandas()
+    g0 = out2[out2["query_id"] == 0]
+    assert g0.iloc[0]["vec_id"] == t["vec_id"][0].as_py()
+
+
+def test_distributed_bm25_edge_cases(docs_index):
+    from search_engines_ray.query.distributed import bm25_batch_search
+    from search_engines_ray.query.models import BM25Model
+    out = bm25_batch_search(docs_index.index_dir,
+                            [("1", "zzzunknown"), ("2", "the of and")],
+                            BM25Model(), k=10)
+    assert out.num_rows == 0          # OOV + stopword-only -> no rows
+    out = bm25_batch_search(docs_index.index_dir, [], BM25Model(), k=10)
+    assert out.num_rows == 0
