@@ -38,6 +38,9 @@ _IDX_ROOT = "/tmp/se_ray_indexes"
 SIMPLE_TOKS_SQL = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
                    "x -> len(x) > 0)")
 _STOPLIST_SQL = "(" + ",".join(f"'{w}'" for w in sorted(LUCENE_STOP_WORDS)) + ")"
+# tokens with 1-based positions (simple mode = dense positions)
+POS_TOK_SQL = (f"select doc_id, unnest({SIMPLE_TOKS_SQL}) as term, "
+               f"generate_subscripts({SIMPLE_TOKS_SQL}, 1) as pos from documents")
 
 
 def get_index(sf_dir: str, mode: str) -> IndexReader:
@@ -250,6 +253,59 @@ with tok as (
 select count(*)::bigint as n_matches from (
   select doc_id from tok where term in ('fast','sort','merge')
   group by doc_id having count(distinct term) = 3)
+"""
+
+
+def q_syn_ranked(sf_dir: str):
+    """#SYN under ranked boolean: score = summed tf of the synonyms
+    (QryIopSyn union semantics -> leaf tf scoring)."""
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, RankedBooleanModel())
+    res = engine.search("#syn(fast quick)", k=10**9)
+    return _ranked_to_table(res)
+
+
+SQL_SYN_RANKED = f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents)
+select doc_id, floor(count(*)::double*1000000 + 0.5)/1000000 as score
+from tok where term in ('fast','quick') group by doc_id
+"""
+
+
+def q_unranked_near_count(sf_dir: str):
+    """#NEAR/1 existence is SQL-checkable: adjacency self-join on dense
+    positions (the tf-bearing consume semantics stay pytest-oracle-
+    checked; this gates the match set)."""
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, UnrankedBooleanModel())
+    res = engine.search("#near/1(fast sort)", k=10**9)
+    return pa.table({"n_matches": pa.array([res.num_rows], pa.int64())})
+
+
+SQL_UNRANKED_NEAR_COUNT = f"""
+with tok as ({POS_TOK_SQL})
+select count(*)::bigint as n_matches from (
+  select distinct a.doc_id from tok a join tok b
+    on a.doc_id = b.doc_id and b.pos = a.pos + 1
+  where a.term = 'fast' and b.term = 'sort')
+"""
+
+
+def q_unranked_window_count(sf_dir: str):
+    """#WINDOW/3 existence: any position pair with |pa-pb| < 3."""
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, UnrankedBooleanModel())
+    res = engine.search("#window/3(hash join)", k=10**9)
+    return pa.table({"n_matches": pa.array([res.num_rows], pa.int64())})
+
+
+SQL_UNRANKED_WINDOW_COUNT = f"""
+with tok as ({POS_TOK_SQL})
+select count(*)::bigint as n_matches from (
+  select distinct a.doc_id from tok a join tok b
+    on a.doc_id = b.doc_id and abs(a.pos - b.pos) < 3
+  where a.term = 'hash' and b.term = 'join')
 """
 
 
@@ -520,6 +576,9 @@ QUERIES = {
     "ranked_and": q_ranked_and,
     "ranked_or": q_ranked_or,
     "unranked_and_count": q_unranked_and_count,
+    "syn_ranked": q_syn_ranked,
+    "unranked_near_count": q_unranked_near_count,
+    "unranked_window_count": q_unranked_window_count,
     "exact_dedup": q_exact_dedup,
     "lang_counts": q_lang_counts,
     "quality_scores": q_quality_scores,
@@ -552,6 +611,9 @@ ORACLE_SQL = {
     "ranked_and": SQL_RANKED_AND,
     "ranked_or": SQL_RANKED_OR,
     "unranked_and_count": SQL_UNRANKED_AND_COUNT,
+    "syn_ranked": SQL_SYN_RANKED,
+    "unranked_near_count": SQL_UNRANKED_NEAR_COUNT,
+    "unranked_window_count": SQL_UNRANKED_WINDOW_COUNT,
     "exact_dedup": SQL_EXACT_DEDUP,
     "lang_counts": SQL_LANG_COUNTS,
     "quality_scores": SQL_QUALITY_SCORES,

@@ -63,7 +63,8 @@ def test_all_queries_run(entry_mod):
     "doc_token_counts", "term_df_ctf_top50", "index_bm25_top10",
     "index_indri_top10", "ranked_and", "ranked_or", "unranked_and_count",
     "exact_dedup", "lang_counts", "quality_scores", "ann_cosine_top10",
-    "top_docs_by_chars",
+    "top_docs_by_chars", "syn_ranked", "unranked_near_count",
+    "unranked_window_count",
 ])
 def test_oracle_match(entry_mod, con, name):
     ray_out = _canon(_to_pandas(entry_mod.queries()[name](SF_DIR)))

@@ -91,3 +91,17 @@ def test_errors(p):
 def test_field_mismatch_same_field_ok(p):
     plan = p.parse("#near/2(apple.title pie.title)")
     assert plan.field_name == "title"
+
+
+def test_sdm_generator(p):
+    from search_engines_ray.query.sdm import sdm_query
+    q = sdm_query("fast sort merge")
+    assert q.startswith("#wand ( 0.7 #and( fast sort merge )")
+    assert "#near/1( fast sort )" in q and "#near/1( sort merge )" in q
+    assert "#window/8( fast sort )" in q
+    # generated queries must parse under Indri
+    plan = p.parse(q)
+    assert plan is not None
+    assert sdm_query("single") == "single"
+    fq = sdm_query("a b c", full=True)
+    assert "#near/1( a c )" in fq
