@@ -69,7 +69,8 @@ def run(params: dict) -> str:
     else:
         out = engine.run_queries(queries, k=k)
 
-    text = format_trec(out, run_id=run_id)
+    text = format_trec(out, run_id=run_id,
+                       all_qids=[qid for qid, _ in queries])
     if params.get("trecEvalOutputPath"):
         with open(params["trecEvalOutputPath"], "w") as f:
             f.write(text)

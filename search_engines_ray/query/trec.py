@@ -27,18 +27,27 @@ def rank_results(docids: np.ndarray, scores: np.ndarray,
 
 
 def format_trec(results: pa.Table, run_id: str = "run-1",
-                default_qid: str = "1") -> str:
-    """``qid Q0 externalDocid rank score runID`` lines; a dummy line for
-    empty result sets, as the reference writes (QryEval.java:788-791)."""
+                default_qid: str = "1",
+                all_qids: list[str] | None = None) -> str:
+    """``qid Q0 externalDocid rank score runID`` lines; a dummy line per
+    query with an empty result set, as the reference writes
+    (QryEval.java:788-791). Pass ``all_qids`` so queries that matched
+    nothing still emit their dummy line."""
     lines = []
     qids = results["qid"].to_pylist() if "qid" in results.column_names \
         else [default_qid] * results.num_rows
-    if results.num_rows == 0:
-        return f"{default_qid}\tQ0\tdummyDocid\t1\t0\t{run_id}\n"
+    seen = set()
     for qid, ext, rank, score in zip(qids, results["external_id"].to_pylist(),
                                      results["rank"].to_pylist(),
                                      results["score"].to_pylist()):
+        seen.add(qid)
         lines.append(f"{qid}\tQ0\t{ext}\t{rank}\t{score:.12f}\t{run_id}")
+    for qid in (all_qids if all_qids is not None
+                else ([] if seen else [default_qid])):
+        if qid not in seen:
+            lines.append(f"{qid}\tQ0\tdummyDocid\t1\t0\t{run_id}")
+    if not lines:
+        lines.append(f"{default_qid}\tQ0\tdummyDocid\t1\t0\t{run_id}")
     return "\n".join(lines) + "\n"
 
 
