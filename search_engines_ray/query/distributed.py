@@ -128,7 +128,12 @@ def bm25_batch_search(index_dir: str, queries: list[tuple[str, str]],
                 "score": pa.array(agg)})
 
     _NPART = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    scored = ds.map_batches(ScoreBatch, batch_format="pyarrow", concurrency=2)
+    # coalesce the bucket-file blocks: larger scoring batches make the
+    # in-batch (query, docid) partial aggregation deduplicate across more
+    # terms before the shuffle
+    ds = ds.repartition(min(_NPART, max(1, len(paths) // 2)))
+    scored = ds.map_batches(ScoreBatch, batch_format="pyarrow",
+                            batch_size=None, concurrency=2)
 
     def agg_topk(bt: pa.Table) -> pa.Table:
         """One hash partition of (query, docid) keys: final sum + exact

@@ -1,0 +1,63 @@
+"""Ranking evaluation metrics — replaces the reference's external
+trec_eval CGI upload (``/root/reference/QryEval/fetchUrl.pl:15-31``,
+which POSTed a ``.teIn`` file and scraped MAP/P@k) with local,
+deterministic implementations of the same trec_eval metrics.
+"""
+
+from __future__ import annotations
+
+import math
+
+
+def precision_at_k(ranked: list[str], rel: dict[str, int], k: int) -> float:
+    if k <= 0:
+        return 0.0
+    hits = sum(1 for d in ranked[:k] if rel.get(d, 0) > 0)
+    return hits / k
+
+
+def average_precision(ranked: list[str], rel: dict[str, int]) -> float:
+    n_rel = sum(1 for r in rel.values() if r > 0)
+    if n_rel == 0:
+        return 0.0
+    score, hits = 0.0, 0
+    for i, d in enumerate(ranked, 1):
+        if rel.get(d, 0) > 0:
+            hits += 1
+            score += hits / i
+    return score / n_rel
+
+
+def reciprocal_rank(ranked: list[str], rel: dict[str, int]) -> float:
+    for i, d in enumerate(ranked, 1):
+        if rel.get(d, 0) > 0:
+            return 1.0 / i
+    return 0.0
+
+
+def ndcg_at_k(ranked: list[str], rel: dict[str, int], k: int) -> float:
+    dcg = sum((2 ** rel.get(d, 0) - 1) / math.log2(i + 1)
+              for i, d in enumerate(ranked[:k], 1))
+    ideal = sorted((r for r in rel.values() if r > 0), reverse=True)[:k]
+    idcg = sum((2 ** r - 1) / math.log2(i + 1)
+               for i, r in enumerate(ideal, 1))
+    return dcg / idcg if idcg > 0 else 0.0
+
+
+def evaluate_run(run: dict[str, list[str]], qrels: dict[str, dict[str, int]],
+                 ks: tuple[int, ...] = (5, 10, 100)) -> dict:
+    """run: qid → ranked external ids; qrels: qid → {doc: rel}.
+    → {"map":…, "mrr":…, "p@k":…, "ndcg@k":…, "n_queries":…} averaged
+    over the queries present in qrels (trec_eval convention)."""
+    qids = [q for q in run if q in qrels]
+    if not qids:
+        return {"n_queries": 0}
+    out: dict = {"n_queries": len(qids)}
+    out["map"] = sum(average_precision(run[q], qrels[q]) for q in qids) / len(qids)
+    out["mrr"] = sum(reciprocal_rank(run[q], qrels[q]) for q in qids) / len(qids)
+    for k in ks:
+        out[f"p@{k}"] = sum(precision_at_k(run[q], qrels[q], k)
+                            for q in qids) / len(qids)
+        out[f"ndcg@{k}"] = sum(ndcg_at_k(run[q], qrels[q], k)
+                               for q in qids) / len(qids)
+    return out

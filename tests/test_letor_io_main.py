@@ -147,3 +147,21 @@ def test_prf_expansion(docs_index):
     inner = expanded[len("#wand ("):-1].split()
     assert len(inner) == 6
     float(inner[0])
+
+
+def test_metrics():
+    from search_engines_ray.query.metrics import (
+        average_precision, evaluate_run, ndcg_at_k, precision_at_k,
+        reciprocal_rank,
+    )
+    rel = {"a": 1, "b": 2, "c": 0}
+    ranked = ["a", "x", "b", "c"]
+    assert precision_at_k(ranked, rel, 2) == 0.5
+    assert abs(average_precision(ranked, rel) - (1/1 + 2/3) / 2) < 1e-12
+    assert reciprocal_rank(["x", "b"], rel) == 0.5
+    assert reciprocal_rank(["x", "y"], rel) == 0.0
+    # perfect ranking -> ndcg 1
+    assert abs(ndcg_at_k(["b", "a"], rel, 2) - 1.0) < 1e-12
+    out = evaluate_run({"1": ranked}, {"1": rel}, ks=(2,))
+    assert out["n_queries"] == 1 and 0 < out["map"] <= 1
+    assert evaluate_run({}, {})["n_queries"] == 0
