@@ -10,9 +10,11 @@ scale. All are Ray-Data-first:
   once at most.
 - **MinHash + LSH**: per-batch signatures (numpy universal hashing over
   token/shingle hashes), banded into (band, band_hash) keys, groupby the
-  band key, candidate pairs verified by true n-gram Jaccard, canonical =
-  min doc id over the verified duplicate component (within-bucket
-  union; cross-bucket chaining is resolved by a min-label pass).
+  band key, pairwise full-signature Jaccard *estimate* + union-find
+  within each bucket, canonical = component-min doc id; cross-bucket
+  chains resolved by a min-label aggregate + driver-side path
+  compression over the (small) duplicate set. True n-gram verification
+  is available via ``ngram_jaccard`` for callers holding the text.
 - **SimHash**: 64-bit weighted fingerprints; near-dup = Hamming ≤ k via
   4-band exact-match blocking (pigeonhole: ≤3 differing bits leave one
   16-bit band intact).
@@ -147,31 +149,23 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     banded = sig_ds.map_batches(explode_bands, batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Full pairwise check + union-find within the bucket (banded LSH
+        keeps buckets small, so O(b²) signature compares are cheap);
+        emits (member, component-min) for every non-trivial component.
+        'Verified' means the full-signature Jaccard ESTIMATE here — true
+        n-gram verification would need the text shipped through the
+        shuffle; ``ngram_jaccard`` is provided for callers that want it."""
         g = g.drop_duplicates(id_col).sort_values(id_col)
         if len(g) < 2:
             return pd.DataFrame({id_col: [], "canonical_id": []})
         ids = g[id_col].tolist()
         sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["minhash"]]
-        canon: dict = {}
-        base = ids[0]
-        for other, sig in zip(ids[1:], sigs[1:]):
-            est = float(np.mean(sigs[0] == sig))
-            if est >= jaccard_threshold:
-                canon[other] = base
-        if not canon:
-            return pd.DataFrame({id_col: [], "canonical_id": []})
-        canon[base] = base
-        items = sorted(canon.items())
-        return pd.DataFrame({id_col: [k for k, _ in items],
-                             "canonical_id": [v for _, v in items]})
+        return _unionfind_pairs(ids, lambda i, j: float(
+            np.mean(sigs[i] == sigs[j])) >= jaccard_threshold, id_col)
 
     pairs = banded.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas")
-    # min-label pass: a doc caught in several buckets keeps its smallest
-    # canonical id
-    from ray.data.aggregate import Min
-    return pairs.groupby(id_col).aggregate(Min("canonical_id",
-                                               alias_name="canonical_id"))
+    return _compress_canonical(pairs, id_col)
 
 
 # ---------------------------------------------------------------- simhash
@@ -228,20 +222,75 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def bucket(g: pd.DataFrame) -> pd.DataFrame:
         rows = sorted(zip(g[id_col], g["simhash"].astype(np.uint64)))
-        out_id, out_canon = [], []
-        for j in range(1, len(rows)):
-            for i in range(j):
-                if bin(int(rows[i][1]) ^ int(rows[j][1])).count("1") <= max_hamming:
-                    out_id.append(rows[j][0])
-                    out_canon.append(rows[i][0])
-                    break
-        return pd.DataFrame({id_col: out_id, "canonical_id": out_canon})
+        ids = [r[0] for r in rows]
+        fps = [int(r[1]) for r in rows]
+        return _unionfind_pairs(ids, lambda i, j: bin(
+            fps[i] ^ fps[j]).count("1") <= max_hamming, id_col)
 
     pairs = fp_ds.map_batches(explode, batch_format="pyarrow") \
         .groupby(["band", "key"]).map_groups(bucket, batch_format="pandas")
+    return _compress_canonical(pairs, id_col)
+
+
+def _unionfind_pairs(ids: list, is_dup, id_col: str) -> pd.DataFrame:
+    """ids sorted asc; is_dup(i, j) on indices → (member, component-min)
+    rows for every member of a non-trivial connected component."""
+    n = len(ids)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for j in range(1, n):
+        for i in range(j):
+            if find(i) != find(j) and is_dup(i, j):
+                parent[find(j)] = find(i)
+    comp: dict[int, list[int]] = {}
+    for x in range(n):
+        comp.setdefault(find(x), []).append(x)
+    out_id, out_canon = [], []
+    for members in comp.values():
+        if len(members) < 2:
+            continue
+        canon = ids[min(members)]        # ids sorted asc -> min index = min id
+        for m in members:
+            out_id.append(ids[m])
+            out_canon.append(canon)
+    return pd.DataFrame({id_col: out_id, "canonical_id": out_canon})
+
+
+def _compress_canonical(pairs, id_col: str):
+    """Min-label + transitive chain compression.
+
+    A doc caught in several buckets keeps its smallest canonical id
+    (distributed Min aggregate); then canonical chains (B→A, C→B) are
+    path-compressed. The mapping holds ONLY docs that belong to some
+    duplicate group — tiny relative to the corpus — so compression runs
+    on the driver (the ray_guide union-find caveat: driver-side only
+    when the candidate set is provably small)."""
+    import ray.data as rd
     from ray.data.aggregate import Min
-    return pairs.groupby(id_col).aggregate(Min("canonical_id",
-                                               alias_name="canonical_id"))
+    agg = pairs.groupby(id_col).aggregate(Min("canonical_id",
+                                              alias_name="canonical_id"))
+    pdf = agg.to_pandas()
+    if pdf.empty:
+        return rd.from_pandas(pd.DataFrame({id_col: [], "canonical_id": []}))
+    m = dict(zip(pdf[id_col], pdf["canonical_id"]))
+
+    def root(x):
+        seen = []
+        while x in m and m[x] != x:
+            seen.append(x)
+            x = m[x]
+        for s in seen:
+            m[s] = x
+        return x
+
+    pdf["canonical_id"] = [root(i) for i in pdf[id_col]]
+    return rd.from_pandas(pdf)
 
 
 # ---------------------------------------------------------------- jaccard

@@ -189,13 +189,17 @@ def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, planes: int = 12,
                 << np.arange(planes, dtype=np.uint32)).sum(axis=1)
 
     q_buckets = bucket_of(q)
-    # all buckets within probe distance of any query bucket
+    # all buckets within probe distance of any query bucket (every
+    # bit-flip combination up to probe_hamming)
+    from itertools import combinations
     wanted: set[int] = set()
     for qb in q_buckets.tolist():
-        wanted.add(qb)
-        if probe_hamming >= 1:
-            for i in range(planes):
-                wanted.add(qb ^ (1 << i))
+        for r in range(probe_hamming + 1):
+            for bits in combinations(range(planes), r):
+                m = 0
+                for b in bits:
+                    m |= 1 << b
+                wanted.add(qb ^ m)
     wanted_ref = ray.put(np.array(sorted(wanted), dtype=np.uint32))
     q_ref = ray.put(q)
 

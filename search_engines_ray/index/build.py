@@ -99,7 +99,7 @@ class IndexBuildConfig:
         blob = json.dumps(
             [FORMAT_VERSION, sorted(self.fields.items()), self.url_column,
              self.num_buckets, self.docid_partitions, self.merge_salts,
-             self.analyzer, input_token],
+             self.analyzer, self.dedup, input_token],
             sort_keys=True)
         return hashlib.md5(blob.encode()).hexdigest()
 
@@ -368,9 +368,25 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
             counts_pd = ds.groupby("pid").count().to_pandas().rename(
                 columns={"count()": "n"})
         cnt = np.zeros(P, dtype=np.int64)
-        cnt[counts_pd["pid"].to_numpy()] = counts_pd["n"].to_numpy()
+        if len(counts_pd):
+            cnt[counts_pd["pid"].to_numpy()] = counts_pd["n"].to_numpy()
         offsets = np.concatenate(([0], np.cumsum(cnt)[:-1]))
         n_docs = int(cnt.sum())
+        if n_docs == 0:
+            # empty corpus: write a valid empty index instead of letting
+            # the later read_parquet/concat_tables calls crash
+            stats = {"version": 1, "n_docs": 0,
+                     "fields": {f: {"doc_count": 0, "sum_len": 0}
+                                for f in fields},
+                     "num_buckets": cfg.num_buckets, "merge_salts": S,
+                     "docid_partitions": P, "analyzer": cfg.analyzer}
+            with open(os.path.join(index_dir, STATS_FILE), "w") as fh:
+                json.dump(stats, fh, indent=1)
+            os.makedirs(os.path.join(index_dir, POSTINGS_DIR), exist_ok=True)
+            for stage in (FORWARD_DIR, DOCMETA_DIR, POSTINGS_DIR):
+                _mark_stage(index_dir, stage, fp, n_docs=0)
+            metrics["total_s"] = time.time() - t0
+            return metrics
 
         dedup = cfg.dedup
 

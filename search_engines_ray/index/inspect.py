@@ -70,8 +70,9 @@ def cmd_vocab(reader: IndexReader, field: str = "body", limit: int = 20) -> dict
     df = t.to_pandas()
     df = df[df["field"] == field].groupby("term", as_index=False).sum(
         numeric_only=True)
+    n_terms = int(df["term"].nunique())
     df = df.sort_values(["ctf", "term"], ascending=[False, True]).head(limit)
-    return {"field": field, "n_terms": int(t.num_rows),
+    return {"field": field, "n_terms": n_terms,
             "top_terms": df.to_dict("records")}
 
 

@@ -116,7 +116,11 @@ def pm2(data: DiversityData, lam: float, max_result: int) -> list[tuple[str, flo
     remaining = list(range(len(data.docs)))
     out: list[tuple[str, float]] = []
     last_vec = None
-    while remaining and len(out) < len(data.docs):
+    # greedy selection is prefix-stable, so capping the loop at
+    # max_result yields exactly the first max_result entries of the
+    # reference's full ranking (its caller truncates after the fact)
+    limit = min(len(data.docs), max_result)
+    while remaining and len(out) < limit:
         if last_vec is not None:
             denom = sum(last_vec[1:])
             if denom != 0:

@@ -50,10 +50,12 @@ class FeatureExtractor:
 
     # ---- per-(query, doc) feature scores over the forward index ----
     def _field_scores(self, q_terms: list[str], docid: int, field: str,
-                      tv: dict) -> tuple[float, float, float]:
+                      tv: dict, posts: dict) -> tuple[float, float, float]:
         """(bm25, indri, overlap) for one (q, d, field) from the doc's
         term vector — mirrors the TermVector-driven feature scorers
-        (QrySopScore.java:190-338)."""
+        (QrySopScore.java:190-338). ``posts`` is the per-field postings
+        dict fetched ONCE per query in feature_matrix (df/ctf depend only
+        on the query, not the doc)."""
         r = self.reader
         if docid not in tv:
             return 0.0, 0.0, 0.0
@@ -66,7 +68,6 @@ class FeatureExtractor:
         N = r.n_docs
         avglen = r.avg_len(field) or 1.0
         sum_len = max(r.sum_field_lengths(field), 1)
-        posts = r.postings_many(q_terms, field, positions=False)
         bm25_s, matched = 0.0, 0
         indri_s, any_match = 1.0, False
         k = len(q_terms)
@@ -92,7 +93,8 @@ class FeatureExtractor:
         return bm25_s, indri_s, overlap
 
     def features(self, q_terms: list[str], docid: int,
-                 tvs: dict[str, dict]) -> list[float | None]:
+                 tvs: dict[str, dict],
+                 posts_by_field: dict[str, dict] | None = None) -> list[float | None]:
         """18-slot vector; None = feature unavailable (normalizes to 0)."""
         r = self.reader
         ext = r.external_ids()[docid]
@@ -103,11 +105,15 @@ class FeatureExtractor:
         f[1] = float(depth)
         f[2] = 1.0 if "wikipedia.org" in url else 0.0
         f[3] = self.pagerank.get(ext)
+        if posts_by_field is None:
+            posts_by_field = {fl: self.reader.postings_many(
+                q_terms, fl, positions=False) for fl in self._fields}
         slot = 4
         for field in _FIELDS:
             if field in self._fields:
                 b, i, o = self._field_scores(q_terms, docid, field,
-                                             tvs.get(field, {}))
+                                             tvs.get(field, {}),
+                                             posts_by_field.get(field, {}))
                 f[slot], f[slot + 1], f[slot + 2] = b, i, o
             slot += 3
         # f17: query-term coverage on body; f18: mean query-term tf (body)
@@ -131,9 +137,13 @@ class FeatureExtractor:
         for tok in query.split():
             q_terms.extend(self.analyzer.analyze_query_token(tok))
         tvs = {f: self.reader.term_vectors(docids, f) for f in self._fields}
+        # postings fetched once per (query, field) — df/ctf are doc-free
+        posts_by_field = {f: self.reader.postings_many(q_terms, f,
+                                                       positions=False)
+                          for f in self._fields}
         mat = np.full((len(docids), N_FEATURES), np.nan)
         for i, d in enumerate(docids):
-            row = self.features(q_terms, int(d), tvs)
+            row = self.features(q_terms, int(d), tvs, posts_by_field)
             mat[i] = [np.nan if v is None else v for v in row]
         return mat, q_terms
 

@@ -36,11 +36,11 @@ def reciprocal_rank(ranked: list[str], rel: dict[str, int]) -> float:
 
 
 def ndcg_at_k(ranked: list[str], rel: dict[str, int], k: int) -> float:
-    dcg = sum((2 ** rel.get(d, 0) - 1) / math.log2(i + 1)
+    """Linear gain (rel_i / log2(i+1)) — trec_eval's m_ndcg convention."""
+    dcg = sum(rel.get(d, 0) / math.log2(i + 1)
               for i, d in enumerate(ranked[:k], 1))
     ideal = sorted((r for r in rel.values() if r > 0), reverse=True)[:k]
-    idcg = sum((2 ** r - 1) / math.log2(i + 1)
-               for i, r in enumerate(ideal, 1))
+    idcg = sum(r / math.log2(i + 1) for i, r in enumerate(ideal, 1))
     return dcg / idcg if idcg > 0 else 0.0
 
 

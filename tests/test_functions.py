@@ -165,3 +165,40 @@ def test_distributed_bm25_edge_cases(docs_index):
     assert out.num_rows == 0          # OOV + stopword-only -> no rows
     out = bm25_batch_search(docs_index.index_dir, [], BM25Model(), k=10)
     assert out.num_rows == 0
+
+
+def test_minhash_chain_and_pairwise(ray_session):
+    """Regression for review findings: (a) near-dup pairs not involving
+    the bucket's min id must still be caught; (b) canonical chains must
+    compress to the component root."""
+    import ray.data as rd
+    from search_engines_ray.functions import minhash_lsh_dedup
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [
+        {"doc_id": 1, "text": "totally different content about nothing much"},
+        {"doc_id": 5, "text": base},
+        {"doc_id": 6, "text": base},                     # dup of 5
+        {"doc_id": 7, "text": base.replace("kappa", "lambda")},  # near-dup
+    ]
+    out = minhash_lsh_dedup(rd.from_pandas(pd.DataFrame(rows)),
+                            jaccard_threshold=0.5).to_pandas()
+    m = dict(zip(out["doc_id"], out["canonical_id"]))
+    assert m.get(6) == 5
+    assert m.get(7) == 5            # chained/indirect member -> root 5
+    assert all(v == 5 for k, v in m.items() if k in (5, 6, 7))
+
+
+def test_empty_corpus_build(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+    from search_engines_ray.index import (
+        IndexBuildConfig, IndexReader, build_index,
+    )
+    ds = rd.from_pandas(pd.DataFrame({"url": pd.Series([], dtype=str),
+                                      "text": pd.Series([], dtype=str)}))
+    idx = str(tmp_path / "empty")
+    build_index(ds, idx, IndexBuildConfig(num_buckets=2, docid_partitions=2),
+                input_token="e", resume=False)
+    r = IndexReader(idx)
+    assert r.n_docs == 0
+    assert r.postings("anything", "body") is None
