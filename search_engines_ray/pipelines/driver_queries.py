@@ -458,6 +458,40 @@ def q_minhash_dedup(sf_dir: str):
     return minhash_lsh_dedup(ds, jaccard_threshold=0.8)
 
 
+def q_jaccard_verified_dedup(sf_dir: str):
+    """MinHash-LSH candidates verified with TRUE n-gram Jaccard: the
+    candidate set is small, so texts for just those ids are fetched with
+    a pruned read and verified pairwise against their canonicals."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ..functions.dedup import minhash_lsh_dedup, ngram_jaccard
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    cand = minhash_lsh_dedup(ds, jaccard_threshold=0.5).to_pandas()
+    if cand.empty:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "canonical_id": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    ids = sorted(set(cand["doc_id"]) | set(cand["canonical_id"]))
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"],
+                      filters=[("doc_id", "in", ids)])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    rows = []
+    for d, c in zip(cand["doc_id"], cand["canonical_id"]):
+        if d == c:
+            continue
+        j = ngram_jaccard(texts.get(int(d), ""), texts.get(int(c), ""))
+        if j >= 0.5:
+            rows.append((int(d), int(c), round(j, 6)))
+    rows.sort()
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "canonical_id": pa.array([r[1] for r in rows], pa.int64()),
+        "jaccard": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
 def q_simhash_dedup(sf_dir: str):
     import ray.data as rd
     from ..functions.dedup import simhash_dedup
@@ -592,6 +626,7 @@ QUERIES = {
     "prf_expansion": q_prf_expansion,
     "bm25_batch_distributed": q_bm25_batch_distributed,
     "minhash_dedup": q_minhash_dedup,
+    "jaccard_verified_dedup": q_jaccard_verified_dedup,
     "simhash_dedup": q_simhash_dedup,
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
