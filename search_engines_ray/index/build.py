@@ -64,7 +64,7 @@ from .varbyte import encode_postings, decode_postings
 # bump when the on-disk layout changes: resume fingerprints include it,
 # so indexes cached by an older code version rebuild instead of
 # half-matching
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
 
 STATS_FILE = "stats.json"
 FORWARD_DIR = "forward"
@@ -347,25 +347,30 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
 
         ds = ds.map_batches(add_pid, batch_format="pyarrow")
 
-        # pin the projected corpus once: the pid-count pass and the
-        # assignment shuffle both consume it
-        ds = ds.materialize()
-
         # ---- docid assignment: distinct-url counts per pid -> driver
         # cumsum offsets -> per-pid dedup + url-sort + offset+rank.
         # Dedup is pid-local because pid = hash(url): folding it into the
         # per-pid groups avoids a full per-url shuffle (20k one-row pandas
         # groups cost ~10s; 32 pid groups are free).
+        #
+        # The counts pass runs on a *url-only* lineage: for parquet input
+        # the projection pushes down to the read, so only the url column
+        # ever leaves storage; the text pipeline is NOT materialized — at
+        # corpus scale pinning the projected text in the object store
+        # (the previous design) forces spill, while re-scanning a single
+        # string column streams. Both passes recompute `pid` (a cheap
+        # md5) rather than sharing a pinned intermediate.
+        counts_src = (pages.select_columns([url_col])
+                      .map_batches(add_pid, batch_format="pyarrow"))
         if cfg.dedup:
-            counts_pd = (ds.select_columns(["pid", url_col])
-                         .groupby("pid")
+            counts_pd = (counts_src.groupby("pid")
                          .map_groups(lambda g: pd.DataFrame(
                              {"pid": [g["pid"].iloc[0]],
                               "n": [g[url_col].nunique()]}),
                              batch_format="pandas")
                          .to_pandas())
         else:
-            counts_pd = ds.groupby("pid").count().to_pandas().rename(
+            counts_pd = counts_src.groupby("pid").count().to_pandas().rename(
                 columns={"count()": "n"})
         cnt = np.zeros(P, dtype=np.int64)
         if len(counts_pd):
@@ -379,7 +384,8 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
                      "fields": {f: {"doc_count": 0, "sum_len": 0}
                                 for f in fields},
                      "num_buckets": cfg.num_buckets, "merge_salts": S,
-                     "docid_partitions": P, "analyzer": cfg.analyzer}
+                     "docid_partitions": P, "analyzer": cfg.analyzer,
+                     "pid_offsets": [0] * (P + 1)}
             with open(os.path.join(index_dir, STATS_FILE), "w") as fh:
                 json.dump(stats, fh, indent=1)
             os.makedirs(os.path.join(index_dir, POSTINGS_DIR), exist_ok=True)
@@ -420,14 +426,29 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
         # field) → tiny table → driver sum. One Ray job instead of 2+F.
         meta_ds = ray.data.read_parquet(
             fwd_path,
-            columns=["docid"] + [f"len_{f}" for f in fields])
+            columns=["docid", "pid"] + [f"len_{f}" for f in fields])
 
         def partial_stats(b: pa.Table) -> pa.Table:
-            row = {"n": [b.num_rows]}
+            """One row per pid present in the batch: doc count + per-field
+            len sums/nonzero counts. The per-pid grain (vs per-batch)
+            lets the driver also derive the docid-range boundaries each
+            pid owns — the shard map for range-sharded doclen lookup in
+            the distributed scorer (docids are offsets[pid]+rank, so a
+            pid's docids are exactly [boundary[p], boundary[p+1]))."""
+            pids = b["pid"].to_numpy()
+            uniq, inv = np.unique(pids, return_inverse=True)
+            row: dict = {"pid": uniq.astype(np.int32)}
+            n = np.zeros(uniq.size, dtype=np.int64)
+            np.add.at(n, inv, 1)
+            row["n"] = n
             for f in fields:
-                lens = b[f"len_{f}"].to_numpy()
-                row[f"sum_{f}"] = [int(lens.sum())]
-                row[f"nz_{f}"] = [int((lens > 0).sum())]
+                lens = b[f"len_{f}"].to_numpy().astype(np.int64)
+                s = np.zeros(uniq.size, dtype=np.int64)
+                np.add.at(s, inv, lens)
+                nz = np.zeros(uniq.size, dtype=np.int64)
+                np.add.at(nz, inv, (lens > 0).astype(np.int64))
+                row[f"sum_{f}"] = s
+                row[f"nz_{f}"] = nz
             return pa.table(row)
 
         parts = pa.concat_tables(
@@ -439,9 +460,15 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
             field_stats[f] = {
                 "doc_count": int(np.sum(parts[f"nz_{f}"].to_numpy())),
                 "sum_len": int(np.sum(parts[f"sum_{f}"].to_numpy()))}
+        # pid → docid-range boundaries: counts per pid + the assignment
+        # invariant (docids contiguous per pid, pid ranges in pid order)
+        pid_n = np.zeros(P, dtype=np.int64)
+        np.add.at(pid_n, parts["pid"].to_numpy(), parts["n"].to_numpy())
+        pid_offsets = np.concatenate(([0], np.cumsum(pid_n))).tolist()
         stats = {"version": 1, "n_docs": int(n_docs), "fields": field_stats,
                  "num_buckets": cfg.num_buckets, "merge_salts": S,
-                 "docid_partitions": P, "analyzer": cfg.analyzer}
+                 "docid_partitions": P, "analyzer": cfg.analyzer,
+                 "pid_offsets": pid_offsets}
         with open(os.path.join(index_dir, STATS_FILE), "w") as fh:
             json.dump(stats, fh, indent=1)
         _mark_stage(index_dir, DOCMETA_DIR, fp, n_docs=int(n_docs))

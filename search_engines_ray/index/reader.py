@@ -110,6 +110,46 @@ class IndexReader:
         hits = np.flatnonzero(ids == external_id)
         return int(hits[0]) if hits.size else -1
 
+    # ---- sharded lookups (scale path: never materialize a dense
+    # n_docs-sized array; shard = one pid's contiguous docid range) ----
+    @property
+    def pid_offsets(self) -> np.ndarray:
+        """Docid-range boundaries per pid (len P+1): pid p owns docids
+        [off[p], off[p+1]). Written by the build's stats pass."""
+        return np.asarray(self.stats["pid_offsets"], dtype=np.int64)
+
+    def doclen_shard(self, field: str, pid: int) -> np.ndarray:
+        """Dense int32 lengths for ONE pid's docid range, index shifted by
+        ``pid_offsets[pid]`` — a column-pruned, row-group-stat-pruned scan
+        of the forward table (docids are contiguous per pid, so parquet
+        min/max stats skip unrelated files/row groups)."""
+        off = self.pid_offsets
+        lo, hi = int(off[pid]), int(off[pid + 1])
+        arr = np.zeros(hi - lo, dtype=np.int32)
+        if hi == lo:
+            return arr
+        dset = pads.dataset(os.path.join(self.index_dir, FORWARD_DIR),
+                            format="parquet")
+        t = dset.to_table(columns=["docid", f"len_{field}"],
+                          filter=(pc.field("docid") >= lo)
+                                 & (pc.field("docid") < hi))
+        arr[t["docid"].to_numpy() - lo] = t[f"len_{field}"].to_numpy()
+        return arr
+
+    def external_ids_for(self, docids: np.ndarray) -> np.ndarray:
+        """External ids aligned with ``docids`` via a filtered forward
+        scan — candidate sets only (top-k × queries), never the corpus."""
+        uniq = np.unique(np.asarray(docids, dtype=np.int64))
+        dset = pads.dataset(os.path.join(self.index_dir, FORWARD_DIR),
+                            format="parquet")
+        t = dset.to_table(columns=["docid", "external_id"],
+                          filter=pc.field("docid").isin(uniq.tolist()))
+        lut_ids = t["docid"].to_numpy()
+        lut_ext = t["external_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(lut_ids)
+        pos = np.searchsorted(lut_ids[order], docids)
+        return lut_ext[order][pos]
+
     # ---- postings ----
     def postings_many(self, terms: list[str], field: str,
                       positions: bool = True) -> dict[str, Posting]:

@@ -15,10 +15,11 @@ a whole query set against a huge index as one Ray Data pipeline:
       asc) top-k per qid.
 
 Scale notes: the postings read prunes to the buckets the query terms
-hash to; doclens are broadcast once via ``ray.put`` (at 10^12 docs this
-becomes a docid-range-sharded side table — the salt layout already
-orders posting runs by docid range, see build.py). The packed key leaves
-44 bits for docids and 19 for queries per batch.
+hash to; doclens are docid-range-sharded (``_ShardedDoclens``): workers
+load only the pid ranges their posting runs touch, cached per process —
+no O(n_docs) broadcast anywhere. External ids are fetched for the final
+candidate set via a filtered forward scan. The packed key leaves 44 bits
+for docids and 19 for queries per batch.
 
 BM25 #SUM (bag-of-words) only — the model whose accumulation is a plain
 sum and hence expressible as groupby().sum() (SURVEY.md §2.4 #SUM row).
@@ -44,6 +45,47 @@ from .models import BM25Model
 
 _DOC_BITS = 44
 _DOC_MASK = (1 << _DOC_BITS) - 1
+
+# process-global doclen shard cache: Ray reuses worker processes, so
+# shards loaded for one batch serve every later batch scheduled on the
+# same worker. Key = (index_dir, field, pid); capped FIFO so a worker
+# never holds more than _MAX_SHARDS pid ranges resident.
+_SHARD_CACHE: dict = {}
+_MAX_SHARDS = 128
+
+
+def _doclen_shard(index_dir: str, field: str, pid: int) -> np.ndarray:
+    key = (index_dir, field, pid)
+    arr = _SHARD_CACHE.get(key)
+    if arr is None:
+        arr = IndexReader(index_dir).doclen_shard(field, pid)
+        if len(_SHARD_CACHE) >= _MAX_SHARDS:
+            _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+        _SHARD_CACHE[key] = arr
+    return arr
+
+
+class _ShardedDoclens:
+    """Docid-range-sharded doclen lookup: a posting run's docids map to a
+    handful of contiguous pid ranges (the build's salt layout keeps runs
+    docid-range-local), so each scoring worker touches few shards and the
+    process cache amortizes them across batches. Replaces the dense
+    ``ray.put(doclens)`` broadcast, which is O(n_docs) memory per node —
+    4 TB at the 10^12-doc design point."""
+
+    def __init__(self, index_dir: str, field: str, pid_offsets: np.ndarray):
+        self.index_dir = index_dir
+        self.field = field
+        self.offsets = pid_offsets
+
+    def get(self, docids: np.ndarray) -> np.ndarray:
+        out = np.empty(docids.size, dtype=np.int32)
+        pids = np.searchsorted(self.offsets, docids, side="right") - 1
+        for p in np.unique(pids):
+            m = pids == p
+            shard = _doclen_shard(self.index_dir, self.field, int(p))
+            out[m] = shard[docids[m] - self.offsets[p]]
+        return out
 
 
 def bm25_batch_search(index_dir: str, queries: list[tuple[str, str]],
@@ -80,12 +122,14 @@ def bm25_batch_search(index_dir: str, queries: list[tuple[str, str]],
     if not paths:
         return _empty()
 
-    # broadcast small sides once (ray.put), read per actor — never per batch
-    doclen_ref = ray.put(reader.doclens(field))
+    # broadcast small sides once (ray.put), read per actor — never per
+    # batch; doclens are NOT broadcast: workers load docid-range shards
+    # on demand (see _ShardedDoclens)
     tq_ref = ray.put(term_queries)
     df_ref = ray.put(_global_dfs(index_dir, reader, list(term_queries), field))
     N = reader.n_docs
     avglen = reader.avg_len(field)
+    pid_offsets = reader.pid_offsets
     k1, b = model.k1, model.b
     terms_list = sorted(term_queries)
 
@@ -96,7 +140,7 @@ def bm25_batch_search(index_dir: str, queries: list[tuple[str, str]],
 
     class ScoreBatch:
         def __init__(self):
-            self.doclens = ray.get(doclen_ref)
+            self.dl = _ShardedDoclens(index_dir, field, pid_offsets)
             self.tq = ray.get(tq_ref)
             self.global_df = ray.get(df_ref)
 
@@ -108,7 +152,7 @@ def bm25_batch_search(index_dir: str, queries: list[tuple[str, str]],
                 docids, tfs, _ = decode_postings(db, tb, None)
                 df = self.global_df[term]
                 idf = max(0.0, np.log((N - df + 0.5) / (df + 0.5)))
-                dl = self.doclens[docids].astype(np.float64)
+                dl = self.dl.get(docids).astype(np.float64)
                 tf = tfs.astype(np.float64)
                 s = idf * (tf / (tf + k1 * ((1.0 - b) + b * dl / avglen)))
                 for qc, mult in self.tq[term]:
@@ -169,8 +213,9 @@ def bm25_batch_search(index_dir: str, queries: list[tuple[str, str]],
     sc = cands["score"].to_numpy()
     qc = (gk >> _DOC_BITS).astype(np.int64)
     docid = (gk & _DOC_MASK).astype(np.int64)
-    ext = reader.external_ids()
-    eids = ext[docid]
+    # candidate set only (≤ parts × k per query) — a filtered forward
+    # scan, never a dense n_docs-sized id array
+    eids = reader.external_ids_for(docid)
     out_qid, out_eid, out_rank, out_score = [], [], [], []
     for q in range(len(qids)):
         m = qc == q

@@ -73,3 +73,27 @@ def test_term_vectors(toy_index):
     terms, pos, flen = tv[d]
     assert terms == ["fox", "fox", "fox", "den"]
     assert flen == 4
+
+
+def test_pid_offsets_and_doclen_shards(toy_index):
+    """pid_offsets partition [0, n_docs) into contiguous ranges; the
+    per-pid doclen shards tile the dense doclens array exactly."""
+    import numpy as np
+
+    off = toy_index.pid_offsets
+    assert off[0] == 0 and off[-1] == toy_index.n_docs
+    assert (np.diff(off) >= 0).all()
+    dense = toy_index.doclens("body")
+    for p in range(off.size - 1):
+        shard = toy_index.doclen_shard("body", p)
+        assert shard.size == off[p + 1] - off[p]
+        assert (shard == dense[off[p]:off[p + 1]]).all()
+
+
+def test_external_ids_for_matches_dense(toy_index):
+    import numpy as np
+
+    dense = toy_index.external_ids()
+    docids = np.array([0, toy_index.n_docs - 1, 1, 1, 0], dtype=np.int64)
+    got = toy_index.external_ids_for(docids)
+    assert list(got) == list(dense[docids])
