@@ -80,13 +80,31 @@ def run_bench() -> dict:
     idx_root = "/dev/shm" if BUILD_ONLY and os.path.isdir("/dev/shm") else "/tmp"
     idx_dir = f"{idx_root}/bench_idx_{NUM_CPUS}"
     shutil.rmtree(idx_dir, ignore_errors=True)
+    # merge-group count (buckets × salts) trades fixed per-group/file
+    # overhead against skew resilience and pruning grain — size it to the
+    # corpus (at 10^12 docs: thousands of buckets)
+    big = n_docs >= 1_000_000
     cfg = IndexBuildConfig(
-        num_buckets=32, docid_partitions=64, merge_salts=4,
-        tokenize_batch_size=2048)
+        num_buckets=64 if big else 16, docid_partitions=64,
+        merge_salts=8 if big else 4, tokenize_batch_size=2048)
+
+    # the north-rule input is a *Parquet table* of pages: write the
+    # expanded corpus once (untimed, cached across the 8/32-cpu scaling
+    # subprocesses so both read identical files) and time the build from
+    # the parquet — this also exercises the build's column-pruned
+    # counts-pass scan the way real input would
+    pages_dir = f"{idx_root}/bench_pages_{os.path.basename(SF_DIR.rstrip('/'))}_{EXPAND}"
+    if not os.path.exists(pages_dir + ".done"):
+        shutil.rmtree(pages_dir, ignore_errors=True)
+        # many small files: parquet splits only at file/row-group grain,
+        # so the file count caps read parallelism for BOTH scaling runs
+        pages_from_documents(SF_DIR, expand=EXPAND) \
+            .repartition(128).write_parquet(pages_dir)
+        open(pages_dir + ".done", "w").close()
 
     t0 = time.time()
-    build_index(pages_from_documents(SF_DIR, expand=EXPAND), idx_dir, cfg,
-                input_token=SF_DIR, resume=False)
+    build_metrics = build_index(ray.data.read_parquet(pages_dir), idx_dir,
+                                cfg, input_token=pages_dir, resume=False)
     t_build = time.time() - t0
 
     if BUILD_ONLY:
@@ -98,6 +116,7 @@ def run_bench() -> dict:
             "sf": SF_DIR, "expand": EXPAND, "num_cpus": NUM_CPUS,
             "n_docs": n_docs,
             "index_docs_per_sec": round(n_docs / t_build, 1),
+            "stages": {s: round(v, 2) for s, v in build_metrics.items()},
         }
 
     reader = IndexReader(idx_dir)
@@ -123,8 +142,25 @@ def run_bench() -> dict:
                       BM25Model(), k=100)
     t_dist = time.time() - t0
 
+    from search_engines_ray.query.distributed import (
+        bm25_structured_batch_search, indri_batch_search,
+    )
+    t0 = time.time()
+    bm25_structured_batch_search(
+        idx_dir, [("n", "#sum(#near/2(fast sort) merge)"),
+                  ("w", "#sum(#window/8(hash join) table)"),
+                  ("s", "#sum(#syn(fast quick) dup)")], BM25Model(), k=100)
+    t_dist_structured = time.time() - t0
+
+    t0 = time.time()
+    indri_batch_search(idx_dir,
+                       [(str(i), q) for i, q in enumerate(BOW_QUERIES[:10])],
+                       IndriModel(mu=2500, lambda_=0.4), k=100)
+    t_dist_indri = time.time() - t0
+
     ray.shutdown()
-    total = t_build + t_bm25 + t_structured + t_dist
+    total = (t_build + t_bm25 + t_structured + t_dist + t_dist_structured
+             + t_dist_indri)
     return {
         "metric": "index_build_plus_query_batch",
         "value": round(total, 3),
@@ -134,6 +170,8 @@ def run_bench() -> dict:
             "bm25_bow_batch20": round(t_bm25, 3),
             "structured_batch4": round(t_structured, 3),
             "bm25_distributed_batch20": round(t_dist, 3),
+            "structured_distributed_batch3": round(t_dist_structured, 3),
+            "indri_distributed_batch10": round(t_dist_indri, 3),
         },
         "sf": SF_DIR,
         "expand": EXPAND,
@@ -156,7 +194,14 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
+    try:
+        r_lo, r_hi = run(lo), run(hi)
+    finally:
+        import glob
+        for p in glob.glob("/dev/shm/bench_pages_*") + \
+                 glob.glob("/dev/shm/bench_idx_*"):
+            shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) \
+                else os.remove(p)
     tput_lo = r_lo["index_docs_per_sec"]
     tput_hi = r_hi["index_docs_per_sec"]
     eff = tput_hi / (tput_lo * (hi / lo))

@@ -9,12 +9,15 @@ Pipeline (all ``ray.data`` — SURVEY.md §3.4/§7):
 
 1. **project + dedup** — ``select_columns`` drops ``html`` before anything
    wide; exact dedup by ``url`` (first-wins, deterministic).
-2. **docid assignment** — deterministic dense int64 docids: a stable md5
-   partition of urls (``pid``), per-pid counts (small groupby) → driver
-   cumsum offsets, then per-pid url-sort + offset+rank inside
-   ``map_groups``. One shuffle, no driver-side row loop, scales to any
-   corpus. Docids within a pid are contiguous, which later gives us
-   salt-by-docid-range merge runs for free.
+2. **docid assignment** — deterministic dense int64 docids with ONE
+   shuffle and NO counting pre-pass: a stable md5 partition of urls
+   (``pid``), per-pid dedup + url-sort + *local* rank inside
+   ``map_groups``. Only ``(pid, docid_local)`` is stored; the global
+   docid = ``pid_offsets[pid] + docid_local`` where ``pid_offsets``
+   (cumsum of per-pid counts) is derived by the stats pass and recorded
+   in ``stats.json``. Docids within a pid are contiguous, which later
+   gives us salt-by-docid-range merge runs and range-sharded doclen
+   lookup for free.
 3. **tokenize** — actor-pool ``map_batches`` (analyzer + stem cache built
    once per actor in ``__init__``); emits the *forward index*: per doc and
    field, the term list, gap-preserving positions and stopword-inclusive
@@ -64,7 +67,7 @@ from .varbyte import encode_postings, decode_postings
 # bump when the on-disk layout changes: resume fingerprints include it,
 # so indexes cached by an older code version rebuild instead of
 # half-matching
-FORMAT_VERSION = 3
+FORMAT_VERSION = 4
 
 STATS_FILE = "stats.json"
 FORWARD_DIR = "forward"
@@ -95,12 +98,20 @@ class IndexBuildConfig:
     dedup: bool = True
     analyzer: str = "lucene"       # "lucene" (full chain) | "simple" (SQL-checkable)
 
-    def fingerprint(self, input_token: str) -> str:
-        blob = json.dumps(
-            [FORMAT_VERSION, sorted(self.fields.items()), self.url_column,
-             self.num_buckets, self.docid_partitions, self.merge_salts,
-             self.analyzer, self.dedup, input_token],
-            sort_keys=True)
+    def fingerprint(self, input_token: str, stage: str = "all") -> str:
+        """Per-stage resume fingerprint. The forward stage does not
+        depend on the postings-merge knobs (num_buckets / merge_salts —
+        salt is derived from the stored pid at postings time), so
+        re-tuning the merge re-runs only the cheap stats + postings
+        stages, never the tokenize."""
+        parts = [FORMAT_VERSION, sorted(self.fields.items()),
+                 self.url_column, self.docid_partitions, self.analyzer,
+                 self.dedup, input_token]
+        if stage != FORWARD_DIR:
+            # stats.json records num_buckets/merge_salts (the reader's
+            # bucket-pruning contract), so docmeta + postings include them
+            parts += [self.num_buckets, self.merge_salts]
+        blob = json.dumps(parts, sort_keys=True)
         return hashlib.md5(blob.encode()).hexdigest()
 
 
@@ -147,7 +158,7 @@ class _Tokenize:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         out: dict = {
-            "docid": batch["docid"],
+            "docid_local": batch["docid_local"],
             "external_id": batch["external_id"],
             "pid": batch["pid"],
         }
@@ -166,15 +177,20 @@ class _Tokenize:
         return pa.table(out)
 
 
-def _partial_postings_fn(fields: list[str], num_buckets: int, salt_of_pid: np.ndarray):
+def _partial_postings_fn(fields: list[str], num_buckets: int,
+                         salt_of_pid: np.ndarray, pid_offsets: np.ndarray):
     """Returns the map_batches fn building partial posting fragments.
 
     Within a batch: rows sorted by docid, then for each field a single
     explode + lexsort over (term, docid) yields per-(term,docid) tf and
-    position segments without a per-posting Python loop.
-    """
+    position segments without a per-posting Python loop. The global
+    docid is derived here as ``pid_offsets[pid] + docid_local`` (the
+    forward table stores only the pid-local rank — see build_index)."""
 
     def fn(batch: pa.Table) -> pa.Table:
+        gdocid = (pid_offsets[batch["pid"].to_numpy()]
+                  + batch["docid_local"].to_numpy())
+        batch = batch.append_column("docid", pa.array(gdocid, pa.int64()))
         batch = batch.sort_by("docid")
         docid = batch["docid"].to_numpy()
         pid = batch["pid"].to_numpy()
@@ -322,6 +338,7 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
     cfg = config or IndexBuildConfig()
     os.makedirs(index_dir, exist_ok=True)
     fp = cfg.fingerprint(input_token)
+    fp_fwd = cfg.fingerprint(input_token, FORWARD_DIR)
     metrics: dict = {}
     t0 = time.time()
 
@@ -331,7 +348,7 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
     salt_of_pid = (np.arange(P, dtype=np.int64) * S // P).astype(np.int32)
 
     fwd_path = os.path.join(index_dir, FORWARD_DIR)
-    if not (resume and _stage_done(index_dir, FORWARD_DIR, fp)):
+    if not (resume and _stage_done(index_dir, FORWARD_DIR, fp_fwd)):
         # idempotent re-run: write_parquet APPENDS into an existing
         # directory, so a crashed/invalidated stage must start clean
         shutil.rmtree(fwd_path, ignore_errors=True)
@@ -347,39 +364,50 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
 
         ds = ds.map_batches(add_pid, batch_format="pyarrow")
 
-        # ---- docid assignment: distinct-url counts per pid -> driver
-        # cumsum offsets -> per-pid dedup + url-sort + offset+rank.
-        # Dedup is pid-local because pid = hash(url): folding it into the
-        # per-pid groups avoids a full per-url shuffle (20k one-row pandas
-        # groups cost ~10s; 32 pid groups are free).
-        #
-        # The counts pass runs on a *url-only* lineage: for parquet input
-        # the projection pushes down to the read, so only the url column
-        # ever leaves storage; the text pipeline is NOT materialized — at
-        # corpus scale pinning the projected text in the object store
-        # (the previous design) forces spill, while re-scanning a single
-        # string column streams. Both passes recompute `pid` (a cheap
-        # md5) rather than sharing a pinned intermediate.
-        counts_src = (pages.select_columns([url_col])
-                      .map_batches(add_pid, batch_format="pyarrow"))
-        if cfg.dedup:
-            counts_pd = (counts_src.groupby("pid")
-                         .map_groups(lambda g: pd.DataFrame(
-                             {"pid": [g["pid"].iloc[0]],
-                              "n": [g[url_col].nunique()]}),
-                             batch_format="pandas")
-                         .to_pandas())
-        else:
-            counts_pd = counts_src.groupby("pid").count().to_pandas().rename(
-                columns={"count()": "n"})
-        cnt = np.zeros(P, dtype=np.int64)
-        if len(counts_pd):
-            cnt[counts_pd["pid"].to_numpy()] = counts_pd["n"].to_numpy()
-        offsets = np.concatenate(([0], np.cumsum(cnt)[:-1]))
-        n_docs = int(cnt.sum())
-        if n_docs == 0:
+        # ---- docid assignment: ONE shuffle, NO counting pre-pass. The
+        # pid groupby co-locates each url-hash partition; inside a group
+        # we dedup (first-wins under a full column sort), url-sort, and
+        # assign the *pid-local* rank only. The global docid is never
+        # stored: it is ``pid_offsets[pid] + docid_local``, where
+        # pid_offsets (cumsum of per-pid doc counts) falls out of the
+        # stats pass that runs anyway. This removes an entire Ray job
+        # (url scan + groupby + driver barrier) from the build — a fixed
+        # multi-second all-to-all at any corpus size — while keeping
+        # docids bit-identical to the counted design.
+        dedup = cfg.dedup
+
+        def assign_local(g: pd.DataFrame) -> pd.DataFrame:
+            if dedup:
+                # first-wins deterministically: smallest row under a full
+                # column sort (reference docids are unique by construction;
+                # SURVEY.md §2.5 "dedup")
+                g = g.sort_values(list(g.columns)).drop_duplicates(
+                    url_col, keep="first")
+            g = g.sort_values(url_col, kind="mergesort").reset_index(drop=True)
+            g["docid_local"] = np.arange(len(g), dtype=np.int64)
+            g["external_id"] = g[url_col]
+            return g
+
+        ds = ds.groupby("pid").map_groups(assign_local, batch_format="pandas")
+        tokenize = _Tokenize(cfg.fields, cfg.analyzer)
+        ds = ds.map_batches(
+            tokenize, batch_format="pyarrow",
+            batch_size=cfg.tokenize_batch_size)
+        ds.write_parquet(fwd_path)
+        _mark_stage(index_dir, FORWARD_DIR, fp_fwd)
+    metrics["forward_s"] = time.time() - t0
+
+    # ---- stats (docmeta is a column projection of the forward parquet —
+    # no separate write; the reader scans forward/ with pruned columns)
+    t1 = time.time()
+    if not (resume and _stage_done(index_dir, DOCMETA_DIR, fp)):
+        # single pass: per-batch partial (n, sum_len, nonzero-count per
+        # field) → tiny table → driver sum. One Ray job instead of 2+F.
+        have_files = os.path.isdir(fwd_path) and any(
+            f.endswith(".parquet") for f in os.listdir(fwd_path))
+        if not have_files:
             # empty corpus: write a valid empty index instead of letting
-            # the later read_parquet/concat_tables calls crash
+            # read_parquet / concat_tables crash downstream
             stats = {"version": 1, "n_docs": 0,
                      "fields": {f: {"doc_count": 0, "sum_len": 0}
                                 for f in fields},
@@ -389,44 +417,13 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
             with open(os.path.join(index_dir, STATS_FILE), "w") as fh:
                 json.dump(stats, fh, indent=1)
             os.makedirs(os.path.join(index_dir, POSTINGS_DIR), exist_ok=True)
-            for stage in (FORWARD_DIR, DOCMETA_DIR, POSTINGS_DIR):
+            for stage in (DOCMETA_DIR, POSTINGS_DIR):
                 _mark_stage(index_dir, stage, fp, n_docs=0)
             metrics["total_s"] = time.time() - t0
             return metrics
-
-        dedup = cfg.dedup
-
-        def assign_docids(g: pd.DataFrame) -> pd.DataFrame:
-            if dedup:
-                # first-wins deterministically: smallest row under a full
-                # column sort (reference docids are unique by construction;
-                # SURVEY.md §2.5 "dedup")
-                g = g.sort_values(list(g.columns)).drop_duplicates(
-                    url_col, keep="first")
-            g = g.sort_values(url_col, kind="mergesort").reset_index(drop=True)
-            pid = int(g["pid"].iloc[0])
-            g["docid"] = offsets[pid] + np.arange(len(g), dtype=np.int64)
-            g["external_id"] = g[url_col]
-            return g
-
-        ds = ds.groupby("pid").map_groups(assign_docids, batch_format="pandas")
-        tokenize = _Tokenize(cfg.fields, cfg.analyzer)
-        ds = ds.map_batches(
-            tokenize, batch_format="pyarrow",
-            batch_size=cfg.tokenize_batch_size)
-        ds.write_parquet(fwd_path)
-        _mark_stage(index_dir, FORWARD_DIR, fp, n_docs=n_docs)
-    metrics["forward_s"] = time.time() - t0
-
-    # ---- stats (docmeta is a column projection of the forward parquet —
-    # no separate write; the reader scans forward/ with pruned columns)
-    t1 = time.time()
-    if not (resume and _stage_done(index_dir, DOCMETA_DIR, fp)):
-        # single pass: per-batch partial (n, sum_len, nonzero-count per
-        # field) → tiny table → driver sum. One Ray job instead of 2+F.
         meta_ds = ray.data.read_parquet(
             fwd_path,
-            columns=["docid", "pid"] + [f"len_{f}" for f in fields])
+            columns=["pid"] + [f"len_{f}" for f in fields])
 
         def partial_stats(b: pa.Table) -> pa.Table:
             """One row per pid present in the batch: doc count + per-field
@@ -479,12 +476,16 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
     if not (resume and _stage_done(index_dir, POSTINGS_DIR, fp)):
         shutil.rmtree(os.path.join(index_dir, POSTINGS_DIR),
                       ignore_errors=True)
-        fwd_cols = ["docid", "pid"]
+        with open(os.path.join(index_dir, STATS_FILE)) as fh:
+            pid_offsets = np.asarray(json.load(fh)["pid_offsets"],
+                                     dtype=np.int64)
+        fwd_cols = ["docid_local", "pid"]
         for f in fields:
             fwd_cols += [f"terms_{f}", f"pos_{f}"]
         fwd = ray.data.read_parquet(fwd_path, columns=fwd_cols)
         partial = fwd.map_batches(
-            _partial_postings_fn(fields, cfg.num_buckets, salt_of_pid),
+            _partial_postings_fn(fields, cfg.num_buckets, salt_of_pid,
+                                 pid_offsets),
             batch_format="pyarrow", batch_size=cfg.postings_batch_size)
         merged = partial.groupby(["bucket", "salt"]).map_groups(
             _merge_bucket, batch_format="pandas")

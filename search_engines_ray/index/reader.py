@@ -15,6 +15,7 @@ import os
 from dataclasses import dataclass
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
@@ -75,11 +76,17 @@ class IndexReader:
     # ---- docmeta ----
     def _load_docmeta(self):
         """docid → external_id + per-field lengths: a pruned column scan
-        of the forward parquet (no separate docmeta table on disk)."""
+        of the forward parquet (no separate docmeta table on disk). The
+        forward table stores only ``(pid, docid_local)``; the global
+        docid = ``pid_offsets[pid] + docid_local`` is derived here."""
         if self._docmeta is None:
-            cols = ["docid", "external_id"] + [f"len_{f}" for f in self.fields]
+            cols = ["pid", "docid_local", "external_id"] + [
+                f"len_{f}" for f in self.fields]
             t = pq.read_table(os.path.join(self.index_dir, FORWARD_DIR),
                               columns=cols)
+            docid = (self.pid_offsets[t["pid"].to_numpy()]
+                     + t["docid_local"].to_numpy())
+            t = t.append_column("docid", pa.array(docid, pa.int64()))
             t = t.sort_by("docid")
             self._docmeta = t
         return self._docmeta
@@ -121,8 +128,9 @@ class IndexReader:
     def doclen_shard(self, field: str, pid: int) -> np.ndarray:
         """Dense int32 lengths for ONE pid's docid range, index shifted by
         ``pid_offsets[pid]`` — a column-pruned, row-group-stat-pruned scan
-        of the forward table (docids are contiguous per pid, so parquet
-        min/max stats skip unrelated files/row groups)."""
+        of the forward table (each forward block holds one pid, so
+        parquet min/max stats on ``pid`` skip unrelated files/row
+        groups)."""
         off = self.pid_offsets
         lo, hi = int(off[pid]), int(off[pid + 1])
         arr = np.zeros(hi - lo, dtype=np.int32)
@@ -130,21 +138,32 @@ class IndexReader:
             return arr
         dset = pads.dataset(os.path.join(self.index_dir, FORWARD_DIR),
                             format="parquet")
-        t = dset.to_table(columns=["docid", f"len_{field}"],
-                          filter=(pc.field("docid") >= lo)
-                                 & (pc.field("docid") < hi))
-        arr[t["docid"].to_numpy() - lo] = t[f"len_{field}"].to_numpy()
+        t = dset.to_table(columns=["docid_local", f"len_{field}"],
+                          filter=pc.field("pid") == pid)
+        arr[t["docid_local"].to_numpy()] = t[f"len_{field}"].to_numpy()
         return arr
+
+    def _split_docids(self, docids: np.ndarray):
+        """global docid → (pid, docid_local) via the pid_offsets map."""
+        off = self.pid_offsets
+        pids = np.searchsorted(off, docids, side="right") - 1
+        return pids, docids - off[pids]
 
     def external_ids_for(self, docids: np.ndarray) -> np.ndarray:
         """External ids aligned with ``docids`` via a filtered forward
-        scan — candidate sets only (top-k × queries), never the corpus."""
-        uniq = np.unique(np.asarray(docids, dtype=np.int64))
+        scan — candidate sets only (top-k × queries), never the corpus.
+        The (pid isin, local isin) parquet filter is a superset (cross
+        product); exact match happens on the fetched rows."""
+        docids = np.asarray(docids, dtype=np.int64)
+        pids, locals_ = self._split_docids(docids)
         dset = pads.dataset(os.path.join(self.index_dir, FORWARD_DIR),
                             format="parquet")
-        t = dset.to_table(columns=["docid", "external_id"],
-                          filter=pc.field("docid").isin(uniq.tolist()))
-        lut_ids = t["docid"].to_numpy()
+        t = dset.to_table(
+            columns=["pid", "docid_local", "external_id"],
+            filter=pc.field("pid").isin(np.unique(pids).tolist())
+                   & pc.field("docid_local").isin(np.unique(locals_).tolist()))
+        lut_ids = (self.pid_offsets[t["pid"].to_numpy()]
+                   + t["docid_local"].to_numpy())
         lut_ext = t["external_id"].to_numpy(zero_copy_only=False)
         order = np.argsort(lut_ids)
         pos = np.searchsorted(lut_ids[order], docids)
@@ -162,14 +181,7 @@ class IndexReader:
         terms = sorted(set(terms))
         if not terms:
             return {}
-        buckets = sorted({term_bucket(t, self.num_buckets) for t in terms})
-        base = os.path.join(self.index_dir, POSTINGS_DIR)
-        paths: list[str] = []
-        for b in buckets:
-            d = os.path.join(base, f"bucket={b}")
-            if os.path.isdir(d):
-                paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
-                             if f.endswith(".parquet"))
+        paths = self._bucket_paths(terms)
         if not paths:
             return {}
         dset = pads.dataset(paths, format="parquet")
@@ -209,18 +221,87 @@ class IndexReader:
     def postings(self, term: str, field: str, positions: bool = True) -> Posting | None:
         return self.postings_many([term], field, positions).get(term)
 
+    def _bucket_paths(self, terms: list[str]) -> list[str]:
+        base = os.path.join(self.index_dir, POSTINGS_DIR)
+        paths: list[str] = []
+        for b in sorted({term_bucket(t, self.num_buckets) for t in terms}):
+            d = os.path.join(base, f"bucket={b}")
+            if os.path.isdir(d):
+                paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                             if f.endswith(".parquet"))
+        return paths
+
+    def postings_meta(self, terms: list[str], field: str):
+        """Run-level metadata WITHOUT decoding (or even reading) posting
+        blobs: per (term, salt-run) df, ctf, min_docid, max_tf. This is
+        the block-max side of the index layout (build.py step 5): a run
+        is a docid-range block whose BM25 contribution is bounded by
+        ``idf · tfw(max_tf)`` — the MaxScore/WAND pruning input."""
+        terms = sorted(set(terms))
+        paths = self._bucket_paths(terms)
+        if not paths:
+            return None
+        dset = pads.dataset(paths, format="parquet")
+        t = dset.to_table(
+            columns=["term", "salt", "df", "ctf", "min_docid", "max_tf"],
+            filter=(pc.field("term").isin(terms) & (pc.field("field") == field)))
+        return t.sort_by([("term", "ascending"), ("min_docid", "ascending")])
+
+    def postings_runs(self, term: str, field: str, salts: list[int],
+                      positions: bool = False) -> Posting | None:
+        """Decode only the SELECTED salt runs of one term — the pruned
+        fetch used by the MaxScore scorer once whole docid-range runs are
+        provably unable to affect the top-k."""
+        if not salts:
+            return None
+        paths = self._bucket_paths([term])
+        if not paths:
+            return None
+        dset = pads.dataset(paths, format="parquet")
+        cols = ["term", "salt", "min_docid", "docid_blob", "tf_blob"] + (
+            ["pos_blob"] if positions else [])
+        t = dset.to_table(
+            columns=cols,
+            filter=(pc.field("term") == term) & (pc.field("field") == field)
+                   & pc.field("salt").isin([int(s) for s in salts]))
+        if t.num_rows == 0:
+            return None
+        t = t.sort_by([("min_docid", "ascending")])
+        dparts, tparts, pparts = [], [], []
+        pblobs = t["pos_blob"].to_pylist() if positions else [None] * t.num_rows
+        for db, tb, pb in zip(t["docid_blob"].to_pylist(),
+                              t["tf_blob"].to_pylist(), pblobs):
+            d, tf, p = decode_postings(db, tb, pb)
+            dparts.append(d); tparts.append(tf)
+            if p is not None:
+                pparts.append(p)
+        docids = np.concatenate(dparts)
+        tfs = np.concatenate(tparts)
+        pos = np.concatenate(pparts) if (positions and pparts) else None
+        return Posting(term=term, field=field, df=int(docids.size),
+                       ctf=int(tfs.sum()), docids=docids, tfs=tfs,
+                       positions=pos)
+
     # ---- forward index (TermVector.java equivalent) ----
     def term_vectors(self, docids: list[int], field: str):
         """Per-doc (terms, positions, len) for the given docids — used by
         PRF (QryEval.java:98-119). Scans the forward table with a docid
         filter; fbDocs×queries docs only, never the whole corpus."""
+        want = np.asarray([int(d) for d in docids], dtype=np.int64)
+        pids, locals_ = self._split_docids(want)
         dset = pads.dataset(os.path.join(self.index_dir, FORWARD_DIR),
                             format="parquet")
         t = dset.to_table(
-            columns=["docid", f"terms_{field}", f"pos_{field}", f"len_{field}"],
-            filter=pc.field("docid").isin([int(d) for d in docids]))
+            columns=["pid", "docid_local", f"terms_{field}", f"pos_{field}",
+                     f"len_{field}"],
+            filter=pc.field("pid").isin(np.unique(pids).tolist())
+                   & pc.field("docid_local").isin(np.unique(locals_).tolist()))
+        gids = (self.pid_offsets[t["pid"].to_numpy()]
+                + t["docid_local"].to_numpy())
+        wanted = set(want.tolist())
         res = {}
-        for row in t.to_pylist():
-            res[row["docid"]] = (row[f"terms_{field}"], row[f"pos_{field}"],
-                                 row[f"len_{field}"])
+        for gid, row in zip(gids.tolist(), t.to_pylist()):
+            if gid in wanted:
+                res[gid] = (row[f"terms_{field}"], row[f"pos_{field}"],
+                            row[f"len_{field}"])
         return res

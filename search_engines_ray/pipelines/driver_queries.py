@@ -169,6 +169,17 @@ order by raw desc, doc_id asc limit 10
 """
 
 
+def q_index_bm25_maxscore_top10(sf_dir: str):
+    """Same query + oracle as ``index_bm25_top10`` but scored through the
+    MaxScore/block-max pruned path (query/maxscore.py) — the oracle match
+    proves pruning is exact, not approximate."""
+    from ..query.maxscore import bm25_maxscore_search
+    reader = get_index(sf_dir, "simple")
+    res = bm25_maxscore_search(reader, " ".join(BM25_QUERY_TERMS), k=10,
+                               model=BM25Model(k1=1.2, b=0.75))
+    return _ranked_to_table(res)
+
+
 INDRI_QUERY_TERMS = ("dup", "sort", "merge")
 
 
@@ -205,6 +216,18 @@ scored as (
 select doc_id, floor(raw*1000000 + 0.5)/1000000 as score from scored
 order by raw desc, doc_id asc limit 10
 """
+
+
+def q_indri_batch_distributed(sf_dir: str):
+    """Same query + oracle as ``index_indri_top10`` but scored through
+    the distributed log-space Indri path (query/distributed.py) — the
+    oracle match proves the groupby-sum factorization is exact."""
+    from ..query.distributed import indri_batch_search
+    reader = get_index(sf_dir, "simple")
+    res = indri_batch_search(reader.index_dir,
+                             [("q", " ".join(INDRI_QUERY_TERMS))],
+                             IndriModel(mu=2500, lambda_=0.4), k=10)
+    return _ranked_to_table(res.drop_columns(["qid"]))
 
 
 def q_ranked_and(sf_dir: str):
@@ -413,6 +436,20 @@ def q_near_search(sf_dir: str):
     return engine.search("#sum(#near/2(fast sort) merge)", k=100)
 
 
+def q_structured_batch_distributed(sf_dir: str):
+    """#NEAR/#WINDOW/#SYN evaluated distributed (per-salt co-group →
+    derived lists → BM25 scoring); rank-identical to the driver engine
+    (greedy positional tf is not SQL-expressible → rows-only here,
+    engine-vs-engine equality in tests/test_query_engine.py)."""
+    from ..query.distributed import bm25_structured_batch_search
+    reader = get_index(sf_dir, "lucene")
+    return bm25_structured_batch_search(
+        reader.index_dir,
+        [("near", "#sum(#near/2(fast sort) merge)"),
+         ("window", "#sum(#window/8(hash join) table)"),
+         ("syn", "#sum(#syn(fast quick) dup)")], k=100)
+
+
 def q_window_search(sf_dir: str):
     reader = get_index(sf_dir, "lucene")
     engine = QueryEngine(reader, BM25Model())
@@ -606,7 +643,9 @@ QUERIES = {
     "doc_token_counts": q_doc_token_counts,
     "term_df_ctf_top50": q_term_df_ctf_top50,
     "index_bm25_top10": q_index_bm25_top10,
+    "index_bm25_maxscore_top10": q_index_bm25_maxscore_top10,
     "index_indri_top10": q_index_indri_top10,
+    "indri_batch_distributed": q_indri_batch_distributed,
     "ranked_and": q_ranked_and,
     "ranked_or": q_ranked_or,
     "unranked_and_count": q_unranked_and_count,
@@ -620,6 +659,7 @@ QUERIES = {
     "top_docs_by_chars": q_top_docs_by_chars,
     # rows-only (not SQL-expressible: positional ops, PRF, sketches, LSH)
     "near_search": q_near_search,
+    "structured_batch_distributed": q_structured_batch_distributed,
     "window_search": q_window_search,
     "syn_search": q_syn_search,
     "sdm_wand_search": q_sdm_wand_search,
@@ -642,7 +682,9 @@ ORACLE_SQL = {
     "doc_token_counts": SQL_DOC_TOKEN_COUNTS,
     "term_df_ctf_top50": SQL_TERM_DF_CTF_TOP50,
     "index_bm25_top10": SQL_INDEX_BM25_TOP10,
+    "index_bm25_maxscore_top10": SQL_INDEX_BM25_TOP10,
     "index_indri_top10": SQL_INDEX_INDRI_TOP10,
+    "indri_batch_distributed": SQL_INDEX_INDRI_TOP10,
     "ranked_and": SQL_RANKED_AND,
     "ranked_or": SQL_RANKED_OR,
     "unranked_and_count": SQL_UNRANKED_AND_COUNT,

@@ -236,10 +236,10 @@ def bm25_batch_search(index_dir: str, queries: list[tuple[str, str]],
     })
 
 
-def _global_dfs(index_dir: str, reader: IndexReader, terms: list[str],
-                field: str) -> dict[str, int]:
-    """Global df per term = sum of run dfs — a metadata-only parquet scan
-    (no blob decode)."""
+def _global_term_stats(index_dir: str, reader: IndexReader, terms: list[str],
+                       field: str) -> dict[str, tuple[int, int]]:
+    """Global (df, ctf) per term = sums over salt runs — a metadata-only
+    parquet scan (no blob decode)."""
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
     base = os.path.join(index_dir, POSTINGS_DIR)
@@ -252,12 +252,186 @@ def _global_dfs(index_dir: str, reader: IndexReader, terms: list[str],
     if not paths:
         return {}
     t = pads.dataset(paths, format="parquet").to_table(
-        columns=["term", "df"],
+        columns=["term", "df", "ctf"],
         filter=(pc.field("term").isin(terms) & (pc.field("field") == field)))
-    out: dict[str, int] = {}
-    for term, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
-        out[term] = out.get(term, 0) + df
+    out: dict[str, tuple[int, int]] = {}
+    for term, df, ctf in zip(t["term"].to_pylist(), t["df"].to_pylist(),
+                             t["ctf"].to_pylist()):
+        d0, c0 = out.get(term, (0, 0))
+        out[term] = (d0 + df, c0 + ctf)
     return out
+
+
+def _global_dfs(index_dir: str, reader: IndexReader, terms: list[str],
+                field: str) -> dict[str, int]:
+    return {t: df for t, (df, _) in
+            _global_term_stats(index_dir, reader, terms, field).items()}
+
+
+def indri_batch_search(index_dir: str, queries: list[tuple[str, str]],
+                       model=None, k: int = 100,
+                       field: str = "body") -> pa.Table:
+    """Distributed Indri query-likelihood (Dirichlet + Jelinek-Mercer mix,
+    ``QrySopScore.java:140-161``) for bag-of-words ``#AND`` batches.
+
+    Indri's geometric mean needs a *default score* for every query term a
+    candidate doc lacks (``QrySopAnd.java:97-107``) — naively an outer
+    join. In log space it factors into a groupby-sum:
+
+        log score(d) = (1/k_q) · [ Σ_matched m_t·(log s_t(tf,dl) − log s_t(0,dl))
+                                   + Σ_all-terms m_t·log s_t(0,dl) ]
+
+    The first sum is a per-posting partial (same packed-key shuffle as
+    the BM25 path); the second depends only on (query, doclen), so the
+    final aggregation stage computes it per candidate from the sharded
+    doclens. Candidates are exactly the match-min set (docs with ≥1
+    matched term), as in the reference's DAAT loop."""
+    from .models import IndriModel
+    model = model or IndriModel()
+    reader = IndexReader(index_dir)
+    an = Analyzer(simple=(reader.stats.get("analyzer") == "simple"))
+
+    qids = [qid for qid, _ in queries]
+    qcode = {qid: i for i, qid in enumerate(qids)}
+    term_queries: dict[str, list[tuple[int, int]]] = {}
+    q_terms: list[list[tuple[str, int]]] = [[] for _ in qids]  # per qcode
+    for qid, q in queries:
+        toks: list[str] = []
+        for tok in q.split():
+            toks.extend(an.analyze_query_token(tok))
+        for t in sorted(set(toks)):
+            term_queries.setdefault(t, []).append((qcode[qid], toks.count(t)))
+            q_terms[qcode[qid]].append((t, toks.count(t)))
+    if not term_queries:
+        return _empty()
+
+    paths = reader._bucket_paths(list(term_queries))
+    if not paths:
+        return _empty()
+
+    stats = _global_term_stats(index_dir, reader, list(term_queries), field)
+    clen = max(reader.sum_field_lengths(field), 1)
+    mle = {t: stats.get(t, (0, 0))[1] / clen for t in term_queries}
+    mu, lam = model.mu, model.lambda_
+    pid_offsets = reader.pid_offsets
+    tq_ref = ray.put(term_queries)
+    mle_ref = ray.put(mle)
+    # per qcode: (mle array, mult array, k_q = total arg count)
+    q_info = [(np.array([mle[t] for t, _ in ts], dtype=np.float64),
+               np.array([m for _, m in ts], dtype=np.float64),
+               float(sum(m for _, m in ts)))
+              for ts in q_terms]
+    qinfo_ref = ray.put(q_info)
+    terms_list = sorted(term_queries)
+
+    ds = ray.data.read_parquet(
+        paths, columns=["term", "field", "docid_blob", "tf_blob"],
+        filter=(pa.compute.field("term").isin(terms_list)
+                & (pa.compute.field("field") == field)))
+
+    def _s(tf, dl, m):
+        return (1.0 - lam) * (tf + mu * m) / (dl + mu) + lam * m
+
+    class LogPartial:
+        def __init__(self):
+            self.dl = _ShardedDoclens(index_dir, field, pid_offsets)
+            self.tq = ray.get(tq_ref)
+            self.mle = ray.get(mle_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys_out, vals_out = [], []
+            with np.errstate(divide="ignore"):
+                for term, db, tb in zip(batch["term"].to_pylist(),
+                                        batch["docid_blob"].to_pylist(),
+                                        batch["tf_blob"].to_pylist()):
+                    docids, tfs, _ = decode_postings(db, tb, None)
+                    dl = self.dl.get(docids).astype(np.float64)
+                    m = self.mle[term]
+                    part = (np.log(_s(tfs.astype(np.float64), dl, m))
+                            - np.log(_s(0.0, dl, m)))
+                    for qc, mult in self.tq[term]:
+                        keys_out.append((np.int64(qc) << _DOC_BITS) | docids)
+                        vals_out.append(part if mult == 1 else part * mult)
+            if not keys_out:
+                return _partial_empty()
+            key_c = np.concatenate(keys_out)
+            v_c = np.concatenate(vals_out)
+            uniq, inv = np.unique(key_c, return_inverse=True)
+            agg = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(agg, inv, v_c)
+            return pa.table({
+                "part": pa.array((uniq % _NPART).astype(np.int32)),
+                "gkey": pa.array(uniq),
+                "score": pa.array(agg)})
+
+    _NPART = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    ds = ds.repartition(min(_NPART, max(1, len(paths) // 2)))
+    scored = ds.map_batches(LogPartial, batch_format="pyarrow",
+                            batch_size=None, concurrency=2)
+
+    def agg_topk(bt: pa.Table) -> pa.Table:
+        """Final per-partition aggregate: sum log-partials, add the
+        default-score correction (needs doclens → sharded lookup; the
+        shard cache is process-global, so repeat partitions on the same
+        worker hit memory), take the exact per-query candidate cut on
+        the FINAL score."""
+        dlens = _ShardedDoclens(index_dir, field, pid_offsets)
+        qi = ray.get(qinfo_ref)
+        gk = bt["gkey"].to_numpy()
+        sc = bt["score"].to_numpy()
+        uniq, inv = np.unique(gk, return_inverse=True)
+        agg = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(agg, inv, sc)
+        qc = (uniq >> _DOC_BITS).astype(np.int64)
+        docid = (uniq & _DOC_MASK).astype(np.int64)
+        dl = dlens.get(docid).astype(np.float64)
+        final = np.empty(uniq.size, dtype=np.float64)
+        keep = np.ones(uniq.size, dtype=bool)
+        with np.errstate(divide="ignore"):
+            for q in np.unique(qc):
+                msk = qc == q
+                mles, mults, kq = qi[q]
+                corr = np.zeros(int(msk.sum()), dtype=np.float64)
+                dlq = dl[msk]
+                for mlv, mv in zip(mles, mults):
+                    corr += mv * np.log(_s(0.0, dlq, mlv))
+                final[msk] = np.exp((agg[msk] + corr) / kq)
+                s = final[msk]
+                if s.size > k:
+                    kth = np.partition(s, -k)[-k]
+                    keep[msk] = s >= kth
+        return pa.table({"gkey": pa.array(uniq[keep]),
+                         "score": pa.array(final[keep])})
+
+    cand_batches = list(
+        scored.groupby("part").map_groups(agg_topk, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    cands = pa.concat_tables(cand_batches) if cand_batches else _partial_empty()
+    if "part" in cands.column_names:
+        cands = cands.drop_columns(["part"])
+    if cands.num_rows == 0:
+        return _empty()
+    gk = cands["gkey"].to_numpy()
+    sc = cands["score"].to_numpy()
+    qc = (gk >> _DOC_BITS).astype(np.int64)
+    docid = (gk & _DOC_MASK).astype(np.int64)
+    eids = reader.external_ids_for(docid)
+    out_qid, out_eid, out_rank, out_score = [], [], [], []
+    for q in range(len(qids)):
+        m = qc == q
+        if not m.any():
+            continue
+        order = np.lexsort((eids[m], -sc[m]))[:k]
+        out_qid.extend([qids[q]] * order.size)
+        out_eid.extend(eids[m][order].tolist())
+        out_rank.extend(range(1, order.size + 1))
+        out_score.extend(sc[m][order].tolist())
+    return pa.table({
+        "qid": pa.array(out_qid, pa.string()),
+        "external_id": pa.array(out_eid, pa.string()),
+        "rank": pa.array(np.asarray(out_rank, dtype=np.int32)),
+        "score": pa.array(out_score, pa.float64()),
+    })
 
 
 def _partial_empty() -> pa.Table:
@@ -270,3 +444,280 @@ def _empty() -> pa.Table:
                      "external_id": pa.array([], pa.string()),
                      "rank": pa.array([], pa.int32()),
                      "score": pa.array([], pa.float64())})
+
+
+# ---------------------------------------------------------- structured
+
+def bm25_structured_batch_search(index_dir: str,
+                                 queries: list[tuple[str, str]],
+                                 model: BM25Model | None = None,
+                                 k: int = 100,
+                                 field: str = "body") -> pa.Table:
+    """Distributed structured BM25: ``#SUM`` over TERM and positional
+    (``#NEAR/n`` / ``#WINDOW/n`` / ``#SYN``) leaves — the reference's
+    BoW + SDM-shaped query set (``queries2.txt``), batch-scored as one
+    Ray Data pipeline.
+
+    Partitioning contract: a positional operator is docid-local, and the
+    index stores each term's postings as ONE row per salt where salt =
+    contiguous docid range (build.py step 5). ``groupby("salt")``
+    therefore co-locates, for every docid range, ALL argument terms'
+    postings — each group runs the driver's own Iop kernels
+    (``eval_iop_tree``: two-pointer #NEAR, min/max-head #WINDOW, #SYN
+    union) unchanged, emitting derived posting runs. Phase parallelism
+    equals ``merge_salts``; at cluster scale salts number in the
+    thousands. A derived list's df/ctf (what the reference scores with,
+    ``QryIop.java:139-151``) is the SUM over its salt runs — a tiny
+    metadata aggregation before scoring.
+
+    Scoring then reuses the packed-key partial-sum path of
+    ``bm25_batch_search`` over the union of plain-term rows and derived
+    rows. Rank- and score-identical to ``QueryEngine.search`` per query
+    (tests/test_query_engine.py).
+    """
+    from .eval import InvList, eval_iop_tree
+    from .models import BM25Model as _BM25
+    from .parser import QueryParser
+    from .plan import IopNode, ScoreNode, SopNode, TermNode
+    from ..index.varbyte import encode_postings
+
+    model = model or _BM25()
+    reader = IndexReader(index_dir)
+    an = Analyzer(simple=(reader.stats.get("analyzer") == "simple"))
+    parser = QueryParser(an)
+
+    qids = [qid for qid, _ in queries]
+    qcode = {qid: i for i, qid in enumerate(qids)}
+
+    def leaves_of(plan):
+        """Flatten a parsed plan to #SUM leaves (TermNode | IopNode)."""
+        if plan is None:
+            return []
+        if isinstance(plan, ScoreNode):
+            return [plan.child]
+        if isinstance(plan, (TermNode, IopNode)):
+            return [plan]
+        if isinstance(plan, SopNode) and plan.op == "sum":
+            out = []
+            for a in plan.args:
+                out.extend(leaves_of(a))
+            return out
+        raise ValueError(
+            "distributed structured path supports #SUM over term/"
+            f"positional leaves only; got #{getattr(plan, 'op', plan)} "
+            "(deeper trees stay on the driver path)")
+
+    # leaf key → [(qcode, mult)]; iop leaf key = canonical repr
+    term_leaves: dict[str, list[tuple[int, int]]] = {}
+    iop_plans: dict[str, "IopNode"] = {}
+    iop_leaves: dict[str, list[tuple[int, int]]] = {}
+    iop_terms: set[str] = set()
+    for qid, q in queries:
+        plan = parser.parse(q, "#sum")
+        counts: dict[str, int] = {}
+        for leaf in leaves_of(plan):
+            if isinstance(leaf, TermNode):
+                key = "t:" + leaf.term
+            else:
+                key = "i:" + repr(leaf)
+                iop_plans[key] = leaf
+            counts[key] = counts.get(key, 0) + 1
+        for key, m in counts.items():
+            dst = term_leaves if key.startswith("t:") else iop_leaves
+            dst.setdefault(key, []).append((qcode[qid], m))
+    for plan in iop_plans.values():
+        stack = [plan]
+        while stack:
+            n = stack.pop()
+            if isinstance(n, TermNode):
+                iop_terms.add(n.term)
+            else:
+                stack.extend(n.args)
+    plain_terms = sorted({k[2:] for k in term_leaves})
+    if not term_leaves and not iop_leaves:
+        return _empty()
+
+    N = reader.n_docs
+    avglen = reader.avg_len(field)
+    pid_offsets = reader.pid_offsets
+    k1, b = model.k1, model.b
+    _NPART = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def score_partial(leaf_rows):
+        """(gkey, score) partial rows from (leaf_key, df_global, docids,
+        tfs) tuples — shared by the term path and the derived path."""
+        keys_out, scores_out = [], []
+        dlens = _ShardedDoclens(index_dir, field, pid_offsets)
+        for key, df, docids, tfs, targets in leaf_rows:
+            if docids.size == 0 or df == 0:
+                continue
+            idf = max(0.0, float(np.log((N - df + 0.5) / (df + 0.5))))
+            dl = dlens.get(docids).astype(np.float64)
+            tf = tfs.astype(np.float64)
+            s = idf * (tf / (tf + k1 * ((1.0 - b) + b * dl / avglen)))
+            for qc, mult in targets:
+                keys_out.append((np.int64(qc) << _DOC_BITS) | docids)
+                scores_out.append(s if mult == 1 else s * mult)
+        if not keys_out:
+            return _partial_empty()
+        key_c = np.concatenate(keys_out)
+        sc_c = np.concatenate(scores_out)
+        uniq, inv = np.unique(key_c, return_inverse=True)
+        agg = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(agg, inv, sc_c)
+        return pa.table({"part": pa.array((uniq % _NPART).astype(np.int32)),
+                         "gkey": pa.array(uniq),
+                         "score": pa.array(agg)})
+
+    partial_tables: list = []
+
+    # ---- phase A: derived lists, per-salt co-group ----
+    derived = None
+    if iop_leaves:
+        paths = reader._bucket_paths(sorted(iop_terms))
+        iop_items = sorted(iop_plans.items())
+        if paths:
+            src = ray.data.read_parquet(
+                paths, columns=["term", "field", "salt", "docid_blob",
+                                "tf_blob", "pos_blob"],
+                filter=(pa.compute.field("term").isin(sorted(iop_terms))
+                        & (pa.compute.field("field") == field)))
+
+            def eval_salt_group(g: pa.Table) -> pa.Table:
+                cache = {}
+                for trm, db, tb, pb in zip(g["term"].to_pylist(),
+                                           g["docid_blob"].to_pylist(),
+                                           g["tf_blob"].to_pylist(),
+                                           g["pos_blob"].to_pylist()):
+                    d, tf, p = decode_postings(db, tb, pb)
+                    cache[(trm, field)] = InvList(
+                        d, tf, p if p is not None else np.empty(0, np.int32),
+                        int(d.size), int(tf.sum()), field)
+                salt = int(g["salt"][0].as_py())
+                rows = {c: [] for c in ("leaf", "salt", "df",
+                                        "docid_blob", "tf_blob")}
+                for key, plan in iop_items:
+                    inv = eval_iop_tree(plan, cache)
+                    if inv.df == 0:
+                        continue
+                    db2, tb2, _ = encode_postings(
+                        inv.docids, inv.tfs, np.empty(0, np.int64))
+                    rows["leaf"].append(key)
+                    rows["salt"].append(salt)
+                    rows["df"].append(int(inv.df))
+                    rows["docid_blob"].append(db2)
+                    rows["tf_blob"].append(tb2)
+                return pa.table({
+                    "leaf": pa.array(rows["leaf"], pa.string()),
+                    "salt": pa.array(rows["salt"], pa.int32()),
+                    "df": pa.array(rows["df"], pa.int64()),
+                    "docid_blob": pa.array(rows["docid_blob"], pa.binary()),
+                    "tf_blob": pa.array(rows["tf_blob"], pa.binary())})
+
+            derived = src.groupby("salt").map_groups(
+                eval_salt_group, batch_format="pyarrow").materialize()
+            # derived global df = sum over salt runs (metadata only)
+            ddf: dict[str, int] = {}
+            for bt in derived.select_columns(["leaf", "df"]).iter_batches(
+                    batch_size=None, batch_format="pyarrow"):
+                for lf, dfv in zip(bt["leaf"].to_pylist(),
+                                   bt["df"].to_pylist()):
+                    ddf[lf] = ddf.get(lf, 0) + dfv
+            ddf_ref = ray.put(ddf)
+            il_ref = ray.put(iop_leaves)
+
+            def score_derived(bt: pa.Table) -> pa.Table:
+                ddf_l = ray.get(ddf_ref)
+                il = ray.get(il_ref)
+                rows = []
+                for lf, db2, tb2 in zip(bt["leaf"].to_pylist(),
+                                        bt["docid_blob"].to_pylist(),
+                                        bt["tf_blob"].to_pylist()):
+                    d, tf, _ = decode_postings(db2, tb2, None)
+                    rows.append((lf, ddf_l[lf], d, tf, il[lf]))
+                return score_partial(rows)
+
+            partial_tables.append(
+                derived.map_batches(score_derived, batch_format="pyarrow",
+                                    batch_size=None))
+
+    # ---- phase B: plain term leaves (same as bm25_batch_search) ----
+    if plain_terms:
+        paths = reader._bucket_paths(plain_terms)
+        if paths:
+            tstats = _global_term_stats(index_dir, reader, plain_terms, field)
+            ts_ref = ray.put(tstats)
+            tl_ref = ray.put(term_leaves)
+
+            def score_terms(bt: pa.Table) -> pa.Table:
+                tstats_l = ray.get(ts_ref)
+                tl = ray.get(tl_ref)
+                rows = []
+                for trm, db2, tb2 in zip(bt["term"].to_pylist(),
+                                         bt["docid_blob"].to_pylist(),
+                                         bt["tf_blob"].to_pylist()):
+                    d, tf, _ = decode_postings(db2, tb2, None)
+                    rows.append((trm, tstats_l.get(trm, (0, 0))[0], d, tf,
+                                 tl["t:" + trm]))
+                return score_partial(rows)
+
+            tds = ray.data.read_parquet(
+                paths, columns=["term", "field", "docid_blob", "tf_blob"],
+                filter=(pa.compute.field("term").isin(plain_terms)
+                        & (pa.compute.field("field") == field)))
+            partial_tables.append(
+                tds.map_batches(score_terms, batch_format="pyarrow",
+                                batch_size=None))
+
+    if not partial_tables:
+        return _empty()
+    scored = partial_tables[0]
+    for other in partial_tables[1:]:
+        scored = scored.union(other)
+
+    def agg_topk(bt: pa.Table) -> pa.Table:
+        gk = bt["gkey"].to_numpy()
+        sc = bt["score"].to_numpy()
+        uniq, inv = np.unique(gk, return_inverse=True)
+        agg = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(agg, inv, sc)
+        qc = (uniq >> _DOC_BITS).astype(np.int64)
+        keep = np.ones(uniq.size, dtype=bool)
+        for q in np.unique(qc):
+            m = qc == q
+            s = agg[m]
+            if s.size > k:
+                kth = np.partition(s, -k)[-k]
+                keep[m] = s >= kth
+        return pa.table({"gkey": pa.array(uniq[keep]),
+                         "score": pa.array(agg[keep])})
+
+    cand_batches = list(
+        scored.groupby("part").map_groups(agg_topk, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    cands = pa.concat_tables(cand_batches) if cand_batches else _partial_empty()
+    if "part" in cands.column_names:
+        cands = cands.drop_columns(["part"])
+    if cands.num_rows == 0:
+        return _empty()
+    gk = cands["gkey"].to_numpy()
+    sc = cands["score"].to_numpy()
+    qc = (gk >> _DOC_BITS).astype(np.int64)
+    docid = (gk & _DOC_MASK).astype(np.int64)
+    eids = reader.external_ids_for(docid)
+    out_qid, out_eid, out_rank, out_score = [], [], [], []
+    for q in range(len(qids)):
+        m = qc == q
+        if not m.any():
+            continue
+        order = np.lexsort((eids[m], -sc[m]))[:k]
+        out_qid.extend([qids[q]] * order.size)
+        out_eid.extend(eids[m][order].tolist())
+        out_rank.extend(range(1, order.size + 1))
+        out_score.extend(sc[m][order].tolist())
+    return pa.table({
+        "qid": pa.array(out_qid, pa.string()),
+        "external_id": pa.array(out_eid, pa.string()),
+        "rank": pa.array(np.asarray(out_rank, dtype=np.int32)),
+        "score": pa.array(out_score, pa.float64()),
+    })

@@ -229,6 +229,26 @@ def _positional(args: list[InvList], field: str, n: int, kind: str) -> InvList:
                    int(all_doc.size), int(tfs.sum()), field)
 
 
+def eval_iop_tree(node, cache: dict) -> InvList:
+    """Evaluate an Iop subtree bottom-up over a ``(term, field) →
+    InvList`` cache (reference ``QryIop.evaluate`` materialization,
+    ``QryIop.java:174-190``). Module-level so the distributed structured
+    path can run the SAME kernels inside a per-salt ``map_groups`` —
+    semantics are partition-agnostic because every positional operator
+    is docid-local."""
+    if isinstance(node, TermNode):
+        inv = cache.get((node.term, node.field))
+        return inv if inv is not None else InvList.empty(node.field)
+    assert isinstance(node, IopNode)
+    args = [eval_iop_tree(a, cache) for a in node.args]
+    field = node.field_name
+    if node.op == "syn":
+        return _syn(args, field)
+    if any(a.df == 0 for a in args):
+        return InvList.empty(field)
+    return _positional(args, field, node.dist, node.op)
+
+
 # ---------------------------------------------------------------- engine
 
 class QueryEngine:
@@ -285,16 +305,7 @@ class QueryEngine:
 
     # ---- Iop plane ----
     def _eval_iop(self, node, cache) -> InvList:
-        if isinstance(node, TermNode):
-            return cache[(node.term, node.field)]
-        assert isinstance(node, IopNode)
-        args = [self._eval_iop(a, cache) for a in node.args]
-        field = node.field_name
-        if node.op == "syn":
-            return _syn(args, field)
-        if any(a.df == 0 for a in args):
-            return InvList.empty(field)
-        return _positional(args, field, node.dist, node.op)
+        return eval_iop_tree(node, cache)
 
     # ---- Sop plane ----
     def _score_leaf(self, inv: InvList) -> _Scored:

@@ -140,3 +140,46 @@ def test_distributed_bm25_matches_driver_path(docs_index):
         sub = dp[dp["qid"] == qid].reset_index(drop=True)
         assert list(sub["external_id"]) == list(drv["external_id"]), qid
         np.testing.assert_allclose(sub["score"], drv["score"], rtol=1e-12)
+
+
+def test_distributed_indri_matches_driver_path(docs_index):
+    """Distributed log-space Indri (groupby-sum of log s − log s0 plus a
+    per-candidate default correction) must be rank- and score-identical
+    to the driver engine, including duplicate and absent query terms."""
+    from search_engines_ray.query.distributed import indri_batch_search
+    model = IndriModel(mu=2500, lambda_=0.4)
+    engine = QueryEngine(docs_index, model)
+    queries = [("1", "dup sort merge"), ("2", "dup line"),
+               ("3", "dup dup line"), ("4", "nosuchterm dup")]
+    dist = indri_batch_search(docs_index.index_dir, queries, model, k=50)
+    dp = dist.to_pandas()
+    for qid, q in queries:
+        drv = engine.search(q, k=50).to_pandas()
+        sub = dp[dp["qid"] == qid].reset_index(drop=True)
+        assert list(sub["external_id"]) == list(drv["external_id"]), qid
+        np.testing.assert_allclose(sub["score"], drv["score"], rtol=1e-12)
+
+
+def test_distributed_structured_matches_driver_path(docs_index):
+    """#NEAR/#WINDOW/#SYN evaluated inside per-salt map_groups (the salt
+    layout co-locates every argument term's postings for a docid range)
+    must be rank- and score-identical to the driver engine."""
+    from search_engines_ray.query.distributed import (
+        bm25_structured_batch_search,
+    )
+    model = BM25Model()
+    engine = QueryEngine(docs_index, model)
+    queries = [("1", "#sum(#near/2(fast sort) merge)"),
+               ("2", "#sum(#window/8(hash join) table)"),
+               ("3", "#sum(#syn(fast quick) dup)"),
+               ("4", "dup line"),
+               ("5", "#sum(#near/1(nosuch term) dup)"),
+               ("6", "#sum(#near/2(fast sort) #near/2(fast sort) dup)")]
+    dist = bm25_structured_batch_search(docs_index.index_dir, queries,
+                                        model, k=30)
+    dp = dist.to_pandas()
+    for qid, q in queries:
+        drv = engine.search(q, k=30).to_pandas()
+        sub = dp[dp["qid"] == qid].reset_index(drop=True)
+        assert list(sub["external_id"]) == list(drv["external_id"]), qid
+        np.testing.assert_allclose(sub["score"], drv["score"], rtol=1e-12)
