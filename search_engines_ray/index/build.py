@@ -491,6 +491,8 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
             _merge_bucket, batch_format="pandas")
         merged.write_parquet(os.path.join(index_dir, POSTINGS_DIR),
                              partition_cols=["bucket"])
+        if os.environ.get("SE_RAY_BUILD_STATS"):
+            print(merged.stats())
         _mark_stage(index_dir, POSTINGS_DIR, fp)
     metrics["postings_s"] = time.time() - t2
     metrics["total_s"] = time.time() - t0

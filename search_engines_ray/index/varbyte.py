@@ -21,21 +21,22 @@ _CONT = np.uint64(0x80)
 _SEVEN = np.uint64(7)
 
 
+# value-magnitude thresholds: nbytes(v) = 1 + #{t in _THRESH : t <= v}
+_THRESH = np.uint64(1) << (np.arange(1, 10, dtype=np.uint64) * _SEVEN)
+
+
 def vb_encode(values: np.ndarray) -> bytes:
     """Encode a non-negative int array to varbyte bytes."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # bytes needed per value: ceil(bitlen/7), min 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    while True:
-        nz = tmp > 0
-        if not nz.any():
-            break
-        nbits[nz] += 7
-        tmp >>= _SEVEN
-    nbytes = np.maximum(nbits // 7, 1)
+    if int(v.max()) < 128:
+        # fast path: every value fits one byte (typical for position
+        # gaps and tfs) — the encoded form IS the byte array
+        return v.astype(np.uint8).tobytes()
+    # bytes needed per value: ceil(bitlen/7), min 1 — one searchsorted
+    # pass instead of a shift loop
+    nbytes = np.searchsorted(_THRESH, v, side="right") + 1
     total = int(nbytes.sum())
     out = np.empty(total, dtype=np.uint8)
     ends = np.cumsum(nbytes)            # one past last byte of each value
@@ -59,6 +60,9 @@ def vb_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
+    if not (b & 0x80).any():
+        # fast path: no continuation bits — every byte is a value
+        return b.astype(np.uint64)
     is_last = (b & 0x80) == 0
     # group id of each byte = count of value-ends strictly before it
     group = np.zeros(b.size, dtype=np.int64)

@@ -230,6 +230,69 @@ def q_indri_batch_distributed(sf_dir: str):
     return _ranked_to_table(res.drop_columns(["qid"]))
 
 
+_INDRI_LEAF_SQL = ("((1.0-0.4)*(tf + 2500.0*(ctf/suml.v))/(dl + 2500.0) "
+                   "+ 0.4*(ctf/suml.v))")
+_WOP_CTE_SQL = f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+doclen as (select doc_id, count(*)::double as dl from tok group by doc_id),
+suml as (select sum(dl)::double as v from doclen),
+qterms as (select * from (values ('dup', 0.6),('sort', 0.4)) t(term, w)),
+ctfs as (select term, count(*)::double as ctf from tok
+         where term in (select term from qterms) group by term),
+tfs as (select doc_id, term, count(*)::double as tf from tok
+        where term in (select term from qterms) group by doc_id, term),
+cands as (select distinct doc_id from tfs),
+cells as (
+  select c.doc_id, q.term, q.w,
+         coalesce(tfs.tf, 0.0) as tf, ctfs.ctf, doclen.dl
+  from cands c cross join qterms q
+  join ctfs on ctfs.term = q.term
+  join doclen on doclen.doc_id = c.doc_id
+  left join tfs on tfs.doc_id = c.doc_id and tfs.term = q.term)
+"""
+
+WOP_QUERY = "#wsum( 0.6 dup 0.4 sort )"
+
+
+def q_wsum_indri_top10(sf_dir: str):
+    """Indri #WSUM (weighted arithmetic mean with default-score fill,
+    QrySopWSum.java:24-70) — oracle-checked."""
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, IndriModel(mu=2500, lambda_=0.4))
+    res = engine.search(WOP_QUERY, k=10)
+    return _ranked_to_table(res)
+
+
+SQL_WSUM_INDRI_TOP10 = f"""
+{_WOP_CTE_SQL},
+scored as (
+  select doc_id, sum((w/1.0) * {_INDRI_LEAF_SQL}) as raw
+  from cells cross join suml group by doc_id)
+select doc_id, floor(raw*1000000 + 0.5)/1000000 as score from scored
+order by raw desc, doc_id asc limit 10
+"""
+
+
+def q_wand_indri_top10(sf_dir: str):
+    """Indri #WAND (weighted geometric mean with default-score fill,
+    QrySopWAnd.java:20-62) — oracle-checked."""
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, IndriModel(mu=2500, lambda_=0.4))
+    res = engine.search("#wand( 0.6 dup 0.4 sort )", k=10)
+    return _ranked_to_table(res)
+
+
+SQL_WAND_INDRI_TOP10 = f"""
+{_WOP_CTE_SQL},
+scored as (
+  select doc_id, product(pow({_INDRI_LEAF_SQL}, w/1.0)) as raw
+  from cells cross join suml group by doc_id)
+select doc_id, floor(raw*1000000 + 0.5)/1000000 as score from scored
+order by raw desc, doc_id asc limit 10
+"""
+
+
 def q_ranked_and(sf_dir: str):
     reader = get_index(sf_dir, "simple")
     engine = QueryEngine(reader, RankedBooleanModel())
@@ -646,6 +709,8 @@ QUERIES = {
     "index_bm25_maxscore_top10": q_index_bm25_maxscore_top10,
     "index_indri_top10": q_index_indri_top10,
     "indri_batch_distributed": q_indri_batch_distributed,
+    "wsum_indri_top10": q_wsum_indri_top10,
+    "wand_indri_top10": q_wand_indri_top10,
     "ranked_and": q_ranked_and,
     "ranked_or": q_ranked_or,
     "unranked_and_count": q_unranked_and_count,
@@ -685,6 +750,8 @@ ORACLE_SQL = {
     "index_bm25_maxscore_top10": SQL_INDEX_BM25_TOP10,
     "index_indri_top10": SQL_INDEX_INDRI_TOP10,
     "indri_batch_distributed": SQL_INDEX_INDRI_TOP10,
+    "wsum_indri_top10": SQL_WSUM_INDRI_TOP10,
+    "wand_indri_top10": SQL_WAND_INDRI_TOP10,
     "ranked_and": SQL_RANKED_AND,
     "ranked_or": SQL_RANKED_OR,
     "unranked_and_count": SQL_UNRANKED_AND_COUNT,

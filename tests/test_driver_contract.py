@@ -59,13 +59,13 @@ def test_all_queries_run(entry_mod):
         assert len(out) >= 0, name
 
 
-@pytest.mark.parametrize("name", [
-    "doc_token_counts", "term_df_ctf_top50", "index_bm25_top10",
-    "index_indri_top10", "ranked_and", "ranked_or", "unranked_and_count",
-    "exact_dedup", "lang_counts", "quality_scores", "ann_cosine_top10",
-    "top_docs_by_chars", "syn_ranked", "unranked_near_count",
-    "unranked_window_count",
-])
+def _oracle_names():
+    # collect-time: oracle_sql() is a pure dict of SQL strings (no Ray)
+    import __ray_entry__ as m
+    return sorted(m.oracle_sql())
+
+
+@pytest.mark.parametrize("name", _oracle_names())
 def test_oracle_match(entry_mod, con, name):
     ray_out = _canon(_to_pandas(entry_mod.queries()[name](SF_DIR)))
     sql_out = _canon(con.sql(entry_mod.oracle_sql()[name]).df())
