@@ -293,6 +293,31 @@ order by raw desc, doc_id asc limit 10
 """
 
 
+def q_wand_structured_distributed(sf_dir: str):
+    """Same #WAND query + oracle as ``wand_indri_top10`` but scored via
+    the distributed log-linear structured Indri path — the oracle match
+    proves the tree flattening is exact."""
+    from ..query.distributed import indri_structured_batch_search
+    reader = get_index(sf_dir, "simple")
+    res = indri_structured_batch_search(
+        reader.index_dir, [("q", "#wand( 0.6 dup 0.4 sort )")],
+        IndriModel(mu=2500, lambda_=0.4), k=10)
+    return _ranked_to_table(res.drop_columns(["qid"]))
+
+
+def q_sdm_structured_distributed(sf_dir: str):
+    """Full SDM tree (#WAND of #AND / #NEAR / #WINDOW) distributed —
+    rows-only (greedy positional tf not SQL-expressible); exactness vs
+    the driver engine in tests/test_query_engine.py."""
+    from ..query.distributed import indri_structured_batch_search
+    reader = get_index(sf_dir, "lucene")
+    return indri_structured_batch_search(
+        reader.index_dir,
+        [("sdm", "#wand( 0.7 #and( fast sort ) 0.2 #and( #near/1( fast"
+                 " sort ) ) 0.1 #and( #window/8( fast sort ) ) )")],
+        IndriModel(mu=2500, lambda_=0.4), k=100)
+
+
 def q_ranked_and(sf_dir: str):
     reader = get_index(sf_dir, "simple")
     engine = QueryEngine(reader, RankedBooleanModel())
@@ -711,6 +736,7 @@ QUERIES = {
     "indri_batch_distributed": q_indri_batch_distributed,
     "wsum_indri_top10": q_wsum_indri_top10,
     "wand_indri_top10": q_wand_indri_top10,
+    "wand_structured_distributed": q_wand_structured_distributed,
     "ranked_and": q_ranked_and,
     "ranked_or": q_ranked_or,
     "unranked_and_count": q_unranked_and_count,
@@ -725,6 +751,7 @@ QUERIES = {
     # rows-only (not SQL-expressible: positional ops, PRF, sketches, LSH)
     "near_search": q_near_search,
     "structured_batch_distributed": q_structured_batch_distributed,
+    "sdm_structured_distributed": q_sdm_structured_distributed,
     "window_search": q_window_search,
     "syn_search": q_syn_search,
     "sdm_wand_search": q_sdm_wand_search,
@@ -752,6 +779,7 @@ ORACLE_SQL = {
     "indri_batch_distributed": SQL_INDEX_INDRI_TOP10,
     "wsum_indri_top10": SQL_WSUM_INDRI_TOP10,
     "wand_indri_top10": SQL_WAND_INDRI_TOP10,
+    "wand_structured_distributed": SQL_WAND_INDRI_TOP10,
     "ranked_and": SQL_RANKED_AND,
     "ranked_or": SQL_RANKED_OR,
     "unranked_and_count": SQL_UNRANKED_AND_COUNT,

@@ -448,6 +448,89 @@ def _empty() -> pa.Table:
 
 # ---------------------------------------------------------- structured
 
+def _derive_lists(reader: IndexReader, iop_plans: dict, field: str):
+    """Phase A of the distributed structured paths: evaluate every Iop
+    subtree (#NEAR/#WINDOW/#SYN) per salt group and return
+    ``(derived_dataset | None, {leaf: (df, ctf)})``.
+
+    Partitioning contract: salt = contiguous docid range, one postings
+    row per (term, salt), so ``groupby("salt")`` co-locates ALL argument
+    terms' postings for each docid range; each group runs the driver's
+    own positional kernels (``eval_iop_tree``) unchanged. The derived
+    dataset (leaf, salt, df, ctf, docid_blob, tf_blob) is materialized —
+    it is bounded by the argument postings read, and two consumers need
+    it (the metadata aggregate and the scoring stage)."""
+    from .eval import InvList, eval_iop_tree
+    from .plan import TermNode
+    from ..index.varbyte import encode_postings
+
+    if not iop_plans:
+        return None, {}
+    iop_terms: set[str] = set()
+    for plan in iop_plans.values():
+        stack = [plan]
+        while stack:
+            n = stack.pop()
+            if isinstance(n, TermNode):
+                iop_terms.add(n.term)
+            else:
+                stack.extend(n.args)
+    paths = reader._bucket_paths(sorted(iop_terms))
+    if not paths:
+        return None, {}
+    src = ray.data.read_parquet(
+        paths, columns=["term", "field", "salt", "docid_blob",
+                        "tf_blob", "pos_blob"],
+        filter=(pa.compute.field("term").isin(sorted(iop_terms))
+                & (pa.compute.field("field") == field)))
+    iop_items = sorted(iop_plans.items())
+
+    def eval_salt_group(g: pa.Table) -> pa.Table:
+        cache = {}
+        for trm, db, tb, pb in zip(g["term"].to_pylist(),
+                                   g["docid_blob"].to_pylist(),
+                                   g["tf_blob"].to_pylist(),
+                                   g["pos_blob"].to_pylist()):
+            d, tf, p = decode_postings(db, tb, pb)
+            cache[(trm, field)] = InvList(
+                d, tf, p if p is not None else np.empty(0, np.int32),
+                int(d.size), int(tf.sum()), field)
+        salt = int(g["salt"][0].as_py())
+        rows = {c: [] for c in ("leaf", "salt", "df", "ctf",
+                                "docid_blob", "tf_blob")}
+        for key, plan in iop_items:
+            inv = eval_iop_tree(plan, cache)
+            if inv.df == 0:
+                continue
+            db2, tb2, _ = encode_postings(
+                inv.docids, inv.tfs, np.empty(0, np.int64))
+            rows["leaf"].append(key)
+            rows["salt"].append(salt)
+            rows["df"].append(int(inv.df))
+            rows["ctf"].append(int(inv.ctf))
+            rows["docid_blob"].append(db2)
+            rows["tf_blob"].append(tb2)
+        return pa.table({
+            "leaf": pa.array(rows["leaf"], pa.string()),
+            "salt": pa.array(rows["salt"], pa.int32()),
+            "df": pa.array(rows["df"], pa.int64()),
+            "ctf": pa.array(rows["ctf"], pa.int64()),
+            "docid_blob": pa.array(rows["docid_blob"], pa.binary()),
+            "tf_blob": pa.array(rows["tf_blob"], pa.binary())})
+
+    derived = src.groupby("salt").map_groups(
+        eval_salt_group, batch_format="pyarrow").materialize()
+    stats: dict[str, tuple[int, int]] = {}
+    for bt in derived.select_columns(["leaf", "df", "ctf"]).iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        for lf, dfv, ctfv in zip(bt["leaf"].to_pylist(),
+                                 bt["df"].to_pylist(),
+                                 bt["ctf"].to_pylist()):
+            d0, c0 = stats.get(lf, (0, 0))
+            stats[lf] = (d0 + dfv, c0 + ctfv)
+    return derived, stats
+
+
 def bm25_structured_batch_search(index_dir: str,
                                  queries: list[tuple[str, str]],
                                  model: BM25Model | None = None,
@@ -475,11 +558,9 @@ def bm25_structured_batch_search(index_dir: str,
     rows. Rank- and score-identical to ``QueryEngine.search`` per query
     (tests/test_query_engine.py).
     """
-    from .eval import InvList, eval_iop_tree
     from .models import BM25Model as _BM25
     from .parser import QueryParser
     from .plan import IopNode, ScoreNode, SopNode, TermNode
-    from ..index.varbyte import encode_postings
 
     model = model or _BM25()
     reader = IndexReader(index_dir)
@@ -511,7 +592,6 @@ def bm25_structured_batch_search(index_dir: str,
     term_leaves: dict[str, list[tuple[int, int]]] = {}
     iop_plans: dict[str, "IopNode"] = {}
     iop_leaves: dict[str, list[tuple[int, int]]] = {}
-    iop_terms: set[str] = set()
     for qid, q in queries:
         plan = parser.parse(q, "#sum")
         counts: dict[str, int] = {}
@@ -525,14 +605,6 @@ def bm25_structured_batch_search(index_dir: str,
         for key, m in counts.items():
             dst = term_leaves if key.startswith("t:") else iop_leaves
             dst.setdefault(key, []).append((qcode[qid], m))
-    for plan in iop_plans.values():
-        stack = [plan]
-        while stack:
-            n = stack.pop()
-            if isinstance(n, TermNode):
-                iop_terms.add(n.term)
-            else:
-                stack.extend(n.args)
     plain_terms = sorted({k[2:] for k in term_leaves})
     if not term_leaves and not iop_leaves:
         return _empty()
@@ -572,74 +644,26 @@ def bm25_structured_batch_search(index_dir: str,
     partial_tables: list = []
 
     # ---- phase A: derived lists, per-salt co-group ----
-    derived = None
-    if iop_leaves:
-        paths = reader._bucket_paths(sorted(iop_terms))
-        iop_items = sorted(iop_plans.items())
-        if paths:
-            src = ray.data.read_parquet(
-                paths, columns=["term", "field", "salt", "docid_blob",
-                                "tf_blob", "pos_blob"],
-                filter=(pa.compute.field("term").isin(sorted(iop_terms))
-                        & (pa.compute.field("field") == field)))
+    derived, dstats = _derive_lists(reader, iop_plans, field)
+    if derived is not None:
+        ddf = {lf: d for lf, (d, _) in dstats.items()}
+        ddf_ref = ray.put(ddf)
+        il_ref = ray.put(iop_leaves)
 
-            def eval_salt_group(g: pa.Table) -> pa.Table:
-                cache = {}
-                for trm, db, tb, pb in zip(g["term"].to_pylist(),
-                                           g["docid_blob"].to_pylist(),
-                                           g["tf_blob"].to_pylist(),
-                                           g["pos_blob"].to_pylist()):
-                    d, tf, p = decode_postings(db, tb, pb)
-                    cache[(trm, field)] = InvList(
-                        d, tf, p if p is not None else np.empty(0, np.int32),
-                        int(d.size), int(tf.sum()), field)
-                salt = int(g["salt"][0].as_py())
-                rows = {c: [] for c in ("leaf", "salt", "df",
-                                        "docid_blob", "tf_blob")}
-                for key, plan in iop_items:
-                    inv = eval_iop_tree(plan, cache)
-                    if inv.df == 0:
-                        continue
-                    db2, tb2, _ = encode_postings(
-                        inv.docids, inv.tfs, np.empty(0, np.int64))
-                    rows["leaf"].append(key)
-                    rows["salt"].append(salt)
-                    rows["df"].append(int(inv.df))
-                    rows["docid_blob"].append(db2)
-                    rows["tf_blob"].append(tb2)
-                return pa.table({
-                    "leaf": pa.array(rows["leaf"], pa.string()),
-                    "salt": pa.array(rows["salt"], pa.int32()),
-                    "df": pa.array(rows["df"], pa.int64()),
-                    "docid_blob": pa.array(rows["docid_blob"], pa.binary()),
-                    "tf_blob": pa.array(rows["tf_blob"], pa.binary())})
+        def score_derived(bt: pa.Table) -> pa.Table:
+            ddf_l = ray.get(ddf_ref)
+            il = ray.get(il_ref)
+            rows = []
+            for lf, db2, tb2 in zip(bt["leaf"].to_pylist(),
+                                    bt["docid_blob"].to_pylist(),
+                                    bt["tf_blob"].to_pylist()):
+                d, tf, _ = decode_postings(db2, tb2, None)
+                rows.append((lf, ddf_l[lf], d, tf, il[lf]))
+            return score_partial(rows)
 
-            derived = src.groupby("salt").map_groups(
-                eval_salt_group, batch_format="pyarrow").materialize()
-            # derived global df = sum over salt runs (metadata only)
-            ddf: dict[str, int] = {}
-            for bt in derived.select_columns(["leaf", "df"]).iter_batches(
-                    batch_size=None, batch_format="pyarrow"):
-                for lf, dfv in zip(bt["leaf"].to_pylist(),
-                                   bt["df"].to_pylist()):
-                    ddf[lf] = ddf.get(lf, 0) + dfv
-            ddf_ref = ray.put(ddf)
-            il_ref = ray.put(iop_leaves)
-
-            def score_derived(bt: pa.Table) -> pa.Table:
-                ddf_l = ray.get(ddf_ref)
-                il = ray.get(il_ref)
-                rows = []
-                for lf, db2, tb2 in zip(bt["leaf"].to_pylist(),
-                                        bt["docid_blob"].to_pylist(),
-                                        bt["tf_blob"].to_pylist()):
-                    d, tf, _ = decode_postings(db2, tb2, None)
-                    rows.append((lf, ddf_l[lf], d, tf, il[lf]))
-                return score_partial(rows)
-
-            partial_tables.append(
-                derived.map_batches(score_derived, batch_format="pyarrow",
-                                    batch_size=None))
+        partial_tables.append(
+            derived.map_batches(score_derived, batch_format="pyarrow",
+                                batch_size=None))
 
     # ---- phase B: plain term leaves (same as bm25_batch_search) ----
     if plain_terms:
@@ -691,6 +715,230 @@ def bm25_structured_batch_search(index_dir: str,
                 keep[m] = s >= kth
         return pa.table({"gkey": pa.array(uniq[keep]),
                          "score": pa.array(agg[keep])})
+
+    cand_batches = list(
+        scored.groupby("part").map_groups(agg_topk, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    cands = pa.concat_tables(cand_batches) if cand_batches else _partial_empty()
+    if "part" in cands.column_names:
+        cands = cands.drop_columns(["part"])
+    if cands.num_rows == 0:
+        return _empty()
+    gk = cands["gkey"].to_numpy()
+    sc = cands["score"].to_numpy()
+    qc = (gk >> _DOC_BITS).astype(np.int64)
+    docid = (gk & _DOC_MASK).astype(np.int64)
+    eids = reader.external_ids_for(docid)
+    out_qid, out_eid, out_rank, out_score = [], [], [], []
+    for q in range(len(qids)):
+        m = qc == q
+        if not m.any():
+            continue
+        order = np.lexsort((eids[m], -sc[m]))[:k]
+        out_qid.extend([qids[q]] * order.size)
+        out_eid.extend(eids[m][order].tolist())
+        out_rank.extend(range(1, order.size + 1))
+        out_score.extend(sc[m][order].tolist())
+    return pa.table({
+        "qid": pa.array(out_qid, pa.string()),
+        "external_id": pa.array(out_eid, pa.string()),
+        "rank": pa.array(np.asarray(out_rank, dtype=np.int32)),
+        "score": pa.array(out_score, pa.float64()),
+    })
+
+
+def indri_structured_batch_search(index_dir: str,
+                                  queries: list[tuple[str, str]],
+                                  model=None, k: int = 100,
+                                  field: str = "body") -> pa.Table:
+    """Distributed structured Indri: trees of ``#AND`` / ``#WAND`` over
+    TERM and positional leaves — the reference's SDM query class
+    (``dm.pl``; e.g. ``#wand(0.7 #and(a b) 0.2 #and(#near/1(a b)) 0.1
+    #and(#window/8(a b)))``).
+
+    Geometric-mean trees are log-linear: flattening the tree multiplies
+    weights along the path, so
+
+        log score(d) = Σ_leaves c_l · log s_l(d)
+                     = Σ_matched c_l·(log s_l(tf,dl) − log s_l(0,dl))
+                       + Σ_all-leaves c_l·log s_l(0,dl)
+
+    where ``c_l`` is the folded coefficient (1/k per #AND level, w/Σw
+    per #WAND level). The first sum is the packed-key groupby-sum over
+    posting rows (terms + per-salt-derived positional lists, phase A =
+    ``_derive_lists``); the second is the per-candidate default-score
+    correction computed from sharded doclens in the final stage, using
+    each leaf's mle = ctf/collection_len (DERIVED ctf for positional
+    leaves — ``QryIop.java:139-151``). ``#WSUM`` (arithmetic mean) is
+    not log-linear and stays on the driver path. Rank- and
+    score-identical to ``QueryEngine.search``."""
+    from .models import IndriModel
+    from .parser import QueryParser
+    from .plan import IopNode, ScoreNode, SopNode, TermNode
+
+    model = model or IndriModel()
+    reader = IndexReader(index_dir)
+    an = Analyzer(simple=(reader.stats.get("analyzer") == "simple"))
+    parser = QueryParser(an)
+    mu, lam = model.mu, model.lambda_
+
+    qids = [qid for qid, _ in queries]
+    iop_plans: dict = {}
+
+    def flatten(plan, coef, acc):
+        if isinstance(plan, ScoreNode):
+            flatten(plan.child, coef, acc)
+        elif isinstance(plan, TermNode):
+            acc["t:" + plan.term] = acc.get("t:" + plan.term, 0.0) + coef
+        elif isinstance(plan, IopNode):
+            key = "i:" + repr(plan)
+            iop_plans[key] = plan
+            acc[key] = acc.get(key, 0.0) + coef
+        elif isinstance(plan, SopNode) and plan.op == "and":
+            for a in plan.args:
+                flatten(a, coef / len(plan.args), acc)
+        elif isinstance(plan, SopNode) and plan.op == "wand":
+            sw = plan.sum_weight
+            for a, w in zip(plan.args, plan.weights):
+                flatten(a, coef * w / sw, acc)
+        else:
+            raise ValueError(
+                "distributed Indri supports #AND/#WAND trees over term/"
+                f"positional leaves; got #{getattr(plan, 'op', plan)}")
+
+    q_coefs: list[dict] = []            # per qcode: leaf key → coefficient
+    for qid, q in queries:
+        acc: dict = {}
+        plan = parser.parse(q, "#and")
+        if plan is not None:
+            flatten(plan, 1.0, acc)
+        q_coefs.append(acc)
+    all_leaves = sorted({lf for acc in q_coefs for lf in acc})
+    if not all_leaves:
+        return _empty()
+    # leaf → [(qcode, coef)] routing for the partial stage
+    leaf_targets: dict[str, list[tuple[int, float]]] = {}
+    for qc, acc in enumerate(q_coefs):
+        for lf, c in acc.items():
+            leaf_targets.setdefault(lf, []).append((qc, c))
+
+    plain_terms = sorted({lf[2:] for lf in all_leaves if lf.startswith("t:")})
+
+    # ---- phase A: derived lists + their (df, ctf) ----
+    derived, dstats = _derive_lists(reader, iop_plans, field)
+
+    clen = max(reader.sum_field_lengths(field), 1)
+    tstats = _global_term_stats(index_dir, reader, plain_terms, field) \
+        if plain_terms else {}
+    mle_of = {("t:" + t): tstats.get(t, (0, 0))[1] / clen
+              for t in plain_terms}
+    mle_of.update({lf: c / clen for lf, (_, c) in dstats.items()})
+    # leaves absent from the index entirely (no postings): mle = 0
+    for lf in all_leaves:
+        mle_of.setdefault(lf, 0.0)
+
+    pid_offsets = reader.pid_offsets
+    _NPART = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    lt_ref = ray.put(leaf_targets)
+    mle_ref = ray.put(mle_of)
+    # per qcode: (mle array, coef array) over ALL its leaves (correction)
+    q_info = [(np.array([mle_of[lf] for lf in sorted(acc)], dtype=np.float64),
+               np.array([acc[lf] for lf in sorted(acc)], dtype=np.float64))
+              for acc in q_coefs]
+    qinfo_ref = ray.put(q_info)
+
+    def _s(tf, dl, m):
+        return (1.0 - lam) * (tf + mu * m) / (dl + mu) + lam * m
+
+    def log_partial(rows_iter):
+        keys_out, vals_out = [], []
+        dlens = _ShardedDoclens(index_dir, field, pid_offsets)
+        lt = ray.get(lt_ref)
+        mles = ray.get(mle_ref)
+        with np.errstate(divide="ignore"):
+            for lf, docids, tfs in rows_iter:
+                if docids.size == 0:
+                    continue
+                dl = dlens.get(docids).astype(np.float64)
+                m = mles[lf]
+                part = (np.log(_s(tfs.astype(np.float64), dl, m))
+                        - np.log(_s(0.0, dl, m)))
+                for qc, coef in lt[lf]:
+                    keys_out.append((np.int64(qc) << _DOC_BITS) | docids)
+                    vals_out.append(part * coef)
+        if not keys_out:
+            return _partial_empty()
+        key_c = np.concatenate(keys_out)
+        v_c = np.concatenate(vals_out)
+        uniq, inv = np.unique(key_c, return_inverse=True)
+        agg = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(agg, inv, v_c)
+        return pa.table({"part": pa.array((uniq % _NPART).astype(np.int32)),
+                         "gkey": pa.array(uniq),
+                         "score": pa.array(agg)})
+
+    partial_tables: list = []
+    if derived is not None:
+        def partial_derived(bt: pa.Table) -> pa.Table:
+            return log_partial(
+                (lf, *decode_postings(db, tb, None)[:2])
+                for lf, db, tb in zip(bt["leaf"].to_pylist(),
+                                      bt["docid_blob"].to_pylist(),
+                                      bt["tf_blob"].to_pylist()))
+        partial_tables.append(
+            derived.map_batches(partial_derived, batch_format="pyarrow",
+                                batch_size=None))
+    if plain_terms:
+        paths = reader._bucket_paths(plain_terms)
+        if paths:
+            tds = ray.data.read_parquet(
+                paths, columns=["term", "field", "docid_blob", "tf_blob"],
+                filter=(pa.compute.field("term").isin(plain_terms)
+                        & (pa.compute.field("field") == field)))
+
+            def partial_terms(bt: pa.Table) -> pa.Table:
+                return log_partial(
+                    ("t:" + trm, *decode_postings(db, tb, None)[:2])
+                    for trm, db, tb in zip(bt["term"].to_pylist(),
+                                           bt["docid_blob"].to_pylist(),
+                                           bt["tf_blob"].to_pylist()))
+            partial_tables.append(
+                tds.map_batches(partial_terms, batch_format="pyarrow",
+                                batch_size=None))
+    if not partial_tables:
+        return _empty()
+    scored = partial_tables[0]
+    for other in partial_tables[1:]:
+        scored = scored.union(other)
+
+    def agg_topk(bt: pa.Table) -> pa.Table:
+        dlens = _ShardedDoclens(index_dir, field, pid_offsets)
+        qi = ray.get(qinfo_ref)
+        gk = bt["gkey"].to_numpy()
+        sc = bt["score"].to_numpy()
+        uniq, inv = np.unique(gk, return_inverse=True)
+        agg = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(agg, inv, sc)
+        qc = (uniq >> _DOC_BITS).astype(np.int64)
+        docid = (uniq & _DOC_MASK).astype(np.int64)
+        dl = dlens.get(docid).astype(np.float64)
+        final = np.empty(uniq.size, dtype=np.float64)
+        keep = np.ones(uniq.size, dtype=bool)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for q in np.unique(qc):
+                msk = qc == q
+                mles, coefs = qi[q]
+                corr = np.zeros(int(msk.sum()), dtype=np.float64)
+                dlq = dl[msk]
+                for mlv, cv in zip(mles, coefs):
+                    corr += cv * np.log(_s(0.0, dlq, mlv))
+                final[msk] = np.exp(agg[msk] + corr)
+                s = final[msk]
+                if s.size > k:
+                    kth = np.partition(s, -k)[-k]
+                    keep[msk] = s >= kth
+        return pa.table({"gkey": pa.array(uniq[keep]),
+                         "score": pa.array(final[keep])})
 
     cand_batches = list(
         scored.groupby("part").map_groups(agg_topk, batch_format="pyarrow")

@@ -183,3 +183,29 @@ def test_distributed_structured_matches_driver_path(docs_index):
         sub = dp[dp["qid"] == qid].reset_index(drop=True)
         assert list(sub["external_id"]) == list(drv["external_id"]), qid
         np.testing.assert_allclose(sub["score"], drv["score"], rtol=1e-12)
+
+
+def test_distributed_structured_indri_matches_driver_path(docs_index):
+    """SDM-class trees (#WAND/#AND over term + positional leaves) via the
+    log-linear flattening must match the driver engine exactly."""
+    from search_engines_ray.query.distributed import (
+        indri_structured_batch_search,
+    )
+    model = IndriModel(mu=2500, lambda_=0.4)
+    engine = QueryEngine(docs_index, model)
+    queries = [
+        ("1", "dup sort merge"),
+        ("2", "#wand( 0.7 #and( fast sort ) 0.2 #and( #near/1( fast sort ) )"
+              " 0.1 #and( #window/8( fast sort ) ) )"),
+        ("3", "#wand( 0.6 dup 0.4 #syn(fast quick) )"),
+        ("4", "#and( #near/2(dup line) merge )"),
+        ("5", "#and( nosuchterm dup )"),
+    ]
+    dist = indri_structured_batch_search(docs_index.index_dir, queries,
+                                         model, k=25)
+    dp = dist.to_pandas()
+    for qid, q in queries:
+        drv = engine.search(q, k=25).to_pandas()
+        sub = dp[dp["qid"] == qid].reset_index(drop=True)
+        assert list(sub["external_id"]) == list(drv["external_id"]), qid
+        np.testing.assert_allclose(sub["score"], drv["score"], rtol=1e-10)
