@@ -87,7 +87,7 @@ def run_bench() -> dict:
     # corpus (at 10^12 docs: thousands of buckets)
     big = n_docs >= 1_000_000
     cfg = IndexBuildConfig(
-        num_buckets=64 if big else 16, docid_partitions=64,
+        num_buckets=64 if big else 16, docid_partitions=128 if big else 64,
         merge_salts=8 if big else 4, tokenize_batch_size=2048)
 
     # the north-rule input is a *Parquet table* of pages: write the
