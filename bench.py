@@ -95,7 +95,12 @@ def run_bench() -> dict:
     # subprocesses so both read identical files) and time the build from
     # the parquet — this also exercises the build's column-pruned
     # counts-pass scan the way real input would
-    pages_dir = f"{idx_root}/bench_pages_{os.path.basename(SF_DIR.rstrip('/'))}_{EXPAND}"
+    import hashlib
+    src_pq = f"{SF_DIR}/documents.parquet"
+    cache_key = hashlib.md5(
+        f"{os.path.abspath(SF_DIR)}|{EXPAND}|{os.path.getmtime(src_pq)}"
+        .encode()).hexdigest()[:10]
+    pages_dir = f"{idx_root}/bench_pages_{cache_key}"
     if not os.path.exists(pages_dir + ".done"):
         shutil.rmtree(pages_dir, ignore_errors=True)
         # many small files: parquet splits only at file/row-group grain,

@@ -47,8 +47,12 @@ class Posting:
 class IndexReader:
     def __init__(self, index_dir: str):
         self.index_dir = index_dir
-        with open(os.path.join(index_dir, STATS_FILE)) as f:
+        stats_path = os.path.join(index_dir, STATS_FILE)
+        with open(stats_path) as f:
             self.stats = json.load(f)
+        # build identity for worker-side caches: a rebuilt index at the
+        # same path must invalidate process-global shard caches
+        self.stats_token = os.path.getmtime(stats_path)
         self.num_buckets = self.stats["num_buckets"]
         self._docmeta = None
         self._doclens: dict[str, np.ndarray] = {}

@@ -54,8 +54,11 @@ _SHARD_CACHE: dict = {}
 _MAX_SHARDS = 128
 
 
-def _doclen_shard(index_dir: str, field: str, pid: int) -> np.ndarray:
-    key = (index_dir, field, pid)
+def _doclen_shard(index_dir: str, field: str, pid: int,
+                  token: float) -> np.ndarray:
+    # token = build identity (stats.json mtime): a rebuilt index at the
+    # same path must not serve a surviving worker's stale shards
+    key = (index_dir, field, pid, token)
     arr = _SHARD_CACHE.get(key)
     if arr is None:
         arr = IndexReader(index_dir).doclen_shard(field, pid)
@@ -73,19 +76,90 @@ class _ShardedDoclens:
     ``ray.put(doclens)`` broadcast, which is O(n_docs) memory per node —
     4 TB at the 10^12-doc design point."""
 
-    def __init__(self, index_dir: str, field: str, pid_offsets: np.ndarray):
+    def __init__(self, index_dir: str, field: str, pid_offsets: np.ndarray,
+                 token: float = 0.0):
         self.index_dir = index_dir
         self.field = field
         self.offsets = pid_offsets
+        self.token = token
 
     def get(self, docids: np.ndarray) -> np.ndarray:
         out = np.empty(docids.size, dtype=np.int32)
         pids = np.searchsorted(self.offsets, docids, side="right") - 1
         for p in np.unique(pids):
             m = pids == p
-            shard = _doclen_shard(self.index_dir, self.field, int(p))
+            shard = _doclen_shard(self.index_dir, self.field, int(p),
+                                  self.token)
             out[m] = shard[docids[m] - self.offsets[p]]
         return out
+
+
+
+def _agg_topk_sum(k: int):
+    """Per-partition final sum + exact per-query candidate cut for
+    plain-sum scores (BM25 paths): a row below its query's kth score in
+    a partition has >=k strictly-greater rows in that partition alone,
+    so dropping it is exact; ties at the kth score are kept."""
+
+    def agg_topk(bt: pa.Table) -> pa.Table:
+        gk = bt["gkey"].to_numpy()
+        sc = bt["score"].to_numpy()
+        uniq, inv = np.unique(gk, return_inverse=True)
+        agg = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(agg, inv, sc)
+        qc = (uniq >> _DOC_BITS).astype(np.int64)
+        keep = np.ones(uniq.size, dtype=bool)
+        for q in np.unique(qc):
+            m = qc == q
+            srt = agg[m]
+            if srt.size > k:
+                kth = np.partition(srt, -k)[-k]
+                keep[m] = srt >= kth
+        return pa.table({"gkey": pa.array(uniq[keep]),
+                         "score": pa.array(agg[keep])})
+
+    return agg_topk
+
+
+def _collect_parts(scored, agg_topk) -> pa.Table:
+    """groupby hash partition -> per-partition aggregate+cut -> one small
+    candidate table on the driver."""
+    cand_batches = list(
+        scored.groupby("part").map_groups(agg_topk, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    cands = pa.concat_tables(cand_batches) if cand_batches else _partial_empty()
+    if "part" in cands.column_names:
+        cands = cands.drop_columns(["part"])
+    return cands
+
+
+def _emit_ranked(cands: pa.Table, qids: list[str], k: int,
+                 reader: IndexReader) -> pa.Table:
+    """Unpack packed keys, attach external ids (filtered forward scan),
+    apply the reference ordering (score desc, externalId asc) per qid."""
+    if cands.num_rows == 0:
+        return _empty()
+    gk = cands["gkey"].to_numpy()
+    sc = cands["score"].to_numpy()
+    qc = (gk >> _DOC_BITS).astype(np.int64)
+    docid = (gk & _DOC_MASK).astype(np.int64)
+    eids = reader.external_ids_for(docid)
+    out_qid, out_eid, out_rank, out_score = [], [], [], []
+    for q in range(len(qids)):
+        m = qc == q
+        if not m.any():
+            continue
+        order = np.lexsort((eids[m], -sc[m]))[:k]
+        out_qid.extend([qids[q]] * order.size)
+        out_eid.extend(eids[m][order].tolist())
+        out_rank.extend(range(1, order.size + 1))
+        out_score.extend(sc[m][order].tolist())
+    return pa.table({
+        "qid": pa.array(out_qid, pa.string()),
+        "external_id": pa.array(out_eid, pa.string()),
+        "rank": pa.array(np.asarray(out_rank, dtype=np.int32)),
+        "score": pa.array(out_score, pa.float64()),
+    })
 
 
 def bm25_batch_search(index_dir: str, queries: list[tuple[str, str]],
@@ -130,6 +204,7 @@ def bm25_batch_search(index_dir: str, queries: list[tuple[str, str]],
     N = reader.n_docs
     avglen = reader.avg_len(field)
     pid_offsets = reader.pid_offsets
+    dl_token = reader.stats_token
     k1, b = model.k1, model.b
     terms_list = sorted(term_queries)
 
@@ -140,7 +215,7 @@ def bm25_batch_search(index_dir: str, queries: list[tuple[str, str]],
 
     class ScoreBatch:
         def __init__(self):
-            self.dl = _ShardedDoclens(index_dir, field, pid_offsets)
+            self.dl = _ShardedDoclens(index_dir, field, pid_offsets, dl_token)
             self.tq = ray.get(tq_ref)
             self.global_df = ray.get(df_ref)
 
@@ -179,61 +254,8 @@ def bm25_batch_search(index_dir: str, queries: list[tuple[str, str]],
     scored = ds.map_batches(ScoreBatch, batch_format="pyarrow",
                             batch_size=None, concurrency=2)
 
-    def agg_topk(bt: pa.Table) -> pa.Table:
-        """One hash partition of (query, docid) keys: final sum + exact
-        per-query candidate cut, all numpy (keys are co-located because
-        part = gkey % NPART). Rows below their query's kth score in a
-        partition have ≥k strictly-greater rows in that partition alone,
-        so dropping them is exact."""
-        gk = bt["gkey"].to_numpy()
-        sc = bt["score"].to_numpy()
-        uniq, inv = np.unique(gk, return_inverse=True)
-        agg = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(agg, inv, sc)
-        qc = (uniq >> _DOC_BITS).astype(np.int64)
-        keep = np.ones(uniq.size, dtype=bool)
-        for q in np.unique(qc):
-            m = qc == q
-            s = agg[m]
-            if s.size > k:
-                kth = np.partition(s, -k)[-k]
-                keep[m] = s >= kth
-        return pa.table({"gkey": pa.array(uniq[keep]),
-                         "score": pa.array(agg[keep])})
-
-    cand_batches = list(
-        scored.groupby("part").map_groups(agg_topk, batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow"))
-    cands = pa.concat_tables(cand_batches) if cand_batches else _partial_empty()
-    if "part" in cands.column_names:
-        cands = cands.drop_columns(["part"])
-    if cands.num_rows == 0:
-        return _empty()
-    gk = cands["gkey"].to_numpy()
-    sc = cands["score"].to_numpy()
-    qc = (gk >> _DOC_BITS).astype(np.int64)
-    docid = (gk & _DOC_MASK).astype(np.int64)
-    # candidate set only (≤ parts × k per query) — a filtered forward
-    # scan, never a dense n_docs-sized id array
-    eids = reader.external_ids_for(docid)
-    out_qid, out_eid, out_rank, out_score = [], [], [], []
-    for q in range(len(qids)):
-        m = qc == q
-        if not m.any():
-            continue
-        order = np.lexsort((eids[m], -sc[m]))[:k]
-        ids_q = eids[m][order]
-        sc_q = sc[m][order]
-        out_qid.extend([qids[q]] * order.size)
-        out_eid.extend(ids_q.tolist())
-        out_rank.extend(range(1, order.size + 1))
-        out_score.extend(sc_q.tolist())
-    return pa.table({
-        "qid": pa.array(out_qid, pa.string()),
-        "external_id": pa.array(out_eid, pa.string()),
-        "rank": pa.array(np.asarray(out_rank, dtype=np.int32)),
-        "score": pa.array(out_score, pa.float64()),
-    })
+    return _emit_ranked(_collect_parts(scored, _agg_topk_sum(k)),
+                        qids, k, reader)
 
 
 def _global_term_stats(index_dir: str, reader: IndexReader, terms: list[str],
@@ -314,6 +336,7 @@ def indri_batch_search(index_dir: str, queries: list[tuple[str, str]],
     mle = {t: stats.get(t, (0, 0))[1] / clen for t in term_queries}
     mu, lam = model.mu, model.lambda_
     pid_offsets = reader.pid_offsets
+    dl_token = reader.stats_token
     tq_ref = ray.put(term_queries)
     mle_ref = ray.put(mle)
     # per qcode: (mle array, mult array, k_q = total arg count)
@@ -334,7 +357,7 @@ def indri_batch_search(index_dir: str, queries: list[tuple[str, str]],
 
     class LogPartial:
         def __init__(self):
-            self.dl = _ShardedDoclens(index_dir, field, pid_offsets)
+            self.dl = _ShardedDoclens(index_dir, field, pid_offsets, dl_token)
             self.tq = ray.get(tq_ref)
             self.mle = ray.get(mle_ref)
 
@@ -375,7 +398,7 @@ def indri_batch_search(index_dir: str, queries: list[tuple[str, str]],
         shard cache is process-global, so repeat partitions on the same
         worker hit memory), take the exact per-query candidate cut on
         the FINAL score."""
-        dlens = _ShardedDoclens(index_dir, field, pid_offsets)
+        dlens = _ShardedDoclens(index_dir, field, pid_offsets, dl_token)
         qi = ray.get(qinfo_ref)
         gk = bt["gkey"].to_numpy()
         sc = bt["score"].to_numpy()
@@ -403,35 +426,7 @@ def indri_batch_search(index_dir: str, queries: list[tuple[str, str]],
         return pa.table({"gkey": pa.array(uniq[keep]),
                          "score": pa.array(final[keep])})
 
-    cand_batches = list(
-        scored.groupby("part").map_groups(agg_topk, batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow"))
-    cands = pa.concat_tables(cand_batches) if cand_batches else _partial_empty()
-    if "part" in cands.column_names:
-        cands = cands.drop_columns(["part"])
-    if cands.num_rows == 0:
-        return _empty()
-    gk = cands["gkey"].to_numpy()
-    sc = cands["score"].to_numpy()
-    qc = (gk >> _DOC_BITS).astype(np.int64)
-    docid = (gk & _DOC_MASK).astype(np.int64)
-    eids = reader.external_ids_for(docid)
-    out_qid, out_eid, out_rank, out_score = [], [], [], []
-    for q in range(len(qids)):
-        m = qc == q
-        if not m.any():
-            continue
-        order = np.lexsort((eids[m], -sc[m]))[:k]
-        out_qid.extend([qids[q]] * order.size)
-        out_eid.extend(eids[m][order].tolist())
-        out_rank.extend(range(1, order.size + 1))
-        out_score.extend(sc[m][order].tolist())
-    return pa.table({
-        "qid": pa.array(out_qid, pa.string()),
-        "external_id": pa.array(out_eid, pa.string()),
-        "rank": pa.array(np.asarray(out_rank, dtype=np.int32)),
-        "score": pa.array(out_score, pa.float64()),
-    })
+    return _emit_ranked(_collect_parts(scored, agg_topk), qids, k, reader)
 
 
 def _partial_empty() -> pa.Table:
@@ -596,6 +591,13 @@ def bm25_structured_batch_search(index_dir: str,
         plan = parser.parse(q, "#sum")
         counts: dict[str, int] = {}
         for leaf in leaves_of(plan):
+            leaf_field = leaf.field if isinstance(leaf, TermNode) \
+                else leaf.field_name
+            if leaf_field != field:
+                raise ValueError(
+                    f"distributed structured path scores field {field!r} "
+                    f"only; leaf uses {leaf_field!r} — use the driver "
+                    "path for multi-field queries")
             if isinstance(leaf, TermNode):
                 key = "t:" + leaf.term
             else:
@@ -612,6 +614,7 @@ def bm25_structured_batch_search(index_dir: str,
     N = reader.n_docs
     avglen = reader.avg_len(field)
     pid_offsets = reader.pid_offsets
+    dl_token = reader.stats_token
     k1, b = model.k1, model.b
     _NPART = max(8, int(ray.cluster_resources().get("CPU", 8)))
 
@@ -619,7 +622,7 @@ def bm25_structured_batch_search(index_dir: str,
         """(gkey, score) partial rows from (leaf_key, df_global, docids,
         tfs) tuples — shared by the term path and the derived path."""
         keys_out, scores_out = [], []
-        dlens = _ShardedDoclens(index_dir, field, pid_offsets)
+        dlens = _ShardedDoclens(index_dir, field, pid_offsets, dl_token)
         for key, df, docids, tfs, targets in leaf_rows:
             if docids.size == 0 or df == 0:
                 continue
@@ -699,52 +702,8 @@ def bm25_structured_batch_search(index_dir: str,
     for other in partial_tables[1:]:
         scored = scored.union(other)
 
-    def agg_topk(bt: pa.Table) -> pa.Table:
-        gk = bt["gkey"].to_numpy()
-        sc = bt["score"].to_numpy()
-        uniq, inv = np.unique(gk, return_inverse=True)
-        agg = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(agg, inv, sc)
-        qc = (uniq >> _DOC_BITS).astype(np.int64)
-        keep = np.ones(uniq.size, dtype=bool)
-        for q in np.unique(qc):
-            m = qc == q
-            s = agg[m]
-            if s.size > k:
-                kth = np.partition(s, -k)[-k]
-                keep[m] = s >= kth
-        return pa.table({"gkey": pa.array(uniq[keep]),
-                         "score": pa.array(agg[keep])})
-
-    cand_batches = list(
-        scored.groupby("part").map_groups(agg_topk, batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow"))
-    cands = pa.concat_tables(cand_batches) if cand_batches else _partial_empty()
-    if "part" in cands.column_names:
-        cands = cands.drop_columns(["part"])
-    if cands.num_rows == 0:
-        return _empty()
-    gk = cands["gkey"].to_numpy()
-    sc = cands["score"].to_numpy()
-    qc = (gk >> _DOC_BITS).astype(np.int64)
-    docid = (gk & _DOC_MASK).astype(np.int64)
-    eids = reader.external_ids_for(docid)
-    out_qid, out_eid, out_rank, out_score = [], [], [], []
-    for q in range(len(qids)):
-        m = qc == q
-        if not m.any():
-            continue
-        order = np.lexsort((eids[m], -sc[m]))[:k]
-        out_qid.extend([qids[q]] * order.size)
-        out_eid.extend(eids[m][order].tolist())
-        out_rank.extend(range(1, order.size + 1))
-        out_score.extend(sc[m][order].tolist())
-    return pa.table({
-        "qid": pa.array(out_qid, pa.string()),
-        "external_id": pa.array(out_eid, pa.string()),
-        "rank": pa.array(np.asarray(out_rank, dtype=np.int32)),
-        "score": pa.array(out_score, pa.float64()),
-    })
+    return _emit_ranked(_collect_parts(scored, _agg_topk_sum(k)),
+                        qids, k, reader)
 
 
 def indri_structured_batch_search(index_dir: str,
@@ -789,8 +748,16 @@ def indri_structured_batch_search(index_dir: str,
         if isinstance(plan, ScoreNode):
             flatten(plan.child, coef, acc)
         elif isinstance(plan, TermNode):
+            if plan.field != field:
+                raise ValueError(
+                    f"distributed Indri scores field {field!r} only; "
+                    f"leaf uses {plan.field!r} — use the driver path")
             acc["t:" + plan.term] = acc.get("t:" + plan.term, 0.0) + coef
         elif isinstance(plan, IopNode):
+            if plan.field_name != field:
+                raise ValueError(
+                    f"distributed Indri scores field {field!r} only; "
+                    f"leaf uses {plan.field_name!r} — use the driver path")
             key = "i:" + repr(plan)
             iop_plans[key] = plan
             acc[key] = acc.get(key, 0.0) + coef
@@ -838,6 +805,7 @@ def indri_structured_batch_search(index_dir: str,
         mle_of.setdefault(lf, 0.0)
 
     pid_offsets = reader.pid_offsets
+    dl_token = reader.stats_token
     _NPART = max(8, int(ray.cluster_resources().get("CPU", 8)))
     lt_ref = ray.put(leaf_targets)
     mle_ref = ray.put(mle_of)
@@ -852,7 +820,7 @@ def indri_structured_batch_search(index_dir: str,
 
     def log_partial(rows_iter):
         keys_out, vals_out = [], []
-        dlens = _ShardedDoclens(index_dir, field, pid_offsets)
+        dlens = _ShardedDoclens(index_dir, field, pid_offsets, dl_token)
         lt = ray.get(lt_ref)
         mles = ray.get(mle_ref)
         with np.errstate(divide="ignore"):
@@ -912,7 +880,7 @@ def indri_structured_batch_search(index_dir: str,
         scored = scored.union(other)
 
     def agg_topk(bt: pa.Table) -> pa.Table:
-        dlens = _ShardedDoclens(index_dir, field, pid_offsets)
+        dlens = _ShardedDoclens(index_dir, field, pid_offsets, dl_token)
         qi = ray.get(qinfo_ref)
         gk = bt["gkey"].to_numpy()
         sc = bt["score"].to_numpy()
@@ -940,32 +908,4 @@ def indri_structured_batch_search(index_dir: str,
         return pa.table({"gkey": pa.array(uniq[keep]),
                          "score": pa.array(final[keep])})
 
-    cand_batches = list(
-        scored.groupby("part").map_groups(agg_topk, batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow"))
-    cands = pa.concat_tables(cand_batches) if cand_batches else _partial_empty()
-    if "part" in cands.column_names:
-        cands = cands.drop_columns(["part"])
-    if cands.num_rows == 0:
-        return _empty()
-    gk = cands["gkey"].to_numpy()
-    sc = cands["score"].to_numpy()
-    qc = (gk >> _DOC_BITS).astype(np.int64)
-    docid = (gk & _DOC_MASK).astype(np.int64)
-    eids = reader.external_ids_for(docid)
-    out_qid, out_eid, out_rank, out_score = [], [], [], []
-    for q in range(len(qids)):
-        m = qc == q
-        if not m.any():
-            continue
-        order = np.lexsort((eids[m], -sc[m]))[:k]
-        out_qid.extend([qids[q]] * order.size)
-        out_eid.extend(eids[m][order].tolist())
-        out_rank.extend(range(1, order.size + 1))
-        out_score.extend(sc[m][order].tolist())
-    return pa.table({
-        "qid": pa.array(out_qid, pa.string()),
-        "external_id": pa.array(out_eid, pa.string()),
-        "rank": pa.array(np.asarray(out_rank, dtype=np.int32)),
-        "score": pa.array(out_score, pa.float64()),
-    })
+    return _emit_ranked(_collect_parts(scored, agg_topk), qids, k, reader)

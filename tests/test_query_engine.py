@@ -209,3 +209,17 @@ def test_distributed_structured_indri_matches_driver_path(docs_index):
         sub = dp[dp["qid"] == qid].reset_index(drop=True)
         assert list(sub["external_id"]) == list(drv["external_id"]), qid
         np.testing.assert_allclose(sub["score"], drv["score"], rtol=1e-10)
+
+
+def test_structured_distributed_rejects_other_fields(docs_index):
+    """Field-qualified leaves must raise (driver path handles them) —
+    never silently score the wrong field."""
+    from search_engines_ray.query.distributed import (
+        bm25_structured_batch_search, indri_structured_batch_search,
+    )
+    with pytest.raises(ValueError, match="field"):
+        bm25_structured_batch_search(
+            docs_index.index_dir, [("1", "#sum(fast.title sort)")], k=5)
+    with pytest.raises(ValueError, match="field"):
+        indri_structured_batch_search(
+            docs_index.index_dir, [("1", "#and(fast.title sort)")], k=5)
