@@ -43,10 +43,13 @@ POS_TOK_SQL = (f"select doc_id, unnest({SIMPLE_TOKS_SQL}) as term, "
                f"generate_subscripts({SIMPLE_TOKS_SQL}, 1) as pos from documents")
 
 
-def get_index(sf_dir: str, mode: str) -> IndexReader:
-    """Build (or resume) the index for one sf_dir + analyzer mode; cached
-    on disk so repeated queries() calls are cheap."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+def get_index(sf_dir: str, mode: str, fields: dict | None = None) -> IndexReader:
+    """Build (or resume) the index for one sf_dir + analyzer mode (+
+    optional field map, e.g. body+url); cached on disk so repeated
+    queries() calls are cheap."""
+    fields = fields or {"body": "text"}
+    tag = hashlib.md5(
+        f"{sf_dir}|{sorted(fields.items())}".encode()).hexdigest()[:8]
     path = os.path.join(_IDX_ROOT, f"{tag}_{mode}")
     os.makedirs(path, exist_ok=True)
     import ray
@@ -54,7 +57,7 @@ def get_index(sf_dir: str, mode: str) -> IndexReader:
     # reserves every session CPU starves them and the pipeline stalls
     ncpu = int(ray.cluster_resources().get("CPU", 4))
     cfg = IndexBuildConfig(num_buckets=16, docid_partitions=16,
-                           analyzer=mode,
+                           analyzer=mode, fields=fields,
                            tokenize_concurrency=max(1, min(ncpu - 2, 8)))
     build_index(pages_from_documents(sf_dir), path, cfg,
                 input_token=sf_dir, resume=True)
@@ -178,6 +181,63 @@ def q_index_bm25_maxscore_top10(sf_dir: str):
     res = bm25_maxscore_search(reader, " ".join(BM25_QUERY_TERMS), k=10,
                                model=BM25Model(k1=1.2, b=0.75))
     return _ranked_to_table(res)
+
+
+def q_bm25_multifield_top10(sf_dir: str):
+    """BM25 #SUM over leaves in TWO fields (body + url) — the
+    reference's multi-field model (``QryParser.java:156-158`` field
+    whitelist; per-field df/doclen/avglen stats). The url field is the
+    tokenized page url, so per-field statistics differ sharply from
+    body. Oracle: DuckDB reconstructs the deterministic page url from
+    doc_id and scores each field with its own stats."""
+    reader = get_index(sf_dir, "simple",
+                       fields={"body": "text", "url": "url"})
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    res = engine.search("#sum(dup 00000007.url 00000008.url)", k=10)
+    return _ranked_to_table(res)
+
+
+SQL_BM25_MULTIFIELD_TOP10 = f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+utok as (
+  select doc_id, unnest(list_filter(string_split_regex(
+    lower('http://docs.example.com/' || printf('%08d', doc_id)),
+    '[^a-z0-9]+'), x -> len(x) > 0)) as term from documents),
+n as (select count(*)::double as v from documents),
+bdl as (select doc_id, count(*)::double as dl from tok group by doc_id),
+bstats as (select (select count(*) from bdl)::double as dc,
+                  (select sum(dl) from bdl)::double as suml),
+udl as (select doc_id, count(*)::double as dl from utok group by doc_id),
+ustats as (select (select count(*) from udl)::double as dc,
+                  (select sum(dl) from udl)::double as suml),
+btf as (select doc_id, term, count(*)::double as tf from tok
+        where term = 'dup' group by doc_id, term),
+bdf as (select term, count(*)::double as df from btf group by term),
+utf as (select doc_id, term, count(*)::double as tf from utok
+        where term in ('00000007','00000008') group by doc_id, term),
+udf as (select term, count(*)::double as df from utf group by term),
+bscore as (
+  select btf.doc_id,
+         sum(greatest(0.0, ln((n.v - bdf.df + 0.5)/(bdf.df + 0.5)))
+             * (btf.tf / (btf.tf + 1.2*((1.0-0.75)
+                + 0.75*bdl.dl/(bstats.suml/bstats.dc))))) as s
+  from btf join bdf using (term) join bdl using (doc_id)
+  cross join n cross join bstats group by btf.doc_id),
+uscore as (
+  select utf.doc_id,
+         sum(greatest(0.0, ln((n.v - udf.df + 0.5)/(udf.df + 0.5)))
+             * (utf.tf / (utf.tf + 1.2*((1.0-0.75)
+                + 0.75*udl.dl/(ustats.suml/ustats.dc))))) as s
+  from utf join udf using (term) join udl using (doc_id)
+  cross join n cross join ustats group by utf.doc_id),
+scored as (
+  select coalesce(b.doc_id, u.doc_id) as doc_id,
+         coalesce(b.s, 0.0) + coalesce(u.s, 0.0) as raw
+  from bscore b full outer join uscore u on b.doc_id = u.doc_id)
+select doc_id, floor(raw*1000000 + 0.5)/1000000 as score from scored
+order by raw desc, doc_id asc limit 10
+"""
 
 
 INDRI_QUERY_TERMS = ("dup", "sort", "merge")
@@ -732,6 +792,7 @@ QUERIES = {
     "term_df_ctf_top50": q_term_df_ctf_top50,
     "index_bm25_top10": q_index_bm25_top10,
     "index_bm25_maxscore_top10": q_index_bm25_maxscore_top10,
+    "bm25_multifield_top10": q_bm25_multifield_top10,
     "index_indri_top10": q_index_indri_top10,
     "indri_batch_distributed": q_indri_batch_distributed,
     "wsum_indri_top10": q_wsum_indri_top10,
@@ -775,6 +836,7 @@ ORACLE_SQL = {
     "term_df_ctf_top50": SQL_TERM_DF_CTF_TOP50,
     "index_bm25_top10": SQL_INDEX_BM25_TOP10,
     "index_bm25_maxscore_top10": SQL_INDEX_BM25_TOP10,
+    "bm25_multifield_top10": SQL_BM25_MULTIFIELD_TOP10,
     "index_indri_top10": SQL_INDEX_INDRI_TOP10,
     "indri_batch_distributed": SQL_INDEX_INDRI_TOP10,
     "wsum_indri_top10": SQL_WSUM_INDRI_TOP10,
