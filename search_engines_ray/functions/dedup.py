@@ -12,9 +12,10 @@ scale. All are Ray-Data-first:
   token/shingle hashes), banded into (band, band_hash) keys, groupby the
   band key, pairwise full-signature Jaccard *estimate* + union-find
   within each bucket, canonical = component-min doc id; cross-bucket
-  chains resolved by a min-label aggregate + driver-side path
-  compression over the (small) duplicate set. True n-gram verification
-  is available via ``ngram_jaccard`` for callers holding the text.
+  components resolved by driver-side union-find over the distinct
+  bucket edges (the edge set holds only dup-group members — small).
+  True n-gram verification is available via ``ngram_jaccard`` for
+  callers holding the text.
 - **SimHash**: 64-bit weighted fingerprints; near-dup = Hamming ≤ k via
   4-band exact-match blocking (pigeonhole: ≤3 differing bits leave one
   16-bit band intact).
@@ -29,6 +30,39 @@ import pandas as pd
 import pyarrow as pa
 
 _MERSENNE = (1 << 61) - 1
+_P61 = np.uint64(_MERSENNE)
+
+
+def _mod_p61(x: np.ndarray) -> np.ndarray:
+    """x mod (2^61−1) for uint64 x (full range): one Mersenne fold —
+    2^61 ≡ 1 (mod p) — plus a conditional subtract."""
+    x = (x >> np.uint64(61)) + (x & _P61)
+    return np.where(x >= _P61, x - _P61, x)
+
+
+def _modadd_p61(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """(x+y) mod p for x, y < p (sum < 2^62 — no uint64 overflow)."""
+    s = x + y
+    return np.where(s >= _P61, s - _P61, s)
+
+
+def _modmul_p61(a: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """(a·h) mod (2^61−1) elementwise for full-range uint64 inputs, in
+    pure uint64 via 32-bit limbs (no object dtype, no Python ints):
+
+        a·h = a1·h1·2^64 + (a1·h0 + a0·h1)·2^32 + a0·h0
+        2^64 ≡ 8 (mod p);  m·2^32 ≡ (m >> 29) + (m & (2^29−1))·2^32
+
+    Each partial product of 32-bit limbs fits uint64 exactly."""
+    m32 = np.uint64(0xFFFFFFFF)
+    a0, a1 = a & m32, a >> np.uint64(32)
+    h0, h1 = h & m32, h >> np.uint64(32)
+    lo = _mod_p61(a0 * h0)
+    hi = _mod_p61(_mod_p61(a1 * h1) << np.uint64(3))
+    mid = _modadd_p61(_mod_p61(a1 * h0), _mod_p61(a0 * h1))
+    mid = _modadd_p61(mid >> np.uint64(29),
+                      (mid & np.uint64((1 << 29) - 1)) << np.uint64(32))
+    return _modadd_p61(_modadd_p61(lo, hi), mid)
 
 
 def _stable_u64(s: str) -> int:
@@ -91,14 +125,17 @@ class MinHasher:
         h = _shingle_hashes(simple_tokenize(text or ""), self.shingle)
         if h.size == 0:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        # (a*h + b) mod p, rowwise min — chunk to bound the outer product
+        # (a*h + b) mod p, rowwise min — uint64 Mersenne limb arithmetic
+        # (bit-identical to exact big-int mod-p, ~40× the old object-
+        # dtype path); chunked to bound the (num_perm × chunk) temporaries
         out = np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
         step = 4096
+        a_col = self.a[:, None]
+        b_col = self.b[:, None]
         for i in range(0, h.size, step):
-            hh = h[i:i + step].astype(object)  # python ints: exact mod-p
-            m = (np.outer(self.a.astype(object), hh)
-                 + self.b.astype(object)[:, None]) % _MERSENNE
-            out = np.minimum(out, m.min(axis=1).astype(np.uint64))
+            hh = h[i:i + step]
+            m = _modadd_p61(_modmul_p61(a_col, hh[None, :]), b_col)
+            out = np.minimum(out, m.min(axis=1))
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -118,12 +155,19 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     signatures (actor pool) → explode to (band, band_hash, doc_id)
     → groupby band key → verified candidate pairs (minhash-estimated
     Jaccard) → min-label canonicalization."""
+    from ..util import proc_cached
     rows_per_band = num_perm // bands
-    sig_ds = ds.map_batches(
-        MinHasher, fn_constructor_kwargs=dict(
-            num_perm=num_perm, shingle=shingle,
-            text_col=text_col, id_col=id_col),
-        batch_format="pyarrow", concurrency=2)
+
+    # stateless task + process-global hasher (coefficient arrays built
+    # once per worker) — tasks schedule on every CPU, no pool-width cap
+    def sig_fn(b: pa.Table) -> pa.Table:
+        mh = proc_cached(
+            ("minhasher", num_perm, shingle, text_col, id_col),
+            lambda: MinHasher(num_perm=num_perm, shingle=shingle,
+                              text_col=text_col, id_col=id_col))
+        return mh(b)
+
+    sig_ds = ds.map_batches(sig_fn, batch_format="pyarrow")
 
     def explode_bands(b: pa.Table) -> pa.Table:
         """(band, band_hash, doc_id, minhash) rows — the full signature
@@ -201,9 +245,14 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     """→ Dataset (doc_id, canonical_id): near-dups at Hamming ≤ k over
     64-bit simhash, blocked on 4 16-bit bands (pigeonhole-complete for
     k ≤ 3)."""
-    fp_ds = ds.map_batches(SimHasher, fn_constructor_kwargs=dict(
-        text_col=text_col, id_col=id_col), batch_format="pyarrow",
-        concurrency=2)
+    from ..util import proc_cached
+
+    def fp_fn(b: pa.Table) -> pa.Table:
+        sh = proc_cached(("simhasher", text_col, id_col),
+                         lambda: SimHasher(text_col=text_col, id_col=id_col))
+        return sh(b)
+
+    fp_ds = ds.map_batches(fp_fn, batch_format="pyarrow")
 
     def explode(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_pylist()
@@ -263,34 +312,45 @@ def _unionfind_pairs(ids: list, is_dup, id_col: str) -> pd.DataFrame:
 
 
 def _compress_canonical(pairs, id_col: str):
-    """Min-label + transitive chain compression.
+    """Union-find over the raw bucket EDGES, not min-reduced labels.
 
-    A doc caught in several buckets keeps its smallest canonical id
-    (distributed Min aggregate); then canonical chains (B→A, C→B) are
-    path-compressed. The mapping holds ONLY docs that belong to some
-    duplicate group — tiny relative to the corpus — so compression runs
-    on the driver (the ray_guide union-find caveat: driver-side only
-    when the candidate set is provably small)."""
+    A min-label aggregate keeps only each doc's smallest canonical and
+    can split transitive components (bucket1 {A,C} → C→A; bucket2 {B,C}
+    → C→B; Min leaves C→A and drops the B–C link, so B misses A). So:
+    distinct-edge reduce (distributed groupby — a doc in many buckets
+    collapses to few edges) → driver union-find over ALL edges with
+    min-root unioning → member → component-min map. The edge set holds
+    ONLY docs in some duplicate group — tiny relative to the corpus —
+    which is the ray_guide caveat for driver-side union-find."""
     import ray.data as rd
-    from ray.data.aggregate import Min
-    agg = pairs.groupby(id_col).aggregate(Min("canonical_id",
-                                              alias_name="canonical_id"))
-    pdf = agg.to_pandas()
-    if pdf.empty:
+    from ray.data.aggregate import Count
+    edges = pairs.groupby([id_col, "canonical_id"]).aggregate(
+        Count(alias_name="_n")).to_pandas()
+    if edges.empty:
         return rd.from_pandas(pd.DataFrame({id_col: [], "canonical_id": []}))
-    m = dict(zip(pdf[id_col], pdf["canonical_id"]))
 
-    def root(x):
-        seen = []
-        while x in m and m[x] != x:
-            seen.append(x)
-            x = m[x]
-        for s in seen:
-            m[s] = x
-        return x
+    parent: dict = {}
 
-    pdf["canonical_id"] = [root(i) for i in pdf[id_col]]
-    return rd.from_pandas(pdf)
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(edges[id_col], edges["canonical_id"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # attach the larger root under the smaller: every tree root
+            # stays the component minimum by induction
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    members = sorted(set(edges[id_col]) | set(edges["canonical_id"]))
+    return rd.from_pandas(pd.DataFrame({
+        id_col: members,
+        "canonical_id": [find(m) for m in members]}))
 
 
 # ---------------------------------------------------------------- jaccard

@@ -98,8 +98,18 @@ class FrameSample:
 
 
 def decode_features(media_ds, fake: bool = True, batch_size: int = 64,
-                    concurrency=2):
-    """media table → (media_id, kind, features) via the actor pool."""
+                    concurrency=None):
+    """media table → (media_id, kind, features) via the actor pool.
+
+    This stage keeps the ACTOR-pool form on purpose — a real decoder
+    holds heavyweight per-actor state (codec contexts, model weights)
+    that must load once per actor, not once per task. The pool
+    autoscales to cluster width (``util.autoscale_pool``) instead of a
+    hardcoded count; small ``batch_size`` because payloads dominate
+    block memory."""
+    from ..util import autoscale_pool
+    if concurrency is None:
+        concurrency = autoscale_pool()
     return media_ds.map_batches(
         DecodeImage, fn_constructor_kwargs=dict(fake=fake),
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)

@@ -42,29 +42,29 @@ def ann_cosine_topk(ds, queries: np.ndarray, k: int = 10,
     q = _normalize(np.asarray(queries, dtype=dtype))
     q_ref = ray.put(q)
 
-    class Scorer:
-        def __init__(self):
-            self.q = ray.get(q_ref).T          # (d, q)
+    # stateless task: the broadcast query matrix resolves zero-copy from
+    # the local object store per batch, so tasks schedule elastically on
+    # every CPU (a fixed-width actor pool capped this stage at 2 workers)
+    def score(b: pa.Table) -> pa.Table:
+        qt = ray.get(q_ref).T               # (d, q)
+        m = _normalize(_as_matrix(b[vec_col], dtype))
+        ids = b[id_col].to_numpy()
+        sims = m @ qt                       # (n, q)
+        kk = min(k, sims.shape[0])
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            s = sims[:, qi]
+            top = np.argpartition(-s, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int32))
+            out_id.append(ids[top])
+            out_s.append(s[top].astype(np.float64))
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_id)),
+            "score": pa.array(np.concatenate(out_s)),
+        })
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            m = _normalize(_as_matrix(b[vec_col], dtype))
-            ids = b[id_col].to_numpy()
-            sims = m @ self.q                   # (n, q)
-            kk = min(k, sims.shape[0])
-            out_q, out_id, out_s = [], [], []
-            for qi in range(sims.shape[1]):
-                s = sims[:, qi]
-                top = np.argpartition(-s, kk - 1)[:kk]
-                out_q.append(np.full(kk, qi, dtype=np.int32))
-                out_id.append(ids[top])
-                out_s.append(s[top].astype(np.float64))
-            return pa.table({
-                "query_id": pa.array(np.concatenate(out_q)),
-                id_col: pa.array(np.concatenate(out_id)),
-                "score": pa.array(np.concatenate(out_s)),
-            })
-
-    partials = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=2)
+    partials = ds.map_batches(score, batch_format="pyarrow")
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score", id_col], ascending=[False, True],
@@ -89,11 +89,19 @@ def ivf_ann_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
     centroid — the canonical pre-aggregated distributed k-means."""
     q = _normalize(np.asarray(queries, dtype=np.float32))
 
-    sample = ds.random_sample(1.0, seed=seed).limit(sample_size)
+    # centroid-init sample must be UNIFORM over the dataset (a plain
+    # ``limit(n)`` reads the first n rows — the first blocks only, which
+    # biases centroids to one docid range): seeded per-row Bernoulli
+    # oversample at 2× the target, then a seeded driver-side subsample.
     import pyarrow as pa2
-    batches = list(sample.iter_batches(batch_size=None, batch_format="pyarrow"))
+    n_total = ds.count()
+    frac = min(1.0, (2.0 * sample_size) / max(n_total, 1))
+    batches = list(ds.random_sample(frac, seed=seed).select_columns([vec_col])
+                   .iter_batches(batch_size=None, batch_format="pyarrow"))
     M0 = _normalize(np.concatenate([_as_matrix(b[vec_col]) for b in batches]))
     rng = np.random.default_rng(seed)
+    if M0.shape[0] > sample_size:
+        M0 = M0[rng.choice(M0.shape[0], size=sample_size, replace=False)]
     cent = M0[rng.choice(M0.shape[0], size=min(n_lists, M0.shape[0]),
                          replace=False)]
 
@@ -131,38 +139,36 @@ def ivf_ann_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
     probe_ref = ray.put(probes)
     q_ref = ray.put(q)
 
-    class Scorer:
-        def __init__(self):
-            self.c = ray.get(cent_ref)
-            self.q = ray.get(q_ref)
-            self.probes = ray.get(probe_ref)
+    # stateless task form (see ann_cosine_topk.score): no pool-width cap
+    def score(b: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        qm = ray.get(q_ref)
+        probes_l = ray.get(probe_ref)
+        m = _normalize(_as_matrix(b[vec_col]))
+        ids = b[id_col].to_numpy()
+        assign = (m @ c.T).argmax(axis=1)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            cand = np.isin(assign, probes_l[qi])
+            if not cand.any():
+                continue
+            s = m[cand] @ qm[qi]
+            kk = min(k, s.size)
+            top = np.argpartition(-s, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int32))
+            out_id.append(ids[cand][top])
+            out_s.append(s[top].astype(np.float64))
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_id)),
+            "score": pa.array(np.concatenate(out_s)),
+        })
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            m = _normalize(_as_matrix(b[vec_col]))
-            ids = b[id_col].to_numpy()
-            assign = (m @ self.c.T).argmax(axis=1)
-            out_q, out_id, out_s = [], [], []
-            for qi in range(self.q.shape[0]):
-                cand = np.isin(assign, self.probes[qi])
-                if not cand.any():
-                    continue
-                s = m[cand] @ self.q[qi]
-                kk = min(k, s.size)
-                top = np.argpartition(-s, kk - 1)[:kk]
-                out_q.append(np.full(kk, qi, dtype=np.int32))
-                out_id.append(ids[cand][top])
-                out_s.append(s[top].astype(np.float64))
-            if not out_q:
-                return pa.table({"query_id": pa.array([], pa.int32()),
-                                 id_col: pa.array([], pa.int64()),
-                                 "score": pa.array([], pa.float64())})
-            return pa.table({
-                "query_id": pa.array(np.concatenate(out_q)),
-                id_col: pa.array(np.concatenate(out_id)),
-                "score": pa.array(np.concatenate(out_s)),
-            })
-
-    partials = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=2)
+    partials = ds.map_batches(score, batch_format="pyarrow")
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score", id_col], ascending=[False, True],
@@ -203,52 +209,49 @@ def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, planes: int = 12,
     wanted_ref = ray.put(np.array(sorted(wanted), dtype=np.uint32))
     q_ref = ray.put(q)
 
-    class Scorer:
-        def __init__(self):
-            self.q = ray.get(q_ref)
-            self.qb = q_buckets
-            self.wanted = ray.get(wanted_ref)
+    # stateless task form (see ann_cosine_topk.score): no pool-width cap
+    def score(b: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        wanted_l = ray.get(wanted_ref)
+        m = _normalize(_as_matrix(b[vec_col]))
+        ids = b[id_col].to_numpy()
+        bk = bucket_of(m)
+        keep = np.isin(bk, wanted_l)
+        if not keep.any():
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        m, ids, bk = m[keep], ids[keep], bk[keep]
+        sims = m @ qm.T
+        out_q, out_id, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            # only candidates whose bucket probes this query's bucket
+            mask = (bk ^ q_buckets[qi]).astype(np.uint32)
+            ham = np.zeros(mask.size, dtype=np.int32)
+            mm = mask.copy()
+            while mm.any():
+                ham += (mm & 1).astype(np.int32)
+                mm >>= 1
+            cand = ham <= probe_hamming
+            if not cand.any():
+                continue
+            s = sims[cand, qi]
+            kk = min(k, s.size)
+            top = np.argpartition(-s, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int32))
+            out_id.append(ids[cand][top])
+            out_s.append(s[top].astype(np.float64))
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_id)),
+            "score": pa.array(np.concatenate(out_s)),
+        })
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            m = _normalize(_as_matrix(b[vec_col]))
-            ids = b[id_col].to_numpy()
-            bk = bucket_of(m)
-            keep = np.isin(bk, self.wanted)
-            if not keep.any():
-                return pa.table({"query_id": pa.array([], pa.int32()),
-                                 id_col: pa.array([], pa.int64()),
-                                 "score": pa.array([], pa.float64())})
-            m, ids, bk = m[keep], ids[keep], bk[keep]
-            sims = m @ self.q.T
-            out_q, out_id, out_s = [], [], []
-            for qi in range(self.q.shape[0]):
-                # only candidates whose bucket probes this query's bucket
-                mask = (bk ^ self.qb[qi]).astype(np.uint32)
-                ham = np.zeros(mask.size, dtype=np.int32)
-                mm = mask.copy()
-                while mm.any():
-                    ham += (mm & 1).astype(np.int32)
-                    mm >>= 1
-                cand = ham <= probe_hamming
-                if not cand.any():
-                    continue
-                s = sims[cand, qi]
-                kk = min(k, s.size)
-                top = np.argpartition(-s, kk - 1)[:kk]
-                out_q.append(np.full(kk, qi, dtype=np.int32))
-                out_id.append(ids[cand][top])
-                out_s.append(s[top].astype(np.float64))
-            if not out_q:
-                return pa.table({"query_id": pa.array([], pa.int32()),
-                                 id_col: pa.array([], pa.int64()),
-                                 "score": pa.array([], pa.float64())})
-            return pa.table({
-                "query_id": pa.array(np.concatenate(out_q)),
-                id_col: pa.array(np.concatenate(out_id)),
-                "score": pa.array(np.concatenate(out_s)),
-            })
-
-    partials = ds.map_batches(Scorer, batch_format="pyarrow", concurrency=2)
+    partials = ds.map_batches(score, batch_format="pyarrow")
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score", id_col], ascending=[False, True],

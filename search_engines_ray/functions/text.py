@@ -55,8 +55,16 @@ class LanguageId:
 
 
 def language_id(ds, text_col: str = "text"):
-    return ds.map_batches(LanguageId, fn_constructor_kwargs=dict(text_col=text_col),
-                          batch_format="pyarrow", concurrency=2)
+    # stateless task + process-global classifier (profiles are tiny but
+    # the pattern matters: no fixed pool width capping throughput)
+    from ..util import proc_cached
+
+    def fn(b: pa.Table) -> pa.Table:
+        clf = proc_cached(("langid", text_col),
+                          lambda: LanguageId(text_col=text_col))
+        return clf(b)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def quality_batch(b: pa.Table, text_col: str = "text") -> pa.Table:

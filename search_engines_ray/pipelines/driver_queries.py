@@ -121,8 +121,22 @@ def q_term_df_ctf_top50(sf_dir: str):
     agg = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("term").aggregate(Sum("df", alias_name="df"),
                                    Sum("ctf", alias_name="ctf"))
-    pdf = agg.to_pandas().sort_values(["ctf", "term"],
-                                      ascending=[False, True]).head(50)
+
+    # per-partition top-50 cut BEFORE the driver collect: the groupby
+    # output has unique terms, so a row outside its block's top 50 by
+    # (ctf desc, term asc) cannot be in the global top 50 — the driver
+    # merges ≤ 50×num_blocks rows, never the whole vocabulary
+    def block_top50(bt: pa.Table) -> pa.Table:
+        bdf = bt.to_pandas().sort_values(["ctf", "term"],
+                                         ascending=[False, True]).head(50)
+        return pa.Table.from_pandas(bdf.reset_index(drop=True),
+                                    preserve_index=False)
+
+    parts = pa.concat_tables(
+        agg.map_batches(block_top50, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    pdf = parts.to_pandas().sort_values(["ctf", "term"],
+                                        ascending=[False, True]).head(50)
     return pa.Table.from_pandas(pdf.reset_index(drop=True), preserve_index=False)
 
 
@@ -564,8 +578,21 @@ def q_top_docs_by_chars(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "lang", "n_chars"])
     ds = ds.filter(expr="lang == 'en'")
-    pdf = ds.to_pandas().sort_values(["n_chars", "doc_id"],
-                                     ascending=[False, True]).head(20)
+
+    # per-block partial top-20 before the driver merge — the driver
+    # never holds the full filtered table (at 100× scale the old
+    # ``to_pandas()`` here is an OOM)
+    def block_top20(bt: pa.Table) -> pa.Table:
+        bdf = bt.to_pandas().sort_values(["n_chars", "doc_id"],
+                                         ascending=[False, True]).head(20)
+        return pa.Table.from_pandas(bdf.reset_index(drop=True),
+                                    preserve_index=False)
+
+    parts = pa.concat_tables(
+        ds.map_batches(block_top20, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    pdf = parts.to_pandas().sort_values(["n_chars", "doc_id"],
+                                        ascending=[False, True]).head(20)
     return pa.table({"doc_id": pa.array(pdf["doc_id"].to_numpy(), pa.int64()),
                      "n_chars": pa.array(pdf["n_chars"].to_numpy(), pa.int64())})
 

@@ -21,10 +21,13 @@ no O(n_docs) broadcast anywhere. External ids are fetched for the final
 candidate set via a filtered forward scan. The packed key leaves 44 bits
 for docids and 19 for queries per batch.
 
-BM25 #SUM (bag-of-words) only — the model whose accumulation is a plain
-sum and hence expressible as groupby().sum() (SURVEY.md §2.4 #SUM row).
-Structured operators stay on the driver path where per-term alignment is
-cheap.
+Entry points: ``bm25_batch_search`` (bag-of-words #SUM),
+``bm25_structured_batch_search`` (#SUM over term + positional leaves,
+multi-field — each field scores with its own df/doclen/avglen),
+``indri_batch_search`` (bag-of-words #AND in log space) and
+``indri_structured_batch_search`` (#AND/#WAND trees, log-linear).
+All scoring stages are STATELESS tasks with process-global caches —
+no fixed actor-pool width to cap throughput at cluster scale.
 """
 
 from __future__ import annotations
@@ -171,7 +174,7 @@ def bm25_batch_search(index_dir: str, queries: list[tuple[str, str]],
     reader = IndexReader(index_dir)
     an = Analyzer(simple=(reader.stats.get("analyzer") == "simple"))
 
-    qids = [qid for qid, _ in queries]
+    qids = _check_unique_qids(queries)
     qcode = {qid: i for i, qid in enumerate(qids)}
     # term -> [(qcode, multiplicity)]: a repeated query term scores per
     # occurrence, as #SUM over duplicate args does
@@ -213,46 +216,49 @@ def bm25_batch_search(index_dir: str, queries: list[tuple[str, str]],
         filter=(pa.compute.field("term").isin(terms_list)
                 & (pa.compute.field("field") == field)))
 
-    class ScoreBatch:
-        def __init__(self):
-            self.dl = _ShardedDoclens(index_dir, field, pid_offsets, dl_token)
-            self.tq = ray.get(tq_ref)
-            self.global_df = ray.get(df_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keys_out, scores_out = [], []
-            for term, db, tb in zip(batch["term"].to_pylist(),
-                                    batch["docid_blob"].to_pylist(),
-                                    batch["tf_blob"].to_pylist()):
-                docids, tfs, _ = decode_postings(db, tb, None)
-                df = self.global_df[term]
-                idf = max(0.0, np.log((N - df + 0.5) / (df + 0.5)))
-                dl = self.dl.get(docids).astype(np.float64)
-                tf = tfs.astype(np.float64)
-                s = idf * (tf / (tf + k1 * ((1.0 - b) + b * dl / avglen)))
-                for qc, mult in self.tq[term]:
-                    keys_out.append((np.int64(qc) << _DOC_BITS) | docids)
-                    scores_out.append(s if mult == 1 else s * mult)
-            if not keys_out:
-                return _partial_empty()
-            key_c = np.concatenate(keys_out)
-            sc_c = np.concatenate(scores_out)
-            # partial per-(query, docid) accumulate inside the batch
-            uniq, inv = np.unique(key_c, return_inverse=True)
-            agg = np.zeros(uniq.size, dtype=np.float64)
-            np.add.at(agg, inv, sc_c)
-            return pa.table({
-                "part": pa.array((uniq % _NPART).astype(np.int32)),
-                "gkey": pa.array(uniq),
-                "score": pa.array(agg)})
-
     _NPART = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    # stateless task (not a capped actor pool): refs resolve zero-copy
+    # from the local object store per batch and the doclen shard cache
+    # is process-global, so tasks schedule elastically on every CPU —
+    # the earlier ``concurrency=2`` pool capped this stage at 2 workers
+    # regardless of cluster size
+    def score_batch(batch: pa.Table) -> pa.Table:
+        dlens = _ShardedDoclens(index_dir, field, pid_offsets, dl_token)
+        tq = ray.get(tq_ref)
+        global_df = ray.get(df_ref)
+        keys_out, scores_out = [], []
+        for term, db, tb in zip(batch["term"].to_pylist(),
+                                batch["docid_blob"].to_pylist(),
+                                batch["tf_blob"].to_pylist()):
+            docids, tfs, _ = decode_postings(db, tb, None)
+            df = global_df[term]
+            idf = max(0.0, np.log((N - df + 0.5) / (df + 0.5)))
+            dl = dlens.get(docids).astype(np.float64)
+            tf = tfs.astype(np.float64)
+            s = idf * (tf / (tf + k1 * ((1.0 - b) + b * dl / avglen)))
+            for qc, mult in tq[term]:
+                keys_out.append((np.int64(qc) << _DOC_BITS) | docids)
+                scores_out.append(s if mult == 1 else s * mult)
+        if not keys_out:
+            return _partial_empty()
+        key_c = np.concatenate(keys_out)
+        sc_c = np.concatenate(scores_out)
+        # partial per-(query, docid) accumulate inside the batch
+        uniq, inv = np.unique(key_c, return_inverse=True)
+        agg = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(agg, inv, sc_c)
+        return pa.table({
+            "part": pa.array((uniq % _NPART).astype(np.int32)),
+            "gkey": pa.array(uniq),
+            "score": pa.array(agg)})
+
     # coalesce the bucket-file blocks: larger scoring batches make the
     # in-batch (query, docid) partial aggregation deduplicate across more
     # terms before the shuffle
     ds = ds.repartition(min(_NPART, max(1, len(paths) // 2)))
-    scored = ds.map_batches(ScoreBatch, batch_format="pyarrow",
-                            batch_size=None, concurrency=2)
+    scored = ds.map_batches(score_batch, batch_format="pyarrow",
+                            batch_size=None)
 
     return _emit_ranked(_collect_parts(scored, _agg_topk_sum(k)),
                         qids, k, reader)
@@ -313,7 +319,7 @@ def indri_batch_search(index_dir: str, queries: list[tuple[str, str]],
     reader = IndexReader(index_dir)
     an = Analyzer(simple=(reader.stats.get("analyzer") == "simple"))
 
-    qids = [qid for qid, _ in queries]
+    qids = _check_unique_qids(queries)
     qcode = {qid: i for i, qid in enumerate(qids)}
     term_queries: dict[str, list[tuple[int, int]]] = {}
     q_terms: list[list[tuple[str, int]]] = [[] for _ in qids]  # per qcode
@@ -355,42 +361,41 @@ def indri_batch_search(index_dir: str, queries: list[tuple[str, str]],
     def _s(tf, dl, m):
         return (1.0 - lam) * (tf + mu * m) / (dl + mu) + lam * m
 
-    class LogPartial:
-        def __init__(self):
-            self.dl = _ShardedDoclens(index_dir, field, pid_offsets, dl_token)
-            self.tq = ray.get(tq_ref)
-            self.mle = ray.get(mle_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keys_out, vals_out = [], []
-            with np.errstate(divide="ignore"):
-                for term, db, tb in zip(batch["term"].to_pylist(),
-                                        batch["docid_blob"].to_pylist(),
-                                        batch["tf_blob"].to_pylist()):
-                    docids, tfs, _ = decode_postings(db, tb, None)
-                    dl = self.dl.get(docids).astype(np.float64)
-                    m = self.mle[term]
-                    part = (np.log(_s(tfs.astype(np.float64), dl, m))
-                            - np.log(_s(0.0, dl, m)))
-                    for qc, mult in self.tq[term]:
-                        keys_out.append((np.int64(qc) << _DOC_BITS) | docids)
-                        vals_out.append(part if mult == 1 else part * mult)
-            if not keys_out:
-                return _partial_empty()
-            key_c = np.concatenate(keys_out)
-            v_c = np.concatenate(vals_out)
-            uniq, inv = np.unique(key_c, return_inverse=True)
-            agg = np.zeros(uniq.size, dtype=np.float64)
-            np.add.at(agg, inv, v_c)
-            return pa.table({
-                "part": pa.array((uniq % _NPART).astype(np.int32)),
-                "gkey": pa.array(uniq),
-                "score": pa.array(agg)})
-
     _NPART = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    # stateless task form (see score_batch above): no pool-width cap
+    def log_partial(batch: pa.Table) -> pa.Table:
+        dlens = _ShardedDoclens(index_dir, field, pid_offsets, dl_token)
+        tq = ray.get(tq_ref)
+        mle_m = ray.get(mle_ref)
+        keys_out, vals_out = [], []
+        with np.errstate(divide="ignore"):
+            for term, db, tb in zip(batch["term"].to_pylist(),
+                                    batch["docid_blob"].to_pylist(),
+                                    batch["tf_blob"].to_pylist()):
+                docids, tfs, _ = decode_postings(db, tb, None)
+                dl = dlens.get(docids).astype(np.float64)
+                m = mle_m[term]
+                part = (np.log(_s(tfs.astype(np.float64), dl, m))
+                        - np.log(_s(0.0, dl, m)))
+                for qc, mult in tq[term]:
+                    keys_out.append((np.int64(qc) << _DOC_BITS) | docids)
+                    vals_out.append(part if mult == 1 else part * mult)
+        if not keys_out:
+            return _partial_empty()
+        key_c = np.concatenate(keys_out)
+        v_c = np.concatenate(vals_out)
+        uniq, inv = np.unique(key_c, return_inverse=True)
+        agg = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(agg, inv, v_c)
+        return pa.table({
+            "part": pa.array((uniq % _NPART).astype(np.int32)),
+            "gkey": pa.array(uniq),
+            "score": pa.array(agg)})
+
     ds = ds.repartition(min(_NPART, max(1, len(paths) // 2)))
-    scored = ds.map_batches(LogPartial, batch_format="pyarrow",
-                            batch_size=None, concurrency=2)
+    scored = ds.map_batches(log_partial, batch_format="pyarrow",
+                            batch_size=None)
 
     def agg_topk(bt: pa.Table) -> pa.Table:
         """Final per-partition aggregate: sum log-partials, add the
@@ -427,6 +432,17 @@ def indri_batch_search(index_dir: str, queries: list[tuple[str, str]],
                          "score": pa.array(final[keep])})
 
     return _emit_ranked(_collect_parts(scored, agg_topk), qids, k, reader)
+
+
+def _check_unique_qids(queries: list[tuple[str, str]]) -> list[str]:
+    """Batch qids key the packed qcode space — a repeated qid would
+    silently merge two queries' term sets under one code (ADVICE r1)."""
+    from collections import Counter
+    qids = [qid for qid, _ in queries]
+    dups = sorted(q for q, c in Counter(qids).items() if c > 1)
+    if dups:
+        raise ValueError(f"duplicate qids in query batch: {dups}")
+    return qids
 
 
 def _partial_empty() -> pa.Table:
@@ -560,9 +576,9 @@ def bm25_structured_batch_search(index_dir: str,
     model = model or _BM25()
     reader = IndexReader(index_dir)
     an = Analyzer(simple=(reader.stats.get("analyzer") == "simple"))
-    parser = QueryParser(an)
+    parser = QueryParser(an, default_field=field)
 
-    qids = [qid for qid, _ in queries]
+    qids = _check_unique_qids(queries)
     qcode = {qid: i for i, qid in enumerate(qids)}
 
     def leaves_of(plan):
@@ -583,53 +599,56 @@ def bm25_structured_batch_search(index_dir: str,
             f"positional leaves only; got #{getattr(plan, 'op', plan)} "
             "(deeper trees stay on the driver path)")
 
-    # leaf key → [(qcode, mult)]; iop leaf key = canonical repr
+    # leaf key → [(qcode, mult)]; term key = "t:<field>:<term>", iop key
+    # = "i:<field>:<repr>" — per-field keys let one batch mix fields
+    # (each field scores with its OWN df/doclen/avglen stats, matching
+    # the reference's per-field model — QryParser.java:156-158)
     term_leaves: dict[str, list[tuple[int, int]]] = {}
-    iop_plans: dict[str, "IopNode"] = {}
+    iop_plans_by_field: dict[str, dict[str, "IopNode"]] = {}
     iop_leaves: dict[str, list[tuple[int, int]]] = {}
     for qid, q in queries:
         plan = parser.parse(q, "#sum")
         counts: dict[str, int] = {}
         for leaf in leaves_of(plan):
-            leaf_field = leaf.field if isinstance(leaf, TermNode) \
-                else leaf.field_name
-            if leaf_field != field:
-                raise ValueError(
-                    f"distributed structured path scores field {field!r} "
-                    f"only; leaf uses {leaf_field!r} — use the driver "
-                    "path for multi-field queries")
             if isinstance(leaf, TermNode):
-                key = "t:" + leaf.term
+                key = f"t:{leaf.field}:{leaf.term}"
             else:
-                key = "i:" + repr(leaf)
-                iop_plans[key] = leaf
+                fld = leaf.field_name
+                key = f"i:{fld}:{leaf!r}"
+                iop_plans_by_field.setdefault(fld, {})[key] = leaf
             counts[key] = counts.get(key, 0) + 1
         for key, m in counts.items():
             dst = term_leaves if key.startswith("t:") else iop_leaves
             dst.setdefault(key, []).append((qcode[qid], m))
-    plain_terms = sorted({k[2:] for k in term_leaves})
+    # field → its plain terms
+    terms_by_field: dict[str, list[str]] = {}
+    for key in term_leaves:
+        _, fld, trm = key.split(":", 2)
+        terms_by_field.setdefault(fld, []).append(trm)
     if not term_leaves and not iop_leaves:
         return _empty()
 
     N = reader.n_docs
-    avglen = reader.avg_len(field)
+    avglens = {f: reader.avg_len(f)
+               for f in set(terms_by_field) | set(iop_plans_by_field)}
     pid_offsets = reader.pid_offsets
     dl_token = reader.stats_token
     k1, b = model.k1, model.b
     _NPART = max(8, int(ray.cluster_resources().get("CPU", 8)))
 
     def score_partial(leaf_rows):
-        """(gkey, score) partial rows from (leaf_key, df_global, docids,
-        tfs) tuples — shared by the term path and the derived path."""
+        """(gkey, score) partial rows from (field, df_global, docids,
+        tfs, targets) tuples — shared by the term path and the derived
+        path; doclens resolve per leaf field (sharded, process-cached)."""
         keys_out, scores_out = [], []
-        dlens = _ShardedDoclens(index_dir, field, pid_offsets, dl_token)
-        for key, df, docids, tfs, targets in leaf_rows:
+        for fld, df, docids, tfs, targets in leaf_rows:
             if docids.size == 0 or df == 0:
                 continue
+            dlens = _ShardedDoclens(index_dir, fld, pid_offsets, dl_token)
             idf = max(0.0, float(np.log((N - df + 0.5) / (df + 0.5))))
             dl = dlens.get(docids).astype(np.float64)
             tf = tfs.astype(np.float64)
-            s = idf * (tf / (tf + k1 * ((1.0 - b) + b * dl / avglen)))
+            s = idf * (tf / (tf + k1 * ((1.0 - b) + b * dl / avglens[fld])))
             for qc, mult in targets:
                 keys_out.append((np.int64(qc) << _DOC_BITS) | docids)
                 scores_out.append(s if mult == 1 else s * mult)
@@ -646,55 +665,66 @@ def bm25_structured_batch_search(index_dir: str,
 
     partial_tables: list = []
 
-    # ---- phase A: derived lists, per-salt co-group ----
-    derived, dstats = _derive_lists(reader, iop_plans, field)
-    if derived is not None:
+    # ---- phase A: derived lists, per-salt co-group (one pass per
+    # field holding positional leaves — iop args share a field) ----
+    for ifld, plans in sorted(iop_plans_by_field.items()):
+        derived, dstats = _derive_lists(reader, plans, ifld)
+        if derived is None:
+            continue
         ddf = {lf: d for lf, (d, _) in dstats.items()}
         ddf_ref = ray.put(ddf)
-        il_ref = ray.put(iop_leaves)
+        il_ref = ray.put({lf: iop_leaves[lf] for lf in plans
+                          if lf in iop_leaves})
 
-        def score_derived(bt: pa.Table) -> pa.Table:
-            ddf_l = ray.get(ddf_ref)
-            il = ray.get(il_ref)
+        def score_derived(bt: pa.Table, _fld=ifld, _ddf_ref=ddf_ref,
+                          _il_ref=il_ref) -> pa.Table:
+            ddf_l = ray.get(_ddf_ref)
+            il = ray.get(_il_ref)
             rows = []
             for lf, db2, tb2 in zip(bt["leaf"].to_pylist(),
                                     bt["docid_blob"].to_pylist(),
                                     bt["tf_blob"].to_pylist()):
                 d, tf, _ = decode_postings(db2, tb2, None)
-                rows.append((lf, ddf_l[lf], d, tf, il[lf]))
+                rows.append((_fld, ddf_l[lf], d, tf, il[lf]))
             return score_partial(rows)
 
         partial_tables.append(
             derived.map_batches(score_derived, batch_format="pyarrow",
                                 batch_size=None))
 
-    # ---- phase B: plain term leaves (same as bm25_batch_search) ----
-    if plain_terms:
+    # ---- phase B: plain term leaves (same as bm25_batch_search),
+    # one bucket-pruned read per field ----
+    for tfld, tlist in sorted(terms_by_field.items()):
+        plain_terms = sorted(set(tlist))
         paths = reader._bucket_paths(plain_terms)
-        if paths:
-            tstats = _global_term_stats(index_dir, reader, plain_terms, field)
-            ts_ref = ray.put(tstats)
-            tl_ref = ray.put(term_leaves)
+        if not paths:
+            continue
+        tstats = _global_term_stats(index_dir, reader, plain_terms, tfld)
+        ts_ref = ray.put(tstats)
+        tl_ref = ray.put({t: term_leaves[f"t:{tfld}:{t}"]
+                          for t in plain_terms
+                          if f"t:{tfld}:{t}" in term_leaves})
 
-            def score_terms(bt: pa.Table) -> pa.Table:
-                tstats_l = ray.get(ts_ref)
-                tl = ray.get(tl_ref)
-                rows = []
-                for trm, db2, tb2 in zip(bt["term"].to_pylist(),
-                                         bt["docid_blob"].to_pylist(),
-                                         bt["tf_blob"].to_pylist()):
-                    d, tf, _ = decode_postings(db2, tb2, None)
-                    rows.append((trm, tstats_l.get(trm, (0, 0))[0], d, tf,
-                                 tl["t:" + trm]))
-                return score_partial(rows)
+        def score_terms(bt: pa.Table, _fld=tfld, _ts_ref=ts_ref,
+                        _tl_ref=tl_ref) -> pa.Table:
+            tstats_l = ray.get(_ts_ref)
+            tl = ray.get(_tl_ref)
+            rows = []
+            for trm, db2, tb2 in zip(bt["term"].to_pylist(),
+                                     bt["docid_blob"].to_pylist(),
+                                     bt["tf_blob"].to_pylist()):
+                d, tf, _ = decode_postings(db2, tb2, None)
+                rows.append((_fld, tstats_l.get(trm, (0, 0))[0], d, tf,
+                             tl[trm]))
+            return score_partial(rows)
 
-            tds = ray.data.read_parquet(
-                paths, columns=["term", "field", "docid_blob", "tf_blob"],
-                filter=(pa.compute.field("term").isin(plain_terms)
-                        & (pa.compute.field("field") == field)))
-            partial_tables.append(
-                tds.map_batches(score_terms, batch_format="pyarrow",
-                                batch_size=None))
+        tds = ray.data.read_parquet(
+            paths, columns=["term", "field", "docid_blob", "tf_blob"],
+            filter=(pa.compute.field("term").isin(plain_terms)
+                    & (pa.compute.field("field") == tfld)))
+        partial_tables.append(
+            tds.map_batches(score_terms, batch_format="pyarrow",
+                            batch_size=None))
 
     if not partial_tables:
         return _empty()
@@ -738,10 +768,10 @@ def indri_structured_batch_search(index_dir: str,
     model = model or IndriModel()
     reader = IndexReader(index_dir)
     an = Analyzer(simple=(reader.stats.get("analyzer") == "simple"))
-    parser = QueryParser(an)
+    parser = QueryParser(an, default_field=field)
     mu, lam = model.mu, model.lambda_
 
-    qids = [qid for qid, _ in queries]
+    qids = _check_unique_qids(queries)
     iop_plans: dict = {}
 
     def flatten(plan, coef, acc):

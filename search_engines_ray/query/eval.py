@@ -30,7 +30,7 @@ from .models import (
 )
 from .parser import QueryParser
 from .plan import IopNode, PlanNode, ScoreNode, SopNode, TermNode, is_iop
-from .trec import rank_results
+from .trec import rank_results_candidates
 
 
 @dataclass
@@ -443,8 +443,10 @@ class QueryEngine:
             return _empty_results()
         cache = self._fetch(plan)
         scored = self._eval_sop(plan, cache)
-        ext = self.reader.external_ids()
-        return rank_results(scored.docids, scored.scores, ext, k)
+        # candidate-set id lookup, not the dense external_ids() array —
+        # the interactive path must not allocate O(n_docs) driver memory
+        return rank_results_candidates(scored.docids, scored.scores,
+                                       self.reader.external_ids_for, k)
 
     def run_queries(self, queries: list[tuple[str, str]], k: int = 100) -> pa.Table:
         tables = []

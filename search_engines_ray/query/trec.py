@@ -26,6 +26,27 @@ def rank_results(docids: np.ndarray, scores: np.ndarray,
     })
 
 
+def rank_results_candidates(docids: np.ndarray, scores: np.ndarray,
+                            fetch_ids, k: int = 100) -> pa.Table:
+    """``rank_results`` without the dense O(n_docs) id array: cut to the
+    exact candidate set first (score >= kth score — ties kept, so the
+    external-id tiebreak stays exact), then resolve external ids for
+    those docids only via ``fetch_ids`` (a filtered forward scan)."""
+    keep = scores >= 0
+    docids, scores = docids[keep], scores[keep]
+    if scores.size > k:
+        kth = np.partition(scores, -k)[-k]
+        m = scores >= kth
+        docids, scores = docids[m], scores[m]
+    ext = fetch_ids(docids) if docids.size else np.empty(0, dtype=object)
+    order = np.lexsort((ext, -scores))[:k]
+    return pa.table({
+        "external_id": pa.array(ext[order].tolist(), pa.string()),
+        "score": pa.array(scores[order], pa.float64()),
+        "rank": pa.array(np.arange(1, order.size + 1, dtype=np.int32)),
+    })
+
+
 def format_trec(results: pa.Table, run_id: str = "run-1",
                 default_qid: str = "1",
                 all_qids: list[str] | None = None) -> str:

@@ -188,6 +188,75 @@ def test_minhash_chain_and_pairwise(ray_session):
     assert all(v == 5 for k, v in m.items() if k in (5, 6, 7))
 
 
+def test_minhash_signature_matches_bigint_reference():
+    """The uint64 Mersenne-limb signature kernel must be bit-identical
+    to exact big-integer (a*h+b) mod (2^61-1) arithmetic (the round-1
+    object-dtype implementation)."""
+    from search_engines_ray.functions.dedup import (
+        MinHasher, _MERSENNE, _shingle_hashes,
+    )
+    from search_engines_ray.analysis.tokenizer import simple_tokenize
+    mh = MinHasher(num_perm=64, shingle=3)
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+        "short",
+        "",
+        " ".join(f"tok{i % 37}" for i in range(500)),
+    ]
+    for text in texts:
+        got = mh.signature(text)
+        h = _shingle_hashes(simple_tokenize(text), mh.shingle)
+        if h.size == 0:
+            assert (got == np.iinfo(np.uint64).max).all()
+            continue
+        a = mh.a.astype(object)
+        b = mh.b.astype(object)
+        hh = h.astype(object)
+        want = (np.outer(a, hh) + b[:, None]) % _MERSENNE
+        assert (got.astype(object) == want.min(axis=1)).all()
+
+
+def test_compress_canonical_transitive_components(ray_session):
+    """ADVICE r1: bucket1 {A,C} and bucket2 {B,C} edges must resolve B
+    into A's component (min-label aggregation alone drops the B-C link
+    when C keeps its smaller canonical A)."""
+    import ray.data as rd
+    from search_engines_ray.functions.dedup import _compress_canonical
+    # raw bucket edges exactly as bucket_pairs emits them
+    edges = pd.DataFrame({
+        "doc_id":       [1, 3, 2, 3],
+        "canonical_id": [1, 1, 2, 2],
+    })
+    out = _compress_canonical(rd.from_pandas(edges), "doc_id").to_pandas()
+    m = dict(zip(out["doc_id"], out["canonical_id"]))
+    assert m == {1: 1, 2: 1, 3: 1}
+
+
+def test_ivf_sample_spans_dataset(ray_session):
+    """The IVF centroid-init sample must draw across the WHOLE dataset,
+    not the first blocks: with vectors laid out so early rows all point
+    one way and late rows the other, both directions must appear among
+    the centroids."""
+    import ray.data as rd
+    from search_engines_ray.functions.similarity import ivf_ann_topk
+    n, d = 2000, 4
+    vecs = np.zeros((n, d), dtype=np.float32)
+    vecs[: n // 2, 0] = 1.0          # first half points along axis 0
+    vecs[n // 2:, 1] = 1.0           # second half along axis 1
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [v.tolist() for v in vecs]})
+    ds = rd.from_pandas(df).repartition(8)
+    q = np.array([[0.0, 1.0, 0.0, 0.0]], dtype=np.float32)
+    out = ivf_ann_topk(ds, q, k=5, n_lists=4, n_probe=1, kmeans_iters=2,
+                       sample_size=256).to_pandas()
+    # a first-blocks-only sample yields centroids all on axis 0, so the
+    # axis-1 query probes a list holding no axis-1 vectors → score < 1
+    assert len(out) == 5
+    assert out["score"].max() == pytest.approx(1.0)
+    assert all(out["vec_id"] >= n // 2)
+
+
 def test_empty_corpus_build(ray_session, tmp_path):
     import pandas as pd
     import ray.data as rd

@@ -211,15 +211,38 @@ def test_distributed_structured_indri_matches_driver_path(docs_index):
         np.testing.assert_allclose(sub["score"], drv["score"], rtol=1e-10)
 
 
-def test_structured_distributed_rejects_other_fields(docs_index):
-    """Field-qualified leaves must raise (driver path handles them) —
-    never silently score the wrong field."""
-    from search_engines_ray.query.distributed import (
-        bm25_structured_batch_search, indri_structured_batch_search,
-    )
-    with pytest.raises(ValueError, match="field"):
-        bm25_structured_batch_search(
-            docs_index.index_dir, [("1", "#sum(fast.title sort)")], k=5)
+def test_structured_distributed_multifield_parity(toy_index):
+    """Distributed structured BM25 now routes field-qualified leaves
+    with per-field df/doclen/avglen stats — rank- and score-identical
+    to the driver engine on a mixed body+title query."""
+    from search_engines_ray.query.distributed import bm25_structured_batch_search
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import BM25Model
+
+    q = "#sum(fox.title quick #near/2(brown fox))"
+    engine = QueryEngine(toy_index, BM25Model())
+    want = engine.search(q, k=5)
+    got = bm25_structured_batch_search(toy_index.index_dir, [("1", q)], k=5)
+    assert got["external_id"].to_pylist() == want["external_id"].to_pylist()
+    assert got["score"].to_pylist() == pytest.approx(
+        want["score"].to_pylist(), rel=1e-12)
+
+
+def test_structured_distributed_rejects_other_fields_indri(docs_index):
+    """Indri's distributed path still refuses field-qualified leaves
+    (driver path handles them) — never silently score the wrong field."""
+    from search_engines_ray.query.distributed import indri_structured_batch_search
     with pytest.raises(ValueError, match="field"):
         indri_structured_batch_search(
             docs_index.index_dir, [("1", "#and(fast.title sort)")], k=5)
+
+
+def test_batch_search_rejects_duplicate_qids(docs_index):
+    """A repeated qid would silently merge two queries' term sets under
+    one packed qcode (ADVICE r1) — must raise instead."""
+    from search_engines_ray.query.distributed import (
+        bm25_batch_search, indri_batch_search,
+    )
+    for fn in (bm25_batch_search, indri_batch_search):
+        with pytest.raises(ValueError, match="duplicate qids"):
+            fn(docs_index.index_dir, [("1", "dup"), ("1", "line")], k=5)
