@@ -190,6 +190,15 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """N-vs-4N scaling proxy (north rule): the SAME parquet input built
+    at 8 and 32 CPUs in fresh subprocesses.
+
+    Protocol (round-2 hardening — the round-1 spread was the 8-cpu
+    denominator's run-to-run variance, not the 32-cpu side): input and
+    index live on tmpfs (no page-cache warmth asymmetry), one untimed
+    8-cpu WARMUP build primes every worker-import/jit path, then
+    ``GRAFT_SCALING_PAIRS`` back-to-back (lo, hi) pairs; the headline
+    efficiency is the MEDIAN over pairs."""
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_MODE="build_only",
@@ -201,25 +210,43 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
+    pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "1"))
+    warmup = os.environ.get("GRAFT_SCALING_WARMUP", "1") == "1"
+    samples: list[dict] = []
     try:
-        r_lo, r_hi = run(lo), run(hi)
+        if warmup:
+            run(lo)                 # untimed: builds the shared pages
+                                    # table and warms import/spawn paths
+        for _ in range(pairs):
+            r_lo, r_hi = run(lo), run(hi)
+            samples.append({
+                "sec": [r_lo["value"], r_hi["value"]],
+                "index_docs_per_sec": [r_lo["index_docs_per_sec"],
+                                       r_hi["index_docs_per_sec"]],
+                "eff": round(r_hi["index_docs_per_sec"]
+                             / (r_lo["index_docs_per_sec"] * (hi / lo)), 3),
+                "stages": {"lo": r_lo.get("stages"), "hi": r_hi.get("stages")},
+            })
     finally:
         import glob
         for p in glob.glob("/dev/shm/bench_pages_*") + \
                  glob.glob("/dev/shm/bench_idx_*"):
             shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) \
                 else os.remove(p)
-    tput_lo = r_lo["index_docs_per_sec"]
-    tput_hi = r_hi["index_docs_per_sec"]
-    eff = tput_hi / (tput_lo * (hi / lo))
+    effs = sorted(s["eff"] for s in samples)
+    median_eff = effs[len(effs) // 2] if len(effs) % 2 else \
+        round((effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
+    last = samples[-1]
     return {
         "metric": "scaling_efficiency",
         "cpus": [lo, hi],
-        "sec": [r_lo["value"], r_hi["value"]],
-        "index_docs_per_sec": [tput_lo, tput_hi],
-        "e2e_speedup": round(r_lo["value"] / r_hi["value"], 3),
-        "scaling_efficiency_index": round(eff, 3),
-        "detail": {"lo": r_lo, "hi": r_hi},
+        "sec": last["sec"],
+        "index_docs_per_sec": last["index_docs_per_sec"],
+        "e2e_speedup": round(last["sec"][0] / last["sec"][1], 3),
+        "scaling_efficiency_index": median_eff,
+        "pairs": len(samples),
+        "samples": [s["eff"] for s in samples],
+        "detail": samples,
     }
 
 

@@ -130,6 +130,23 @@ class Analyzer:
     __call__ = analyze
 
 
+def analyzer_for_mode(mode: str) -> "Analyzer":
+    """Build-config/stats ``analyzer`` mode → Analyzer instance:
+
+    - ``"lucene"``        — the full reference chain (stop + KStem)
+    - ``"lucene_nostem"`` — reference chain with STEMMER=NONE
+      (``EnglishAnalyzerConfigurable.setStemmer(NONE)``; the reference's
+      toy index `QryEval/index` was built this way — 'fruits', 'keeps'
+      are unstemmed in its term dictionary)
+    - ``"simple"``        — DuckDB-reproducible oracle chain
+    """
+    if mode == "simple":
+        return Analyzer(simple=True)
+    if mode == "lucene_nostem":
+        return Analyzer(stem=False)
+    return Analyzer()
+
+
 _DEFAULT = Analyzer()
 
 

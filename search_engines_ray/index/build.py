@@ -61,7 +61,7 @@ import pyarrow as pa
 
 import ray.data
 
-from ..analysis.tokenizer import Analyzer
+from ..analysis.tokenizer import Analyzer, analyzer_for_mode
 from .varbyte import encode_postings, decode_postings
 
 # bump when the on-disk layout changes: resume fingerprints include it,
@@ -96,7 +96,9 @@ class IndexBuildConfig:
     tokenize_concurrency: int | tuple = 4   # retained for API compat; unused
     postings_batch_size: int = 16384        # docs per partial-postings batch
     dedup: bool = True
-    analyzer: str = "lucene"       # "lucene" (full chain) | "simple" (SQL-checkable)
+    analyzer: str = "lucene"       # "lucene" (full chain) | "lucene_nostem"
+                                   # (STEMMER=NONE, reference toy index)
+                                   # | "simple" (SQL-checkable)
 
     def fingerprint(self, input_token: str, stage: str = "all") -> str:
         """Per-stage resume fingerprint. The forward stage does not
@@ -142,7 +144,7 @@ _PROC_ANALYZERS: dict = {}
 def _get_analyzer(mode: str) -> Analyzer:
     an = _PROC_ANALYZERS.get(mode)
     if an is None:
-        an = Analyzer(simple=(mode == "simple"))
+        an = analyzer_for_mode(mode)
         _PROC_ANALYZERS[mode] = an
     return an
 
@@ -337,6 +339,20 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
     """
     cfg = config or IndexBuildConfig()
     os.makedirs(index_dir, exist_ok=True)
+    # fold cheap content identity into the resume token: a caller-
+    # supplied path alone would serve a stale index if the data at that
+    # path changed (ADVICE r1). For file-backed datasets hash the
+    # (name, size, mtime) of the source files (capped — identity, not a
+    # scan); in-memory datasets keep the caller token as-is.
+    try:
+        src_files = sorted(pages.input_files())
+    except Exception:
+        src_files = []
+    if src_files:
+        sig = [(f, os.path.getsize(f), os.path.getmtime(f))
+               for f in src_files[:1024] if os.path.exists(f)]
+        input_token = (f"{input_token}|n={len(src_files)}|"
+                       + hashlib.md5(json.dumps(sig).encode()).hexdigest())
     fp = cfg.fingerprint(input_token)
     fp_fwd = cfg.fingerprint(input_token, FORWARD_DIR)
     metrics: dict = {}

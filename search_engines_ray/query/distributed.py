@@ -40,7 +40,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..analysis.tokenizer import Analyzer
+from ..analysis.tokenizer import Analyzer, analyzer_for_mode
 from ..index.build import POSTINGS_DIR, term_bucket
 from ..index.reader import IndexReader
 from ..index.varbyte import decode_postings
@@ -172,7 +172,7 @@ def bm25_batch_search(index_dir: str, queries: list[tuple[str, str]],
     score), reference ordering per qid."""
     model = model or BM25Model()
     reader = IndexReader(index_dir)
-    an = Analyzer(simple=(reader.stats.get("analyzer") == "simple"))
+    an = analyzer_for_mode(reader.stats.get("analyzer", "lucene"))
 
     qids = _check_unique_qids(queries)
     qcode = {qid: i for i, qid in enumerate(qids)}
@@ -317,7 +317,7 @@ def indri_batch_search(index_dir: str, queries: list[tuple[str, str]],
     from .models import IndriModel
     model = model or IndriModel()
     reader = IndexReader(index_dir)
-    an = Analyzer(simple=(reader.stats.get("analyzer") == "simple"))
+    an = analyzer_for_mode(reader.stats.get("analyzer", "lucene"))
 
     qids = _check_unique_qids(queries)
     qcode = {qid: i for i, qid in enumerate(qids)}
@@ -575,7 +575,7 @@ def bm25_structured_batch_search(index_dir: str,
 
     model = model or _BM25()
     reader = IndexReader(index_dir)
-    an = Analyzer(simple=(reader.stats.get("analyzer") == "simple"))
+    an = analyzer_for_mode(reader.stats.get("analyzer", "lucene"))
     parser = QueryParser(an, default_field=field)
 
     qids = _check_unique_qids(queries)
@@ -767,7 +767,7 @@ def indri_structured_batch_search(index_dir: str,
 
     model = model or IndriModel()
     reader = IndexReader(index_dir)
-    an = Analyzer(simple=(reader.stats.get("analyzer") == "simple"))
+    an = analyzer_for_mode(reader.stats.get("analyzer", "lucene"))
     parser = QueryParser(an, default_field=field)
     mu, lam = model.mu, model.lambda_
 

@@ -261,9 +261,9 @@ class QueryEngine:
         self.reader = reader
         self.model = model
         if parser is None:
-            from ..analysis.tokenizer import Analyzer
-            simple = reader.stats.get("analyzer") == "simple"
-            parser = QueryParser(Analyzer(simple=simple))
+            from ..analysis.tokenizer import analyzer_for_mode
+            parser = QueryParser(
+                analyzer_for_mode(reader.stats.get("analyzer", "lucene")))
         self.parser = parser
         # per-engine posting-list cache: repeated query terms hit memory
         # instead of parquet (the reference leans on Lucene's mmap page

@@ -34,7 +34,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..analysis.tokenizer import Analyzer
+from ..analysis.tokenizer import Analyzer, analyzer_for_mode
 from ..index.reader import IndexReader
 from .models import BM25Model
 
@@ -56,7 +56,7 @@ def bm25_maxscore_search(reader: IndexReader, query: str, k: int = 100,
     ``stats_out``, when given, receives pruning counters
     (runs_total/runs_decoded/terms_probed)."""
     model = model or BM25Model()
-    an = Analyzer(simple=(reader.stats.get("analyzer") == "simple"))
+    an = analyzer_for_mode(reader.stats.get("analyzer", "lucene"))
     toks: list[str] = []
     for tok in query.split():
         toks.extend(an.analyze_query_token(tok))

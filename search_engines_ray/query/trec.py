@@ -49,20 +49,24 @@ def rank_results_candidates(docids: np.ndarray, scores: np.ndarray,
 
 def format_trec(results: pa.Table, run_id: str = "run-1",
                 default_qid: str = "1",
-                all_qids: list[str] | None = None) -> str:
+                all_qids: list[str] | None = None,
+                score_fmt=None) -> str:
     """``qid Q0 externalDocid rank score runID`` lines; a dummy line per
     query with an empty result set, as the reference writes
     (QryEval.java:788-791). Pass ``all_qids`` so queries that matched
-    nothing still emit their dummy line."""
+    nothing still emit their dummy line. ``score_fmt`` overrides the
+    score rendering (e.g. Java ``Double.toString`` minimal form for
+    byte-level comparison against the reference's .teIn goldens)."""
     lines = []
     qids = results["qid"].to_pylist() if "qid" in results.column_names \
         else [default_qid] * results.num_rows
     seen = set()
+    fmt = score_fmt or (lambda s: f"{s:.12f}")
     for qid, ext, rank, score in zip(qids, results["external_id"].to_pylist(),
                                      results["rank"].to_pylist(),
                                      results["score"].to_pylist()):
         seen.add(qid)
-        lines.append(f"{qid}\tQ0\t{ext}\t{rank}\t{score:.12f}\t{run_id}")
+        lines.append(f"{qid}\tQ0\t{ext}\t{rank}\t{fmt(score)}\t{run_id}")
     for qid in (all_qids if all_qids is not None
                 else ([] if seen else [default_qid])):
         if qid not in seen:
