@@ -49,6 +49,24 @@ _EXCEPTIONS = {
     "creating": "create", "created": "create", "creates": "create",
     "increased": "increase", "increasing": "increase",
     "located": "locate", "locating": "locate",
+    # -es plurals of -us/-as base words (the generic rule restores 'e')
+    "buses": "bus", "gases": "gas", "viruses": "virus",
+    "statuses": "status", "campuses": "campus", "censuses": "census",
+    "bonuses": "bonus", "geniuses": "genius", "radiuses": "radius",
+    "aliases": "alias", "atlases": "atlas", "canvases": "canvas",
+    "biases": "bias", "choruses": "chorus", "circuses": "circus",
+    # dictionary-only cases the orthographic rules cannot decide
+    "focused": "focus", "focusing": "focus", "focuses": "focus",
+    "changed": "change", "changing": "change",
+    "managed": "manage", "managing": "manage",
+    "engaged": "engage", "engaging": "engage",
+    "arranged": "arrange", "arranging": "arrange",
+    "challenged": "challenge", "challenging": "challenge",
+    "exchanged": "exchange", "exchanging": "exchange",
+    "ranged": "range", "ranging": "range",
+    "indeed": "indeed", "proceed": "proceed", "succeed": "succeed",
+    "exceed": "exceed", "freed": "free",
+    "welcomed": "welcome", "welcoming": "welcome",
 }
 
 
@@ -82,6 +100,46 @@ def _undouble(word: str) -> str:
     return word
 
 
+def _measure(word: str) -> int:
+    """Porter's m(): number of vowel→consonant transitions. Gates the
+    CVC e-restore so multi-syllable stems like ``open`` / ``visit``
+    don't grow a spurious 'e' (``opened``→``open``, not ``opene``)."""
+    m = 0
+    prev_v = False
+    for i in range(len(word)):
+        v = not _consonant(word, i)
+        if prev_v and not v:
+            m += 1
+        prev_v = v
+    return m
+
+
+def _restore_e(stem: str) -> str:
+    """After stripping -ed/-ing: decide whether the base word ended in a
+    silent 'e' the suffix consumed. English orthography gives strong
+    signals (Krovetz §3 spelling-change rules):
+
+    - stems ending bare ``v``/``u``/``c`` are never words (leave→leav,
+      argue→argu, dance→danc);
+    - ``rg``/``dg`` clusters likewise (merge, charge, judge);
+    - a single ``s``/``z`` after anything but itself (parse, cause,
+      raise, amaze — but miss/buzz keep their double letter);
+    - CVC shape with Porter measure 1 (move, name, hope);
+    - CVC ``-at`` stems = the -ate verb class (update, generate,
+      operate) where measure alone would say no.
+    """
+    # bare 'c' too: -ic bases take -ck- before suffixes (panicked), so a
+    # post-strip stem ending 'c' almost always came from -ce (noticed)
+    if stem.endswith(("v", "u", "rg", "dg", "c")):
+        return stem + "e"
+    if (stem.endswith("s") and not stem.endswith("ss")) or \
+            (stem.endswith("z") and not stem.endswith("zz")):
+        return stem + "e"
+    if _cvc(stem) and (_measure(stem) == 1 or stem.endswith("at")):
+        return stem + "e"
+    return stem
+
+
 def kstem(word: str) -> str:
     """Stem one lowercase token. Tokens with digits or shorter than 3
     characters pass through unchanged (Krovetz leaves them alone too)."""
@@ -96,8 +154,10 @@ def kstem(word: str) -> str:
         return word[:-3] + "y"
     if word.endswith("es") and len(word) > 3 and not word.endswith("ees"):
         stem = word[:-2]
-        # boxes→box, dishes→dish, churches→church, kisses→kiss; else keep e
-        if stem.endswith(("s", "x", "z", "ch", "sh")):
+        # boxes→box, dishes→dish, churches→church, kisses→kiss;
+        # else the base kept its 'e' (cases→case, houses→house) — the
+        # -us/-as plurals that contradict this live in _EXCEPTIONS
+        if stem.endswith(("ss", "x", "zz", "ch", "sh")):
             return stem
         return stem + "e"
     if word.endswith("s") and not word.endswith(("ss", "us", "is")) and len(word) > 3:
@@ -107,17 +167,20 @@ def kstem(word: str) -> str:
     if word.endswith("ied") and len(word) > 4:
         return word[:-3] + "y"
     if word.endswith("eed"):
+        # agreed→agree when the prefix has a vowel-consonant sequence;
+        # feed/breed keep their -eed (Porter step 1b; the -eed BASE
+        # words proceed/succeed/exceed/indeed live in _EXCEPTIONS)
+        if _measure(word[:-3]) > 0:
+            return word[:-1]
         return word
     if word.endswith("ed") and len(word) > 4:
         stem = word[:-2]
-        if stem.endswith("e"):            # agreed handled above; e.g. "freed" len 5
+        if stem.endswith("e"):
             return stem
         und = _undouble(stem)
         if und != stem:                   # stopped → stop
             return und
-        if _cvc(stem):                    # created → create
-            return stem + "e"
-        return stem
+        return _restore_e(stem)           # created → create, open stays
 
     # --- gerund ---
     if word.endswith("ing") and len(word) > 5:
@@ -125,8 +188,6 @@ def kstem(word: str) -> str:
         und = _undouble(stem)
         if und != stem:                   # running → run
             return und
-        if _cvc(stem):                    # creating → create
-            return stem + "e"
-        return stem
+        return _restore_e(stem)           # leaving → leave, open stays
 
     return word

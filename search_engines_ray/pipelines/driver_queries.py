@@ -654,6 +654,76 @@ def q_prf_expansion(sf_dir: str):
     return res
 
 
+def q_prf_terms_fb_mu0(sf_dir: str):
+    """PRF expansion-term weights at fb_mu=0 over the SIMPLE index —
+    p(t|d) = tf/dl, weight(t) = Σ_d p(t|d)·score_d·ln(clen/ctf): pure
+    arithmetic over tf/doclen/ctf, hence SQL-expressible (the
+    full-analyzer PRF pipeline stays rows-only as ``prf_expansion``).
+    Initial ranking = the oracle-checked BM25 top-10."""
+    from .prf import expansion_terms
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    initial = engine.search(" ".join(BM25_QUERY_TERMS), k=10)
+    ids = initial["external_id"].to_pylist()
+    scores = initial["score"].to_pylist()
+    internal = [reader.internal_docid(e) for e in ids]
+    best = expansion_terms(reader, list(zip(internal, scores)),
+                           fb_docs=10, fb_terms=5, fb_mu=0.0)
+    return pa.table({
+        "term": pa.array([t for t, _ in best], pa.string()),
+        "weight": pa.array(round6([w for _, w in best])),
+    })
+
+
+SQL_PRF_TERMS_FB_MU0 = f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+doclen as (select doc_id, count(*)::double as dl from tok group by doc_id),
+stats as (select
+  (select count(*) from documents)::double as n,
+  (select count(*) from doclen)::double as dc,
+  (select sum(dl) from doclen)::double as suml),
+qtfs as (select doc_id, term, count(*)::double as tf from tok
+         where term in ('dup','line','hash') group by doc_id, term),
+qdfs as (select term, count(*)::double as df from qtfs group by term),
+scored as (
+  select qtfs.doc_id,
+         sum(greatest(0.0, ln((stats.n - qdfs.df + 0.5)/(qdfs.df + 0.5)))
+             * (qtfs.tf / (qtfs.tf + 1.2*((1.0-0.75)
+                + 0.75*doclen.dl/(stats.suml/stats.dc))))) as raw
+  from qtfs join qdfs using (term) join doclen using (doc_id)
+  cross join stats group by qtfs.doc_id),
+topd as (select doc_id, raw as score from scored
+         order by raw desc, doc_id asc limit 10),
+ttf as (select t.doc_id, t.term, count(*)::double as tf
+        from tok t join topd using (doc_id) group by t.doc_id, t.term),
+ctf as (select term, count(*)::double as ctf from tok
+        where term in (select distinct term from ttf) group by term),
+wt as (select ttf.term,
+         sum((ttf.tf / doclen.dl) * topd.score
+             * ln(stats.suml / ctf.ctf)) as w
+       from ttf join topd using (doc_id) join doclen using (doc_id)
+       join ctf using (term) cross join stats
+       group by ttf.term)
+select term, floor(w*1000000 + 0.5)/1000000 as weight from wt
+order by w desc, term asc limit 5
+"""
+
+
+def q_bm25_multifield_distributed(sf_dir: str):
+    """The multi-field BM25 query scored through the DISTRIBUTED
+    structured path (per-field df/doclen/avglen routing in
+    ``bm25_structured_batch_search``) — same oracle as the driver-path
+    ``bm25_multifield_top10``."""
+    from ..query.distributed import bm25_structured_batch_search
+    reader = get_index(sf_dir, "simple",
+                       fields={"body": "text", "url": "url"})
+    res = bm25_structured_batch_search(
+        reader.index_dir, [("1", "#sum(dup 00000007.url 00000008.url)")],
+        BM25Model(k1=1.2, b=0.75), k=10)
+    return _ranked_to_table(res)
+
+
 def q_bm25_batch_distributed(sf_dir: str):
     from ..query.distributed import bm25_batch_search
     reader = get_index(sf_dir, "lucene")
@@ -740,12 +810,98 @@ def q_language_id(sf_dir: str):
     return language_id(ds).select_columns(["doc_id", "detected_lang"])
 
 
+def _lang_sql_set(words) -> str:
+    return "(" + ",".join(f"'{w}'" for w in sorted(words)) + ")"
+
+
+def _language_id_sql() -> str:
+    from ..functions.text import _LANG_PROFILES
+    p = {k: _lang_sql_set(v) for k, v in _LANG_PROFILES.items()}
+    # tie semantics mirror LanguageId.classify: langs are probed in
+    # (en, de, fr, es) order and a later language needs STRICTLY more
+    # hits to displace an earlier one; all-zero → 'unknown'
+    return f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+hits as (
+  select doc_id,
+    count(*) filter (where term in {p['en']}) as en,
+    count(*) filter (where term in {p['de']}) as de,
+    count(*) filter (where term in {p['fr']}) as fr,
+    count(*) filter (where term in {p['es']}) as es
+  from tok group by doc_id)
+select d.doc_id,
+  case when coalesce(h.en, 0) > 0 and h.en >= h.de and h.en >= h.fr
+            and h.en >= h.es then 'en'
+       when coalesce(h.de, 0) > 0 and h.de > h.en and h.de >= h.fr
+            and h.de >= h.es then 'de'
+       when coalesce(h.fr, 0) > 0 and h.fr > h.en and h.fr > h.de
+            and h.fr >= h.es then 'fr'
+       when coalesce(h.es, 0) > 0 and h.es > h.en and h.es > h.de
+            and h.es > h.fr then 'es'
+       else 'unknown' end as detected_lang
+from documents d left join hits h using (doc_id)
+"""
+
+
+SQL_LANGUAGE_ID = _language_id_sql()
+
+
+_FP_B = 1099511628211                 # rolling-hash base (functions/text.py)
+_FP_P = (1 << 61) - 1
+_FP_POWS = ", ".join(f"({k}, {pow(_FP_B, k, _FP_P)}::hugeint)"
+                     for k in range(8))
+
+
 def q_doc_fingerprint(sf_dir: str):
+    """Winnowing fingerprints EXPLODED to (doc_id, fp) rows so DuckDB
+    can hash-compare them (list columns don't value-hash portably)."""
     import ray.data as rd
     from ..functions.text import doc_fingerprint
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-    return doc_fingerprint(ds)
+    fps = doc_fingerprint(ds)
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, out_fp = [], []
+        for i, fp in zip(b["doc_id"].to_pylist(),
+                         b["fingerprint"].to_pylist()):
+            for v in fp:
+                ids.append(i)
+                out_fp.append(int(v))          # < 2^61: safe in int64
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "fp": pa.array(out_fp, pa.int64())})
+
+    return fps.map_batches(explode, batch_format="pyarrow")
+
+
+# windows of 8 token hashes (zero-padded when a doc has < 8 tokens —
+# the single s=1 window with absent positions contributing 0 mirrors
+# functions/text.py's padding), keep cur % 16 == 0 plus the per-doc
+# min as fallback; distinct values per doc.
+SQL_DOC_FINGERPRINT = f"""
+with tok as ({POS_TOK_SQL}),
+h as (select doc_id, pos,
+        (('0x' || substr(md5(term), 1, 16))::ubigint
+          % {_FP_P}::ubigint)::hugeint as h
+      from tok),
+n as (select doc_id, max(pos) as n from h group by doc_id),
+starts as (select doc_id, unnest(generate_series(1, greatest(n - 7, 1))) as s
+           from n),
+pw(k, v) as (values {_FP_POWS}),
+win as (select st.doc_id, st.s,
+          (sum(h.h * pw.v) % {_FP_P}::hugeint)::bigint as cur
+        from starts st
+        join h on h.doc_id = st.doc_id and h.pos between st.s and st.s + 7
+        join pw on pw.k = st.s + 7 - h.pos
+        group by st.doc_id, st.s),
+sel as (select distinct doc_id, cur as fp from win where cur % 16 = 0),
+fb as (select w.doc_id, min(w.cur) as fp from win w
+       where not exists (select 1 from win w2
+                         where w2.doc_id = w.doc_id and w2.cur % 16 = 0)
+       group by w.doc_id)
+select doc_id, fp from sel union select doc_id, fp from fb
+"""
 
 
 def q_xquad_rerank(sf_dir: str):
@@ -807,10 +963,53 @@ def q_letor_rerank(sf_dir: str):
 
 
 def q_multimodal_decode(sf_dir: str):
+    """Media decode plumbing over a payload DERIVED from the documents
+    table (payload = utf-8 text bytes) so the fake md5 decoder is
+    SQL-mirrorable; features exploded to (doc_id, i, feature)."""
     import ray.data as rd
-    from ..functions.multimodal import decode_features, make_fake_media_batch
-    media = rd.from_arrow(make_fake_media_batch(256, seed=3))
-    return decode_features(media, fake=True)
+    from ..functions.multimodal import decode_features
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def to_media(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": b["doc_id"],
+            "kind": pa.array(["text"] * b.num_rows),
+            "payload": pa.array([(t or "").encode() for t in
+                                 b["text"].to_pylist()], pa.binary()),
+        })
+
+    feats = decode_features(docs.map_batches(to_media,
+                                             batch_format="pyarrow"),
+                            fake=True, batch_size=64)
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, idxs, vals = [], [], []
+        for mid, fv in zip(b["media_id"].to_pylist(),
+                           b["features"].to_pylist()):
+            for i, f in enumerate(fv):
+                ids.append(mid)
+                idxs.append(i)
+                vals.append(f)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "i": pa.array(idxs, pa.int32()),
+                         "feature": pa.array(round6(np.asarray(vals)))})
+
+    return feats.map_batches(explode, batch_format="pyarrow")
+
+
+# byte i of md5(text) / 255 as float32, then 6-dp half-away rounding —
+# the FLOAT cast reproduces the decoder's float32 precision exactly
+SQL_MULTIMODAL_DECODE = """
+with idx as (select unnest(generate_series(0, 15)) as i),
+b as (select d.doc_id, idx.i,
+        ('0x' || substr(md5(d.text), 2 * idx.i + 1, 2))::int as byte
+      from documents d cross join idx)
+select doc_id, i::int as i,
+       floor(((byte / 255.0)::FLOAT)::DOUBLE * 1000000 + 0.5) / 1000000
+         as feature
+from b
+"""
 
 
 QUERIES = {
@@ -836,6 +1035,11 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "ann_cosine_top10": q_ann_cosine_top10,
     "top_docs_by_chars": q_top_docs_by_chars,
+    "language_id": q_language_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_decode": q_multimodal_decode,
+    "prf_terms_fb_mu0": q_prf_terms_fb_mu0,
+    "bm25_multifield_distributed": q_bm25_multifield_distributed,
     # rows-only (not SQL-expressible: positional ops, PRF, sketches, LSH)
     "near_search": q_near_search,
     "structured_batch_distributed": q_structured_batch_distributed,
@@ -850,9 +1054,6 @@ QUERIES = {
     "simhash_dedup": q_simhash_dedup,
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
-    "language_id": q_language_id,
-    "doc_fingerprint": q_doc_fingerprint,
-    "multimodal_decode": q_multimodal_decode,
     "xquad_rerank": q_xquad_rerank,
     "pm2_rerank": q_pm2_rerank,
     "letor_rerank": q_letor_rerank,
@@ -880,4 +1081,9 @@ ORACLE_SQL = {
     "quality_scores": SQL_QUALITY_SCORES,
     "ann_cosine_top10": SQL_ANN_COSINE_TOP10,
     "top_docs_by_chars": SQL_TOP_DOCS_BY_CHARS,
+    "language_id": SQL_LANGUAGE_ID,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "prf_terms_fb_mu0": SQL_PRF_TERMS_FB_MU0,
+    "bm25_multifield_distributed": SQL_BM25_MULTIFIELD_TOP10,
 }

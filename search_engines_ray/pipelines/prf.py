@@ -23,13 +23,17 @@ import math
 from ..index.reader import IndexReader
 
 
-def expand_query(reader: IndexReader, ranking: list[tuple[int, float]],
-                 fb_docs: int = 10, fb_terms: int = 10,
-                 fb_mu: float = 0.0, field: str = "body") -> str:
-    """``ranking``: [(internal docid, score)] best-first. → ``#wand (…)``."""
+def expansion_terms(reader: IndexReader, ranking: list[tuple[int, float]],
+                    fb_docs: int = 10, fb_terms: int = 10,
+                    fb_mu: float = 0.0,
+                    field: str = "body") -> list[tuple[str, float]]:
+    """The expansion-term scores behind ``expand_query`` as data:
+    [(term, weight)] sorted (weight desc, term asc), top ``fb_terms``.
+    Exposed separately so the fb_mu=0 case (p(t|d)=tf/dl — pure
+    arithmetic over tf/doclen/ctf) can be oracle-checked in SQL."""
     top = ranking[:fb_docs]
     if not top:
-        return "#wand ()"
+        return []
     docids = [d for d, _ in top]
     tvs = reader.term_vectors(docids, field)
     doclen = {d: tvs[d][2] for d in docids if d in tvs}
@@ -60,7 +64,14 @@ def expand_query(reader: IndexReader, ranking: list[tuple[int, float]],
             s += p_td * doc_score * math.log(1.0 / mle)
         scores[t] = s
 
-    best = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:fb_terms]
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:fb_terms]
+
+
+def expand_query(reader: IndexReader, ranking: list[tuple[int, float]],
+                 fb_docs: int = 10, fb_terms: int = 10,
+                 fb_mu: float = 0.0, field: str = "body") -> str:
+    """``ranking``: [(internal docid, score)] best-first. → ``#wand (…)``."""
+    best = expansion_terms(reader, ranking, fb_docs, fb_terms, fb_mu, field)
     inner = " ".join(f"{w:.4f} {t}" for t, w in best)
     return f"#wand ({inner})"
 
