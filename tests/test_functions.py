@@ -271,3 +271,76 @@ def test_empty_corpus_build(ray_session, tmp_path):
     r = IndexReader(idx)
     assert r.n_docs == 0
     assert r.postings("anything", "body") is None
+
+
+def test_simhash_pairs_vs_dedup(dup_docs):
+    """Pair-level op agrees with the union-find op: every pair joins two
+    members of one component, and the identical pair has hamming 0."""
+    from search_engines_ray.functions import simhash_dedup, simhash_pairs
+    pairs = simhash_pairs(dup_docs).to_pandas()
+    assert ((pairs["id_a"] == 100) & (pairs["id_b"] == 101)
+            & (pairs["hamming"] == 0)).any()
+    comp = dict(zip(*(lambda d: (d["doc_id"], d["canonical_id"]))(
+        simhash_dedup(dup_docs).to_pandas())))
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        assert comp[a] == comp[b], (a, b)
+
+
+def test_minhash_candidate_pairs(dup_docs):
+    from search_engines_ray.functions import minhash_candidate_pairs
+    out = minhash_candidate_pairs(dup_docs, num_perm=32, bands=8).to_pandas()
+    hit = out[(out["id_a"] == 100) & (out["id_b"] == 101)]
+    # identical text -> identical signature -> collides in every band
+    assert len(hit) == 1 and hit.iloc[0]["n_bands"] == 8
+    # unrelated docs never share a band
+    assert not ((out["id_a"] < 10) & (out["id_b"] < 10)).any()
+
+
+def test_embedding_dedup_matches_numpy(emb_ds):
+    from search_engines_ray.functions import embedding_dedup
+    t = emb_ds.to_pandas()
+    m = np.asarray(list(t["embedding"]), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = m @ m.T
+    ids = t["vec_id"].to_numpy()
+    iu = np.triu_indices(len(ids), k=1)
+    keep = sims[iu] >= 0.45
+    expect = set(zip(ids[iu[0][keep]], ids[iu[1][keep]]))
+
+    out = embedding_dedup(emb_ds, threshold=0.45).to_pandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert got == expect and len(got) > 0
+
+
+def test_embedding_lsh_subset_of_exact(emb_ds):
+    from search_engines_ray.functions import (
+        embedding_dedup, embedding_lsh_dedup,
+    )
+    exact = embedding_dedup(emb_ds, threshold=0.45).to_pandas()
+    lsh = embedding_lsh_dedup(emb_ds, threshold=0.45, planes=2).to_pandas()
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    for a, b in zip(lsh["id_a"], lsh["id_b"]):
+        assert (a, b) in exact_pairs
+
+
+def test_ngram_jaccard_pairs_matches_kernel(dup_docs):
+    """The inverted-shingle distributed op equals pairwise application
+    of the ngram_jaccard verification kernel."""
+    from search_engines_ray.functions import (
+        ngram_jaccard, ngram_jaccard_pairs,
+    )
+    docs = dup_docs.to_pandas()
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    nonempty = [i for i in sorted(texts) if texts[i].strip()]
+    expect = {}
+    for j in range(1, len(nonempty)):
+        for i in range(j):
+            a, b = nonempty[i], nonempty[j]
+            jac = ngram_jaccard(texts[a], texts[b])
+            if jac >= 0.5:
+                expect[(a, b)] = int(jac * 1e6 + 0.5)
+
+    out = ngram_jaccard_pairs(dup_docs, threshold=0.5).to_pandas()
+    got = {(a, b): int(j * 1e6 + 0.5) for a, b, j in
+           zip(out["id_a"], out["id_b"], out["jaccard"])}
+    assert got == expect and len(got) > 0
