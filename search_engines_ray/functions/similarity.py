@@ -180,14 +180,16 @@ def ivf_ann_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
 
 def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, planes: int = 12,
                  probe_hamming: int = 1, seed: int = 11,
-                 vec_col: str = "embedding", id_col: str = "vec_id"):
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 dtype=np.float32):
     """Random-hyperplane LSH ANN: bucket = sign pattern of ``planes``
     projections; scan only buckets within ``probe_hamming`` of each
     query bucket. → Dataset (query_id, vec_id, score), approximate."""
-    q = _normalize(np.asarray(queries, dtype=np.float32))
+    q = _normalize(np.asarray(queries, dtype=dtype))
     rng = np.random.default_rng(seed)
     d = q.shape[1]
-    H = rng.standard_normal((d, planes)).astype(np.float32)
+    # float64 keeps the sign decisions reproducible in the DuckDB oracle
+    H = rng.standard_normal((d, planes)).astype(dtype)
 
     def bucket_of(m: np.ndarray) -> np.ndarray:
         signs = (m @ H) > 0
@@ -213,7 +215,7 @@ def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, planes: int = 12,
     def score(b: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
         wanted_l = ray.get(wanted_ref)
-        m = _normalize(_as_matrix(b[vec_col]))
+        m = _normalize(_as_matrix(b[vec_col], dtype=dtype))
         ids = b[id_col].to_numpy()
         bk = bucket_of(m)
         keep = np.isin(bk, wanted_l)

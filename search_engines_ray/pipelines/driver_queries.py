@@ -974,6 +974,95 @@ SQL_BM25_BATCH_DISTRIBUTED = "\nunion all\n".join(
     for qid, terms in BATCH_BM25_QUERIES)
 
 
+def q_eval_metrics(sf_dir: str):
+    """trec_eval metrics (AP, P@10, NDCG@10, RR — query/metrics.py,
+    replacing the reference's trec_eval CGI upload fetchUrl.pl:15-31)
+    over the three oracle BM25 rankings, with DETERMINISTIC synthetic
+    qrels: doc is relevant to query i iff doc_id % 7 == i, graded
+    1 + (doc_id % 2). Every metric is window-function SQL."""
+    from ..query.metrics import (
+        average_precision, ndcg_at_k, precision_at_k, reciprocal_rank,
+    )
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    n_docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).num_rows
+    rows = []
+    for qnum, (qid, terms) in enumerate(BATCH_BM25_QUERIES, start=1):
+        t = engine.search(" ".join(terms), k=50)
+        ranked = [str(d) for d in
+                  _docid_of_external(t["external_id"].to_pylist())]
+        rel = {str(d): 1 + (d % 2) for d in range(n_docs)
+               if d % 7 == qnum}
+        rows.append((qid, average_precision(ranked, rel),
+                     precision_at_k(ranked, rel, 10),
+                     ndcg_at_k(ranked, rel, 10),
+                     reciprocal_rank(ranked, rel)))
+    return pa.table({
+        "qid": pa.array([r[0] for r in rows], pa.string()),
+        "ap": pa.array(round6([r[1] for r in rows])),
+        "p_at_10": pa.array(round6([r[2] for r in rows])),
+        "ndcg_at_10": pa.array(round6([r[3] for r in rows])),
+        "rr": pa.array(round6([r[4] for r in rows])),
+    })
+
+
+def _eval_metrics_sql() -> str:
+    per_q = []
+    for qnum, (qid, terms) in enumerate(BATCH_BM25_QUERIES, start=1):
+        per_q.append(f"""
+select '{qid}' as qid, doc_id,
+       row_number() over (order by raw desc, doc_id asc) as rnk,
+       case when doc_id % 7 = {qnum} then 1 + (doc_id % 2) else 0 end as rel
+from ({_bm25_sql(terms, 50, raw=True)})""")
+    ranked = "\nunion all\n".join(f"select * from ({s}) s{i}"
+                                  for i, s in enumerate(per_q))
+    qrels = " union all ".join(
+        f"select '{qid}' as qid, doc_id, 1 + (doc_id % 2) as rel "
+        f"from documents where doc_id % 7 = {qnum}"
+        for qnum, (qid, _) in enumerate(BATCH_BM25_QUERIES, start=1))
+    return f"""
+with ranked as materialized ({ranked}),
+qrels as materialized ({qrels}),
+nrel as (select qid, count(*)::double as n_rel from qrels group by qid),
+idcg as (
+  select qid, sum(rel / log2(irnk + 1)) as v from (
+    select qid, rel,
+           row_number() over (partition by qid order by rel desc) as irnk
+    from qrels) t where irnk <= 10 group by qid),
+hits as (
+  select qid, rnk, rel,
+         count(*) filter (where rel > 0)
+           over (partition by qid order by rnk) as cum_hits
+  from ranked),
+ap as (
+  select h.qid, coalesce(sum(h.cum_hits / h.rnk)
+                         filter (where h.rel > 0), 0.0) / any_value(n.n_rel) as v
+  from hits h join nrel n using (qid) group by h.qid),
+p10 as (
+  select qid, sum(case when rel > 0 and rnk <= 10 then 1 else 0 end)
+              / 10.0 as v
+  from ranked group by qid),
+dcg as (
+  select qid, sum(case when rnk <= 10 then rel / log2(rnk + 1)
+                       else 0 end) as v
+  from ranked group by qid),
+rr as (
+  select qid, coalesce(1.0 / min(rnk) filter (where rel > 0), 0.0) as v
+  from ranked group by qid)
+select ap.qid,
+       floor(ap.v*1000000 + 0.5)/1000000 as ap,
+       floor(p10.v*1000000 + 0.5)/1000000 as p_at_10,
+       floor((dcg.v / idcg.v)*1000000 + 0.5)/1000000 as ndcg_at_10,
+       floor(rr.v*1000000 + 0.5)/1000000 as rr
+from ap join p10 using (qid) join dcg using (qid)
+join idcg using (qid) join rr using (qid)
+"""
+
+
+SQL_EVAL_METRICS = _eval_metrics_sql()
+
+
 def q_minhash_dedup(sf_dir: str):
     import ray.data as rd
     from ..functions.dedup import minhash_lsh_dedup
@@ -1176,6 +1265,66 @@ def q_lsh_ann(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     return lsh_ann_topk(ds, qvecs, k=10)
+
+
+def q_lsh_ann_oracle(sf_dir: str):
+    """Hyperplane-LSH ANN in float64 so DuckDB can reproduce it
+    bit-for-bit at 6 dp: the 64×12 plane matrix is inlined into the SQL
+    as literal lists, bucket = sign-bit integer, probe = Hamming ≤ 1
+    bucket join, exact cosine within probed buckets, top-10 per query.
+    The float32 production path stays rows-only as ``lsh_ann``."""
+    import ray.data as rd
+    from ..functions.similarity import lsh_ann_topk
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qvecs = np.asarray(t["embedding"].to_pylist()[:3], dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = lsh_ann_topk(ds, qvecs, k=10, dtype=np.float64).to_pandas()
+    out = out.sort_values(["query_id", "score", "vec_id"],
+                          ascending=[True, False, True], kind="mergesort")
+    return pa.table({
+        "query_id": pa.array(out["query_id"].to_numpy(), pa.int64()),
+        "vec_id": pa.array(out["vec_id"].to_numpy(), pa.int64()),
+        "score": pa.array(round6(out["score"].to_numpy())),
+    })
+
+
+def _lsh_ann_sql(k: int = 10, planes: int = 12, probe: int = 1,
+                 n_queries: int = 3, seed: int = 11, d: int = 64) -> str:
+    rng = np.random.default_rng(seed)
+    H = rng.standard_normal((d, planes))
+    bucket_terms = " + ".join(
+        f"(case when list_dot_product(v, [{','.join(repr(x) for x in H[:, j])}])"
+        f" > 0 then {1 << j} else 0 end)"
+        for j in range(planes))
+    return f"""
+with nv as materialized (
+  select vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_aggregate(
+                 list_transform(embedding::DOUBLE[], y -> y*y), 'sum')))
+           as v
+  from embeddings),
+b as materialized (
+  select vec_id, v, ({bucket_terms})::ubigint as bucket from nv),
+qb as (select vec_id as query_id, bucket, v from b
+       where vec_id < {n_queries}),
+cand as (
+  select q.query_id, d.vec_id, list_dot_product(d.v, q.v) as s
+  from b d join qb q
+    on bit_count(xor(d.bucket, q.bucket)) <= {probe}),
+ranked as (
+  select query_id, vec_id, s,
+         row_number() over (partition by query_id
+                            order by s desc, vec_id asc) as rnk
+  from cand)
+select query_id::bigint as query_id, vec_id,
+       floor(s*1000000 + 0.5)/1000000 as score
+from ranked where rnk <= {k}
+"""
+
+
+SQL_LSH_ANN_ORACLE = _lsh_ann_sql()
 
 
 def q_ivf_ann(sf_dir: str):
@@ -1720,6 +1869,8 @@ QUERIES = {
     "letor_rerank_simple": q_letor_rerank_simple,
     "xquad_rerank_simple": q_xquad_rerank_simple,
     "pm2_rerank_simple": q_pm2_rerank_simple,
+    "eval_metrics": q_eval_metrics,
+    "lsh_ann_oracle": q_lsh_ann_oracle,
     # rows-only (not SQL-expressible: positional ops, PRF, sketches, LSH)
     "near_search": q_near_search,
     "structured_batch_distributed": q_structured_batch_distributed,
@@ -1779,4 +1930,6 @@ ORACLE_SQL = {
     "letor_rerank_simple": SQL_LETOR_RERANK_SIMPLE,
     "xquad_rerank_simple": SQL_XQUAD_RERANK_SIMPLE,
     "pm2_rerank_simple": SQL_PM2_RERANK_SIMPLE,
+    "eval_metrics": SQL_EVAL_METRICS,
+    "lsh_ann_oracle": SQL_LSH_ANN_ORACLE,
 }
