@@ -77,7 +77,8 @@ def ann_cosine_topk(ds, queries: np.ndarray, k: int = 10,
 def ivf_ann_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
                  n_probe: int = 4, kmeans_iters: int = 3, seed: int = 5,
                  sample_size: int = 4096,
-                 vec_col: str = "embedding", id_col: str = "vec_id"):
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 centroids: np.ndarray | None = None, dtype=np.float32):
     """IVF (inverted-file) ANN — the classic scale path: k-means
     centroids trained distributed (per-batch partial sums → driver
     update), vectors assigned to their nearest list, queries scan only
@@ -86,38 +87,48 @@ def ivf_ann_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
 
     Centroid init is a deterministic seeded sample; training is
     ``kmeans_iters`` rounds of map_batches partial (sum, count) per
-    centroid — the canonical pre-aggregated distributed k-means."""
-    q = _normalize(np.asarray(queries, dtype=np.float32))
+    centroid — the canonical pre-aggregated distributed k-means.
+    Pass ``centroids`` (with ``kmeans_iters=0``) to pin the lists —
+    with ``dtype=np.float64`` that makes the whole pipeline
+    DuckDB-reproducible (the oracle inlines the same centroids)."""
+    q = _normalize(np.asarray(queries, dtype=dtype))
 
-    # centroid-init sample must be UNIFORM over the dataset (a plain
-    # ``limit(n)`` reads the first n rows — the first blocks only, which
-    # biases centroids to one docid range): seeded per-row Bernoulli
-    # oversample at 2× the target, then a seeded driver-side subsample.
     import pyarrow as pa2
-    n_total = ds.count()
-    frac = min(1.0, (2.0 * sample_size) / max(n_total, 1))
-    batches = list(ds.random_sample(frac, seed=seed).select_columns([vec_col])
-                   .iter_batches(batch_size=None, batch_format="pyarrow"))
-    M0 = _normalize(np.concatenate([_as_matrix(b[vec_col]) for b in batches]))
-    rng = np.random.default_rng(seed)
-    if M0.shape[0] > sample_size:
-        M0 = M0[rng.choice(M0.shape[0], size=sample_size, replace=False)]
-    cent = M0[rng.choice(M0.shape[0], size=min(n_lists, M0.shape[0]),
-                         replace=False)]
+    if centroids is not None:
+        cent = _normalize(np.asarray(centroids, dtype=dtype))
+    else:
+        # centroid-init sample must be UNIFORM over the dataset (a plain
+        # ``limit(n)`` reads the first n rows — the first blocks only,
+        # which biases centroids to one docid range): seeded per-row
+        # Bernoulli oversample at 2× the target, then a seeded
+        # driver-side subsample.
+        n_total = ds.count()
+        frac = min(1.0, (2.0 * sample_size) / max(n_total, 1))
+        batches = list(ds.random_sample(frac, seed=seed)
+                       .select_columns([vec_col])
+                       .iter_batches(batch_size=None, batch_format="pyarrow"))
+        M0 = _normalize(np.concatenate(
+            [_as_matrix(b[vec_col], dtype) for b in batches]))
+        rng = np.random.default_rng(seed)
+        if M0.shape[0] > sample_size:
+            M0 = M0[rng.choice(M0.shape[0], size=sample_size, replace=False)]
+        cent = M0[rng.choice(M0.shape[0], size=min(n_lists, M0.shape[0]),
+                             replace=False)]
 
     for _ in range(kmeans_iters):
         cent_ref = ray.put(cent)
 
         def partial(b: pa.Table) -> pa.Table:
             c = ray.get(cent_ref)
-            m = _normalize(_as_matrix(b[vec_col]))
+            m = _normalize(_as_matrix(b[vec_col], c.dtype))
             assign = (m @ c.T).argmax(axis=1)
             sums = np.zeros_like(c)
             np.add.at(sums, assign, m)
             counts = np.bincount(assign, minlength=c.shape[0])
             return pa.table({
                 "cid": pa.array(np.arange(c.shape[0], dtype=np.int32)),
-                "vsum": pa.array(sums.tolist(), pa2.list_(pa2.float32())),
+                "vsum": pa.array(sums.tolist(),
+                                 pa2.list_(pa2.from_numpy_dtype(c.dtype))),
                 "n": pa.array(counts.astype(np.int64)),
             })
 
@@ -129,7 +140,7 @@ def ivf_ann_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
         for cid, vs, n in zip(parts["cid"].to_numpy(),
                               parts["vsum"].to_pylist(),
                               parts["n"].to_numpy()):
-            sums[cid] += np.asarray(vs, dtype=np.float32)
+            sums[cid] += np.asarray(vs, dtype=cent.dtype)
             counts[cid] += n
         nz = counts > 0
         cent[nz] = _normalize(sums[nz] / counts[nz, None])
@@ -144,7 +155,7 @@ def ivf_ann_topk(ds, queries: np.ndarray, k: int = 10, n_lists: int = 16,
         c = ray.get(cent_ref)
         qm = ray.get(q_ref)
         probes_l = ray.get(probe_ref)
-        m = _normalize(_as_matrix(b[vec_col]))
+        m = _normalize(_as_matrix(b[vec_col], c.dtype))
         ids = b[id_col].to_numpy()
         assign = (m @ c.T).argmax(axis=1)
         out_q, out_id, out_s = [], [], []

@@ -391,6 +391,19 @@ def q_wand_structured_distributed(sf_dir: str):
     return _ranked_to_table(res.drop_columns(["qid"]))
 
 
+def q_wsum_structured_distributed(sf_dir: str):
+    """Same #WSUM query + oracle as ``wsum_indri_top10`` but scored via
+    the distributed structured Indri path's per-subtree factorization
+    (arithmetic mix of log-linear subtrees in the final stage) — the
+    oracle match proves the #WSUM spine decomposition is exact."""
+    from ..query.distributed import indri_structured_batch_search
+    reader = get_index(sf_dir, "simple")
+    res = indri_structured_batch_search(
+        reader.index_dir, [("q", WOP_QUERY)],
+        IndriModel(mu=2500, lambda_=0.4), k=10)
+    return _ranked_to_table(res.drop_columns(["qid"]))
+
+
 def q_sdm_structured_distributed(sf_dir: str):
     """Full SDM tree (#WAND of #AND / #NEAR / #WINDOW) distributed —
     rows-only (greedy positional tf not SQL-expressible); exactness vs
@@ -1337,6 +1350,80 @@ def q_ivf_ann(sf_dir: str):
     return ivf_ann_topk(ds, qvecs, k=10)
 
 
+def _ivf_fixed_centroids(n_lists: int = 4, d: int = 64,
+                         seed: int = 7) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_lists, d))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def q_ivf_ann_oracle(sf_dir: str):
+    """IVF ANN with PINNED centroids (kmeans_iters=0) in float64 so
+    DuckDB can reproduce it at 6 dp: the 4×64 normalized centroid
+    matrix is inlined into the SQL, assignment = argmax dot (ties →
+    lowest cid), probe = top-2 lists per query, exact cosine within
+    probed lists. The trained float32 production path stays rows-only
+    as ``ivf_ann``."""
+    import ray.data as rd
+    from ..functions.similarity import ivf_ann_topk
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qvecs = np.asarray(t["embedding"].to_pylist()[:3], dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = ivf_ann_topk(ds, qvecs, k=10, n_probe=2, kmeans_iters=0,
+                       centroids=_ivf_fixed_centroids(),
+                       dtype=np.float64).to_pandas()
+    out = out.sort_values(["query_id", "score", "vec_id"],
+                          ascending=[True, False, True], kind="mergesort")
+    return pa.table({
+        "query_id": pa.array(out["query_id"].to_numpy(), pa.int64()),
+        "vec_id": pa.array(out["vec_id"].to_numpy(), pa.int64()),
+        "score": pa.array(round6(out["score"].to_numpy())),
+    })
+
+
+def _ivf_ann_sql(k: int = 10, n_probe: int = 2, n_queries: int = 3) -> str:
+    cent = _ivf_fixed_centroids()
+    rows = ",".join(
+        f"({cid}, [{','.join(repr(x) for x in cent[cid])}]::DOUBLE[])"
+        for cid in range(cent.shape[0]))
+    return f"""
+with nv as materialized (
+  select vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_aggregate(
+                 list_transform(embedding::DOUBLE[], y -> y*y), 'sum')))
+           as v
+  from embeddings),
+cents as (select * from (values {rows}) c(cid, cv)),
+sims as (
+  select vec_id, cid,
+         row_number() over (partition by vec_id
+                            order by list_dot_product(v, cv) desc,
+                                     cid asc) as rn
+  from nv cross join cents),
+assign as (select vec_id, cid from sims where rn = 1),
+qp as (select vec_id as query_id, cid from sims
+       where vec_id < {n_queries} and rn <= {n_probe}),
+cand as (select qp.query_id, a.vec_id
+         from qp join assign a on a.cid = qp.cid),
+ranked as (
+  select c.query_id, c.vec_id, list_dot_product(dv.v, qv.v) as s,
+         row_number() over (partition by c.query_id
+                            order by list_dot_product(dv.v, qv.v) desc,
+                                     c.vec_id asc) as rnk
+  from cand c
+  join nv dv on dv.vec_id = c.vec_id
+  join nv qv on qv.vec_id = c.query_id)
+select query_id::bigint as query_id, vec_id,
+       floor(s*1000000 + 0.5)/1000000 as score
+from ranked where rnk <= {k}
+"""
+
+
+SQL_IVF_ANN_ORACLE = _ivf_ann_sql()
+
+
 def q_language_id(sf_dir: str):
     import ray.data as rd
     from ..functions.text import language_id
@@ -1840,6 +1927,7 @@ QUERIES = {
     "wsum_indri_top10": q_wsum_indri_top10,
     "wand_indri_top10": q_wand_indri_top10,
     "wand_structured_distributed": q_wand_structured_distributed,
+    "wsum_structured_distributed": q_wsum_structured_distributed,
     "ranked_and": q_ranked_and,
     "ranked_or": q_ranked_or,
     "unranked_and_count": q_unranked_and_count,
@@ -1871,6 +1959,7 @@ QUERIES = {
     "pm2_rerank_simple": q_pm2_rerank_simple,
     "eval_metrics": q_eval_metrics,
     "lsh_ann_oracle": q_lsh_ann_oracle,
+    "ivf_ann_oracle": q_ivf_ann_oracle,
     # rows-only (not SQL-expressible: positional ops, PRF, sketches, LSH)
     "near_search": q_near_search,
     "structured_batch_distributed": q_structured_batch_distributed,
@@ -1901,6 +1990,7 @@ ORACLE_SQL = {
     "wsum_indri_top10": SQL_WSUM_INDRI_TOP10,
     "wand_indri_top10": SQL_WAND_INDRI_TOP10,
     "wand_structured_distributed": SQL_WAND_INDRI_TOP10,
+    "wsum_structured_distributed": SQL_WSUM_INDRI_TOP10,
     "ranked_and": SQL_RANKED_AND,
     "ranked_or": SQL_RANKED_OR,
     "unranked_and_count": SQL_UNRANKED_AND_COUNT,
@@ -1932,4 +2022,5 @@ ORACLE_SQL = {
     "pm2_rerank_simple": SQL_PM2_RERANK_SIMPLE,
     "eval_metrics": SQL_EVAL_METRICS,
     "lsh_ann_oracle": SQL_LSH_ANN_ORACLE,
+    "ivf_ann_oracle": SQL_IVF_ANN_ORACLE,
 }

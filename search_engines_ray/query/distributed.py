@@ -25,7 +25,8 @@ Entry points: ``bm25_batch_search`` (bag-of-words #SUM),
 ``bm25_structured_batch_search`` (#SUM over term + positional leaves,
 multi-field — each field scores with its own df/doclen/avglen),
 ``indri_batch_search`` (bag-of-words #AND in log space) and
-``indri_structured_batch_search`` (#AND/#WAND trees, log-linear).
+``indri_structured_batch_search`` (#WSUM spines over #AND/#WAND trees —
+log-linear subtrees mixed arithmetically in the final stage).
 All scoring stages are STATELESS tasks with process-global caches —
 no fixed actor-pool width to cap throughput at cluster scale.
 """
@@ -758,9 +759,23 @@ def indri_structured_batch_search(index_dir: str,
     ``_derive_lists``); the second is the per-candidate default-score
     correction computed from sharded doclens in the final stage, using
     each leaf's mle = ctf/collection_len (DERIVED ctf for positional
-    leaves — ``QryIop.java:139-151``). ``#WSUM`` (arithmetic mean) is
-    not log-linear and stays on the driver path. Rank- and
-    score-identical to ``QueryEngine.search``."""
+    leaves — ``QryIop.java:139-151``).
+
+    ``#WSUM`` (arithmetic mean, ``QrySopWsum``) is not log-linear, but
+    it factors per SUBTREE: a #WSUM spine (nested #WSUM flattens
+    linearly: outer weights multiply) over J log-linear subtrees gives
+
+        score(d) = Σ_j W_j · exp( S_j(d) + corr_j(dl) )
+
+    with ``S_j`` the subtree's matched-leaf groupby-sum and ``corr_j``
+    its all-leaves default correction; a doc that matches no leaf of
+    subtree j contributes its pure default ``W_j·exp(corr_j)``. The
+    packed shuffle key carries ``(qcode·J + j)`` in the high bits while
+    the PARTITION id is derived from (qcode, docid) only, so every
+    subtree sum for a doc lands in the same final partition and the
+    arithmetic mix needs no second shuffle. #WSUM below a #AND/#WAND
+    (log of a sum — not factorizable) still raises to the driver path.
+    Rank- and score-identical to ``QueryEngine.search``."""
     from .models import IndriModel
     from .parser import QueryParser
     from .plan import IopNode, ScoreNode, SopNode, TermNode
@@ -800,24 +815,51 @@ def indri_structured_batch_search(index_dir: str,
                 flatten(a, coef * w / sw, acc)
         else:
             raise ValueError(
-                "distributed Indri supports #AND/#WAND trees over term/"
-                f"positional leaves; got #{getattr(plan, 'op', plan)}")
+                "distributed Indri supports #WSUM spines over #AND/#WAND "
+                f"trees over term/positional leaves; got "
+                f"#{getattr(plan, 'op', plan)}")
 
-    q_coefs: list[dict] = []            # per qcode: leaf key → coefficient
+    def spine(plan, w, out):
+        """Split the top-level #WSUM spine (nested #WSUM multiplies the
+        normalized outer weight) into (W_j, log-linear subtree) pairs."""
+        if isinstance(plan, ScoreNode):
+            spine(plan.child, w, out)
+        elif isinstance(plan, SopNode) and plan.op == "wsum":
+            sw = plan.sum_weight
+            for a, aw in zip(plan.args, plan.weights):
+                spine(a, w * aw / sw, out)
+        else:
+            out.append((w, plan))
+
+    # per qcode: [(W_j, leaf key → coefficient)]
+    q_subtrees: list[list[tuple[float, dict]]] = []
     for qid, q in queries:
-        acc: dict = {}
+        subs: list[tuple[float, dict]] = []
         plan = parser.parse(q, "#and")
         if plan is not None:
-            flatten(plan, 1.0, acc)
-        q_coefs.append(acc)
-    all_leaves = sorted({lf for acc in q_coefs for lf in acc})
+            parts: list = []
+            spine(plan, 1.0, parts)
+            for w, sub in parts:
+                acc: dict = {}
+                flatten(sub, 1.0, acc)
+                subs.append((w, acc))
+        q_subtrees.append(subs)
+    all_leaves = sorted({lf for subs in q_subtrees
+                         for _, acc in subs for lf in acc})
     if not all_leaves:
         return _empty()
-    # leaf → [(qcode, coef)] routing for the partial stage
+    # subtree index j packs into the key's high bits next to qcode
+    n_sub = max((len(s) for s in q_subtrees), default=1) or 1
+    # gq = qc·n_sub + j must stay within the 19 bits above _DOC_BITS
+    if len(qids) * n_sub >= (1 << (63 - _DOC_BITS)):
+        raise ValueError("query batch × #WSUM subtree count overflows "
+                         "the packed key space — split the batch")
+    # leaf → [(gq, coef)] routing for the partial stage
     leaf_targets: dict[str, list[tuple[int, float]]] = {}
-    for qc, acc in enumerate(q_coefs):
-        for lf, c in acc.items():
-            leaf_targets.setdefault(lf, []).append((qc, c))
+    for qc, subs in enumerate(q_subtrees):
+        for j, (_, acc) in enumerate(subs):
+            for lf, c in acc.items():
+                leaf_targets.setdefault(lf, []).append((qc * n_sub + j, c))
 
     plain_terms = sorted({lf[2:] for lf in all_leaves if lf.startswith("t:")})
 
@@ -839,10 +881,13 @@ def indri_structured_batch_search(index_dir: str,
     _NPART = max(8, int(ray.cluster_resources().get("CPU", 8)))
     lt_ref = ray.put(leaf_targets)
     mle_ref = ray.put(mle_of)
-    # per qcode: (mle array, coef array) over ALL its leaves (correction)
-    q_info = [(np.array([mle_of[lf] for lf in sorted(acc)], dtype=np.float64),
-               np.array([acc[lf] for lf in sorted(acc)], dtype=np.float64))
-              for acc in q_coefs]
+    # per qcode: [(W_j, mle array, coef array)] over each subtree's
+    # leaves (the default-score correction inputs)
+    q_info = [[(w,
+                np.array([mle_of[lf] for lf in sorted(acc)], dtype=np.float64),
+                np.array([acc[lf] for lf in sorted(acc)], dtype=np.float64))
+               for w, acc in subs]
+              for subs in q_subtrees]
     qinfo_ref = ray.put(q_info)
 
     def _s(tf, dl, m):
@@ -861,8 +906,8 @@ def indri_structured_batch_search(index_dir: str,
                 m = mles[lf]
                 part = (np.log(_s(tfs.astype(np.float64), dl, m))
                         - np.log(_s(0.0, dl, m)))
-                for qc, coef in lt[lf]:
-                    keys_out.append((np.int64(qc) << _DOC_BITS) | docids)
+                for gq, coef in lt[lf]:
+                    keys_out.append((np.int64(gq) << _DOC_BITS) | docids)
                     vals_out.append(part * coef)
         if not keys_out:
             return _partial_empty()
@@ -871,7 +916,12 @@ def indri_structured_batch_search(index_dir: str,
         uniq, inv = np.unique(key_c, return_inverse=True)
         agg = np.zeros(uniq.size, dtype=np.float64)
         np.add.at(agg, inv, v_c)
-        return pa.table({"part": pa.array((uniq % _NPART).astype(np.int32)),
+        # partition on (qcode, docid) — NOT the subtree index — so every
+        # subtree partial for a doc reaches the same final partition and
+        # the #WSUM arithmetic mix happens there without another shuffle
+        base = ((((uniq >> _DOC_BITS) // n_sub) << _DOC_BITS)
+                | (uniq & _DOC_MASK))
+        return pa.table({"part": pa.array((base % _NPART).astype(np.int32)),
                          "gkey": pa.array(uniq),
                          "score": pa.array(agg)})
 
@@ -917,25 +967,56 @@ def indri_structured_batch_search(index_dir: str,
         uniq, inv = np.unique(gk, return_inverse=True)
         agg = np.zeros(uniq.size, dtype=np.float64)
         np.add.at(agg, inv, sc)
-        qc = (uniq >> _DOC_BITS).astype(np.int64)
+        gq = (uniq >> _DOC_BITS).astype(np.int64)
+        qc = gq // n_sub
+        sub_j = (gq % n_sub).astype(np.int64)
         docid = (uniq & _DOC_MASK).astype(np.int64)
         dl = dlens.get(docid).astype(np.float64)
-        final = np.empty(uniq.size, dtype=np.float64)
-        keep = np.ones(uniq.size, dtype=bool)
+        out_keys: list[np.ndarray] = []
+        out_scores: list[np.ndarray] = []
         with np.errstate(divide="ignore", invalid="ignore"):
             for q in np.unique(qc):
                 msk = qc == q
-                mles, coefs = qi[q]
-                corr = np.zeros(int(msk.sum()), dtype=np.float64)
-                dlq = dl[msk]
-                for mlv, cv in zip(mles, coefs):
-                    corr += cv * np.log(_s(0.0, dlq, mlv))
-                final[msk] = np.exp(agg[msk] + corr)
-                s = final[msk]
-                if s.size > k:
-                    kth = np.partition(s, -k)[-k]
-                    keep[msk] = s >= kth
-        return pa.table({"gkey": pa.array(uniq[keep]),
-                         "score": pa.array(final[keep])})
+                subs = qi[q]
+                if len(subs) == 1 and subs[0][0] == 1.0:
+                    # pure log-linear tree: one row per candidate —
+                    # final = exp(S + corr), bit-identical to the
+                    # pre-#WSUM path
+                    _, mles, coefs = subs[0]
+                    dlq = dl[msk]
+                    corr = np.zeros(dlq.size, dtype=np.float64)
+                    for mlv, cv in zip(mles, coefs):
+                        corr += cv * np.log(_s(0.0, dlq, mlv))
+                    cand = docid[msk]
+                    final = np.exp(agg[msk] + corr)
+                else:
+                    # #WSUM spine: candidates = docs with ≥1 subtree row;
+                    # start from the all-defaults baseline Σ_j W_j·
+                    # exp(corr_j(dl)), then swap in exp(S_j + corr_j) for
+                    # each matched (doc, subtree) row
+                    cand, cidx = np.unique(docid[msk], return_inverse=True)
+                    dlq = dlens.get(cand).astype(np.float64)
+                    final = np.zeros(cand.size, dtype=np.float64)
+                    aggq, jq = agg[msk], sub_j[msk]
+                    for j, (w, mles, coefs) in enumerate(subs):
+                        corr = np.zeros(cand.size, dtype=np.float64)
+                        for mlv, cv in zip(mles, coefs):
+                            corr += cv * np.log(_s(0.0, dlq, mlv))
+                        base = w * np.exp(corr)
+                        final += base
+                        rmsk = jq == j
+                        ridx = cidx[rmsk]
+                        final[ridx] += (w * np.exp(aggq[rmsk] + corr[ridx])
+                                        - base[ridx])
+                if cand.size > k:
+                    kth = np.partition(final, -k)[-k]
+                    keepq = final >= kth
+                    cand, final = cand[keepq], final[keepq]
+                out_keys.append((q << _DOC_BITS) | cand)
+                out_scores.append(final)
+        if not out_keys:
+            return _partial_empty()
+        return pa.table({"gkey": pa.array(np.concatenate(out_keys)),
+                         "score": pa.array(np.concatenate(out_scores))})
 
     return _emit_ranked(_collect_parts(scored, agg_topk), qids, k, reader)

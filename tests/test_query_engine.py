@@ -211,6 +211,35 @@ def test_distributed_structured_indri_matches_driver_path(docs_index):
         np.testing.assert_allclose(sub["score"], drv["score"], rtol=1e-10)
 
 
+def test_distributed_wsum_matches_driver_path(docs_index):
+    """#WSUM spines (arithmetic mean — NOT log-linear) factor per
+    subtree: score = Σ_j W_j·exp(S_j + corr_j). Must match the driver
+    engine exactly, including default-score fill for docs missing a
+    whole subtree and nested-#WSUM weight folding."""
+    from search_engines_ray.query.distributed import (
+        indri_structured_batch_search,
+    )
+    model = IndriModel(mu=2500, lambda_=0.4)
+    engine = QueryEngine(docs_index, model)
+    queries = [
+        ("1", "#wsum( 0.6 dup 0.4 sort )"),
+        ("2", "#wsum( 0.7 #and( fast sort ) 0.2 #and( #near/1( fast sort ) )"
+              " 0.1 #and( #window/8( fast sort ) ) )"),
+        ("3", "#wsum( 0.5 #wsum( 0.5 dup 0.5 merge ) 0.5 #wand( 0.6 fast"
+              " 0.4 sort ) )"),
+        ("4", "#wsum( 0.9 nosuchterm 0.1 dup )"),
+        ("5", "#wsum( 1.0 #and( dup merge ) )"),
+    ]
+    dist = indri_structured_batch_search(docs_index.index_dir, queries,
+                                         model, k=25)
+    dp = dist.to_pandas()
+    for qid, q in queries:
+        drv = engine.search(q, k=25).to_pandas()
+        sub = dp[dp["qid"] == qid].reset_index(drop=True)
+        assert list(sub["external_id"]) == list(drv["external_id"]), qid
+        np.testing.assert_allclose(sub["score"], drv["score"], rtol=1e-10)
+
+
 def test_structured_distributed_multifield_parity(toy_index):
     """Distributed structured BM25 now routes field-qualified leaves
     with per-field df/doclen/avglen stats — rank- and score-identical
