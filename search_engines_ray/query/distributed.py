@@ -212,12 +212,17 @@ def bm25_batch_search(index_dir: str, queries: list[tuple[str, str]],
     k1, b = model.k1, model.b
     terms_list = sorted(term_queries)
 
+    _NPART = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    # coalesce bucket files into ≤_NPART read blocks AT READ TIME
+    # (override_num_blocks merges read tasks) instead of a repartition
+    # stage after the read — same in-batch partial-aggregation benefit,
+    # one fewer all-to-all job per query batch
     ds = ray.data.read_parquet(
         paths, columns=["term", "field", "docid_blob", "tf_blob"],
         filter=(pa.compute.field("term").isin(terms_list)
-                & (pa.compute.field("field") == field)))
-
-    _NPART = max(8, int(ray.cluster_resources().get("CPU", 8)))
+                & (pa.compute.field("field") == field)),
+        override_num_blocks=min(_NPART, max(1, len(paths) // 2)))
 
     # stateless task (not a capped actor pool): refs resolve zero-copy
     # from the local object store per batch and the doclen shard cache
@@ -254,10 +259,6 @@ def bm25_batch_search(index_dir: str, queries: list[tuple[str, str]],
             "gkey": pa.array(uniq),
             "score": pa.array(agg)})
 
-    # coalesce the bucket-file blocks: larger scoring batches make the
-    # in-batch (query, docid) partial aggregation deduplicate across more
-    # terms before the shuffle
-    ds = ds.repartition(min(_NPART, max(1, len(paths) // 2)))
     scored = ds.map_batches(score_batch, batch_format="pyarrow",
                             batch_size=None)
 
@@ -354,15 +355,18 @@ def indri_batch_search(index_dir: str, queries: list[tuple[str, str]],
     qinfo_ref = ray.put(q_info)
     terms_list = sorted(term_queries)
 
+    _NPART = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    # read-time block coalescing (see bm25_batch_search) — no
+    # repartition stage
     ds = ray.data.read_parquet(
         paths, columns=["term", "field", "docid_blob", "tf_blob"],
         filter=(pa.compute.field("term").isin(terms_list)
-                & (pa.compute.field("field") == field)))
+                & (pa.compute.field("field") == field)),
+        override_num_blocks=min(_NPART, max(1, len(paths) // 2)))
 
     def _s(tf, dl, m):
         return (1.0 - lam) * (tf + mu * m) / (dl + mu) + lam * m
-
-    _NPART = max(8, int(ray.cluster_resources().get("CPU", 8)))
 
     # stateless task form (see score_batch above): no pool-width cap
     def log_partial(batch: pa.Table) -> pa.Table:
@@ -394,7 +398,6 @@ def indri_batch_search(index_dir: str, queries: list[tuple[str, str]],
             "gkey": pa.array(uniq),
             "score": pa.array(agg)})
 
-    ds = ds.repartition(min(_NPART, max(1, len(paths) // 2)))
     scored = ds.map_batches(log_partial, batch_format="pyarrow",
                             batch_size=None)
 
