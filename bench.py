@@ -181,7 +181,6 @@ def run_bench() -> dict:
     from search_engines_ray.functions.dedup import MinHasher, minhash_lsh_dedup
     docs_ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
                                     columns=["doc_id", "text"])
-    n_dedup_docs = docs_ds.count()
     # signature kernel throughput over the FULL pages corpus (docs/s):
     # the uint64 Mersenne-limb hot loop at meaningful scale
     mh = MinHasher(id_col="url")

@@ -395,9 +395,11 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                     a_out.append(rows[i][0])
                     b_out.append(rows[j][0])
                     h_out.append(ham)
-        # explicit dtypes: an empty frame must still concat as int64
-        return pd.DataFrame({"id_a": pd.array(a_out, dtype="int64"),
-                             "id_b": pd.array(b_out, dtype="int64"),
+        # explicit dtypes (so empty frames concat cleanly), id dtype
+        # carried from the input column — string ids work too
+        dt = g[id_col].dtype
+        return pd.DataFrame({"id_a": pd.array(a_out, dtype=dt),
+                             "id_b": pd.array(b_out, dtype=dt),
                              "hamming": pd.array(h_out, dtype="int64")})
 
     pairs = ds.map_batches(fp_fn, batch_format="pyarrow") \
@@ -450,8 +452,9 @@ def minhash_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             for i in range(j):
                 a_out.append(ids[i])
                 b_out.append(ids[j])
-        return pd.DataFrame({"id_a": pd.array(a_out, dtype="int64"),
-                             "id_b": pd.array(b_out, dtype="int64")})
+        dt = g[id_col].dtype
+        return pd.DataFrame({"id_a": pd.array(a_out, dtype=dt),
+                             "id_b": pd.array(b_out, dtype=dt)})
 
     pairs = ds.map_batches(sig_fn, batch_format="pyarrow") \
         .map_batches(explode_bands, batch_format="pyarrow") \
@@ -462,7 +465,8 @@ def minhash_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
 
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
-                        n: int = 3, threshold: float = 0.5):
+                        n: int = 3, threshold: float = 0.5,
+                        max_shingle_df: int | None = None):
     """EXACT n-gram Jaccard near-dup pairs via the inverted-shingle
     pattern (no MinHash approximation, no all-pairs scan):
 
@@ -471,41 +475,81 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     (id_a, id_b) count = |A∩B| → jaccard = c/(|A|+|B|−c) ≥ threshold.
 
     The only shuffle key is the shingle hash; per-doc set sizes travel
-    with the exploded rows so no join is needed. Caveat at 100 TB: a
-    shingle shared by m docs emits m² pair rows — run AFTER exact dedup
-    (which removes the identical-text mass) and/or drop boilerplate
-    shingles above a df cap if the corpus has them.
+    with the exploded rows so no join is needed.
+
+    **Head-shingle cap** (the 100 TB guard): a shingle shared by m docs
+    emits m² pair rows, so boilerplate shingles (navbars, footers,
+    license headers) blow the pair stage up quadratically. With
+    ``max_shingle_df`` set, a cheap pre-pass aggregates per-shingle df
+    and broadcasts the tiny heavy-hitter set (shingles with
+    df > max_shingle_df); the main pass then drops those shingles from
+    every doc's set BEFORE sizes are computed, so the output is the
+    exact Jaccard over the boilerplate-filtered shingle space (not a
+    truncated estimate) and per-shingle pair fan-out is bounded by
+    max_shingle_df². Run after exact dedup either way — identical-text
+    mass makes every shingle a heavy hitter.
 
     → Dataset (id_a, id_b, jaccard)."""
+    import ray
     from ray.data.aggregate import Count
 
-    def explode(b: pa.Table) -> pa.Table:
+    def explode(b: pa.Table, hot_ref=None) -> pa.Table:
         from ..analysis.tokenizer import simple_tokenize
+        hot = ray.get(hot_ref) if hot_ref is not None else None
         ids = b[id_col].to_pylist()
         out_h, out_id, out_sz = [], [], []
         for i, t in zip(ids, b[text_col].to_pylist()):
-            hs = np.unique(_shingle_hashes(simple_tokenize(t or ""), n))
+            # bit-cast uint64 → int64 for the shuffle key: a bijection,
+            # so grouping is unchanged, and Ray Data's groupby/aggregate
+            # key paths handle int64 natively (uint64 keys > 2^63 fall
+            # back to pickled-object columns)
+            hs = np.unique(_shingle_hashes(simple_tokenize(t or ""), n)) \
+                .view(np.int64)
+            if hot is not None and hot.size and hs.size:
+                # hot is a sorted int64 array of heavy-hitter hashes
+                pos = np.minimum(np.searchsorted(hot, hs), hot.size - 1)
+                hs = hs[hot[pos] != hs]
             for h in hs:
                 out_h.append(int(h))
                 out_id.append(i)
                 out_sz.append(len(hs))
-        return pa.table({"h": pa.array(out_h, pa.uint64()),
-                         id_col: pa.array(out_id, pa.int64()),
+        return pa.table({"h": pa.array(out_h, pa.int64()),
+                         id_col: pa.array(out_id, b[id_col].type),
                          "sz": pa.array(out_sz, pa.int64())})
 
+    hot_ref = None
+    if max_shingle_df is not None:
+        # pre-pass: per-shingle df → heavy hitters only cross to the
+        # driver (df > cap ⇒ at most n_shingle_rows/cap of them)
+        df_tbl = ds.map_batches(explode, batch_format="pyarrow") \
+            .groupby("h").aggregate(Count(alias_name="df"))
+
+        def hot_only(bt: pa.Table) -> pa.Table:
+            keep = pa.compute.greater(bt["df"], max_shingle_df)
+            return pa.table({"h": bt["h"].filter(keep)})
+
+        parts = list(df_tbl.map_batches(hot_only, batch_format="pyarrow")
+                     .iter_batches(batch_size=None, batch_format="pyarrow"))
+        hot_arr = np.sort(np.concatenate(
+            [p["h"].to_numpy() for p in parts])) if parts \
+            else np.empty(0, np.int64)
+        hot_ref = ray.put(hot_arr.astype(np.int64))
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        dt = g[id_col].dtype
         rows = sorted(zip(g[id_col], g["sz"]))
         a_out, b_out, sa, sb = [], [], [], []
         for j in range(1, len(rows)):
             for i in range(j):
                 a_out.append(rows[i][0]); sa.append(rows[i][1])
                 b_out.append(rows[j][0]); sb.append(rows[j][1])
-        return pd.DataFrame({"id_a": pd.array(a_out, dtype="int64"),
-                             "id_b": pd.array(b_out, dtype="int64"),
+        return pd.DataFrame({"id_a": pd.array(a_out, dtype=dt),
+                             "id_b": pd.array(b_out, dtype=dt),
                              "sz_a": pd.array(sa, dtype="int64"),
                              "sz_b": pd.array(sb, dtype="int64")})
 
-    inter = ds.map_batches(explode, batch_format="pyarrow") \
+    inter = ds.map_batches(explode, batch_format="pyarrow",
+                           fn_kwargs={"hot_ref": hot_ref}) \
         .groupby("h").map_groups(pairs, batch_format="pandas") \
         .groupby(["id_a", "id_b", "sz_a", "sz_b"]).aggregate(
             Count(alias_name="c"))
@@ -526,7 +570,9 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 # ------------------------------------------------------- embedding near-dup
 
 def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
-                    threshold: float = 0.9, dtype=np.float64):
+                    threshold: float = 0.9, dtype=np.float64,
+                    max_broadcast_bytes: int = 2 << 30,
+                    on_overflow: str = "route"):
     """EXACT embedding-cosine near-dup pairs: every (id_a < id_b) with
     cosine ≥ threshold.
 
@@ -534,11 +580,30 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     matrix is gathered once (embeddings are the small side — n×d floats,
     valid to ~10⁶×256 ≈ 1 GB), ``ray.put`` once, and every batch does one
     matmul against it — O(n²) compare work spread over the batch tasks,
-    payload shipped once. Past the broadcast bound use
-    ``embedding_lsh_dedup`` (bucketed, approximate).
+    payload shipped once.
+
+    **Scale guard**: the broadcast matrix size (n_rows × dim × itemsize,
+    estimated from dataset count + first-row dim BEFORE any gather) is
+    checked against ``max_broadcast_bytes`` (default 2 GiB). Past the
+    bound, ``on_overflow`` picks the behavior: ``"route"`` (default)
+    transparently falls back to :func:`embedding_lsh_dedup` — bucketed,
+    approximate, no broadcast; ``"raise"`` raises ValueError with the
+    routing hint so callers needing exact pairs fail loudly instead of
+    OOMing the driver.
 
     → Dataset (id_a, id_b, score)."""
     import ray
+
+    est = _broadcast_bytes_estimate(ds, vec_col, dtype)
+    if est is not None and est > max_broadcast_bytes:
+        if on_overflow == "route":
+            return embedding_lsh_dedup(ds, vec_col=vec_col, id_col=id_col,
+                                       threshold=threshold)
+        raise ValueError(
+            f"embedding_dedup broadcast matrix ≈{est/2**30:.1f} GiB exceeds "
+            f"max_broadcast_bytes={max_broadcast_bytes/2**30:.1f} GiB; use "
+            f"embedding_lsh_dedup (approximate, no broadcast) or raise the "
+            f"bound explicitly")
 
     proj = ds.select_columns([id_col, vec_col])
     parts = [b for b in proj.iter_batches(batch_size=None,
@@ -566,18 +631,35 @@ def embedding_dedup(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def _broadcast_bytes_estimate(ds, vec_col: str, dtype) -> int | None:
+    """n_rows × dim × itemsize for the would-be broadcast matrix, from
+    dataset metadata (count) and one row (dim) — no full gather. None if
+    the dataset is empty."""
+    n = ds.count()
+    if not n:
+        return None
+    first = ds.limit(1).take(1)[0][vec_col]
+    return int(n) * len(first) * np.dtype(dtype).itemsize
+
+
 def embedding_lsh_dedup(ds, vec_col: str = "embedding",
                         id_col: str = "vec_id", threshold: float = 0.9,
                         planes: int = 8, seed: int = 11, dtype=np.float32):
     """Scale path for embedding near-dup: hyperplane-LSH bucket the
     vectors (sign signature over ``planes`` seeded hyperplanes), then
     exact all-pairs cosine only WITHIN each bucket (map_groups) —
-    approximate (cross-bucket pairs are missed with probability
-    (angle/π)·planes), no broadcast of the full matrix, shuffle keyed on
-    the int bucket id. → Dataset (id_a, id_b, score)."""
+    approximate: a pair at angle θ lands in the same bucket with
+    probability (1−θ/π)^planes, so the miss probability is
+    1−(1−θ/π)^planes (θ/π·planes is only the union upper bound). No
+    broadcast of the full matrix; shuffle keyed on the int bucket id.
+    → Dataset (id_a, id_b, score)."""
     from ..util import proc_cached
 
     def bucketize(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            # upstream filters/splits can deliver empty Arrow batches
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             id_col: b[id_col], vec_col: b[vec_col]})
         dim = len(b[vec_col][0])
         pl = proc_cached(("emb_lsh_planes", planes, seed, dim),
                          lambda: np.random.default_rng(seed)

@@ -344,3 +344,81 @@ def test_ngram_jaccard_pairs_matches_kernel(dup_docs):
     got = {(a, b): int(j * 1e6 + 0.5) for a, b, j in
            zip(out["id_a"], out["id_b"], out["jaccard"])}
     assert got == expect and len(got) > 0
+
+
+@pytest.fixture(scope="module")
+def boilerplate_docs(ray_session):
+    """20 docs sharing a long boilerplate prefix (every boilerplate
+    shingle has df=20) plus a unique tail; one exact-dup pair on top."""
+    import ray.data as rd
+    boiler = ("copyright acme corporation all rights reserved terms of "
+              "service privacy policy contact us about careers")
+    rows = []
+    for i in range(20):
+        rows.append({"doc_id": i,
+                     "text": f"{boiler} article {i} body words alpha{i} "
+                             f"beta{i} gamma{i} delta{i}"})
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})   # exact dup of 0
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_ngram_shingle_df_cap(boilerplate_docs):
+    """VERDICT r2 item 3: without the cap a df=21 boilerplate shingle
+    emits ~21² pair rows and every doc pair passes the threshold; with
+    the cap, boilerplate shingles are dropped before sizes are computed
+    so only the true exact-dup pair survives, at exact jaccard 1.0."""
+    from search_engines_ray.functions import ngram_jaccard_pairs
+    uncapped = ngram_jaccard_pairs(boilerplate_docs, threshold=0.5).to_pandas()
+    assert len(uncapped) > 100          # boilerplate quadratic blowup
+    capped = ngram_jaccard_pairs(boilerplate_docs, threshold=0.5,
+                                 max_shingle_df=5).to_pandas()
+    assert len(capped) == 1
+    assert (capped.iloc[0]["id_a"], capped.iloc[0]["id_b"]) == (0, 100)
+    assert capped.iloc[0]["jaccard"] == pytest.approx(1.0)
+
+
+def test_embedding_dedup_scale_guard(emb_ds):
+    """VERDICT r2 item 4: past max_broadcast_bytes the exact op either
+    raises with the routing hint or transparently takes the LSH path."""
+    from search_engines_ray.functions import (
+        embedding_dedup, embedding_lsh_dedup,
+    )
+    with pytest.raises(ValueError, match="embedding_lsh_dedup"):
+        embedding_dedup(emb_ds, threshold=0.45, max_broadcast_bytes=1,
+                        on_overflow="raise")
+    routed = embedding_dedup(emb_ds, threshold=0.45,
+                             max_broadcast_bytes=1).to_pandas()
+    lsh = embedding_lsh_dedup(emb_ds, threshold=0.45).to_pandas()
+    assert set(zip(routed["id_a"], routed["id_b"])) == \
+        set(zip(lsh["id_a"], lsh["id_b"]))
+
+
+def test_embedding_lsh_empty_input(ray_session):
+    """ADVICE r2: bucketize must survive zero-row Arrow batches."""
+    import ray.data as rd
+    from search_engines_ray.functions import embedding_lsh_dedup
+    df = pd.DataFrame({"vec_id": pd.array([1, 2], dtype="int64"),
+                       "embedding": [[1.0, 0.0], [0.0, 1.0]]})
+    empty = rd.from_pandas(df).filter(lambda row: False)
+    out = embedding_lsh_dedup(empty).to_pandas()
+    assert len(out) == 0
+
+
+def test_pair_ops_string_ids(ray_session):
+    """ADVICE r2: the pair-level ops must carry the input id dtype
+    (string doc ids) instead of hard-coding int64."""
+    import ray.data as rd
+    from search_engines_ray.functions import (
+        minhash_candidate_pairs, ngram_jaccard_pairs, simhash_pairs,
+    )
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = pd.DataFrame({
+        "doc_id": ["doc-a", "doc-b", "doc-c"],
+        "text": [base, base, "completely different words here entirely"],
+    })
+    ds = rd.from_pandas(df)
+    for fn, kw in ((simhash_pairs, {}),
+                   (minhash_candidate_pairs, dict(num_perm=32, bands=8)),
+                   (ngram_jaccard_pairs, dict(threshold=0.5))):
+        out = fn(ds, **kw).to_pandas()
+        assert ("doc-a", "doc-b") in set(zip(out["id_a"], out["id_b"])), fn
