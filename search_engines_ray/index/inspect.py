@@ -57,8 +57,10 @@ def cmd_doc(reader: IndexReader, external_id: str) -> dict:
     if d < 0:
         return {"external_id": external_id, "error": "not found"}
     out = {"external_id": external_id, "docid": d}
+    import numpy as np
+    lens = reader.doclens_for(np.asarray([d], dtype=np.int64), reader.fields)
     for f in reader.fields:
-        out[f"len_{f}"] = int(reader.doclens(f)[d])
+        out[f"len_{f}"] = int(lens[f][0])
     return out
 
 

@@ -126,10 +126,41 @@ class IndexReader:
 
     def internal_docid(self, external_id: str) -> int:
         """Reference ``Idx.getInternalDocid`` (Idx.java:100-116): −1 when
-        absent."""
-        ids = self.external_ids()
-        hits = np.flatnonzero(ids == external_id)
-        return int(hits[0]) if hits.size else -1
+        absent. A filtered forward scan — never materializes the dense
+        id array (unless a caller already warmed it, which then answers
+        ~100× faster)."""
+        if self._external_ids is not None:
+            hits = np.flatnonzero(self._external_ids == external_id)
+            return int(hits[0]) if hits.size else -1
+        t = self._forward_dataset().to_table(
+            columns=["pid", "docid_local"],
+            filter=pc.field("external_id") == external_id)
+        if t.num_rows == 0:
+            return -1
+        docids = (self.pid_offsets[t["pid"].to_numpy()]
+                  + t["docid_local"].to_numpy())
+        return int(docids.min())
+
+    def internal_docids_for(self, external_ids: list[str]) -> np.ndarray:
+        """Batched ``internal_docid``: ONE filtered forward scan for a
+        candidate set of external ids (initial-ranking readers, LeToR) —
+        −1 where absent, aligned with the input order."""
+        ext = list(external_ids)
+        if not ext:
+            return np.empty(0, np.int64)
+        if self._external_ids is not None:
+            lut = {e: i for i, e in enumerate(self._external_ids)}
+            return np.asarray([lut.get(e, -1) for e in ext], dtype=np.int64)
+        t = self._forward_dataset().to_table(
+            columns=["pid", "docid_local", "external_id"],
+            filter=pc.field("external_id").isin(ext))
+        docids = (self.pid_offsets[t["pid"].to_numpy()]
+                  + t["docid_local"].to_numpy())
+        lut = {}
+        for e, d in zip(t["external_id"].to_pylist(), docids.tolist()):
+            if e not in lut or d < lut[e]:
+                lut[e] = d
+        return np.asarray([lut.get(e, -1) for e in ext], dtype=np.int64)
 
     # ---- sharded lookups (scale path: never materialize a dense
     # n_docs-sized array; shard = one pid's contiguous docid range) ----
@@ -161,6 +192,31 @@ class IndexReader:
         off = self.pid_offsets
         pids = np.searchsorted(off, docids, side="right") - 1
         return pids, docids - off[pids]
+
+    def doclens_for(self, docids: np.ndarray,
+                    fields: list[str]) -> dict[str, np.ndarray]:
+        """Per-field int32 lengths aligned with ``docids`` — the
+        candidate-set replacement for ``doclens(field)[docids]``: one
+        pruned forward scan serves every requested field, sized by the
+        query's posting union, never O(n_docs). Docids must exist (they
+        come from postings). Dense arrays already warmed by a caller
+        (small-corpus bench mode) answer directly."""
+        docids = np.asarray(docids, dtype=np.int64)
+        if all(f in self._doclens for f in fields):
+            return {f: self._doclens[f][docids] for f in fields}
+        if docids.size == 0:
+            return {f: np.empty(0, np.int32) for f in fields}
+        pids, locals_ = self._split_docids(docids)
+        t = self._forward_dataset().to_table(
+            columns=["pid", "docid_local"] + [f"len_{f}" for f in fields],
+            filter=pc.field("pid").isin(np.unique(pids).tolist())
+                   & pc.field("docid_local").isin(np.unique(locals_).tolist()))
+        lut_ids = (self.pid_offsets[t["pid"].to_numpy()]
+                   + t["docid_local"].to_numpy())
+        order = np.argsort(lut_ids)
+        pos = np.searchsorted(lut_ids[order], docids)
+        return {f: t[f"len_{f}"].to_numpy()[order][pos].astype(np.int32)
+                for f in fields}
 
     def external_ids_for(self, docids: np.ndarray) -> np.ndarray:
         """External ids aligned with ``docids`` via a filtered forward

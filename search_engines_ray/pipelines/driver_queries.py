@@ -838,7 +838,7 @@ def q_prf_terms_fb_mu0(sf_dir: str):
     initial = engine.search(" ".join(BM25_QUERY_TERMS), k=10)
     ids = initial["external_id"].to_pylist()
     scores = initial["score"].to_pylist()
-    internal = [reader.internal_docid(e) for e in ids]
+    internal = reader.internal_docids_for(ids).tolist()
     best = expansion_terms(reader, list(zip(internal, scores)),
                            fb_docs=10, fb_terms=5, fb_mu=0.0)
     return pa.table({
@@ -895,7 +895,7 @@ def q_prf_terms_fb_mu2500(sf_dir: str):
     initial = engine.search(" ".join(BM25_QUERY_TERMS), k=10)
     ids = initial["external_id"].to_pylist()
     scores = initial["score"].to_pylist()
-    internal = [reader.internal_docid(e) for e in ids]
+    internal = reader.internal_docids_for(ids).tolist()
     best = expansion_terms(reader, list(zip(internal, scores)),
                            fb_docs=10, fb_terms=5, fb_mu=2500.0)
     return pa.table({

@@ -85,11 +85,9 @@ def prf_search(engine, query: str, fb_docs: int = 10, fb_terms: int = 10,
     initial = engine.search(query, k=max(fb_docs, k))
     ids = initial["external_id"].to_pylist()
     scores = initial["score"].to_pylist()
-    ext = engine.reader.external_ids()
-    # external -> internal docid without a per-doc scan
-    import numpy as np
-    order = np.argsort(ext)
-    idx = order[np.searchsorted(ext[order], ids)]
+    # batched candidate-set reverse lookup (one pruned forward scan),
+    # not the dense external_ids() array
+    idx = engine.reader.internal_docids_for(ids)
     ranking = list(zip((int(i) for i in idx), scores))
     expanded = expand_query(engine.reader, ranking, fb_docs, fb_terms,
                             fb_mu, field)

@@ -94,10 +94,12 @@ class FeatureExtractor:
 
     def features(self, q_terms: list[str], docid: int,
                  tvs: dict[str, dict],
-                 posts_by_field: dict[str, dict] | None = None) -> list[float | None]:
+                 posts_by_field: dict[str, dict] | None = None,
+                 ext: str | None = None) -> list[float | None]:
         """18-slot vector; None = feature unavailable (normalizes to 0)."""
         r = self.reader
-        ext = r.external_ids()[docid]
+        if ext is None:     # candidate lookup, not the dense id array
+            ext = r.external_ids_for(np.asarray([docid], dtype=np.int64))[0]
         f: list[float | None] = [None] * N_FEATURES
         f[0] = self.spam.get(ext)
         url = ext
@@ -142,8 +144,11 @@ class FeatureExtractor:
                                                        positions=False)
                           for f in self._fields}
         mat = np.full((len(docids), N_FEATURES), np.nan)
+        exts = self.reader.external_ids_for(
+            np.asarray(docids, dtype=np.int64)) if docids else []
         for i, d in enumerate(docids):
-            row = self.features(q_terms, int(d), tvs, posts_by_field)
+            row = self.features(q_terms, int(d), tvs, posts_by_field,
+                                ext=exts[i])
             mat[i] = [np.nan if v is None else v for v in row]
         return mat, q_terms
 
@@ -206,9 +211,8 @@ def letor_rerank(reader: IndexReader, query: str, initial,
     extractor = extractor or FeatureExtractor(reader)
     ranker = ranker or LinearRanker()
     ext_ids = [e for e, _ in initial]
-    ext_all = reader.external_ids()
-    order = np.argsort(ext_all)
-    docids = order[np.searchsorted(ext_all[order], ext_ids)]
+    # batched candidate-set reverse lookup (one pruned forward scan)
+    docids = reader.internal_docids_for(ext_ids)
     mat, _ = extractor.feature_matrix(query, [int(d) for d in docids])
     norm = minmax_normalize(mat)
     scores = ranker.score(norm)

