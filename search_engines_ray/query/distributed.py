@@ -125,6 +125,83 @@ def _agg_topk_sum(k: int):
     return agg_topk
 
 
+# dense-accumulate cap for _group_sum_entries: nq_present × docid-span
+# cells per salt task; two float64 arrays at the cap ≈ 512 MB, inside a
+# worker's heap. Past it (very wide docid ranges × many queries) the
+# sort-based fallback runs in O(n log n) of the posting count instead.
+_DENSE_CAP = 1 << 25
+
+
+def _group_sum_entries(entries, need_zero_candidates: bool = False):
+    """Sum per-(query, docid) contributions inside ONE salt task.
+
+    ``entries``: list of ``(qcode, ascending docid array, float64 vals)``.
+    Returns ``(qc, docid, sums)`` sorted by ``(qc, docid)``.
+
+    Fast path exploits the salt contract — every entry's docids fall in
+    one contiguous range — with a dense ``np.bincount`` over
+    ``qslot*span + (docid-base)``: ~20× faster than sorting packed
+    int64 keys (``np.unique``/``argsort`` on millions of keys dominated
+    the r2 per-salt profile). ``need_zero_candidates`` keeps docs whose
+    summed value is exactly 0.0 (BM25 idf-clamped terms) at the cost of
+    a second bincount, preserving the reference's candidate semantics
+    (a matched doc is a candidate regardless of score)."""
+    entries = [(qc, d, v) for qc, d, v in entries if d.size]
+    if not entries:
+        e = np.empty(0, np.int64)
+        return e, e.copy(), np.empty(0, np.float64)
+    qs = sorted({qc for qc, _, _ in entries})
+    qslot = {q: i for i, q in enumerate(qs)}
+    base = min(int(d[0]) for _, d, _ in entries)
+    span = max(int(d[-1]) for _, d, _ in entries) + 1 - base
+    ncells = len(qs) * span
+    vals = np.concatenate([v for _, _, v in entries])
+    if ncells <= _DENSE_CAP:
+        lk = np.concatenate([
+            np.int64(qslot[qc] * span - base) + d.astype(np.int64)
+            for qc, d, _ in entries])
+        dense = np.bincount(lk, weights=vals, minlength=ncells)
+        if need_zero_candidates:
+            nzi = np.flatnonzero(np.bincount(lk, minlength=ncells))
+        else:
+            nzi = np.flatnonzero(dense)
+        slot, docid = np.divmod(nzi, span)
+        return (np.asarray(qs, dtype=np.int64)[slot], docid + base,
+                dense[nzi])
+    gk = np.concatenate([
+        (np.int64(qc) << _DOC_BITS) | d.astype(np.int64)
+        for qc, d, _ in entries])
+    order = np.argsort(gk)
+    gs, vs = gk[order], vals[order]
+    flag = np.empty(gs.size, np.bool_)
+    flag[0] = True
+    np.not_equal(gs[1:], gs[:-1], out=flag[1:])
+    idx = np.flatnonzero(flag)
+    uniq = gs[idx]
+    return (uniq >> _DOC_BITS), (uniq & _DOC_MASK), np.add.reduceat(vs, idx)
+
+
+def _query_slices(qc: np.ndarray):
+    """(start, end) runs of equal qcode; ``qc`` must be ascending (both
+    ``_group_sum_entries`` paths return it sorted)."""
+    bounds = np.flatnonzero(np.diff(qc)) + 1
+    return zip(np.concatenate(([0], bounds)),
+               np.concatenate((bounds, [qc.size])))
+
+
+def _topk_cut_sorted(qc: np.ndarray, sums: np.ndarray, k: int) -> np.ndarray:
+    """Exact per-query top-k keep mask over one salt's disjoint docid
+    range; ties at the kth score are kept (the global cut in
+    ``_emit_ranked`` resolves them by external id)."""
+    keep = np.ones(qc.size, np.bool_)
+    for lo, hi in _query_slices(qc):
+        if hi - lo > k:
+            sq = sums[lo:hi]
+            kth = np.partition(sq, -k)[-k]
+            keep[lo:hi] = sq >= kth
+    return keep
+
+
 def _collect_parts(scored, agg_topk) -> pa.Table:
     """groupby hash partition -> per-partition aggregate+cut -> one small
     candidate table on the driver."""
@@ -200,7 +277,7 @@ def bm25_batch_search(index_dir: str, queries: list[tuple[str, str]],
     if not paths:
         return _empty()
 
-    # broadcast small sides once (ray.put), read per actor — never per
+    # broadcast small sides once (ray.put), read per task — never per
     # batch; doclens are NOT broadcast: workers load docid-range shards
     # on demand (see _ShardedDoclens)
     tq_ref = ray.put(term_queries)
@@ -212,58 +289,73 @@ def bm25_batch_search(index_dir: str, queries: list[tuple[str, str]],
     k1, b = model.k1, model.b
     terms_list = sorted(term_queries)
 
-    _NPART = max(8, int(ray.cluster_resources().get("CPU", 8)))
-
-    # coalesce bucket files into ≤_NPART read blocks AT READ TIME
-    # (override_num_blocks merges read tasks) instead of a repartition
-    # stage after the read — same in-batch partial-aggregation benefit,
-    # one fewer all-to-all job per query batch
-    ds = ray.data.read_parquet(
-        paths, columns=["term", "field", "docid_blob", "tf_blob"],
-        filter=(pa.compute.field("term").isin(terms_list)
-                & (pa.compute.field("field") == field)),
-        override_num_blocks=min(_NPART, max(1, len(paths) // 2)))
-
-    # stateless task (not a capped actor pool): refs resolve zero-copy
-    # from the local object store per batch and the doclen shard cache
-    # is process-global, so tasks schedule elastically on every CPU —
-    # the earlier ``concurrency=2`` pool capped this stage at 2 workers
-    # regardless of cluster size
-    def score_batch(batch: pa.Table) -> pa.Table:
-        dlens = _ShardedDoclens(index_dir, field, pid_offsets, dl_token)
+    # ---- per-salt scoring, ZERO shuffle (r2→r3 redesign): salt is the
+    # SAME contiguous docid range for every term (build.py salt_of_pid),
+    # so one task per salt holds the complete postings of every query
+    # term for its range — (query, doc) scores are FINAL inside the
+    # task, the per-query top-k cut is exact (disjoint ranges), and the
+    # packed-key groupby that used to move the decoded posting rows
+    # (~90 MB per 20-query batch at 200k docs) is gone. Each task runs
+    # its own column- and row-group-pruned pyarrow scan (term/field/salt
+    # filters hit parquet row-group stats; the dataset metadata handle
+    # is process-cached). Parallelism = merge_salts, which steps with
+    # corpus size (thousands at the 10^12-doc design point).
+    def score_salt(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+        from ..util import proc_cached
         tq = ray.get(tq_ref)
         global_df = ray.get(df_ref)
-        keys_out, scores_out = [], []
-        for term, db, tb in zip(batch["term"].to_pylist(),
-                                batch["docid_blob"].to_pylist(),
-                                batch["tf_blob"].to_pylist()):
-            docids, tfs, _ = decode_postings(db, tb, None)
-            df = global_df[term]
-            idf = max(0.0, np.log((N - df + 0.5) / (df + 0.5)))
-            dl = dlens.get(docids).astype(np.float64)
-            tf = tfs.astype(np.float64)
-            s = idf * (tf / (tf + k1 * ((1.0 - b) + b * dl / avglen)))
-            for qc, mult in tq[term]:
-                keys_out.append((np.int64(qc) << _DOC_BITS) | docids)
-                scores_out.append(s if mult == 1 else s * mult)
-        if not keys_out:
-            return _partial_empty()
-        key_c = np.concatenate(keys_out)
-        sc_c = np.concatenate(scores_out)
-        # partial per-(query, docid) accumulate inside the batch
-        uniq, inv = np.unique(key_c, return_inverse=True)
-        agg = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(agg, inv, sc_c)
-        return pa.table({
-            "part": pa.array((uniq % _NPART).astype(np.int32)),
-            "gkey": pa.array(uniq),
-            "score": pa.array(agg)})
+        dlens = _ShardedDoclens(index_dir, field, pid_offsets, dl_token)
+        dset = proc_cached(("postings_dset", index_dir, dl_token,
+                            tuple(paths)),
+                           lambda: pads.dataset(paths, format="parquet"))
+        out: list[pa.Table] = []
+        for s in batch["salt"].to_pylist():
+            t = dset.to_table(
+                columns=["term", "docid_blob", "tf_blob"],
+                filter=(pc.field("term").isin(terms_list)
+                        & (pc.field("field") == field)
+                        & (pc.field("salt") == s)))
+            entries, any_zero_idf = [], False
+            for term, db, tb in zip(t["term"].to_pylist(),
+                                    t["docid_blob"].to_pylist(),
+                                    t["tf_blob"].to_pylist()):
+                docids, tfs, _ = decode_postings(db, tb, None)
+                df = global_df[term]
+                idf = max(0.0, np.log((N - df + 0.5) / (df + 0.5)))
+                any_zero_idf |= idf == 0.0
+                dl = dlens.get(docids).astype(np.float64)
+                tf = tfs.astype(np.float64)
+                sc = idf * (tf / (tf + k1 * ((1.0 - b) + b * dl / avglen)))
+                for qc, mult in tq[term]:
+                    entries.append((qc, docids,
+                                    sc if mult == 1 else sc * mult))
+            qc_a, docid, sums = _group_sum_entries(
+                entries, need_zero_candidates=any_zero_idf)
+            if qc_a.size:
+                keep = _topk_cut_sorted(qc_a, sums, k)
+                out.append(pa.table({
+                    "gkey": pa.array((qc_a[keep] << _DOC_BITS)
+                                     | docid[keep]),
+                    "score": pa.array(sums[keep])}))
+        return pa.concat_tables(out) if out else _partial_empty()
 
-    scored = ds.map_batches(score_batch, batch_format="pyarrow",
-                            batch_size=None)
+    cands = _run_salt_tasks(score_salt, reader)
+    return _emit_ranked(cands, qids, k, reader)
 
-    return _emit_ranked(_collect_parts(scored, _agg_topk_sum(k)),
-                        qids, k, reader)
+
+def _run_salt_tasks(score_salt, reader: IndexReader) -> pa.Table:
+    """One stateless task per salt (docid range); the tiny candidate
+    tables (≤ salts × queries × k rows) concat on the driver."""
+    n_salts = int(reader.stats.get("merge_salts", 4))
+    desc = ray.data.from_items([{"salt": s} for s in range(n_salts)],
+                               override_num_blocks=n_salts)
+    batches = list(
+        desc.map_batches(score_salt, batch_format="pyarrow", batch_size=1)
+        .iter_batches(batch_size=None, batch_format="pyarrow"))
+    batches = [b for b in batches if b.num_rows]
+    return pa.concat_tables(batches) if batches else _partial_empty()
 
 
 def _global_term_stats(index_dir: str, reader: IndexReader, terms: list[str],
@@ -355,87 +447,73 @@ def indri_batch_search(index_dir: str, queries: list[tuple[str, str]],
     qinfo_ref = ray.put(q_info)
     terms_list = sorted(term_queries)
 
-    _NPART = max(8, int(ray.cluster_resources().get("CPU", 8)))
-
-    # read-time block coalescing (see bm25_batch_search) — no
-    # repartition stage
-    ds = ray.data.read_parquet(
-        paths, columns=["term", "field", "docid_blob", "tf_blob"],
-        filter=(pa.compute.field("term").isin(terms_list)
-                & (pa.compute.field("field") == field)),
-        override_num_blocks=min(_NPART, max(1, len(paths) // 2)))
-
     def _s(tf, dl, m):
         return (1.0 - lam) * (tf + mu * m) / (dl + mu) + lam * m
 
-    # stateless task form (see score_batch above): no pool-width cap
-    def log_partial(batch: pa.Table) -> pa.Table:
+    # per-salt scoring, zero shuffle (see bm25_batch_search): the match
+    # set and every matched log-partial for a docid range are complete
+    # inside one salt task, so the default-score correction and the
+    # exact per-query cut both run there — the packed-key groupby and
+    # the separate final-aggregate stage are gone.
+    def score_salt(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+        from ..util import proc_cached
         dlens = _ShardedDoclens(index_dir, field, pid_offsets, dl_token)
         tq = ray.get(tq_ref)
         mle_m = ray.get(mle_ref)
-        keys_out, vals_out = [], []
-        with np.errstate(divide="ignore"):
-            for term, db, tb in zip(batch["term"].to_pylist(),
-                                    batch["docid_blob"].to_pylist(),
-                                    batch["tf_blob"].to_pylist()):
-                docids, tfs, _ = decode_postings(db, tb, None)
-                dl = dlens.get(docids).astype(np.float64)
-                m = mle_m[term]
-                part = (np.log(_s(tfs.astype(np.float64), dl, m))
-                        - np.log(_s(0.0, dl, m)))
-                for qc, mult in tq[term]:
-                    keys_out.append((np.int64(qc) << _DOC_BITS) | docids)
-                    vals_out.append(part if mult == 1 else part * mult)
-        if not keys_out:
-            return _partial_empty()
-        key_c = np.concatenate(keys_out)
-        v_c = np.concatenate(vals_out)
-        uniq, inv = np.unique(key_c, return_inverse=True)
-        agg = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(agg, inv, v_c)
-        return pa.table({
-            "part": pa.array((uniq % _NPART).astype(np.int32)),
-            "gkey": pa.array(uniq),
-            "score": pa.array(agg)})
-
-    scored = ds.map_batches(log_partial, batch_format="pyarrow",
-                            batch_size=None)
-
-    def agg_topk(bt: pa.Table) -> pa.Table:
-        """Final per-partition aggregate: sum log-partials, add the
-        default-score correction (needs doclens → sharded lookup; the
-        shard cache is process-global, so repeat partitions on the same
-        worker hit memory), take the exact per-query candidate cut on
-        the FINAL score."""
-        dlens = _ShardedDoclens(index_dir, field, pid_offsets, dl_token)
         qi = ray.get(qinfo_ref)
-        gk = bt["gkey"].to_numpy()
-        sc = bt["score"].to_numpy()
-        uniq, inv = np.unique(gk, return_inverse=True)
-        agg = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(agg, inv, sc)
-        qc = (uniq >> _DOC_BITS).astype(np.int64)
-        docid = (uniq & _DOC_MASK).astype(np.int64)
-        dl = dlens.get(docid).astype(np.float64)
-        final = np.empty(uniq.size, dtype=np.float64)
-        keep = np.ones(uniq.size, dtype=bool)
-        with np.errstate(divide="ignore"):
-            for q in np.unique(qc):
-                msk = qc == q
-                mles, mults, kq = qi[q]
-                corr = np.zeros(int(msk.sum()), dtype=np.float64)
-                dlq = dl[msk]
-                for mlv, mv in zip(mles, mults):
-                    corr += mv * np.log(_s(0.0, dlq, mlv))
-                final[msk] = np.exp((agg[msk] + corr) / kq)
-                s = final[msk]
-                if s.size > k:
-                    kth = np.partition(s, -k)[-k]
-                    keep[msk] = s >= kth
-        return pa.table({"gkey": pa.array(uniq[keep]),
-                         "score": pa.array(final[keep])})
+        dset = proc_cached(("postings_dset", index_dir, dl_token,
+                            tuple(paths)),
+                           lambda: pads.dataset(paths, format="parquet"))
+        out: list[pa.Table] = []
+        for s_salt in batch["salt"].to_pylist():
+            t = dset.to_table(
+                columns=["term", "docid_blob", "tf_blob"],
+                filter=(pc.field("term").isin(terms_list)
+                        & (pc.field("field") == field)
+                        & (pc.field("salt") == s_salt)))
+            entries = []
+            with np.errstate(divide="ignore"):
+                for term, db, tb in zip(t["term"].to_pylist(),
+                                        t["docid_blob"].to_pylist(),
+                                        t["tf_blob"].to_pylist()):
+                    docids, tfs, _ = decode_postings(db, tb, None)
+                    dl = dlens.get(docids).astype(np.float64)
+                    m = mle_m[term]
+                    # matched partials are strictly > 0 (s is monotone
+                    # in tf), so the dense group-sum's nonzero set IS
+                    # the match-min candidate set
+                    part = (np.log(_s(tfs.astype(np.float64), dl, m))
+                            - np.log(_s(0.0, dl, m)))
+                    for qc, mult in tq[term]:
+                        entries.append((qc, docids,
+                                        part if mult == 1 else part * mult))
+            qc_a, docid, agg = _group_sum_entries(entries)
+            if not qc_a.size:
+                continue
+            dl = dlens.get(docid).astype(np.float64)
+            final = np.empty(qc_a.size, dtype=np.float64)
+            keep = np.ones(qc_a.size, dtype=bool)
+            with np.errstate(divide="ignore"):
+                for lo, hi in _query_slices(qc_a):
+                    mles, mults, kq = qi[int(qc_a[lo])]
+                    corr = np.zeros(hi - lo, dtype=np.float64)
+                    dlq = dl[lo:hi]
+                    for mlv, mv in zip(mles, mults):
+                        corr += mv * np.log(_s(0.0, dlq, mlv))
+                    final[lo:hi] = np.exp((agg[lo:hi] + corr) / kq)
+                    sq = final[lo:hi]
+                    if sq.size > k:
+                        kth = np.partition(sq, -k)[-k]
+                        keep[lo:hi] = sq >= kth
+            out.append(pa.table({
+                "gkey": pa.array((qc_a[keep] << _DOC_BITS) | docid[keep]),
+                "score": pa.array(final[keep])}))
+        return pa.concat_tables(out) if out else _partial_empty()
 
-    return _emit_ranked(_collect_parts(scored, agg_topk), qids, k, reader)
+    return _emit_ranked(_run_salt_tasks(score_salt, reader),
+                        qids, k, reader)
 
 
 def _check_unique_qids(queries: list[tuple[str, str]]) -> list[str]:
