@@ -405,16 +405,66 @@ def q_wsum_structured_distributed(sf_dir: str):
 
 
 def q_sdm_structured_distributed(sf_dir: str):
-    """Full SDM tree (#WAND of #AND / #NEAR / #WINDOW) distributed —
-    rows-only (greedy positional tf not SQL-expressible); exactness vs
-    the driver engine in tests/test_query_engine.py."""
+    """SDM spine (#WAND of a bag-of-words #AND and a #NEAR/1 ordered-
+    phrase #AND) scored via the distributed structured Indri path —
+    ORACLE-CHECKED: #NEAR/1 over two distinct terms has SQL-expressible
+    tf (adjacency pair count, see ``near1_ranked``), and the #WAND /
+    #AND nesting is pure arithmetic over leaf scores, so the whole
+    distributed SDM chain (per-salt Iop co-group -> derived list ->
+    log-linear spine mix) hash-matches DuckDB. The full-analyzer
+    #WINDOW-bearing SDM stays rows-only as ``sdm_wand_search``."""
     from ..query.distributed import indri_structured_batch_search
-    reader = get_index(sf_dir, "lucene")
-    return indri_structured_batch_search(
+    reader = get_index(sf_dir, "simple")
+    res = indri_structured_batch_search(
         reader.index_dir,
-        [("sdm", "#wand( 0.7 #and( fast sort ) 0.2 #and( #near/1( fast"
-                 " sort ) ) 0.1 #and( #window/8( fast sort ) ) )")],
-        IndriModel(mu=2500, lambda_=0.4), k=100)
+        [("sdm", "#wand( 0.7 #and( fast sort ) "
+                 "0.3 #and( #near/1( fast sort ) ) )")],
+        IndriModel(mu=2500, lambda_=0.4), k=10)
+    return _ranked_to_table(res.drop_columns(["qid"]))
+
+
+# Mirrors the engine's nesting exactly: s_and = (s_fast*s_sort)^(1/2)
+# (Indri #AND k-th root with default-score fill), s_near = the Indri
+# leaf over the DERIVED #NEAR/1 list (its own df/ctf, QryIop.getCtf
+# semantics), top = s_and^0.7 * s_near^0.3 (#WAND, weights sum 1.0).
+# Candidates = match-min union (docs holding either term).
+SQL_SDM_STRUCTURED = f"""
+with tok as ({POS_TOK_SQL}),
+doclen as (select doc_id, count(*)::double as dl from tok group by doc_id),
+suml as (select sum(dl)::double as v from doclen),
+ctfs as (select term, count(*)::double as ctf from tok
+         where term in ('fast','sort') group by term),
+tfs as (select doc_id, term, count(*)::double as tf from tok
+        where term in ('fast','sort') group by doc_id, term),
+neartf as (
+  select a.doc_id, count(*)::double as tf
+  from tok a join tok b on a.doc_id = b.doc_id and b.pos = a.pos + 1
+  where a.term = 'fast' and b.term = 'sort' group by a.doc_id),
+nearctf as (select coalesce(sum(tf), 0.0)::double as ctf from neartf),
+cands as (select distinct doc_id from tfs),
+cells as (
+  select c.doc_id, q.term, coalesce(tfs.tf, 0.0) as tf, ctfs.ctf, doclen.dl
+  from cands c cross join (values ('fast'),('sort')) q(term)
+  join ctfs on ctfs.term = q.term
+  join doclen on doclen.doc_id = c.doc_id
+  left join tfs on tfs.doc_id = c.doc_id and tfs.term = q.term),
+andsc as (
+  select doc_id, pow(product({_INDRI_LEAF_SQL}), 0.5) as s1
+  from cells cross join suml group by doc_id),
+nearsc as (
+  select c.doc_id,
+         ((1.0-0.4)*(coalesce(n.tf, 0.0) + 2500.0*(nearctf.ctf/suml.v))
+            /(d.dl + 2500.0)
+          + 0.4*(nearctf.ctf/suml.v)) as s2
+  from cands c join doclen d using (doc_id)
+  left join neartf n using (doc_id)
+  cross join nearctf cross join suml),
+scored as (
+  select a.doc_id, pow(a.s1, 0.7) * pow(n.s2, 0.3) as raw
+  from andsc a join nearsc n using (doc_id))
+select doc_id, floor(raw*1000000 + 0.5)/1000000 as score from scored
+order by raw desc, doc_id asc limit 10
+"""
 
 
 def q_ranked_and(sf_dir: str):
@@ -783,18 +833,86 @@ def q_near_search(sf_dir: str):
     return engine.search("#sum(#near/2(fast sort) merge)", k=100)
 
 
+STRUCTURED_BATCH_QUERIES = [
+    ("near", "#sum(#near/1(fast sort) merge)",
+     [("near1", "fast", "sort"), ("term", "merge")]),
+    ("syn", "#sum(#syn(fast quick) dup)",
+     [("syn", ("fast", "quick")), ("term", "dup")]),
+    ("phr", "#sum(#near/1(dup line) sort)",
+     [("near1", "dup", "line"), ("term", "sort")]),
+]
+
+
+def _bm25_derived_sql(leaves, k: int) -> str:
+    """BM25 #SUM top-k SQL over a mix of plain-term and DERIVED leaves
+    (#NEAR/1 adjacency, #SYN member-merge) — each leaf contributes with
+    its OWN df (QryIop.getDf of the derived list), summed only where it
+    matches, mirroring the engine's #SUM over #SCORE leaves."""
+    tf_blocks, cell_blocks = [], []
+    for i, leaf in enumerate(leaves):
+        name = f"tf{i}"
+        if leaf[0] == "term":
+            expr = (f"select doc_id, count(*)::double as tf from tok "
+                    f"where term = '{leaf[1]}' group by doc_id")
+        elif leaf[0] == "syn":
+            inl = ",".join(f"'{t}'" for t in leaf[1])
+            expr = (f"select doc_id, count(*)::double as tf from tok "
+                    f"where term in ({inl}) group by doc_id")
+        else:  # near1: ordered adjacency pair count (see near1_ranked)
+            a, b = leaf[1], leaf[2]
+            expr = (f"select a.doc_id, count(*)::double as tf from tok a "
+                    f"join tok b on a.doc_id = b.doc_id "
+                    f"and b.pos = a.pos + 1 "
+                    f"where a.term = '{a}' and b.term = '{b}' "
+                    f"group by a.doc_id")
+        tf_blocks.append(f"{name} as ({expr})")
+        cell_blocks.append(f"select doc_id, tf, "
+                           f"(select count(*)::double from {name}) as df "
+                           f"from {name}")
+    cells = "\nunion all\n".join(cell_blocks)
+    return f"""
+with tok as ({POS_TOK_SQL}),
+doclen as (select doc_id, count(*)::double as dl from tok group by doc_id),
+stats as (select
+  (select count(*) from documents)::double as n,
+  (select count(*) from doclen)::double as dc,
+  (select sum(dl) from doclen)::double as suml),
+{",".join(tf_blocks)},
+cells as ({cells}),
+scored as (
+  select cells.doc_id,
+         sum(greatest(0.0, ln((stats.n - cells.df + 0.5)/(cells.df + 0.5)))
+             * (cells.tf / (cells.tf + 1.2*((1.0-0.75)
+                + 0.75*doclen.dl/(stats.suml/stats.dc))))) as raw
+  from cells join doclen on cells.doc_id = doclen.doc_id
+  cross join stats group by cells.doc_id)
+select doc_id, floor(raw*1000000 + 0.5)/1000000 as score from scored
+order by raw desc, doc_id asc limit {k}
+"""
+
+
 def q_structured_batch_distributed(sf_dir: str):
-    """#NEAR/#WINDOW/#SYN evaluated distributed (per-salt co-group →
-    derived lists → BM25 scoring); rank-identical to the driver engine
-    (greedy positional tf is not SQL-expressible → rows-only here,
-    engine-vs-engine equality in tests/test_query_engine.py)."""
+    """#NEAR/#SYN derived lists evaluated distributed (per-salt Iop
+    co-group -> derived list -> BM25 scoring), MULTI-QUERY — ORACLE-
+    CHECKED on the simple analyzer (adjacency + member-merge tfs are
+    SQL-expressible; greedy #WINDOW stays rows-only in
+    ``window_search``)."""
     from ..query.distributed import bm25_structured_batch_search
-    reader = get_index(sf_dir, "lucene")
-    return bm25_structured_batch_search(
+    reader = get_index(sf_dir, "simple")
+    res = bm25_structured_batch_search(
         reader.index_dir,
-        [("near", "#sum(#near/2(fast sort) merge)"),
-         ("window", "#sum(#window/8(hash join) table)"),
-         ("syn", "#sum(#syn(fast quick) dup)")], k=100)
+        [(qid, q) for qid, q, _ in STRUCTURED_BATCH_QUERIES], k=10)
+    ids = _docid_of_external(res["external_id"].to_pylist())
+    return pa.table({
+        "qid": res["qid"],
+        "doc_id": pa.array(ids),
+        "score": pa.array(round6(res["score"].to_pylist())),
+    })
+
+
+SQL_STRUCTURED_BATCH_DISTRIBUTED = "\nunion all\n".join(
+    f"select '{qid}' as qid, * from ({_bm25_derived_sql(leaves, 10)})"
+    for qid, _, leaves in STRUCTURED_BATCH_QUERIES)
 
 
 def q_window_search(sf_dir: str):
@@ -804,9 +922,31 @@ def q_window_search(sf_dir: str):
 
 
 def q_syn_search(sf_dir: str):
-    reader = get_index(sf_dir, "lucene")
+    """#OR over a #SYN derived list and a plain term, ranked boolean —
+    ORACLE-CHECKED: #SYN's merged tf is the summed member tf (terms
+    occupy distinct positions, QryIopSyn.java merge), RB #OR is the
+    per-doc max, so the derived-list chain is SQL-expressible on the
+    simple analyzer."""
+    reader = get_index(sf_dir, "simple")
     engine = QueryEngine(reader, RankedBooleanModel())
-    return engine.search("#or(#syn(fast quick) merge)", k=100)
+    res = engine.search("#or(#syn(fast quick) merge)", k=100)
+    return _ranked_to_table(res)
+
+
+SQL_SYN_SEARCH = f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+syntf as (select doc_id, count(*)::double as tf from tok
+          where term in ('fast','quick') group by doc_id),
+mtf as (select doc_id, count(*)::double as tf from tok
+        where term = 'merge' group by doc_id),
+scored as (
+  select coalesce(s.doc_id, m.doc_id) as doc_id,
+         greatest(coalesce(s.tf, 0.0), coalesce(m.tf, 0.0)) as raw
+  from syntf s full outer join mtf m on s.doc_id = m.doc_id)
+select doc_id, floor(raw*1000000 + 0.5)/1000000 as score from scored
+order by raw desc, doc_id asc limit 100
+"""
 
 
 def q_sdm_wand_search(sf_dir: str):
@@ -1960,12 +2100,13 @@ QUERIES = {
     "eval_metrics": q_eval_metrics,
     "lsh_ann_oracle": q_lsh_ann_oracle,
     "ivf_ann_oracle": q_ivf_ann_oracle,
-    # rows-only (not SQL-expressible: positional ops, PRF, sketches, LSH)
-    "near_search": q_near_search,
     "structured_batch_distributed": q_structured_batch_distributed,
     "sdm_structured_distributed": q_sdm_structured_distributed,
-    "window_search": q_window_search,
     "syn_search": q_syn_search,
+    # rows-only (not SQL-expressible: greedy positional ops, PRF,
+    # sketches, LSH, full-analyzer token chains)
+    "near_search": q_near_search,
+    "window_search": q_window_search,
     "sdm_wand_search": q_sdm_wand_search,
     "prf_expansion": q_prf_expansion,
     "embedding_lsh_dedup": q_embedding_lsh_dedup,
@@ -2012,6 +2153,9 @@ ORACLE_SQL = {
     "near1_ranked": SQL_NEAR1_RANKED,
     "near1_bm25_top10": SQL_NEAR1_BM25_TOP10,
     "near1_bm25_distributed": SQL_NEAR1_BM25_TOP10,
+    "sdm_structured_distributed": SQL_SDM_STRUCTURED,
+    "syn_search": SQL_SYN_SEARCH,
+    "structured_batch_distributed": SQL_STRUCTURED_BATCH_DISTRIBUTED,
     "token_stats": SQL_TOKEN_STATS,
     "embedding_dedup": SQL_EMBEDDING_DEDUP,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
