@@ -69,6 +69,98 @@ _EXCEPTIONS = {
     "welcomed": "welcome", "welcoming": "welcome",
 }
 
+# Derivational morphology (KStemmer.java's nessEndings / ityEndings /
+# mentEndings / ionEndings are dictionary-validated; with no dictionary
+# in this environment the generic rules below are gated by curated
+# tables). Two kinds of entries: words the generic strip would mangle
+# mapped to themselves (quality, moment, station), and spelling-change
+# irregulars the orthographic restore cannot derive (decision->decide,
+# security->secure).
+_DERIV_EXCEPTIONS = {
+    # -ness keeps (dictionary headwords / non-derivational)
+    "business": "business", "witness": "witness", "harness": "harness",
+    "wilderness": "wilderness", "lioness": "lioness",
+    "governess": "governess", "baroness": "baroness",
+    # -ment keeps
+    "moment": "moment", "comment": "comment", "cement": "cement",
+    "segment": "segment", "element": "element", "document": "document",
+    "experiment": "experiment", "instrument": "instrument",
+    "implement": "implement", "argument": "argument",
+    "monument": "monument", "parliament": "parliament",
+    "tournament": "tournament", "apartment": "apartment",
+    "department": "department", "fragment": "fragment",
+    "environment": "environment", "supplement": "supplement",
+    "compliment": "compliment", "sentiment": "sentiment",
+    "garment": "garment", "ferment": "ferment", "torment": "torment",
+    "ailment": "ailment", "pigment": "pigment", "ointment": "ointment",
+    # -ment irregular restores
+    "measurement": "measure", "management": "manage",
+    "requirement": "require", "judgment": "judge", "judgement": "judge",
+    "advertisement": "advertise", "acknowledgment": "acknowledge",
+    "acknowledgement": "acknowledge",
+    # -ity keeps
+    "quality": "quality", "velocity": "velocity", "capacity": "capacity",
+    "entity": "entity", "identity": "identity", "community": "community",
+    "university": "university", "opportunity": "opportunity",
+    "city": "city", "gravity": "gravity", "charity": "charity",
+    "integrity": "integrity", "celebrity": "celebrity",
+    "utility": "utility", "facility": "facility", "humidity": "humidity",
+    # -ity irregular restores
+    "security": "secure", "maturity": "mature", "obscurity": "obscure",
+    "purity": "pure", "rarity": "rare", "scarcity": "scarce",
+    "clarity": "clear", "brevity": "brief",
+    # -ion keeps
+    "station": "station", "nation": "nation", "section": "section",
+    "session": "session", "mission": "mission", "passion": "passion",
+    "fashion": "fashion", "cushion": "cushion", "opinion": "opinion",
+    "union": "union", "onion": "onion", "region": "region",
+    "religion": "religion", "million": "million", "billion": "billion",
+    "version": "version", "vision": "vision", "fiction": "fiction",
+    "motion": "motion", "notion": "notion", "lotion": "lotion",
+    "potion": "potion", "portion": "portion", "caution": "caution",
+    "function": "function", "question": "question",
+    "information": "information", "attention": "attention",
+    "condition": "condition", "tradition": "tradition",
+    "position": "position", "definition": "definition",
+    "petition": "petition", "edition": "edition",
+    "occasion": "occasion", "illusion": "illusion",
+    "dimension": "dimension", "pension": "pension", "mansion": "mansion",
+    "observation": "observation", "application": "application",
+    "destination": "destination", "situation": "situate",
+    # -ation verbs (dictionary-only: the base regained its silent e or
+    # lost -ate entirely; the generic rule keeps unknown -ation words)
+    "creation": "create", "operation": "operate",
+    "generation": "generate", "location": "locate",
+    "education": "educate", "relation": "relate", "rotation": "rotate",
+    "donation": "donate", "migration": "migrate",
+    "vibration": "vibrate", "translation": "translate",
+    "calculation": "calculate", "population": "populate",
+    "communication": "communicate", "combination": "combine",
+    "imagination": "imagine", "examination": "examine",
+    "determination": "determine", "coordination": "coordinate",
+    "navigation": "navigate", "celebration": "celebrate",
+    "cooperation": "cooperate", "preparation": "prepare",
+    "separation": "separate", "integration": "integrate",
+    "innovation": "innovate", "motivation": "motivate",
+    "evaluation": "evaluate", "estimation": "estimate",
+    "simulation": "simulate", "optimization": "optimize",
+    "provision": "provide",
+    # -sion spelling changes (Latin d/de stems)
+    "decision": "decide", "division": "divide", "collision": "collide",
+    "conclusion": "conclude", "inclusion": "include",
+    "exclusion": "exclude", "explosion": "explode",
+    "invasion": "invade", "erosion": "erode", "persuasion": "persuade",
+    "extension": "extend", "expansion": "expand",
+    "comprehension": "comprehend", "suspension": "suspend",
+    "admission": "admit", "permission": "permit",
+    "transmission": "transmit", "submission": "submit",
+    "emission": "emit", "omission": "omit",
+}
+
+# tails the generic -ion strip accepts bare (act, adopt, suggest,
+# discuss, insert, consult): the stripped stem is itself the base verb
+_ION_BARE_TAILS = ("ct", "pt", "st", "ss", "rt", "lt")
+
 
 def _consonant(word: str, i: int) -> bool:
     c = word[i]
@@ -189,5 +281,48 @@ def kstem(word: str) -> str:
         if und != stem:                   # running → run
             return und
         return _restore_e(stem)           # leaving → leave, open stays
+
+    # --- derivational (KStemmer nessEndings/ityEndings/mentEndings/
+    # ionEndings; dictionary validation approximated by _DERIV_EXCEPTIONS
+    # and orthographic gates) ---
+    exc = _DERIV_EXCEPTIONS.get(word)
+    if exc is not None:
+        return exc
+    if word.endswith("ness") and len(word) > 6:
+        stem = word[:-4]
+        if stem.endswith("i"):            # happiness → happy
+            return stem[:-1] + "y"
+        return stem                       # kindness → kind
+    if word.endswith("ment") and len(word) > 6:
+        # -ment attaches to the intact base (movement → move keeps its
+        # 'e'); the judg-/acknowledg- contractions live in the table
+        return word[:-4]
+    if word.endswith("ity") and len(word) > 5:
+        if word.endswith("ability"):      # availability → available
+            return word[:-7] + "able"
+        if word.endswith("ibility"):      # possibility → possible
+            return word[:-7] + "ible"
+        if word.endswith("ivity"):        # activity → active
+            return word[:-5] + "ive"
+        stem = word[:-3]
+        if stem.endswith("al"):           # formality → formal
+            return stem
+        return _restore_e(stem)           # sanity → sane, complex stays
+    if word.endswith("ion") and len(word) > 5:
+        if word.endswith("ization"):      # organization → organize
+            return word[:-7] + "ize"
+        if word.endswith("ification"):    # classification → classify
+            return word[:-9] + "ify"
+        stem = word[:-3]
+        # -ation bases are dictionary-only (creation→create but
+        # combination→combine, observation→observation): the common
+        # ones live in _DERIV_EXCEPTIONS, the rest keep the word
+        if not stem.endswith("at"):
+            restored = _restore_e(stem)
+            if restored != stem:          # confusion → confuse
+                return restored
+            if stem.endswith(_ION_BARE_TAILS):
+                return stem               # action → act, discussion → discuss
+        return word                       # unknown base: keep the word
 
     return word

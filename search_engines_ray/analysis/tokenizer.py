@@ -39,10 +39,42 @@ LUCENE_STOP_WORDS = frozenset(
     that the their then there these they this to was will with""".split()
 )
 
-# Word runs; apostrophes glue ("don't" stays one token, like
-# StandardTokenizer's word-break rules).
-_TOKEN_RE = re.compile(r"\w+(?:'\w+)*", re.UNICODE)
-_POSSESSIVE_RE = re.compile(r"'[sS]$")
+# UAX#29 word-break emulation (StandardTokenizer's segmentation rules,
+# Lucene standard/StandardTokenizerImpl.jflex):
+#  - WB5/8/9/10/13a/13b: letter/digit/underscore runs stay one token
+#    (underscore is ExtendNumLet — it JOINS: "foo_bar" is ONE token,
+#    and the token text keeps the underscore);
+#  - WB6/7 (MidLetter/MidNumLet between letters): "can't" / "can’t"
+#    stay one token;
+#  - WB11/12 (MidNum/MidNumLet between digits): "3.14" / "1,000" stay
+#    one token;
+#  - a run of ONLY joiners (e.g. "___") emits no token;
+#  - CJK ideographs and hiragana emit ONE TOKEN PER CHARACTER
+#    (<IDEOGRAPHIC>/<HIRAGANA>); katakana and hangul stay as runs
+#    (WB13 / ALetter).
+# Divergences vs the full UAX#29 table (documented, exercised in
+# tests/test_tokenizer_uax29.py): no Extend/Format (ZWJ, combining
+# marks treated as part of \w), no regional indicators.
+_ASCII_TOKEN_RE = re.compile(
+    r"[A-Za-z0-9_]+"
+    r"(?:(?<=[A-Za-z])['.](?=[A-Za-z])[A-Za-z0-9_]+"
+    r"|(?<=[0-9])[.,](?=[0-9])[A-Za-z0-9_]+)*")
+_CJK_CLS = "぀-ゟ㐀-䶿一-鿿豈-﫿"
+_UNI_TOKEN_RE = re.compile(
+    rf"[{_CJK_CLS}]"
+    rf"|(?:(?![{_CJK_CLS}])\w)+"
+    rf"(?:(?<=[^\W\d_])['’.](?=[^\W\d_])(?:(?![{_CJK_CLS}])\w)+"
+    rf"|(?<=[0-9])[.,](?=[0-9])(?:(?![{_CJK_CLS}])\w)+)*",
+    re.UNICODE)
+_POSSESSIVE_RE = re.compile(r"['’][sS]$")
+
+
+def _word_tokens(text: str) -> list[str]:
+    """StandardTokenizer-style segmentation; ASCII fast path (the hot
+    indexing case), unicode rules otherwise. Joiner-only runs drop."""
+    toks = (_ASCII_TOKEN_RE.findall(text) if text.isascii()
+            else _UNI_TOKEN_RE.findall(text))
+    return [t for t in toks if t.strip("_")]
 
 # DuckDB-reproducible simple tokenizer.
 _SIMPLE_RE = re.compile(r"[a-z0-9]+")
@@ -99,8 +131,8 @@ class Analyzer:
         stopwords = self.stopwords
         cache = self._stem_cache
         cache_get = cache.get
-        for tok in _TOKEN_RE.findall(text):
-            if "'" in tok:
+        for tok in _word_tokens(text):
+            if "'" in tok or "’" in tok:
                 tok = _POSSESSIVE_RE.sub("", tok)
                 if not tok:
                     continue
