@@ -53,15 +53,32 @@ class DecodeImage:
 
     FEATURE_DIM = 16
 
-    def __init__(self, fake: bool = False):
+    def __init__(self, fake: bool = False, auto: bool = False):
+        """``auto=True`` probes for PIL ONCE PER ACTOR (here, not per
+        batch) and decodes real images when it exists, silently falling
+        back to the fake double otherwise — the import-guard pattern for
+        environment-dependent stages."""
         self.fake = fake
+        self._pil = None
+        if auto and not fake:
+            try:
+                from PIL import Image
+                self._pil = Image
+            except ImportError:
+                self.fake = True
 
     def _decode_one(self, payload: bytes) -> np.ndarray:
+        if self._pil is not None:
+            # real decode: grayscale 4x4 thumbnail = 16 float features
+            import io
+            img = self._pil.open(io.BytesIO(payload)).convert("L")
+            img = img.resize((4, 4))
+            return (np.asarray(img, dtype=np.float32) / 255.0).reshape(-1)
         if not self.fake:
             raise NotImplementedError(
                 "image decode needs an image library (PIL/cv2) not present "
                 "in this environment; construct DecodeImage(fake=True) for "
-                "the deterministic test double")
+                "the deterministic test double or auto=True to fall back")
         d = hashlib.md5(payload).digest()
         return np.frombuffer(d, dtype=np.uint8).astype(np.float32) / 255.0
 

@@ -140,6 +140,27 @@ def test_multimodal_plumbing(ray_session):
         DecodeImage(fake=False)._decode_one(b"xx")
 
 
+def test_decode_image_auto_import_guard():
+    """auto=True decodes REAL images when PIL exists in the
+    environment, silently falls back to the deterministic fake double
+    otherwise — both branches yield FEATURE_DIM float32 features."""
+    from search_engines_ray.functions.multimodal import DecodeImage
+    dec = DecodeImage(auto=True)
+    try:
+        from PIL import Image
+        import io
+        buf = io.BytesIO()
+        Image.new("RGB", (8, 8), (200, 10, 10)).save(buf, format="PNG")
+        payload = buf.getvalue()
+        assert dec._pil is not None and not dec.fake
+    except ImportError:
+        payload = b"not-an-image"
+        assert dec._pil is None and dec.fake
+    feats = dec._decode_one(payload)
+    assert feats.shape == (DecodeImage.FEATURE_DIM,)
+    assert feats.dtype == np.float32
+
+
 def test_ivf_ann_topk(emb_ds):
     import pyarrow.parquet as pq
     from search_engines_ray.functions import ivf_ann_topk
