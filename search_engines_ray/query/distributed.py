@@ -99,32 +99,6 @@ class _ShardedDoclens:
 
 
 
-def _agg_topk_sum(k: int):
-    """Per-partition final sum + exact per-query candidate cut for
-    plain-sum scores (BM25 paths): a row below its query's kth score in
-    a partition has >=k strictly-greater rows in that partition alone,
-    so dropping it is exact; ties at the kth score are kept."""
-
-    def agg_topk(bt: pa.Table) -> pa.Table:
-        gk = bt["gkey"].to_numpy()
-        sc = bt["score"].to_numpy()
-        uniq, inv = np.unique(gk, return_inverse=True)
-        agg = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(agg, inv, sc)
-        qc = (uniq >> _DOC_BITS).astype(np.int64)
-        keep = np.ones(uniq.size, dtype=bool)
-        for q in np.unique(qc):
-            m = qc == q
-            srt = agg[m]
-            if srt.size > k:
-                kth = np.partition(srt, -k)[-k]
-                keep[m] = srt >= kth
-        return pa.table({"gkey": pa.array(uniq[keep]),
-                         "score": pa.array(agg[keep])})
-
-    return agg_topk
-
-
 # dense-accumulate cap for _group_sum_entries: nq_present × docid-span
 # cells per salt task; two float64 arrays at the cap ≈ 512 MB, inside a
 # worker's heap. Past it (very wide docid ranges × many queries) the
@@ -200,18 +174,6 @@ def _topk_cut_sorted(qc: np.ndarray, sums: np.ndarray, k: int) -> np.ndarray:
             kth = np.partition(sq, -k)[-k]
             keep[lo:hi] = sq >= kth
     return keep
-
-
-def _collect_parts(scored, agg_topk) -> pa.Table:
-    """groupby hash partition -> per-partition aggregate+cut -> one small
-    candidate table on the driver."""
-    cand_batches = list(
-        scored.groupby("part").map_groups(agg_topk, batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow"))
-    cands = pa.concat_tables(cand_batches) if cand_batches else _partial_empty()
-    if "part" in cands.column_names:
-        cands = cands.drop_columns(["part"])
-    return cands
 
 
 def _emit_ranked(cands: pa.Table, qids: list[str], k: int,
@@ -541,84 +503,121 @@ def _empty() -> pa.Table:
 
 # ---------------------------------------------------------- structured
 
-def _derive_lists(reader: IndexReader, iop_plans: dict, field: str):
+def _derive_lists(reader: IndexReader, iop_plans_by_field: dict):
     """Phase A of the distributed structured paths: evaluate every Iop
-    subtree (#NEAR/#WINDOW/#SYN) per salt group and return
-    ``(derived_dataset | None, {leaf: (df, ctf)})``.
+    subtree (#NEAR/#WINDOW/#SYN) per salt and return
+    ``(derived_dataset, {leaf: (df, ctf)})``.
 
     Partitioning contract: salt = contiguous docid range, one postings
-    row per (term, salt), so ``groupby("salt")`` co-locates ALL argument
-    terms' postings for each docid range; each group runs the driver's
-    own positional kernels (``eval_iop_tree``) unchanged. The derived
-    dataset (leaf, salt, df, ctf, docid_blob, tf_blob) is materialized —
-    it is bounded by the argument postings read, and two consumers need
-    it (the metadata aggregate and the scoring stage)."""
+    row per (term, salt), so ONE TASK PER SALT holds ALL argument
+    terms' postings for its docid range — each task runs its own
+    column/row-group-pruned local pyarrow scan (term/field/salt filters
+    hit parquet row-group stats) and the driver's positional kernels
+    (``eval_iop_tree``: two-pointer #NEAR, min/max-head #WINDOW, #SYN
+    union) unchanged. ZERO shuffle (r2→r3: this replaces a
+    read + ``groupby("salt")`` job). The derived dataset
+    (leaf, field, salt, df, ctf, docid_blob, tf_blob) is materialized —
+    bounded by the argument postings read — and every salt emits a stub
+    row so the downstream per-salt scoring pass covers salts with no
+    Iop match. A derived list's GLOBAL df/ctf (what the reference
+    scores with, ``QryIop.java:139-151``) is the sum over its salt
+    runs — the small driver-side aggregate returned alongside."""
     from .eval import InvList, eval_iop_tree
     from .plan import TermNode
-    from ..index.varbyte import encode_postings
 
-    if not iop_plans:
-        return None, {}
-    iop_terms: set[str] = set()
-    for plan in iop_plans.values():
-        stack = [plan]
-        while stack:
-            n = stack.pop()
-            if isinstance(n, TermNode):
-                iop_terms.add(n.term)
-            else:
-                stack.extend(n.args)
-    paths = reader._bucket_paths(sorted(iop_terms))
-    if not paths:
-        return None, {}
-    src = ray.data.read_parquet(
-        paths, columns=["term", "field", "salt", "docid_blob",
-                        "tf_blob", "pos_blob"],
-        filter=(pa.compute.field("term").isin(sorted(iop_terms))
-                & (pa.compute.field("field") == field)))
-    iop_items = sorted(iop_plans.items())
+    index_dir = reader.index_dir
+    dl_token = reader.stats_token
+    terms_by_field: dict[str, list[str]] = {}
+    for fld, plans in iop_plans_by_field.items():
+        acc: set[str] = set()
+        for plan in plans.values():
+            stack = [plan]
+            while stack:
+                n = stack.pop()
+                if isinstance(n, TermNode):
+                    acc.add(n.term)
+                else:
+                    stack.extend(n.args)
+        terms_by_field[fld] = sorted(acc)
+    all_terms = sorted({t for ts in terms_by_field.values() for t in ts})
+    paths = reader._bucket_paths(all_terms) if all_terms else []
+    field_items = sorted((fld, sorted(plans.items()))
+                         for fld, plans in iop_plans_by_field.items())
+    n_salts = int(reader.stats.get("merge_salts", 4))
 
-    def eval_salt_group(g: pa.Table) -> pa.Table:
-        cache = {}
-        for trm, db, tb, pb in zip(g["term"].to_pylist(),
-                                   g["docid_blob"].to_pylist(),
-                                   g["tf_blob"].to_pylist(),
-                                   g["pos_blob"].to_pylist()):
-            d, tf, p = decode_postings(db, tb, pb)
-            cache[(trm, field)] = InvList(
-                d, tf, p if p is not None else np.empty(0, np.int32),
-                int(d.size), int(tf.sum()), field)
-        salt = int(g["salt"][0].as_py())
-        rows = {c: [] for c in ("leaf", "salt", "df", "ctf",
+    def eval_salts(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+        from ..index.varbyte import encode_postings
+        from ..util import proc_cached
+        dset = proc_cached(("postings_dset", index_dir, dl_token,
+                            tuple(paths)),
+                           lambda: pads.dataset(paths, format="parquet")) \
+            if paths else None
+        rows = {c: [] for c in ("leaf", "field", "salt", "df", "ctf",
                                 "docid_blob", "tf_blob")}
-        for key, plan in iop_items:
-            inv = eval_iop_tree(plan, cache)
-            if inv.df == 0:
-                continue
-            db2, tb2, _ = encode_postings(
-                inv.docids, inv.tfs, np.empty(0, np.int64))
-            rows["leaf"].append(key)
-            rows["salt"].append(salt)
-            rows["df"].append(int(inv.df))
-            rows["ctf"].append(int(inv.ctf))
-            rows["docid_blob"].append(db2)
-            rows["tf_blob"].append(tb2)
+        for s in batch["salt"].to_pylist():
+            for fld, items in field_items:
+                if dset is None:
+                    continue
+                t = dset.to_table(
+                    columns=["term", "docid_blob", "tf_blob", "pos_blob"],
+                    filter=(pc.field("term").isin(terms_by_field[fld])
+                            & (pc.field("field") == fld)
+                            & (pc.field("salt") == s)))
+                cache = {}
+                for trm, db, tb, pb in zip(t["term"].to_pylist(),
+                                           t["docid_blob"].to_pylist(),
+                                           t["tf_blob"].to_pylist(),
+                                           t["pos_blob"].to_pylist()):
+                    d, tf, p = decode_postings(db, tb, pb)
+                    cache[(trm, fld)] = InvList(
+                        d, tf, p if p is not None else np.empty(0, np.int32),
+                        int(d.size), int(tf.sum()), fld)
+                for key, plan in items:
+                    inv = eval_iop_tree(plan, cache)
+                    if inv.df == 0:
+                        continue
+                    db2, tb2, _ = encode_postings(
+                        inv.docids, inv.tfs, np.empty(0, np.int64))
+                    rows["leaf"].append(key)
+                    rows["field"].append(fld)
+                    rows["salt"].append(s)
+                    rows["df"].append(int(inv.df))
+                    rows["ctf"].append(int(inv.ctf))
+                    rows["docid_blob"].append(db2)
+                    rows["tf_blob"].append(tb2)
+            # stub: every salt must reach the scoring pass (a salt may
+            # match no Iop but still hold plain-term postings)
+            rows["leaf"].append("")
+            rows["field"].append("")
+            rows["salt"].append(s)
+            rows["df"].append(0)
+            rows["ctf"].append(0)
+            rows["docid_blob"].append(b"")
+            rows["tf_blob"].append(b"")
         return pa.table({
             "leaf": pa.array(rows["leaf"], pa.string()),
+            "field": pa.array(rows["field"], pa.string()),
             "salt": pa.array(rows["salt"], pa.int32()),
             "df": pa.array(rows["df"], pa.int64()),
             "ctf": pa.array(rows["ctf"], pa.int64()),
             "docid_blob": pa.array(rows["docid_blob"], pa.binary()),
             "tf_blob": pa.array(rows["tf_blob"], pa.binary())})
 
-    derived = src.groupby("salt").map_groups(
-        eval_salt_group, batch_format="pyarrow").materialize()
+    desc = ray.data.from_items(
+        [{"salt": s} for s in range(n_salts)],
+        override_num_blocks=n_salts)
+    derived = desc.map_batches(eval_salts, batch_format="pyarrow",
+                               batch_size=None).materialize()
     stats: dict[str, tuple[int, int]] = {}
     for bt in derived.select_columns(["leaf", "df", "ctf"]).iter_batches(
             batch_size=None, batch_format="pyarrow"):
         for lf, dfv, ctfv in zip(bt["leaf"].to_pylist(),
                                  bt["df"].to_pylist(),
                                  bt["ctf"].to_pylist()):
+            if not lf:
+                continue
             d0, c0 = stats.get(lf, (0, 0))
             stats[lf] = (d0 + dfv, c0 + ctfv)
     return derived, stats
@@ -716,106 +715,121 @@ def bm25_structured_batch_search(index_dir: str,
     pid_offsets = reader.pid_offsets
     dl_token = reader.stats_token
     k1, b = model.k1, model.b
-    _NPART = max(8, int(ray.cluster_resources().get("CPU", 8)))
 
-    def score_partial(leaf_rows):
-        """(gkey, score) partial rows from (field, df_global, docids,
-        tfs, targets) tuples — shared by the term path and the derived
-        path; doclens resolve per leaf field (sharded, process-cached)."""
-        keys_out, scores_out = [], []
-        for fld, df, docids, tfs, targets in leaf_rows:
-            if docids.size == 0 or df == 0:
-                continue
-            dlens = _ShardedDoclens(index_dir, fld, pid_offsets, dl_token)
-            idf = max(0.0, float(np.log((N - df + 0.5) / (df + 0.5))))
-            dl = dlens.get(docids).astype(np.float64)
-            tf = tfs.astype(np.float64)
-            s = idf * (tf / (tf + k1 * ((1.0 - b) + b * dl / avglens[fld])))
-            for qc, mult in targets:
-                keys_out.append((np.int64(qc) << _DOC_BITS) | docids)
-                scores_out.append(s if mult == 1 else s * mult)
-        if not keys_out:
-            return _partial_empty()
-        key_c = np.concatenate(keys_out)
-        sc_c = np.concatenate(scores_out)
-        uniq, inv = np.unique(key_c, return_inverse=True)
-        agg = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(agg, inv, sc_c)
-        return pa.table({"part": pa.array((uniq % _NPART).astype(np.int32)),
-                         "gkey": pa.array(uniq),
-                         "score": pa.array(agg)})
+    # ---- phase A: derived lists, one task per salt, zero shuffle ----
+    derived, dstats = _derive_lists(reader, iop_plans_by_field)
+    ddf = {lf: d for lf, (d, _) in dstats.items()}
 
-    partial_tables: list = []
-
-    # ---- phase A: derived lists, per-salt co-group (one pass per
-    # field holding positional leaves — iop args share a field) ----
-    for ifld, plans in sorted(iop_plans_by_field.items()):
-        derived, dstats = _derive_lists(reader, plans, ifld)
-        if derived is None:
-            continue
-        ddf = {lf: d for lf, (d, _) in dstats.items()}
-        ddf_ref = ray.put(ddf)
-        il_ref = ray.put({lf: iop_leaves[lf] for lf in plans
-                          if lf in iop_leaves})
-
-        def score_derived(bt: pa.Table, _fld=ifld, _ddf_ref=ddf_ref,
-                          _il_ref=il_ref) -> pa.Table:
-            ddf_l = ray.get(_ddf_ref)
-            il = ray.get(_il_ref)
-            rows = []
-            for lf, db2, tb2 in zip(bt["leaf"].to_pylist(),
-                                    bt["docid_blob"].to_pylist(),
-                                    bt["tf_blob"].to_pylist()):
-                d, tf, _ = decode_postings(db2, tb2, None)
-                rows.append((_fld, ddf_l[lf], d, tf, il[lf]))
-            return score_partial(rows)
-
-        partial_tables.append(
-            derived.map_batches(score_derived, batch_format="pyarrow",
-                                batch_size=None))
-
-    # ---- phase B: plain term leaves (same as bm25_batch_search),
-    # one bucket-pruned read per field ----
+    # global plain-term stats (metadata-only scan) + per-field read sets
+    tstats_by_field: dict[str, dict[str, int]] = {}
+    paths_by_field: dict[str, tuple[list[str], tuple[str, ...]]] = {}
     for tfld, tlist in sorted(terms_by_field.items()):
-        plain_terms = sorted(set(tlist))
-        paths = reader._bucket_paths(plain_terms)
-        if not paths:
+        plain = sorted(set(tlist))
+        paths_f = reader._bucket_paths(plain)
+        if not paths_f:
             continue
-        tstats = _global_term_stats(index_dir, reader, plain_terms, tfld)
-        ts_ref = ray.put(tstats)
-        tl_ref = ray.put({t: term_leaves[f"t:{tfld}:{t}"]
-                          for t in plain_terms
-                          if f"t:{tfld}:{t}" in term_leaves})
+        paths_by_field[tfld] = (plain, tuple(paths_f))
+        tstats_by_field[tfld] = {
+            t: d for t, (d, _) in _global_term_stats(
+                index_dir, reader, plain, tfld).items()}
 
-        def score_terms(bt: pa.Table, _fld=tfld, _ts_ref=ts_ref,
-                        _tl_ref=tl_ref) -> pa.Table:
-            tstats_l = ray.get(_ts_ref)
-            tl = ray.get(_tl_ref)
-            rows = []
-            for trm, db2, tb2 in zip(bt["term"].to_pylist(),
-                                     bt["docid_blob"].to_pylist(),
-                                     bt["tf_blob"].to_pylist()):
-                d, tf, _ = decode_postings(db2, tb2, None)
-                rows.append((_fld, tstats_l.get(trm, (0, 0))[0], d, tf,
-                             tl[trm]))
-            return score_partial(rows)
+    def _idf(df: int) -> float:
+        return max(0.0, float(np.log((N - df + 0.5) / (df + 0.5))))
 
-        tds = ray.data.read_parquet(
-            paths, columns=["term", "field", "docid_blob", "tf_blob"],
-            filter=(pa.compute.field("term").isin(plain_terms)
-                    & (pa.compute.field("field") == tfld)))
-        partial_tables.append(
-            tds.map_batches(score_terms, batch_format="pyarrow",
-                            batch_size=None))
+    # idf-clamped leaves score 0 but still create candidates — only then
+    # does the dense group-sum need its zero-candidate bincount
+    any_zero_idf = any(
+        _idf(d) == 0.0
+        for dmap in ([ddf] + list(tstats_by_field.values()))
+        for d in dmap.values() if d > 0)
 
-    if not partial_tables:
-        return _empty()
-    scored = partial_tables[0]
-    for other in partial_tables[1:]:
-        scored = scored.union(other)
+    il_ref = ray.put(iop_leaves)
+    ddf_ref = ray.put(ddf)
+    tl_ref = ray.put(term_leaves)
+    ts_ref = ray.put(tstats_by_field)
+    pb_ref = ray.put(paths_by_field)
 
-    return _emit_ranked(_collect_parts(scored, _agg_topk_sum(k)),
-                        qids, k, reader)
+    # ---- phase B: per-salt scoring over the derived blocks (each
+    # block holds one salt's derived rows + a stub row, so plain-term
+    # postings for that docid range are read LOCALLY here and the
+    # (query, doc) sums are final inside the task — exact per-salt
+    # top-k cut, no packed-key groupby (see bm25_batch_search) ----
+    def score_salt(bt: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+        from ..util import proc_cached
+        il = ray.get(il_ref)
+        ddf_l = ray.get(ddf_ref)
+        tl = ray.get(tl_ref)
+        ts = ray.get(ts_ref)
+        pb = ray.get(pb_ref)
+        dlens_by: dict[str, _ShardedDoclens] = {}
+
+        def dlens(fld: str) -> _ShardedDoclens:
+            dl = dlens_by.get(fld)
+            if dl is None:
+                dl = dlens_by[fld] = _ShardedDoclens(
+                    index_dir, fld, pid_offsets, dl_token)
+            return dl
+
+        def bm25_leaf(fld, df, docids, tfs):
+            idf = max(0.0, float(np.log((N - df + 0.5) / (df + 0.5))))
+            dl = dlens(fld).get(docids).astype(np.float64)
+            tf = tfs.astype(np.float64)
+            return idf * (tf / (tf + k1 * ((1.0 - b)
+                                           + b * dl / avglens[fld])))
+
+        out: list[pa.Table] = []
+        salts = bt["salt"].to_numpy()
+        leaf_a = bt["leaf"].to_pylist()
+        fld_a = bt["field"].to_pylist()
+        db_a = bt["docid_blob"].to_pylist()
+        tb_a = bt["tf_blob"].to_pylist()
+        for s in np.unique(salts):
+            entries = []
+            for i in np.flatnonzero(salts == s):
+                lf = leaf_a[i]
+                if not lf:
+                    continue
+                d, tf, _ = decode_postings(db_a[i], tb_a[i], None)
+                sc = bm25_leaf(fld_a[i], ddf_l[lf], d, tf)
+                for qc, mult in il[lf]:
+                    entries.append((qc, d, sc if mult == 1 else sc * mult))
+            for fld, (plain, paths_f) in sorted(pb.items()):
+                dset = proc_cached(
+                    ("postings_dset", index_dir, dl_token, paths_f),
+                    lambda p=paths_f: pads.dataset(list(p),
+                                                   format="parquet"))
+                t = dset.to_table(
+                    columns=["term", "docid_blob", "tf_blob"],
+                    filter=(pc.field("term").isin(plain)
+                            & (pc.field("field") == fld)
+                            & (pc.field("salt") == int(s))))
+                for trm, db2, tb2 in zip(t["term"].to_pylist(),
+                                         t["docid_blob"].to_pylist(),
+                                         t["tf_blob"].to_pylist()):
+                    d, tf, _ = decode_postings(db2, tb2, None)
+                    sc = bm25_leaf(fld, ts[fld].get(trm, 0), d, tf)
+                    for qc, mult in tl[f"t:{fld}:{trm}"]:
+                        entries.append((qc, d,
+                                        sc if mult == 1 else sc * mult))
+            qc_a, docid, sums = _group_sum_entries(
+                entries, need_zero_candidates=any_zero_idf)
+            if qc_a.size:
+                keep = _topk_cut_sorted(qc_a, sums, k)
+                out.append(pa.table({
+                    "gkey": pa.array((qc_a[keep] << _DOC_BITS)
+                                     | docid[keep]),
+                    "score": pa.array(sums[keep])}))
+        return pa.concat_tables(out) if out else _partial_empty()
+
+    batches = [b2 for b2 in derived.map_batches(
+                   score_salt, batch_format="pyarrow", batch_size=None)
+               .iter_batches(batch_size=None, batch_format="pyarrow")
+               if b2.num_rows]
+    return _emit_ranked(
+        pa.concat_tables(batches) if batches else _partial_empty(),
+        qids, k, reader)
 
 
 def indri_structured_batch_search(index_dir: str,
@@ -944,8 +958,9 @@ def indri_structured_batch_search(index_dir: str,
 
     plain_terms = sorted({lf[2:] for lf in all_leaves if lf.startswith("t:")})
 
-    # ---- phase A: derived lists + their (df, ctf) ----
-    derived, dstats = _derive_lists(reader, iop_plans, field)
+    # ---- phase A: derived lists + their (df, ctf), per salt ----
+    derived, dstats = _derive_lists(reader,
+                                    {field: iop_plans} if iop_plans else {})
 
     clen = max(reader.sum_field_lengths(field), 1)
     tstats = _global_term_stats(index_dir, reader, plain_terms, field) \
@@ -959,7 +974,6 @@ def indri_structured_batch_search(index_dir: str,
 
     pid_offsets = reader.pid_offsets
     dl_token = reader.stats_token
-    _NPART = max(8, int(ray.cluster_resources().get("CPU", 8)))
     lt_ref = ray.put(leaf_targets)
     mle_ref = ray.put(mle_of)
     # per qcode: [(W_j, mle array, coef array)] over each subtree's
@@ -974,130 +988,120 @@ def indri_structured_batch_search(index_dir: str,
     def _s(tf, dl, m):
         return (1.0 - lam) * (tf + mu * m) / (dl + mu) + lam * m
 
-    def log_partial(rows_iter):
-        keys_out, vals_out = [], []
+    tpaths = tuple(reader._bucket_paths(plain_terms)) if plain_terms else ()
+    plain_sorted = sorted(plain_terms)
+
+    # ---- per-salt scoring over the derived blocks (each block = one
+    # salt's derived rows + stub): plain-term postings for the salt's
+    # docid range are read LOCALLY, the matched log-partials are summed
+    # by the dense group-sum, and the #WSUM default-score mix + exact
+    # per-query cut run inside the task — the packed-key groupby and
+    # the (qcode,docid) partition gymnastics of the r2 design are gone.
+    def score_salt(bt: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+        from ..util import proc_cached
         dlens = _ShardedDoclens(index_dir, field, pid_offsets, dl_token)
         lt = ray.get(lt_ref)
-        mles = ray.get(mle_ref)
-        with np.errstate(divide="ignore"):
-            for lf, docids, tfs in rows_iter:
-                if docids.size == 0:
-                    continue
-                dl = dlens.get(docids).astype(np.float64)
-                m = mles[lf]
-                part = (np.log(_s(tfs.astype(np.float64), dl, m))
-                        - np.log(_s(0.0, dl, m)))
-                for gq, coef in lt[lf]:
-                    keys_out.append((np.int64(gq) << _DOC_BITS) | docids)
-                    vals_out.append(part * coef)
-        if not keys_out:
-            return _partial_empty()
-        key_c = np.concatenate(keys_out)
-        v_c = np.concatenate(vals_out)
-        uniq, inv = np.unique(key_c, return_inverse=True)
-        agg = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(agg, inv, v_c)
-        # partition on (qcode, docid) — NOT the subtree index — so every
-        # subtree partial for a doc reaches the same final partition and
-        # the #WSUM arithmetic mix happens there without another shuffle
-        base = ((((uniq >> _DOC_BITS) // n_sub) << _DOC_BITS)
-                | (uniq & _DOC_MASK))
-        return pa.table({"part": pa.array((base % _NPART).astype(np.int32)),
-                         "gkey": pa.array(uniq),
-                         "score": pa.array(agg)})
-
-    partial_tables: list = []
-    if derived is not None:
-        def partial_derived(bt: pa.Table) -> pa.Table:
-            return log_partial(
-                (lf, *decode_postings(db, tb, None)[:2])
-                for lf, db, tb in zip(bt["leaf"].to_pylist(),
-                                      bt["docid_blob"].to_pylist(),
-                                      bt["tf_blob"].to_pylist()))
-        partial_tables.append(
-            derived.map_batches(partial_derived, batch_format="pyarrow",
-                                batch_size=None))
-    if plain_terms:
-        paths = reader._bucket_paths(plain_terms)
-        if paths:
-            tds = ray.data.read_parquet(
-                paths, columns=["term", "field", "docid_blob", "tf_blob"],
-                filter=(pa.compute.field("term").isin(plain_terms)
-                        & (pa.compute.field("field") == field)))
-
-            def partial_terms(bt: pa.Table) -> pa.Table:
-                return log_partial(
-                    ("t:" + trm, *decode_postings(db, tb, None)[:2])
-                    for trm, db, tb in zip(bt["term"].to_pylist(),
-                                           bt["docid_blob"].to_pylist(),
-                                           bt["tf_blob"].to_pylist()))
-            partial_tables.append(
-                tds.map_batches(partial_terms, batch_format="pyarrow",
-                                batch_size=None))
-    if not partial_tables:
-        return _empty()
-    scored = partial_tables[0]
-    for other in partial_tables[1:]:
-        scored = scored.union(other)
-
-    def agg_topk(bt: pa.Table) -> pa.Table:
-        dlens = _ShardedDoclens(index_dir, field, pid_offsets, dl_token)
+        mles_m = ray.get(mle_ref)
         qi = ray.get(qinfo_ref)
-        gk = bt["gkey"].to_numpy()
-        sc = bt["score"].to_numpy()
-        uniq, inv = np.unique(gk, return_inverse=True)
-        agg = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(agg, inv, sc)
-        gq = (uniq >> _DOC_BITS).astype(np.int64)
-        qc = gq // n_sub
-        sub_j = (gq % n_sub).astype(np.int64)
-        docid = (uniq & _DOC_MASK).astype(np.int64)
-        dl = dlens.get(docid).astype(np.float64)
-        out_keys: list[np.ndarray] = []
-        out_scores: list[np.ndarray] = []
+        dset = proc_cached(
+            ("postings_dset", index_dir, dl_token, tpaths),
+            lambda: pads.dataset(list(tpaths), format="parquet")) \
+            if tpaths else None
+        out: list[pa.Table] = []
+        salts = bt["salt"].to_numpy()
+        leaf_a = bt["leaf"].to_pylist()
+        db_a = bt["docid_blob"].to_pylist()
+        tb_a = bt["tf_blob"].to_pylist()
         with np.errstate(divide="ignore", invalid="ignore"):
-            for q in np.unique(qc):
-                msk = qc == q
-                subs = qi[q]
-                if len(subs) == 1 and subs[0][0] == 1.0:
-                    # pure log-linear tree: one row per candidate —
-                    # final = exp(S + corr), bit-identical to the
-                    # pre-#WSUM path
-                    _, mles, coefs = subs[0]
-                    dlq = dl[msk]
-                    corr = np.zeros(dlq.size, dtype=np.float64)
-                    for mlv, cv in zip(mles, coefs):
-                        corr += cv * np.log(_s(0.0, dlq, mlv))
-                    cand = docid[msk]
-                    final = np.exp(agg[msk] + corr)
-                else:
-                    # #WSUM spine: candidates = docs with ≥1 subtree row;
-                    # start from the all-defaults baseline Σ_j W_j·
-                    # exp(corr_j(dl)), then swap in exp(S_j + corr_j) for
-                    # each matched (doc, subtree) row
-                    cand, cidx = np.unique(docid[msk], return_inverse=True)
-                    dlq = dlens.get(cand).astype(np.float64)
-                    final = np.zeros(cand.size, dtype=np.float64)
-                    aggq, jq = agg[msk], sub_j[msk]
-                    for j, (w, mles, coefs) in enumerate(subs):
-                        corr = np.zeros(cand.size, dtype=np.float64)
-                        for mlv, cv in zip(mles, coefs):
-                            corr += cv * np.log(_s(0.0, dlq, mlv))
-                        base = w * np.exp(corr)
-                        final += base
-                        rmsk = jq == j
-                        ridx = cidx[rmsk]
-                        final[ridx] += (w * np.exp(aggq[rmsk] + corr[ridx])
-                                        - base[ridx])
-                if cand.size > k:
-                    kth = np.partition(final, -k)[-k]
-                    keepq = final >= kth
-                    cand, final = cand[keepq], final[keepq]
-                out_keys.append((q << _DOC_BITS) | cand)
-                out_scores.append(final)
-        if not out_keys:
-            return _partial_empty()
-        return pa.table({"gkey": pa.array(np.concatenate(out_keys)),
-                         "score": pa.array(np.concatenate(out_scores))})
+            for s in np.unique(salts):
+                entries = []
 
-    return _emit_ranked(_collect_parts(scored, agg_topk), qids, k, reader)
+                def add(lf, docids, tfs):
+                    if docids.size == 0:
+                        return
+                    dl = dlens.get(docids).astype(np.float64)
+                    m = mles_m[lf]
+                    part = (np.log(_s(tfs.astype(np.float64), dl, m))
+                            - np.log(_s(0.0, dl, m)))
+                    for gq, coef in lt[lf]:
+                        entries.append((gq, docids, part * coef))
+
+                for i in np.flatnonzero(salts == s):
+                    lf = leaf_a[i]
+                    if not lf:
+                        continue
+                    d, tf, _ = decode_postings(db_a[i], tb_a[i], None)
+                    add(lf, d, tf)
+                if dset is not None:
+                    t = dset.to_table(
+                        columns=["term", "docid_blob", "tf_blob"],
+                        filter=(pc.field("term").isin(plain_sorted)
+                                & (pc.field("field") == field)
+                                & (pc.field("salt") == int(s))))
+                    for trm, db2, tb2 in zip(t["term"].to_pylist(),
+                                             t["docid_blob"].to_pylist(),
+                                             t["tf_blob"].to_pylist()):
+                        d, tf, _ = decode_postings(db2, tb2, None)
+                        add("t:" + trm, d, tf)
+                gq_a, docid, agg = _group_sum_entries(entries)
+                if not gq_a.size:
+                    continue
+                qc_a = gq_a // n_sub
+                j_a = gq_a % n_sub
+                out_keys: list[np.ndarray] = []
+                out_scores: list[np.ndarray] = []
+                for lo, hi in _query_slices(qc_a):
+                    q = int(qc_a[lo])
+                    subs = qi[q]
+                    if len(subs) == 1 and subs[0][0] == 1.0:
+                        # pure log-linear tree: rows are already unique
+                        # per candidate — final = exp(S + corr)
+                        _, mlv_arr, coefs = subs[0]
+                        cand = docid[lo:hi]
+                        dlq = dlens.get(cand).astype(np.float64)
+                        corr = np.zeros(dlq.size, dtype=np.float64)
+                        for mlv, cv in zip(mlv_arr, coefs):
+                            corr += cv * np.log(_s(0.0, dlq, mlv))
+                        final = np.exp(agg[lo:hi] + corr)
+                    else:
+                        # #WSUM spine: candidates = docs with ≥1 subtree
+                        # row; start from the all-defaults baseline
+                        # Σ_j W_j·exp(corr_j(dl)), then swap in
+                        # exp(S_j + corr_j) for each matched row
+                        cand, cidx = np.unique(docid[lo:hi],
+                                               return_inverse=True)
+                        dlq = dlens.get(cand).astype(np.float64)
+                        final = np.zeros(cand.size, dtype=np.float64)
+                        aggq, jq = agg[lo:hi], j_a[lo:hi]
+                        for j, (w, mlv_arr, coefs) in enumerate(subs):
+                            corr = np.zeros(cand.size, dtype=np.float64)
+                            for mlv, cv in zip(mlv_arr, coefs):
+                                corr += cv * np.log(_s(0.0, dlq, mlv))
+                            base = w * np.exp(corr)
+                            final += base
+                            rmsk = jq == j
+                            ridx = cidx[rmsk]
+                            final[ridx] += (w * np.exp(aggq[rmsk]
+                                                       + corr[ridx])
+                                            - base[ridx])
+                    if cand.size > k:
+                        kth = np.partition(final, -k)[-k]
+                        keepq = final >= kth
+                        cand, final = cand[keepq], final[keepq]
+                    out_keys.append((np.int64(q) << _DOC_BITS) | cand)
+                    out_scores.append(final)
+                if out_keys:
+                    out.append(pa.table({
+                        "gkey": pa.array(np.concatenate(out_keys)),
+                        "score": pa.array(np.concatenate(out_scores))}))
+        return pa.concat_tables(out) if out else _partial_empty()
+
+    batches = [b2 for b2 in derived.map_batches(
+                   score_salt, batch_format="pyarrow", batch_size=None)
+               .iter_batches(batch_size=None, batch_format="pyarrow")
+               if b2.num_rows]
+    return _emit_ranked(
+        pa.concat_tables(batches) if batches else _partial_empty(),
+        qids, k, reader)
