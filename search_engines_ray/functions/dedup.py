@@ -147,6 +147,12 @@ class MinHasher:
         })
 
 
+# LSH bucket-shuffle fan-in: buckets hash into this many groupby keys so
+# per-group Python overhead is bounded; scale-independent because each
+# partition's work is vectorized bucket segmentation.
+_LSH_PARTS = 256
+
+
 def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 128, bands: int = 16, shingle: int = 3,
                       jaccard_threshold: float = 0.8):
@@ -170,45 +176,79 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     sig_ds = ds.map_batches(sig_fn, batch_format="pyarrow")
 
     def explode_bands(b: pa.Table) -> pa.Table:
-        """(band, band_hash, doc_id, minhash) rows — the full signature
-        travels with its band rows, so bucket verification needs no
-        driver-side signature table (shuffle volume = bands × 1 KB per
-        doc, the standard LSH trade)."""
-        ids = b[id_col].to_pylist()
-        sigs = b["minhash"].to_pylist()
-        out_band, out_hash, out_id, out_sig = [], [], [], []
-        for i, s in zip(ids, sigs):
-            sig = np.frombuffer(s, dtype=np.uint64)
-            for bi in range(bands):
-                band = sig[bi * rows_per_band:(bi + 1) * rows_per_band]
-                out_band.append(bi)
-                out_hash.append(hashlib.md5(band.tobytes()).hexdigest())
-                out_id.append(i)
-                out_sig.append(s)
-        return pa.table({"band": pa.array(out_band, pa.int32()),
-                         "band_hash": pa.array(out_hash, pa.string()),
-                         id_col: pa.array(out_id),
-                         "minhash": pa.array(out_sig, pa.binary())})
+        """(bucket, doc_id, minhash) rows — the full signature travels
+        with its band rows, so bucket verification needs no driver-side
+        signature table (shuffle volume = bands × 1 KB per doc, the
+        standard LSH trade). The bucket key is ONE uint64 (vectorized
+        multiply-xor fold of the band values, band index salted in)
+        instead of (int32, md5-hex-string): a 64-bit collision merely
+        merges two buckets — extra signature compares, never a wrong
+        pair, since every emitted pair is similarity-verified."""
+        n = b.num_rows
+        if n == 0:
+            return pa.table({"bucket": pa.array([], pa.uint64()),
+                             id_col: b[id_col],
+                             "minhash": pa.array([], pa.binary())})
+        sigs_list = b["minhash"].to_pylist()
+        sig = np.frombuffer(b"".join(sigs_list), dtype=np.uint64) \
+            .reshape(n, bands, rows_per_band)
+        h = np.full((n, bands), 0x9E3779B97F4A7C15, dtype=np.uint64)
+        mul = np.uint64(0x100000001B3)
+        with np.errstate(over="ignore"):
+            for r in range(rows_per_band):
+                h = (h ^ sig[:, :, r]) * mul
+            h ^= (np.arange(bands, dtype=np.uint64)
+                  * np.uint64(0xD6E8FEB86659FD93))[None, :]
+        idx = np.repeat(np.arange(n), bands)
+        hv = h.reshape(-1)
+        return pa.table({
+            "part": pa.array((hv % np.uint64(_LSH_PARTS)).astype(np.int32)),
+            "bucket": pa.array(hv),
+            id_col: b[id_col].take(pa.array(idx)),
+            "minhash": pa.array([sigs_list[i] for i in idx], pa.binary())})
 
     banded = sig_ds.map_batches(explode_bands, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """Full pairwise check + union-find within the bucket (banded LSH
-        keeps buckets small, so O(b²) signature compares are cheap);
-        emits (member, component-min) for every non-trivial component.
-        'Verified' means the full-signature Jaccard ESTIMATE here — true
-        n-gram verification would need the text shipped through the
-        shuffle; ``ngram_jaccard`` is provided for callers that want it."""
-        g = g.drop_duplicates(id_col).sort_values(id_col)
-        if len(g) < 2:
-            return pd.DataFrame({id_col: [], "canonical_id": []})
-        ids = g[id_col].tolist()
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["minhash"]]
-        return _unionfind_pairs(ids, lambda i, j: float(
-            np.mean(sigs[i] == sigs[j])) >= jaccard_threshold, id_col)
+    def partition_pairs(g: pa.Table) -> pd.DataFrame:
+        """One call per HASH PARTITION (bucket % _LSH_PARTS), not per
+        bucket: a groupby().map_groups at bucket grain costs one Python
+        call per bucket (~bands × n_docs groups, almost all singletons);
+        here the partition's buckets are segmented vectorized and only
+        non-trivial ones (≥2 docs — rare) run the O(b²) signature
+        check + union-find. Emits (member, component-min) per
+        component. 'Verified' means the full-signature Jaccard ESTIMATE
+        — true n-gram verification would need the text shipped through
+        the shuffle; ``ngram_jaccard`` is provided for callers that
+        want it."""
+        empty = pd.DataFrame({id_col: [], "canonical_id": []})
+        if g.num_rows < 2:
+            return empty
+        buckets = g["bucket"].to_numpy()
+        order = np.argsort(buckets, kind="stable")
+        bs = buckets[order]
+        seg = np.flatnonzero(np.concatenate(
+            ([True], bs[1:] != bs[:-1], [True])))
+        ids_all = g[id_col].to_pylist()
+        sigs_all = g["minhash"].to_pylist()
+        frames = []
+        for lo, hi in zip(seg[:-1], seg[1:]):
+            if hi - lo < 2:
+                continue
+            rows = order[lo:hi]
+            seen: dict = {}
+            for r in rows:
+                seen.setdefault(ids_all[r], r)
+            if len(seen) < 2:
+                continue
+            ids = sorted(seen)
+            sigs = [np.frombuffer(sigs_all[seen[i]], dtype=np.uint64)
+                    for i in ids]
+            frames.append(_unionfind_pairs(ids, lambda i, j: float(
+                np.mean(sigs[i] == sigs[j])) >= jaccard_threshold, id_col))
+        return pd.concat(frames) if frames else empty
 
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    pairs = banded.groupby("part").map_groups(
+        partition_pairs, batch_format="pyarrow")
     return _compress_canonical(pairs, id_col)
 
 
@@ -317,17 +357,24 @@ def _compress_canonical(pairs, id_col: str):
     A min-label aggregate keeps only each doc's smallest canonical and
     can split transitive components (bucket1 {A,C} → C→A; bucket2 {B,C}
     → C→B; Min leaves C→A and drops the B–C link, so B misses A). So:
-    distinct-edge reduce (distributed groupby — a doc in many buckets
-    collapses to few edges) → driver union-find over ALL edges with
+    per-block distinct-edge reduce (map_batches drop_duplicates — a doc
+    repeated across buckets collapses inside each block, no groupby
+    job) → driver union-find over the globally-deduped edges with
     min-root unioning → member → component-min map. The edge set holds
     ONLY docs in some duplicate group — tiny relative to the corpus —
     which is the ray_guide caveat for driver-side union-find."""
     import ray.data as rd
-    from ray.data.aggregate import Count
-    edges = pairs.groupby([id_col, "canonical_id"]).aggregate(
-        Count(alias_name="_n")).to_pandas()
-    if edges.empty:
+
+    def _dedup_block(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates([id_col, "canonical_id"])
+
+    parts = [bt for bt in pairs.map_batches(_dedup_block,
+                                            batch_format="pandas")
+             .iter_batches(batch_size=None, batch_format="pandas")
+             if len(bt)]
+    if not parts:
         return rd.from_pandas(pd.DataFrame({id_col: [], "canonical_id": []}))
+    edges = pd.concat(parts).drop_duplicates([id_col, "canonical_id"])
 
     parent: dict = {}
 
