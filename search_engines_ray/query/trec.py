@@ -14,34 +14,41 @@ def rank_results(docids: np.ndarray, scores: np.ndarray,
     """Order by score desc then external_id asc (byte-wise string compare,
     ScoreList.java:90-97), keep top-k, drop negative scores
     (QryEval.java:437 keeps ``score >= 0`` only)."""
-    keep = scores >= 0
-    docids, scores = docids[keep], scores[keep]
-    ext = external_ids[docids]
-    order = np.lexsort((ext, -scores))
-    order = order[:k]
-    return pa.table({
-        "external_id": pa.array(ext[order].tolist(), pa.string()),
-        "score": pa.array(scores[order], pa.float64()),
-        "rank": pa.array(np.arange(1, order.size + 1, dtype=np.int32)),
-    })
+    return rank_results_candidates(docids, scores,
+                                   lambda d: external_ids[d], k)
 
 
 def rank_results_candidates(docids: np.ndarray, scores: np.ndarray,
                             fetch_ids, k: int = 100) -> pa.Table:
     """``rank_results`` without the dense O(n_docs) id array: cut to the
-    exact candidate set first (score >= kth score — ties kept, so the
-    external-id tiebreak stays exact), then resolve external ids for
-    those docids only via ``fetch_ids`` (a filtered forward scan)."""
+    exact top-k candidate set first, then resolve external ids for those
+    docids only via ``fetch_ids`` (a filtered forward scan).
+
+    The tie group AT the kth score can dwarf k (quantized BM25/RB
+    scores over near-identical docs), so it is resolved by Arrow's
+    C++ ``select_k_unstable`` — keep the ``need`` byte-smallest
+    external ids (exact: ids are unique) — instead of lexsorting every
+    candidate's id string (numpy string sort/partition kernels are
+    ~40× slower here)."""
     keep = scores >= 0
     docids, scores = docids[keep], scores[keep]
     if scores.size > k:
         kth = np.partition(scores, -k)[-k]
-        m = scores >= kth
-        docids, scores = docids[m], scores[m]
+        above = scores > kth
+        need = k - int(above.sum())
+        tie = np.flatnonzero(scores == kth)
+        if tie.size > need:
+            tie_ext = fetch_ids(docids[tie])
+            sel = pa.compute.select_k_unstable(
+                pa.array(tie_ext), k=need,
+                sort_keys=[("x", "ascending")]).to_numpy()
+            tie = tie[sel]
+        idx = np.concatenate([np.flatnonzero(above), tie])
+        docids, scores = docids[idx], scores[idx]
     ext = fetch_ids(docids) if docids.size else np.empty(0, dtype=object)
     order = np.lexsort((ext, -scores))[:k]
     return pa.table({
-        "external_id": pa.array(ext[order].tolist(), pa.string()),
+        "external_id": pa.array(np.asarray(ext)[order].tolist(), pa.string()),
         "score": pa.array(scores[order], pa.float64()),
         "rank": pa.array(np.arange(1, order.size + 1, dtype=np.int32)),
     })
