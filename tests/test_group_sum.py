@@ -88,3 +88,31 @@ def test_topk_cut_sorted():
     kth_keep = D._topk_cut_sorted(np.zeros(4, dtype=np.int64),
                                   np.array([2.0, 2.0, 1.0, 3.0]), k=2)
     assert kth_keep.tolist() == [True, True, False, True]
+
+
+def test_rank_results_tie_resolution():
+    """rank_results* must resolve a kth-score tie group larger than k
+    by byte-ascending external id, exactly as a full lexsort would
+    (ScoreList.java:90-97) — pins the Arrow select_k fast path."""
+    import pyarrow as pa
+    from search_engines_ray.query.trec import (
+        rank_results, rank_results_candidates,
+    )
+    rng = np.random.default_rng(3)
+    n = 5_000
+    ext = np.array([f"doc-{i:06d}" for i in rng.permutation(n)],
+                   dtype=object)
+    docids = np.arange(n, dtype=np.int64)
+    # three score tiers; the middle tier ties across ~half the corpus
+    scores = np.where(docids % 17 == 0, 3.0,
+                      np.where(docids % 2 == 0, 2.0, 1.0))
+    got = rank_results(docids, scores, ext, k=100)
+    # brute-force reference ordering
+    order = np.lexsort((ext[docids], -scores))[:100]
+    assert got["external_id"].to_pylist() == ext[docids][order].tolist()
+    assert got["score"].to_pylist() == scores[order].tolist()
+    got2 = rank_results_candidates(docids, scores, lambda d: ext[d], k=100)
+    assert got2.equals(got)
+    # negative scores drop entirely (QryEval.java:437)
+    neg = rank_results(docids, np.full(n, -1.0), ext, k=10)
+    assert neg.num_rows == 0
