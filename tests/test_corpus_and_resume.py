@@ -81,6 +81,14 @@ def test_resume_invalidates_on_input_change(ray_session, tmp_path, toy_pages):
     idx = str(tmp_path / "ridx2")
     cfg = IndexBuildConfig(num_buckets=4, docid_partitions=4)
     ds = rd.from_pandas(toy_pages)
+    import json
+    import os
     build_index(ds, idx, cfg, input_token="tok-a", resume=False)
-    m = build_index(ds, idx, cfg, input_token="tok-b", resume=True)
-    assert m["forward_s"] > 0.1      # different input fingerprint → rebuild
+    fp_a = json.load(open(os.path.join(idx, "forward_SUCCESS.json")))
+    build_index(ds, idx, cfg, input_token="tok-b", resume=True)
+    fp_b = json.load(open(os.path.join(idx, "forward_SUCCESS.json")))
+    # different input fingerprint → the stage re-ran and re-stamped its
+    # manifest (asserting on wall time was flaky on a warm box: a toy
+    # rebuild can finish under any fixed threshold)
+    assert fp_b["fingerprint"] != fp_a["fingerprint"]
+    assert fp_b["completed_at"] > fp_a["completed_at"]
