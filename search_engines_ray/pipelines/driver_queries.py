@@ -828,9 +828,18 @@ order by n_chars desc, doc_id asc limit 20
 # ---------------------------------------------------------------- rows-only
 
 def q_near_search(sf_dir: str):
-    reader = get_index(sf_dir, "lucene")
+    """GREEDY #NEAR/2 (consume-on-match two-pointer, not plain pair
+    count) + term under BM25 #SUM — ORACLE-CHECKED: the greedy kernel
+    is transcribed as a recursive CTE (see _greedy_pair_cte), closing
+    the 'greedy positional tf is not SQL-expressible' gap for the
+    two-distinct-term case."""
+    reader = get_index(sf_dir, "simple")
     engine = QueryEngine(reader, BM25Model())
-    return engine.search("#sum(#near/2(fast sort) merge)", k=100)
+    res = engine.search("#sum(#near/2(fast sort) merge)", k=100)
+    return _ranked_to_table(res)
+
+
+# SQL_NEAR_SEARCH defined below _bm25_derived_sql
 
 
 STRUCTURED_BATCH_QUERIES = [
@@ -843,11 +852,53 @@ STRUCTURED_BATCH_QUERIES = [
 ]
 
 
+def _greedy_pair_cte(i: int, a: str, b: str, n: int, kind: str) -> str:
+    """Recursive-CTE transcription of the engine's GREEDY two-pointer
+    positional kernels for TWO distinct terms (eval.py:113-140; the
+    reference's QryIopNear.java:80-128 / QryIopWindow.java:106-143):
+    state = (doc_id, i, j, matched-count), one recursion step per
+    pointer advance, final tf = cnt at the terminal state. ``near``
+    matches when a[i] <= b[j] <= a[i]+n (consume both; b<a advances j,
+    gap>n advances i); ``window`` matches when max-min < n (consume
+    both; otherwise advance the smaller head)."""
+    if kind == "near":
+        ni = (f"case when b[j] < a[i] then i "
+              f"when b[j] - a[i] <= {n} then i + 1 else i + 1 end")
+        nj = (f"case when b[j] < a[i] then j + 1 "
+              f"when b[j] - a[i] <= {n} then j + 1 else j end")
+        nc = (f"case when b[j] >= a[i] and b[j] - a[i] <= {n} "
+              f"then cnt + 1 else cnt end")
+    else:  # window: |a[i]-b[j]| < n (positions are distinct)
+        ni = (f"case when abs(a[i] - b[j]) < {n} then i + 1 "
+              f"when a[i] < b[j] then i + 1 else i end")
+        nj = (f"case when abs(a[i] - b[j]) < {n} then j + 1 "
+              f"when a[i] < b[j] then j else j + 1 end")
+        nc = f"case when abs(a[i] - b[j]) < {n} then cnt + 1 else cnt end"
+    return f"""
+ap{i} as (select doc_id, list(pos order by pos) as a from tok
+          where term = '{a}' group by doc_id),
+bp{i} as (select doc_id, list(pos order by pos) as b from tok
+          where term = '{b}' group by doc_id),
+bo{i} as (select ap{i}.doc_id, a, b, len(a) as la, len(b) as lb
+          from ap{i} join bp{i} using (doc_id)),
+st{i}(doc_id, i, j, cnt) as (
+  select doc_id, 1, 1, 0 from bo{i}
+  union all
+  select st{i}.doc_id, {ni}, {nj}, {nc}
+  from st{i} join bo{i} using (doc_id)
+  where st{i}.i <= la and st{i}.j <= lb),
+tf{i} as (select doc_id, tf::double as tf from (
+  select doc_id, max_by(cnt, i + j) as tf from st{i} group by doc_id)
+  where tf > 0)"""
+
+
 def _bm25_derived_sql(leaves, k: int) -> str:
     """BM25 #SUM top-k SQL over a mix of plain-term and DERIVED leaves
-    (#NEAR/1 adjacency, #SYN member-merge) — each leaf contributes with
-    its OWN df (QryIop.getDf of the derived list), summed only where it
-    matches, mirroring the engine's #SUM over #SCORE leaves."""
+    (#NEAR/1 adjacency, #SYN member-merge, greedy #NEAR/n and
+    #WINDOW/n two-term kernels via recursive CTEs) — each leaf
+    contributes with its OWN df (QryIop.getDf of the derived list),
+    summed only where it matches, mirroring the engine's #SUM over
+    #SCORE leaves."""
     tf_blocks, cell_blocks = [], []
     for i, leaf in enumerate(leaves):
         name = f"tf{i}"
@@ -858,6 +909,13 @@ def _bm25_derived_sql(leaves, k: int) -> str:
             inl = ",".join(f"'{t}'" for t in leaf[1])
             expr = (f"select doc_id, count(*)::double as tf from tok "
                     f"where term in ({inl}) group by doc_id")
+        elif leaf[0] in ("near", "window"):
+            kind, a, b, n = leaf
+            tf_blocks.append(_greedy_pair_cte(i, a, b, n, kind).strip())
+            cell_blocks.append(
+                f"select doc_id, tf, "
+                f"(select count(*)::double from {name}) as df from {name}")
+            continue
         else:  # near1: ordered adjacency pair count (see near1_ranked)
             a, b = leaf[1], leaf[2]
             expr = (f"select a.doc_id, count(*)::double as tf from tok a "
@@ -871,7 +929,7 @@ def _bm25_derived_sql(leaves, k: int) -> str:
                            f"from {name}")
     cells = "\nunion all\n".join(cell_blocks)
     return f"""
-with tok as ({POS_TOK_SQL}),
+with recursive tok as ({POS_TOK_SQL}),
 doclen as (select doc_id, count(*)::double as dl from tok group by doc_id),
 stats as (select
   (select count(*) from documents)::double as n,
@@ -914,11 +972,24 @@ SQL_STRUCTURED_BATCH_DISTRIBUTED = "\nunion all\n".join(
     f"select '{qid}' as qid, * from ({_bm25_derived_sql(leaves, 10)})"
     for qid, _, leaves in STRUCTURED_BATCH_QUERIES)
 
+SQL_NEAR_SEARCH = _bm25_derived_sql(
+    [("near", "fast", "sort", 2), ("term", "merge")], 100)
+
+SQL_WINDOW_SEARCH = _bm25_derived_sql(
+    [("window", "fast", "sort", 8), ("term", "merge")], 100)
+
 
 def q_window_search(sf_dir: str):
-    reader = get_index(sf_dir, "lucene")
+    """GREEDY #WINDOW/8 (min-head advance, QryIopWindow.java:106-143)
+    + term under BM25 #SUM — ORACLE-CHECKED via the same recursive-CTE
+    transcription as ``near_search``."""
+    reader = get_index(sf_dir, "simple")
     engine = QueryEngine(reader, BM25Model())
-    return engine.search("#sum(#window/8(fast sort) merge)", k=100)
+    res = engine.search("#sum(#window/8(fast sort) merge)", k=100)
+    return _ranked_to_table(res)
+
+
+# SQL_WINDOW_SEARCH defined below _bm25_derived_sql
 
 
 def q_syn_search(sf_dir: str):
@@ -2103,10 +2174,10 @@ QUERIES = {
     "structured_batch_distributed": q_structured_batch_distributed,
     "sdm_structured_distributed": q_sdm_structured_distributed,
     "syn_search": q_syn_search,
-    # rows-only (not SQL-expressible: greedy positional ops, PRF,
-    # sketches, LSH, full-analyzer token chains)
     "near_search": q_near_search,
     "window_search": q_window_search,
+    # rows-only (not SQL-expressible: PRF, sketches, LSH,
+    # full-analyzer token chains)
     "sdm_wand_search": q_sdm_wand_search,
     "prf_expansion": q_prf_expansion,
     "embedding_lsh_dedup": q_embedding_lsh_dedup,
@@ -2156,6 +2227,8 @@ ORACLE_SQL = {
     "sdm_structured_distributed": SQL_SDM_STRUCTURED,
     "syn_search": SQL_SYN_SEARCH,
     "structured_batch_distributed": SQL_STRUCTURED_BATCH_DISTRIBUTED,
+    "near_search": SQL_NEAR_SEARCH,
+    "window_search": SQL_WINDOW_SEARCH,
     "token_stats": SQL_TOKEN_STATS,
     "embedding_dedup": SQL_EMBEDDING_DEDUP,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
