@@ -506,7 +506,7 @@ def _empty() -> pa.Table:
 def _derive_lists(reader: IndexReader, iop_plans_by_field: dict):
     """Phase A of the distributed structured paths: evaluate every Iop
     subtree (#NEAR/#WINDOW/#SYN) per salt and return
-    ``(derived_dataset, {leaf: (df, ctf)})``.
+    ``({salt: ObjectRef[pa.Table]}, {leaf: (df, ctf)})``.
 
     Partitioning contract: salt = contiguous docid range, one postings
     row per (term, salt), so ONE TASK PER SALT holds ALL argument
@@ -514,19 +514,37 @@ def _derive_lists(reader: IndexReader, iop_plans_by_field: dict):
     column/row-group-pruned local pyarrow scan (term/field/salt filters
     hit parquet row-group stats) and the driver's positional kernels
     (``eval_iop_tree``: two-pointer #NEAR, min/max-head #WINDOW, #SYN
-    union) unchanged. ZERO shuffle (r2→r3: this replaces a
-    read + ``groupby("salt")`` job). The derived dataset
-    (leaf, field, salt, df, ctf, docid_blob, tf_blob) is materialized —
-    bounded by the argument postings read — and every salt emits a stub
-    row so the downstream per-salt scoring pass covers salts with no
-    Iop match. A derived list's GLOBAL df/ctf (what the reference
-    scores with, ``QryIop.java:139-151``) is the sum over its salt
-    runs — the small driver-side aggregate returned alongside."""
+    union) unchanged. ZERO shuffle. A derived list's GLOBAL df/ctf
+    (what the reference scores with, ``QryIop.java:139-151``) is the
+    sum over its salt runs — the small driver-side aggregate returned
+    alongside; only that (leaf, df, ctf) side ever reaches the driver.
+
+    r3→r4 (ADVICE r3, medium): phase B used to ``map_batches`` over a
+    materialized derived *dataset* assuming one block per salt — Ray
+    Data's dynamic block splitting can split a large salt's output, so
+    two tasks would both score that salt's plain terms and each would
+    hold only part of its Iop rows (duplicated candidates with partial
+    sums; ``_emit_ranked`` never re-aggregates). Derived rows now
+    travel as ONE object-store table per salt (raw task,
+    ``num_returns=2``) and phase B is driven by salt descriptors
+    (``_run_salt_tasks``) fetching ``derived_refs[s]`` — exactly-once
+    per salt by construction. Raw tasks, not Dataset: the Dataset API
+    cannot hand a downstream stage per-key block refs across the
+    global-stats barrier.
+
+    The task is a CLOSURE (re-exported per call), not a module-level
+    remote fn: this package pickles by value (``__init__.py``), so a
+    plan instance shipped in a separate ``ray.put`` payload would carry
+    its own copy of the node classes and fail ``eval_iop_tree``'s
+    ``isinstance`` against the kernels' copy — one closure payload
+    keeps plans and kernels class-consistent."""
     from .eval import InvList, eval_iop_tree
     from .plan import TermNode
 
     index_dir = reader.index_dir
     dl_token = reader.stats_token
+    if not any(plans for plans in iop_plans_by_field.values()):
+        return {}, {}
     terms_by_field: dict[str, list[str]] = {}
     for fld, plans in iop_plans_by_field.items():
         acc: set[str] = set()
@@ -540,87 +558,78 @@ def _derive_lists(reader: IndexReader, iop_plans_by_field: dict):
                     stack.extend(n.args)
         terms_by_field[fld] = sorted(acc)
     all_terms = sorted({t for ts in terms_by_field.values() for t in ts})
-    paths = reader._bucket_paths(all_terms) if all_terms else []
+    paths = tuple(reader._bucket_paths(all_terms)) if all_terms else ()
     field_items = sorted((fld, sorted(plans.items()))
                          for fld, plans in iop_plans_by_field.items())
     n_salts = int(reader.stats.get("merge_salts", 4))
 
-    def eval_salts(batch: pa.Table) -> pa.Table:
+    @ray.remote(num_returns=2)
+    def derive_salt(s: int):
+        """→ (stats_table, derived_table) for ONE salt: the tiny
+        (leaf, df, ctf) side the driver sums for global stats, and the
+        blob side (leaf, field, docid_blob, tf_blob) that stays in the
+        object store until the matching phase-B salt task fetches it."""
         import pyarrow.compute as pc
         import pyarrow.dataset as pads
+
         from ..index.varbyte import encode_postings
         from ..util import proc_cached
-        dset = proc_cached(("postings_dset", index_dir, dl_token,
-                            tuple(paths)),
-                           lambda: pads.dataset(paths, format="parquet")) \
+        dset = proc_cached(("postings_dset", index_dir, dl_token, paths),
+                           lambda: pads.dataset(list(paths),
+                                                format="parquet")) \
             if paths else None
-        rows = {c: [] for c in ("leaf", "field", "salt", "df", "ctf",
+        rows = {c: [] for c in ("leaf", "field", "df", "ctf",
                                 "docid_blob", "tf_blob")}
-        for s in batch["salt"].to_pylist():
-            for fld, items in field_items:
-                if dset is None:
+        for fld, items in field_items:
+            if dset is None:
+                continue
+            t = dset.to_table(
+                columns=["term", "docid_blob", "tf_blob", "pos_blob"],
+                filter=(pc.field("term").isin(terms_by_field[fld])
+                        & (pc.field("field") == fld)
+                        & (pc.field("salt") == int(s))))
+            cache = {}
+            for trm, db, tb, pb in zip(t["term"].to_pylist(),
+                                       t["docid_blob"].to_pylist(),
+                                       t["tf_blob"].to_pylist(),
+                                       t["pos_blob"].to_pylist()):
+                d, tf, p = decode_postings(db, tb, pb)
+                cache[(trm, fld)] = InvList(
+                    d, tf, p if p is not None else np.empty(0, np.int32),
+                    int(d.size), int(tf.sum()), fld)
+            for key, plan in items:
+                inv = eval_iop_tree(plan, cache)
+                if inv.df == 0:
                     continue
-                t = dset.to_table(
-                    columns=["term", "docid_blob", "tf_blob", "pos_blob"],
-                    filter=(pc.field("term").isin(terms_by_field[fld])
-                            & (pc.field("field") == fld)
-                            & (pc.field("salt") == s)))
-                cache = {}
-                for trm, db, tb, pb in zip(t["term"].to_pylist(),
-                                           t["docid_blob"].to_pylist(),
-                                           t["tf_blob"].to_pylist(),
-                                           t["pos_blob"].to_pylist()):
-                    d, tf, p = decode_postings(db, tb, pb)
-                    cache[(trm, fld)] = InvList(
-                        d, tf, p if p is not None else np.empty(0, np.int32),
-                        int(d.size), int(tf.sum()), fld)
-                for key, plan in items:
-                    inv = eval_iop_tree(plan, cache)
-                    if inv.df == 0:
-                        continue
-                    db2, tb2, _ = encode_postings(
-                        inv.docids, inv.tfs, np.empty(0, np.int64))
-                    rows["leaf"].append(key)
-                    rows["field"].append(fld)
-                    rows["salt"].append(s)
-                    rows["df"].append(int(inv.df))
-                    rows["ctf"].append(int(inv.ctf))
-                    rows["docid_blob"].append(db2)
-                    rows["tf_blob"].append(tb2)
-            # stub: every salt must reach the scoring pass (a salt may
-            # match no Iop but still hold plain-term postings)
-            rows["leaf"].append("")
-            rows["field"].append("")
-            rows["salt"].append(s)
-            rows["df"].append(0)
-            rows["ctf"].append(0)
-            rows["docid_blob"].append(b"")
-            rows["tf_blob"].append(b"")
-        return pa.table({
+                db2, tb2, _ = encode_postings(
+                    inv.docids, inv.tfs, np.empty(0, np.int64))
+                rows["leaf"].append(key)
+                rows["field"].append(fld)
+                rows["df"].append(int(inv.df))
+                rows["ctf"].append(int(inv.ctf))
+                rows["docid_blob"].append(db2)
+                rows["tf_blob"].append(tb2)
+        stats_tbl = pa.table({
+            "leaf": pa.array(rows["leaf"], pa.string()),
+            "df": pa.array(rows["df"], pa.int64()),
+            "ctf": pa.array(rows["ctf"], pa.int64())})
+        derived_tbl = pa.table({
             "leaf": pa.array(rows["leaf"], pa.string()),
             "field": pa.array(rows["field"], pa.string()),
-            "salt": pa.array(rows["salt"], pa.int32()),
-            "df": pa.array(rows["df"], pa.int64()),
-            "ctf": pa.array(rows["ctf"], pa.int64()),
             "docid_blob": pa.array(rows["docid_blob"], pa.binary()),
             "tf_blob": pa.array(rows["tf_blob"], pa.binary())})
+        return stats_tbl, derived_tbl
 
-    desc = ray.data.from_items(
-        [{"salt": s} for s in range(n_salts)],
-        override_num_blocks=n_salts)
-    derived = desc.map_batches(eval_salts, batch_format="pyarrow",
-                               batch_size=None).materialize()
+    pairs = {s: derive_salt.remote(s) for s in range(n_salts)}
     stats: dict[str, tuple[int, int]] = {}
-    for bt in derived.select_columns(["leaf", "df", "ctf"]).iter_batches(
-            batch_size=None, batch_format="pyarrow"):
-        for lf, dfv, ctfv in zip(bt["leaf"].to_pylist(),
-                                 bt["df"].to_pylist(),
-                                 bt["ctf"].to_pylist()):
-            if not lf:
-                continue
+    for s in range(n_salts):
+        st = ray.get(pairs[s][0])
+        for lf, dfv, ctfv in zip(st["leaf"].to_pylist(),
+                                 st["df"].to_pylist(),
+                                 st["ctf"].to_pylist()):
             d0, c0 = stats.get(lf, (0, 0))
             stats[lf] = (d0 + dfv, c0 + ctfv)
-    return derived, stats
+    return {s: pairs[s][1] for s in range(n_salts)}, stats
 
 
 def bm25_structured_batch_search(index_dir: str,
@@ -717,7 +726,7 @@ def bm25_structured_batch_search(index_dir: str,
     k1, b = model.k1, model.b
 
     # ---- phase A: derived lists, one task per salt, zero shuffle ----
-    derived, dstats = _derive_lists(reader, iop_plans_by_field)
+    derived_refs, dstats = _derive_lists(reader, iop_plans_by_field)
     ddf = {lf: d for lf, (d, _) in dstats.items()}
 
     # global plain-term stats (metadata-only scan) + per-field read sets
@@ -749,12 +758,14 @@ def bm25_structured_batch_search(index_dir: str,
     ts_ref = ray.put(tstats_by_field)
     pb_ref = ray.put(paths_by_field)
 
-    # ---- phase B: per-salt scoring over the derived blocks (each
-    # block holds one salt's derived rows + a stub row, so plain-term
-    # postings for that docid range are read LOCALLY here and the
-    # (query, doc) sums are final inside the task — exact per-salt
-    # top-k cut, no packed-key groupby (see bm25_batch_search) ----
-    def score_salt(bt: pa.Table) -> pa.Table:
+    # ---- phase B: one task per salt descriptor (_run_salt_tasks) —
+    # the salt's derived rows are fetched whole from the object store
+    # (derived_refs[s]) and plain-term postings for that docid range
+    # are read LOCALLY, so the (query, doc) sums are final inside the
+    # task — exact per-salt top-k cut, no packed-key groupby (see
+    # bm25_batch_search). Descriptor-driven, so each salt is scored
+    # exactly once regardless of block splitting (ADVICE r3). ----
+    def score_salt(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         import pyarrow.dataset as pads
         from ..util import proc_cached
@@ -780,21 +791,19 @@ def bm25_structured_batch_search(index_dir: str,
                                            + b * dl / avglens[fld])))
 
         out: list[pa.Table] = []
-        salts = bt["salt"].to_numpy()
-        leaf_a = bt["leaf"].to_pylist()
-        fld_a = bt["field"].to_pylist()
-        db_a = bt["docid_blob"].to_pylist()
-        tb_a = bt["tf_blob"].to_pylist()
-        for s in np.unique(salts):
+        for s in batch["salt"].to_pylist():
             entries = []
-            for i in np.flatnonzero(salts == s):
-                lf = leaf_a[i]
-                if not lf:
-                    continue
-                d, tf, _ = decode_postings(db_a[i], tb_a[i], None)
-                sc = bm25_leaf(fld_a[i], ddf_l[lf], d, tf)
-                for qc, mult in il[lf]:
-                    entries.append((qc, d, sc if mult == 1 else sc * mult))
+            bt = ray.get(derived_refs[s]) if s in derived_refs else None
+            if bt is not None and bt.num_rows:
+                for lf, fldv, db, tb in zip(bt["leaf"].to_pylist(),
+                                            bt["field"].to_pylist(),
+                                            bt["docid_blob"].to_pylist(),
+                                            bt["tf_blob"].to_pylist()):
+                    d, tf, _ = decode_postings(db, tb, None)
+                    sc = bm25_leaf(fldv, ddf_l[lf], d, tf)
+                    for qc, mult in il[lf]:
+                        entries.append((qc, d,
+                                        sc if mult == 1 else sc * mult))
             for fld, (plain, paths_f) in sorted(pb.items()):
                 dset = proc_cached(
                     ("postings_dset", index_dir, dl_token, paths_f),
@@ -823,13 +832,8 @@ def bm25_structured_batch_search(index_dir: str,
                     "score": pa.array(sums[keep])}))
         return pa.concat_tables(out) if out else _partial_empty()
 
-    batches = [b2 for b2 in derived.map_batches(
-                   score_salt, batch_format="pyarrow", batch_size=None)
-               .iter_batches(batch_size=None, batch_format="pyarrow")
-               if b2.num_rows]
-    return _emit_ranked(
-        pa.concat_tables(batches) if batches else _partial_empty(),
-        qids, k, reader)
+    return _emit_ranked(_run_salt_tasks(score_salt, reader),
+                        qids, k, reader)
 
 
 def indri_structured_batch_search(index_dir: str,
@@ -959,8 +963,8 @@ def indri_structured_batch_search(index_dir: str,
     plain_terms = sorted({lf[2:] for lf in all_leaves if lf.startswith("t:")})
 
     # ---- phase A: derived lists + their (df, ctf), per salt ----
-    derived, dstats = _derive_lists(reader,
-                                    {field: iop_plans} if iop_plans else {})
+    derived_refs, dstats = _derive_lists(
+        reader, {field: iop_plans} if iop_plans else {})
 
     clen = max(reader.sum_field_lengths(field), 1)
     tstats = _global_term_stats(index_dir, reader, plain_terms, field) \
@@ -991,13 +995,15 @@ def indri_structured_batch_search(index_dir: str,
     tpaths = tuple(reader._bucket_paths(plain_terms)) if plain_terms else ()
     plain_sorted = sorted(plain_terms)
 
-    # ---- per-salt scoring over the derived blocks (each block = one
-    # salt's derived rows + stub): plain-term postings for the salt's
-    # docid range are read LOCALLY, the matched log-partials are summed
-    # by the dense group-sum, and the #WSUM default-score mix + exact
-    # per-query cut run inside the task — the packed-key groupby and
-    # the (qcode,docid) partition gymnastics of the r2 design are gone.
-    def score_salt(bt: pa.Table) -> pa.Table:
+    # ---- phase B: one task per salt descriptor (_run_salt_tasks;
+    # exactly-once per salt — ADVICE r3): the salt's derived rows come
+    # whole from the object store (derived_refs[s]), plain-term
+    # postings for its docid range are read LOCALLY, the matched
+    # log-partials are summed by the dense group-sum, and the #WSUM
+    # default-score mix + exact per-query cut run inside the task —
+    # the packed-key groupby and the (qcode,docid) partition gymnastics
+    # of the r2 design are gone.
+    def score_salt(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         import pyarrow.dataset as pads
         from ..util import proc_cached
@@ -1010,12 +1016,8 @@ def indri_structured_batch_search(index_dir: str,
             lambda: pads.dataset(list(tpaths), format="parquet")) \
             if tpaths else None
         out: list[pa.Table] = []
-        salts = bt["salt"].to_numpy()
-        leaf_a = bt["leaf"].to_pylist()
-        db_a = bt["docid_blob"].to_pylist()
-        tb_a = bt["tf_blob"].to_pylist()
         with np.errstate(divide="ignore", invalid="ignore"):
-            for s in np.unique(salts):
+            for s in batch["salt"].to_pylist():
                 entries = []
 
                 def add(lf, docids, tfs):
@@ -1028,12 +1030,14 @@ def indri_structured_batch_search(index_dir: str,
                     for gq, coef in lt[lf]:
                         entries.append((gq, docids, part * coef))
 
-                for i in np.flatnonzero(salts == s):
-                    lf = leaf_a[i]
-                    if not lf:
-                        continue
-                    d, tf, _ = decode_postings(db_a[i], tb_a[i], None)
-                    add(lf, d, tf)
+                bt = ray.get(derived_refs[s]) \
+                    if s in derived_refs else None
+                if bt is not None and bt.num_rows:
+                    for lf, db, tb in zip(bt["leaf"].to_pylist(),
+                                          bt["docid_blob"].to_pylist(),
+                                          bt["tf_blob"].to_pylist()):
+                        d, tf, _ = decode_postings(db, tb, None)
+                        add(lf, d, tf)
                 if dset is not None:
                     t = dset.to_table(
                         columns=["term", "docid_blob", "tf_blob"],
@@ -1098,10 +1102,5 @@ def indri_structured_batch_search(index_dir: str,
                         "score": pa.array(np.concatenate(out_scores))}))
         return pa.concat_tables(out) if out else _partial_empty()
 
-    batches = [b2 for b2 in derived.map_batches(
-                   score_salt, batch_format="pyarrow", batch_size=None)
-               .iter_batches(batch_size=None, batch_format="pyarrow")
-               if b2.num_rows]
-    return _emit_ranked(
-        pa.concat_tables(batches) if batches else _partial_empty(),
-        qids, k, reader)
+    return _emit_ranked(_run_salt_tasks(score_salt, reader),
+                        qids, k, reader)

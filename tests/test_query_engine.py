@@ -240,6 +240,50 @@ def test_distributed_wsum_matches_driver_path(docs_index):
         np.testing.assert_allclose(sub["score"], drv["score"], rtol=1e-10)
 
 
+def test_structured_distributed_tiny_block_size_parity(docs_index):
+    """Regression (ADVICE r3, medium): phase B used to map over the
+    derived dataset's blocks assuming block == salt; under a tiny
+    ``target_max_block_size`` Ray Data splits a salt's output across
+    blocks and the old design double-scored that salt's plain terms
+    with partial Iop sums. The descriptor-driven phase B must stay
+    parity-exact and emit no duplicate (qid, external_id) rows."""
+    import ray.data as rd
+
+    from search_engines_ray.query.distributed import (
+        bm25_structured_batch_search, indri_structured_batch_search,
+    )
+    ctx = rd.DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 64  # force aggressive block splitting
+    try:
+        model = BM25Model()
+        engine = QueryEngine(docs_index, model)
+        queries = [("1", "#sum(#near/2(fast sort) merge dup)"),
+                   ("2", "#sum(#syn(fast quick) #window/8(hash join) dup)")]
+        dist = bm25_structured_batch_search(
+            docs_index.index_dir, queries, model, k=30).to_pandas()
+        assert not dist.duplicated(["qid", "external_id"]).any()
+        for qid, q in queries:
+            drv = engine.search(q, k=30).to_pandas()
+            sub = dist[dist["qid"] == qid].reset_index(drop=True)
+            assert list(sub["external_id"]) == list(drv["external_id"]), qid
+            np.testing.assert_allclose(sub["score"], drv["score"],
+                                       rtol=1e-12)
+
+        imodel = IndriModel(mu=2500, lambda_=0.4)
+        iengine = QueryEngine(docs_index, imodel)
+        iq = [("1", "#wand( 0.7 #and( fast sort ) 0.3 #and("
+                    " #near/1( fast sort ) ) )")]
+        idist = indri_structured_batch_search(
+            docs_index.index_dir, iq, imodel, k=25).to_pandas()
+        assert not idist.duplicated(["qid", "external_id"]).any()
+        drv = iengine.search(iq[0][1], k=25).to_pandas()
+        assert list(idist["external_id"]) == list(drv["external_id"])
+        np.testing.assert_allclose(idist["score"], drv["score"], rtol=1e-10)
+    finally:
+        ctx.target_max_block_size = old
+
+
 def test_structured_distributed_multifield_parity(toy_index):
     """Distributed structured BM25 now routes field-qualified leaves
     with per-field df/doclen/avglen stats — rank- and score-identical
