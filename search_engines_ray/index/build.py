@@ -91,7 +91,14 @@ class IndexBuildConfig:
     url_column: str = "url"
     num_buckets: int = 32          # postings term-hash partitions (scale: thousands)
     docid_partitions: int = 32     # pid count for docid assignment
-    merge_salts: int = 4           # posting runs per term (skew bound)
+    merge_salts: int | None = None  # posting runs per term (skew bound +
+    #   distributed-query parallelism/memory grain). None = auto-size at
+    #   build time: ceil(n_docs / docs_per_salt), min 4, capped at
+    #   docid_partitions (salt derives from pid, so S ≤ P; at cluster
+    #   scale P is configured in the thousands). A fixed S would make
+    #   every per-salt query task decode 1/S of the corpus — a per-task
+    #   memory/straggler killer at 100× scale (VERDICT r3 item 1).
+    docs_per_salt: int = 2_000_000  # auto-size target docs per salt
     tokenize_batch_size: int = 512
     tokenize_concurrency: int | tuple = 4   # retained for API compat; unused
     postings_batch_size: int = 16384        # docs per partial-postings batch
@@ -112,7 +119,8 @@ class IndexBuildConfig:
         if stage != FORWARD_DIR:
             # stats.json records num_buckets/merge_salts (the reader's
             # bucket-pruning contract), so docmeta + postings include them
-            parts += [self.num_buckets, self.merge_salts]
+            parts += [self.num_buckets, self.merge_salts,
+                      self.docs_per_salt]
         blob = json.dumps(parts, sort_keys=True)
         return hashlib.md5(blob.encode()).hexdigest()
 
@@ -360,8 +368,14 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
 
     fields = list(cfg.fields)
     P = cfg.docid_partitions
-    S = cfg.merge_salts
-    salt_of_pid = (np.arange(P, dtype=np.int64) * S // P).astype(np.int32)
+
+    def resolve_salts(n_docs: int) -> int:
+        """merge_salts=None auto-sizes S with the corpus so per-salt
+        query tasks stay bounded (~docs_per_salt docids each); recorded
+        in stats.json, which is what every reader consumes."""
+        if cfg.merge_salts is not None:
+            return int(cfg.merge_salts)
+        return int(min(P, max(4, -(-n_docs // max(1, cfg.docs_per_salt)))))
 
     fwd_path = os.path.join(index_dir, FORWARD_DIR)
     if not (resume and _stage_done(index_dir, FORWARD_DIR, fp_fwd)):
@@ -427,7 +441,8 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
             stats = {"version": 1, "n_docs": 0,
                      "fields": {f: {"doc_count": 0, "sum_len": 0}
                                 for f in fields},
-                     "num_buckets": cfg.num_buckets, "merge_salts": S,
+                     "num_buckets": cfg.num_buckets,
+                     "merge_salts": resolve_salts(0),
                      "docid_partitions": P, "analyzer": cfg.analyzer,
                      "pid_offsets": [0] * (P + 1)}
             with open(os.path.join(index_dir, STATS_FILE), "w") as fh:
@@ -479,7 +494,8 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
         np.add.at(pid_n, parts["pid"].to_numpy(), parts["n"].to_numpy())
         pid_offsets = np.concatenate(([0], np.cumsum(pid_n))).tolist()
         stats = {"version": 1, "n_docs": int(n_docs), "fields": field_stats,
-                 "num_buckets": cfg.num_buckets, "merge_salts": S,
+                 "num_buckets": cfg.num_buckets,
+                 "merge_salts": resolve_salts(int(n_docs)),
                  "docid_partitions": P, "analyzer": cfg.analyzer,
                  "pid_offsets": pid_offsets}
         with open(os.path.join(index_dir, STATS_FILE), "w") as fh:
@@ -493,8 +509,13 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
         shutil.rmtree(os.path.join(index_dir, POSTINGS_DIR),
                       ignore_errors=True)
         with open(os.path.join(index_dir, STATS_FILE)) as fh:
-            pid_offsets = np.asarray(json.load(fh)["pid_offsets"],
-                                     dtype=np.int64)
+            st = json.load(fh)
+        pid_offsets = np.asarray(st["pid_offsets"], dtype=np.int64)
+        # S comes from stats.json (the auto-size resolution ran — or
+        # resumed — in the stats stage), so a resumed postings stage
+        # always matches the readers' contract
+        S = int(st["merge_salts"])
+        salt_of_pid = (np.arange(P, dtype=np.int64) * S // P).astype(np.int32)
         fwd_cols = ["docid_local", "pid"]
         for f in fields:
             fwd_cols += [f"terms_{f}", f"pos_{f}"]

