@@ -153,9 +153,15 @@ def run_bench() -> dict:
     # region (doclen shard cache, parquet dataset metadata for every
     # bucket the batch touches, worker spawn) — the same treatment the
     # driver path gets above (doclens/external_ids warmed); a resident
-    # service amortizes this cold start across every batch it serves
-    bm25_batch_search(idx_dir, [(f"w{i}", q) for i, q in
-                                enumerate(BOW_QUERIES)], BM25Model(), k=10)
+    # service amortizes this cold start across every batch it serves.
+    # The warm batch is DISJOINT from the timed batch (one query over
+    # the batch vocabulary) so t_dist measures a steady-state service
+    # answering a fresh batch, not a literal rerun (ADVICE r3) — same
+    # buckets/shards touched, different query set. Intent documented in
+    # BASELINE.md.
+    warm_vocab = " ".join(sorted({t for q in BOW_QUERIES
+                                  for t in q.split()}))
+    bm25_batch_search(idx_dir, [("warm", warm_vocab)], BM25Model(), k=10)
 
     t0 = time.time()
     bm25_batch_search(idx_dir, [(str(i), q) for i, q in enumerate(BOW_QUERIES)],
@@ -195,9 +201,18 @@ def run_bench() -> dict:
     minhash_lsh_dedup(docs_ds, jaccard_threshold=0.8).materialize()
     t_minhash = time.time() - t0
 
+    # exact content-hash dedup over the FULL pages corpus — the stage
+    # that touches every payload byte (r4: digests run straight off the
+    # Arrow data buffer, no per-row str materialization)
+    from search_engines_ray.functions.dedup import exact_dedup
+    t0 = time.time()
+    exact_dedup(ray.data.read_parquet(pages_dir, columns=["url", "text"]),
+                text_col="text", id_col="url").materialize()
+    t_exact = time.time() - t0
+
     ray.shutdown()
     total = (t_build + t_bm25 + t_structured + t_dist + t_dist_structured
-             + t_dist_indri + t_sigs + t_minhash)
+             + t_dist_indri + t_sigs + t_minhash + t_exact)
     return {
         "metric": "index_build_plus_query_batch",
         "value": round(total, 3),
@@ -211,6 +226,7 @@ def run_bench() -> dict:
             "indri_distributed_batch10": round(t_dist_indri, 3),
             "minhash_signatures": round(t_sigs, 3),
             "minhash_lsh_dedup": round(t_minhash, 3),
+            "exact_dedup": round(t_exact, 3),
         },
         "minhash_sig_docs_per_sec": round(n_docs / t_sigs, 1),
         "sf": SF_DIR,

@@ -1365,7 +1365,12 @@ sh as (
   union all
   select doc_id, array_to_string(toks, ' ') as s from tok
   where len(toks) between 1 and 2),
-dsh as (select distinct doc_id, s from sh),
+dsh0 as (select distinct doc_id, s from sh),
+-- heavy-hitter cap (max_shingle_df=256 default, ON): shingles shared
+-- by more docs than the cap are dropped BEFORE set sizes, mirroring
+-- the engine's boilerplate guard
+dsh as (select * from dsh0 where s in (
+          select s from dsh0 group by s having count(*) <= 256)),
 sz as (select doc_id, count(*)::bigint as sz from dsh group by doc_id),
 inter as (
   select a.doc_id as id_a, b.doc_id as id_b, count(*)::double as c

