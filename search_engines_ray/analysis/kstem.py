@@ -105,6 +105,11 @@ _DERIV_EXCEPTIONS = {
     "city": "city", "gravity": "gravity", "charity": "charity",
     "integrity": "integrity", "celebrity": "celebrity",
     "utility": "utility", "facility": "facility", "humidity": "humidity",
+    # -icity words whose base is NOT the -ic adjective (the generic
+    # -icity → -ic strip below would mangle them)
+    "simplicity": "simple", "multiplicity": "multiple",
+    "complicity": "complicity", "felicity": "felicity",
+    "duplicity": "duplicity",
     # -ity irregular restores
     "security": "secure", "maturity": "mature", "obscurity": "obscure",
     "purity": "pure", "rarity": "rare", "scarcity": "scarce",
@@ -304,6 +309,10 @@ def kstem(word: str) -> str:
             return word[:-7] + "ible"
         if word.endswith("ivity"):        # activity → active
             return word[:-5] + "ive"
+        if word.endswith("icity"):        # electricity → electric,
+            return word[:-3]              # ethnicity → ethnic — never
+            # through _restore_e, whose ends-with-'c' rule would append
+            # 'e' (electrice) — ADVICE r3
         stem = word[:-3]
         if stem.endswith("al"):           # formality → formal
             return stem

@@ -149,7 +149,13 @@ class IndexReader:
         if not ext:
             return np.empty(0, np.int64)
         if self._external_ids is not None:
-            lut = {e: i for i, e in enumerate(self._external_ids)}
+            # first occurrence wins (setdefault): a duplicated external
+            # id must resolve to the SMALLEST docid on every path —
+            # internal_docid and the scan path below both take the min
+            # (ADVICE r3)
+            lut: dict = {}
+            for i, e in enumerate(self._external_ids):
+                lut.setdefault(e, i)
             return np.asarray([lut.get(e, -1) for e in ext], dtype=np.int64)
         t = self._forward_dataset().to_table(
             columns=["pid", "docid_local", "external_id"],
