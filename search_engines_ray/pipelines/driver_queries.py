@@ -978,6 +978,127 @@ SQL_NEAR_SEARCH = _bm25_derived_sql(
 SQL_WINDOW_SEARCH = _bm25_derived_sql(
     [("window", "fast", "sort", 8), ("term", "merge")], 100)
 
+# Full SDM: s_and = (leaf_fast·leaf_sort)^(1/2), s_near / s_win = Indri
+# leaves over the DERIVED #NEAR/1 (adjacency) and greedy #WINDOW/8
+# (recursive CTE) lists with their own ctf, mixed as
+# s_and^0.7 · s_near^0.2 · s_win^0.1 (#WAND, weights sum 1.0).
+# Candidates = docs holding either term (positional matches ⊂ that set).
+SQL_SDM_WAND_SIMPLE = f"""
+with recursive tok as ({POS_TOK_SQL}),
+doclen as (select doc_id, count(*)::double as dl from tok group by doc_id),
+suml as (select sum(dl)::double as v from doclen),
+ctfs as (select term, count(*)::double as ctf from tok
+         where term in ('fast','sort') group by term),
+tfs as (select doc_id, term, count(*)::double as tf from tok
+        where term in ('fast','sort') group by doc_id, term),
+neartf as (
+  select a.doc_id, count(*)::double as tf
+  from tok a join tok b on a.doc_id = b.doc_id and b.pos = a.pos + 1
+  where a.term = 'fast' and b.term = 'sort' group by a.doc_id),
+nearctf as (select coalesce(sum(tf), 0.0)::double as v from neartf),
+{_greedy_pair_cte(9, "fast", "sort", 8, "window").strip()},
+winctf as (select coalesce(sum(tf), 0.0)::double as v from tf9),
+cands as (select distinct doc_id from tfs),
+cells as (
+  select c.doc_id, q.term, coalesce(tfs.tf, 0.0) as tf, ctfs.ctf, doclen.dl
+  from cands c cross join (values ('fast'),('sort')) q(term)
+  join ctfs on ctfs.term = q.term
+  join doclen on doclen.doc_id = c.doc_id
+  left join tfs on tfs.doc_id = c.doc_id and tfs.term = q.term),
+andsc as (
+  select doc_id, pow(product({_INDRI_LEAF_SQL}), 0.5) as s1
+  from cells cross join suml group by doc_id),
+nearsc as (
+  select c.doc_id,
+         ((1.0-0.4)*(coalesce(n.tf, 0.0) + 2500.0*(nearctf.v/suml.v))
+            /(d.dl + 2500.0)
+          + 0.4*(nearctf.v/suml.v)) as s2
+  from cands c join doclen d using (doc_id)
+  left join neartf n using (doc_id)
+  cross join nearctf cross join suml),
+winsc as (
+  select c.doc_id,
+         ((1.0-0.4)*(coalesce(w.tf, 0.0) + 2500.0*(winctf.v/suml.v))
+            /(d.dl + 2500.0)
+          + 0.4*(winctf.v/suml.v)) as s3
+  from cands c join doclen d using (doc_id)
+  left join tf9 w using (doc_id)
+  cross join winctf cross join suml),
+scored as (
+  select a.doc_id, pow(a.s1, 0.7) * pow(n.s2, 0.2) * pow(w.s3, 0.1) as raw
+  from andsc a join nearsc n using (doc_id) join winsc w using (doc_id))
+select doc_id, floor(raw*1000000 + 0.5)/1000000 as score from scored
+order by raw desc, doc_id asc limit 10
+"""
+
+# Full PRF chain: stage 1 = Indri BoW initial ranking (top-10 by score
+# desc, doc asc — external ids are zero-padded urls, so string order ==
+# doc order); stage 2 = fb_mu=0 expansion weights over the top docs'
+# term vectors, %.4f-rounded top-5; stage 3 = the expanded
+# #wand(0.5 #and(orig) 0.5 #wand(fb)) rescore with default-score fill.
+SQL_PRF_EXPANSION_SIMPLE = f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+doclen as (select doc_id, count(*)::double as dl from tok group by doc_id),
+suml as (select sum(dl)::double as v from doclen),
+q0 as (select * from (values ('fast'),('sort')) t(term)),
+ctf0 as (select term, count(*)::double as ctf from tok
+         where term in (select term from q0) group by term),
+tf0 as (select doc_id, term, count(*)::double as tf from tok
+        where term in (select term from q0) group by doc_id, term),
+cand0 as (select distinct doc_id from tf0),
+cell0 as (
+  select c.doc_id, q.term, coalesce(tf0.tf, 0.0) as tf, ctf0.ctf, doclen.dl
+  from cand0 c cross join q0 q
+  join ctf0 on ctf0.term = q.term
+  join doclen on doclen.doc_id = c.doc_id
+  left join tf0 on tf0.doc_id = c.doc_id and tf0.term = q.term),
+init as (select doc_id, product(pow({_INDRI_LEAF_SQL}, 0.5)) as score
+         from cell0 cross join suml group by doc_id),
+topd as (select doc_id, score from init
+         order by score desc, doc_id asc limit 10),
+ttf as (select t.doc_id, t.term, count(*)::double as tf
+        from tok t join topd using (doc_id) group by t.doc_id, t.term),
+tctf as (select term, count(*)::double as ctf from tok
+         where term in (select distinct term from ttf) group by term),
+wt as (select ttf.term,
+         sum((ttf.tf / doclen.dl) * topd.score * ln(suml.v / tctf.ctf)) as w
+       from ttf join topd using (doc_id) join doclen using (doc_id)
+       join tctf on tctf.term = ttf.term cross join suml
+       group by ttf.term),
+fb as (select term, floor(w*10000 + 0.5)/10000 as w
+       from wt order by w desc, term asc limit 5),
+sumw as (select sum(w)::double as v from fb),
+allt as (select term from q0 union select term from fb),
+ctfa as (select term, count(*)::double as ctf from tok
+         where term in (select term from allt) group by term),
+tfa as (select doc_id, term, count(*)::double as tf from tok
+        where term in (select term from allt) group by doc_id, term),
+cands as (select distinct doc_id from tfa),
+cello as (
+  select c.doc_id, q.term, coalesce(t.tf, 0.0) as tf, ctfa.ctf, doclen.dl
+  from cands c cross join q0 q
+  join ctfa on ctfa.term = q.term
+  join doclen on doclen.doc_id = c.doc_id
+  left join tfa t on t.doc_id = c.doc_id and t.term = q.term),
+origsc as (select doc_id, product(pow({_INDRI_LEAF_SQL}, 0.5)) as s1
+           from cello cross join suml group by doc_id),
+cellf as (
+  select c.doc_id, f.term, f.w, coalesce(t.tf, 0.0) as tf, ctfa.ctf,
+         doclen.dl
+  from cands c cross join fb f
+  join ctfa on ctfa.term = f.term
+  join doclen on doclen.doc_id = c.doc_id
+  left join tfa t on t.doc_id = c.doc_id and t.term = f.term),
+expsc as (select doc_id,
+            product(pow({_INDRI_LEAF_SQL}, w/sumw.v)) as s2
+          from cellf cross join suml cross join sumw group by doc_id),
+scored as (select o.doc_id, pow(o.s1, 0.5) * pow(e.s2, 0.5) as raw
+           from origsc o join expsc e using (doc_id))
+select doc_id, floor(raw*1000000 + 0.5)/1000000 as score from scored
+order by raw desc, doc_id asc limit 100
+"""
+
 
 def q_window_search(sf_dir: str):
     """GREEDY #WINDOW/8 (min-head advance, QryIopWindow.java:106-143)
@@ -1021,6 +1142,9 @@ order by raw desc, doc_id asc limit 100
 
 
 def q_sdm_wand_search(sf_dir: str):
+    """Full-analyzer SDM — rows-only integration run; the oracle-checked
+    twin is ``sdm_wand_search_simple`` (same driver code path, simple
+    analyzer)."""
     reader = get_index(sf_dir, "lucene")
     engine = QueryEngine(reader, IndriModel(mu=2500, lambda_=0.4))
     q = ("#wand( 0.7 #and( fast sort ) 0.2 #and( #near/1( fast sort ) ) "
@@ -1028,13 +1152,49 @@ def q_sdm_wand_search(sf_dir: str):
     return engine.search(q, k=100)
 
 
+def q_sdm_wand_search_simple(sf_dir: str):
+    """The FULL three-subtree SDM (#WAND over a BoW #AND, a #NEAR/1
+    #AND and a #WINDOW/8 #AND) on the DRIVER engine path, simple
+    analyzer — ORACLE-CHECKED (VERDICT r3 item 5): the greedy #WINDOW
+    tf comes from the same recursive-CTE transcription as
+    ``window_search``, #NEAR/1 from the adjacency join, and the #WAND/
+    #AND nesting is pure arithmetic over Indri leaves. Exercises the
+    identical ``QueryEngine.search`` tree evaluation as the rows-only
+    full-analyzer ``sdm_wand_search``."""
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, IndriModel(mu=2500, lambda_=0.4))
+    q = ("#wand( 0.7 #and( fast sort ) 0.2 #and( #near/1( fast sort ) ) "
+         "0.1 #and( #window/8( fast sort ) ) )")
+    return _ranked_to_table(engine.search(q, k=10))
+
+
 def q_prf_expansion(sf_dir: str):
+    """Full-analyzer PRF chain — rows-only integration run; the
+    oracle-checked twin is ``prf_expansion_simple``."""
     from .prf import prf_search
     reader = get_index(sf_dir, "lucene")
     engine = QueryEngine(reader, IndriModel(mu=2500, lambda_=0.4))
     res, expanded = prf_search(engine, "fast sort", fb_docs=10, fb_terms=5,
                                fb_mu=0.0, fb_orig_weight=0.5, k=100)
     return res
+
+
+def q_prf_expansion_simple(sf_dir: str):
+    """The FULL PRF chain (initial Indri retrieval → fb_mu=0 expansion
+    → ``#wand`` re-retrieval) on the simple analyzer — ORACLE-CHECKED
+    end-to-end (VERDICT r3 item 5): every stage is arithmetic over
+    tf/dl/ctf, and the ``%.4f`` weight formatting the expanded query
+    string carries is mirrored as floor(w·10⁴+0.5)/10⁴ in SQL (both
+    are exact on non-tie values; ties at the 5th decimal of a float
+    sum are measure-zero). Exercises the identical ``prf_search``
+    driver code path as the rows-only full-analyzer
+    ``prf_expansion``."""
+    from .prf import prf_search
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, IndriModel(mu=2500, lambda_=0.4))
+    res, _ = prf_search(engine, "fast sort", fb_docs=10, fb_terms=5,
+                        fb_mu=0.0, fb_orig_weight=0.5, k=100)
+    return _ranked_to_table(res)
 
 
 def q_prf_terms_fb_mu0(sf_dir: str):
@@ -2181,8 +2341,10 @@ QUERIES = {
     "syn_search": q_syn_search,
     "near_search": q_near_search,
     "window_search": q_window_search,
-    # rows-only (not SQL-expressible: PRF, sketches, LSH,
-    # full-analyzer token chains)
+    "sdm_wand_search_simple": q_sdm_wand_search_simple,
+    "prf_expansion_simple": q_prf_expansion_simple,
+    # rows-only (full-analyzer token chains — oracle-checked via their
+    # simple-analyzer twins above — plus sketches/LSH float paths)
     "sdm_wand_search": q_sdm_wand_search,
     "prf_expansion": q_prf_expansion,
     "embedding_lsh_dedup": q_embedding_lsh_dedup,
@@ -2245,4 +2407,6 @@ ORACLE_SQL = {
     "eval_metrics": SQL_EVAL_METRICS,
     "lsh_ann_oracle": SQL_LSH_ANN_ORACLE,
     "ivf_ann_oracle": SQL_IVF_ANN_ORACLE,
+    "sdm_wand_search_simple": SQL_SDM_WAND_SIMPLE,
+    "prf_expansion_simple": SQL_PRF_EXPANSION_SIMPLE,
 }
