@@ -96,20 +96,49 @@ class FrameSample:
     """Video stage stub: sample every ``stride``-th frame. With
     ``fake=True`` the payload is treated as a byte-per-frame stream."""
 
-    def __init__(self, stride: int = 10, fake: bool = False):
+    def __init__(self, stride: int = 10, fake: bool = False,
+                 auto: bool = False):
+        """``auto=True`` mirrors ``DecodeImage(auto=True)``: probe for a
+        video decoder (imageio + its ffmpeg plugin) ONCE PER ACTOR and
+        sample real frames when present, silently falling back to the
+        byte-per-frame fake double otherwise (VERDICT r3 item 9)."""
         self.stride = stride
         self.fake = fake
+        self._reader = None
+        if auto and not fake:
+            try:
+                import imageio.v3 as iio  # needs the ffmpeg plugin too
+                self._reader = iio
+            except ImportError:
+                self.fake = True
 
-    def __call__(self, b: pa.Table) -> pa.Table:
+    def _sample_one(self, payload: bytes) -> bytes:
+        if self._reader is not None:
+            # real path: every stride-th decoded frame, 1 gray byte per
+            # frame (mean luminance) — same output layout as the fake
+            import io
+            frames = self.reader_frames(io.BytesIO(payload))
+            return bytes(int(np.asarray(f, dtype=np.float32).mean())
+                         for f in frames)
         if not self.fake:
             raise NotImplementedError(
                 "video frame sampling needs a video library not present "
-                "in this environment; construct FrameSample(fake=True)")
+                "in this environment; construct FrameSample(fake=True) "
+                "for the deterministic test double or auto=True to fall "
+                "back")
+        return payload[::self.stride]
+
+    def reader_frames(self, buf):
+        """Every stride-th frame via the probed decoder (separate method
+        so tests can exercise the real path with a stub reader)."""
+        it = self._reader.imiter(buf, plugin="pyav")
+        return [f for i, f in enumerate(it) if i % self.stride == 0]
+
+    def __call__(self, b: pa.Table) -> pa.Table:
         ids, frames = [], []
         for mid, p in zip(b["media_id"].to_pylist(), b["payload"].to_pylist()):
-            sampled = p[::self.stride]
             ids.append(mid)
-            frames.append(sampled)
+            frames.append(self._sample_one(p))
         return pa.table({"media_id": pa.array(ids, pa.int64()),
                          "frames": pa.array(frames, pa.binary())})
 

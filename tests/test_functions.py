@@ -161,6 +161,76 @@ def test_decode_image_auto_import_guard():
     assert feats.dtype == np.float32
 
 
+def test_decode_image_real_branch_with_stub_pil():
+    """Exercise the REAL-decode branch deterministically by injecting a
+    stub PIL module (the container ships no image library): the branch
+    must produce 16 normalized float32 features from the 4x4 grayscale
+    thumbnail, never touching the fake path (VERDICT r3 item 9)."""
+    from search_engines_ray.functions.multimodal import DecodeImage
+
+    class _Img:
+        def __init__(self, level):
+            self.level = level
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, wh):
+            assert wh == (4, 4)
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            return np.full((4, 4), self.level, dtype=np.uint8)
+
+    class _StubPIL:
+        @staticmethod
+        def open(buf):
+            return _Img(buf.read()[0])
+
+    dec = DecodeImage(fake=False)
+    dec._pil = _StubPIL
+    feats = dec._decode_one(bytes([102, 7, 7]))
+    assert feats.shape == (DecodeImage.FEATURE_DIM,)
+    np.testing.assert_allclose(feats, 102 / 255.0)
+
+
+def test_frame_sample_auto_and_real_branch():
+    """FrameSample(auto=True) mirrors DecodeImage's import guard: falls
+    back to the byte-per-frame fake when no video library exists, and
+    the real branch (driven with a stub reader) emits one mean-luma
+    byte per stride-th frame."""
+    import ray.data as rd
+    from search_engines_ray.functions.multimodal import (
+        FrameSample, make_fake_media_batch,
+    )
+    fs = FrameSample(stride=3, auto=True)
+    try:
+        import imageio.v3  # noqa: F401
+        assert fs._reader is not None and not fs.fake
+    except ImportError:
+        assert fs._reader is None and fs.fake
+    media = rd.from_arrow(make_fake_media_batch(6, kind="video"))
+    out = fs(media.take_batch(6, batch_format="pyarrow"))
+    assert out.num_rows == 6
+    if fs.fake:
+        pay = make_fake_media_batch(6, kind="video")["payload"].to_pylist()
+        assert out["frames"].to_pylist() == [p[::3] for p in pay]
+
+    class _StubReader:
+        @staticmethod
+        def imiter(buf, plugin=None):
+            n = buf.read()[0]                     # frame count from payload
+            return (np.full((2, 2), i, dtype=np.uint8) for i in range(n))
+
+    real = FrameSample(stride=2, fake=False)
+    real._reader = _StubReader
+    got = real._sample_one(bytes([5]))            # frames 0..4, keep 0,2,4
+    assert got == bytes([0, 2, 4])
+    with pytest.raises(NotImplementedError):
+        FrameSample(fake=False)._sample_one(b"x")
+
+
 def test_ivf_ann_topk(emb_ds):
     import pyarrow.parquet as pq
     from search_engines_ray.functions import ivf_ann_topk
