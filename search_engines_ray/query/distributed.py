@@ -2,17 +2,16 @@
 
 The driver-side ``QueryEngine`` fetches a handful of posting lists per
 query — right for interactive use. This module is the *batch* path: score
-a whole query set against a huge index as one Ray Data pipeline:
+a whole query set against a huge index as one ZERO-SHUFFLE Ray job:
 
-  read postings (bucket-pruned, term-filtered)
-    → map_batches decode+score (vectorized BM25 leaf math per posting row)
-      with per-batch partial accumulation on packed int64 keys
-      ``qcode << 44 | docid`` (never string keys in the hot path)
-    → groupby(gkey).sum                       [the one shuffle]
-    → per-batch partial top-k per query (exact: a row below its batch's
-      kth score has ≥k strictly-greater rows in that batch alone)
-    → driver merge: attach external ids, exact (score desc, external_id
-      asc) top-k per qid.
+  one task per salt (= contiguous docid range; every term's postings
+  for that range live in one parquet row, so the task's local
+  bucket/row-group-pruned scan holds the COMPLETE inputs for its docs)
+    → vectorized leaf math per posting row, dense per-salt group-sum on
+      packed int64 keys ``qcode << 44 | docid`` (never string keys)
+    → exact per-salt top-k cut (salt ranges are disjoint)
+    → driver merge of the tiny candidate tables: attach external ids,
+      exact (score desc, external_id asc) top-k per qid.
 
 Scale notes: the postings read prunes to the buckets the query terms
 hash to; doclens are docid-range-sharded (``_ShardedDoclens``): workers
@@ -644,20 +643,24 @@ def bm25_structured_batch_search(index_dir: str,
 
     Partitioning contract: a positional operator is docid-local, and the
     index stores each term's postings as ONE row per salt where salt =
-    contiguous docid range (build.py step 5). ``groupby("salt")``
-    therefore co-locates, for every docid range, ALL argument terms'
-    postings — each group runs the driver's own Iop kernels
+    contiguous docid range (build.py step 5). ONE TASK PER SALT
+    (phase A, ``_derive_lists``) therefore holds, for its docid range,
+    ALL argument terms' postings — it runs the driver's own Iop kernels
     (``eval_iop_tree``: two-pointer #NEAR, min/max-head #WINDOW, #SYN
-    union) unchanged, emitting derived posting runs. Phase parallelism
-    equals ``merge_salts``; at cluster scale salts number in the
-    thousands. A derived list's df/ctf (what the reference scores with,
-    ``QryIop.java:139-151``) is the SUM over its salt runs — a tiny
-    metadata aggregation before scoring.
+    union) unchanged, emitting derived posting runs into the object
+    store keyed by salt. Phase parallelism equals ``merge_salts``,
+    which auto-sizes with the corpus (build.py ``docs_per_salt``; at
+    cluster scale salts number in the thousands). A derived list's
+    df/ctf (what the reference scores with, ``QryIop.java:139-151``)
+    is the SUM over its salt runs — a tiny driver-side aggregation
+    between the phases.
 
-    Scoring then reuses the packed-key partial-sum path of
-    ``bm25_batch_search`` over the union of plain-term rows and derived
-    rows. Rank- and score-identical to ``QueryEngine.search`` per query
-    (tests/test_query_engine.py).
+    Phase B is one task per salt again (``_run_salt_tasks``): it
+    fetches the salt's derived rows whole, reads the salt's plain-term
+    postings locally (column/row-group-pruned scan), and finishes the
+    (query, doc) #SUM with an exact per-salt top-k cut — zero shuffle
+    end to end. Rank- and score-identical to ``QueryEngine.search``
+    per query (tests/test_query_engine.py).
     """
     from .models import BM25Model as _BM25
     from .parser import QueryParser
@@ -853,12 +856,12 @@ def indri_structured_batch_search(index_dir: str,
                        + Σ_all-leaves c_l·log s_l(0,dl)
 
     where ``c_l`` is the folded coefficient (1/k per #AND level, w/Σw
-    per #WAND level). The first sum is the packed-key groupby-sum over
-    posting rows (terms + per-salt-derived positional lists, phase A =
-    ``_derive_lists``); the second is the per-candidate default-score
-    correction computed from sharded doclens in the final stage, using
-    each leaf's mle = ctf/collection_len (DERIVED ctf for positional
-    leaves — ``QryIop.java:139-151``).
+    per #WAND level). The first sum is the dense per-salt group-sum
+    over posting rows (terms + the salt's derived positional lists,
+    phase A = ``_derive_lists``); the second is the per-candidate
+    default-score correction computed from sharded doclens inside the
+    same salt task, using each leaf's mle = ctf/collection_len
+    (DERIVED ctf for positional leaves — ``QryIop.java:139-151``).
 
     ``#WSUM`` (arithmetic mean, ``QrySopWsum``) is not log-linear, but
     it factors per SUBTREE: a #WSUM spine (nested #WSUM flattens
@@ -866,15 +869,15 @@ def indri_structured_batch_search(index_dir: str,
 
         score(d) = Σ_j W_j · exp( S_j(d) + corr_j(dl) )
 
-    with ``S_j`` the subtree's matched-leaf groupby-sum and ``corr_j``
+    with ``S_j`` the subtree's matched-leaf group-sum and ``corr_j``
     its all-leaves default correction; a doc that matches no leaf of
     subtree j contributes its pure default ``W_j·exp(corr_j)``. The
-    packed shuffle key carries ``(qcode·J + j)`` in the high bits while
-    the PARTITION id is derived from (qcode, docid) only, so every
-    subtree sum for a doc lands in the same final partition and the
-    arithmetic mix needs no second shuffle. #WSUM below a #AND/#WAND
-    (log of a sum — not factorizable) still raises to the driver path.
-    Rank- and score-identical to ``QueryEngine.search``."""
+    packed key carries ``(qcode·J + j)`` in the high bits, and because
+    a salt is a disjoint docid range, every subtree sum for a doc is
+    complete inside its salt task — the arithmetic mix and the exact
+    per-query cut run there too, zero shuffle. #WSUM below a
+    #AND/#WAND (log of a sum — not factorizable) still raises to the
+    driver path. Rank- and score-identical to ``QueryEngine.search``."""
     from .models import IndriModel
     from .parser import QueryParser
     from .plan import IopNode, ScoreNode, SopNode, TermNode
