@@ -85,10 +85,33 @@ def _shingle_hashes(tokens: list[str], n: int) -> np.ndarray:
 
 # ---------------------------------------------------------------- exact
 
-def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+# exact-dedup shuffle fan-in: digests hash into this many int32 groupby
+# keys (same pattern as _LSH_PARTS); per-partition work is a vectorized
+# pandas groupby, so the knob only bounds per-task group size. At
+# cluster scale pass num_parts ≈ n_docs / 2M so one partition's rows fit
+# a worker's heap.
+_EXACT_PARTS = 256
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+                num_parts: int | None = None):
     """→ Dataset (content_hash, canonical_id, n_dups): one row per
     distinct content; canonical = min id. The duplicate *groups* — to
-    drop dups instead, semi-join ids against canonical_id."""
+    drop dups instead, semi-join ids against canonical_id.
+
+    Shape: the 16-byte digest (not the text) is all that crosses the
+    exchange, keyed by an int32 partition of its top-64 bits — a sorted
+    shuffle on a tiny int key + one vectorized groupby per partition,
+    instead of a whole-dataset sort aggregate on 32-char hex strings.
+    The digest table (~70 B/row vs the KB-scale payloads) is coalesced
+    to parts/8 blocks before the exchange: the sort's transfer matrix is
+    blocks × partitions, and inheriting the payload read's block count
+    for a 200× smaller table pays pure scheduling overhead (measured
+    4.8 → 2.0 s at sf0.1 with 256 read blocks). Hex materializes once
+    per distinct group at emit time."""
+    parts = np.uint64(num_parts or _EXACT_PARTS)
+    shuffle_blocks = max(16, int(parts) // 8)
+
     def add_hash(b: pa.Table) -> pa.Table:
         # digest straight off the Arrow UTF-8 data buffer via the
         # offsets array — no per-row Python str materialization or
@@ -98,22 +121,47 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         off = np.frombuffer(col.buffers()[1], dtype=np.int64,
                             count=len(col) + 1, offset=col.offset * 8)
         data = memoryview(col.buffers()[2])
-        hs = [hashlib.md5(data[off[i]:off[i + 1]]).hexdigest()
+        dg = [hashlib.md5(data[off[i]:off[i + 1]]).digest()
               for i in range(len(col))]
         if col.null_count:
-            empty = hashlib.md5(b"").hexdigest()
+            empty = hashlib.md5(b"").digest()
             for i in np.flatnonzero(~np.asarray(col.is_valid())):
-                hs[i] = empty
+                dg[i] = empty
+        h64 = (np.frombuffer(b"".join(dg), dtype=">u8")[::2].astype(np.uint64)
+               if dg else np.empty(0, np.uint64))
         return pa.table({
-            "content_hash": pa.array(hs, pa.string()),
+            "part": pa.array((h64 % parts).astype(np.int32)),
+            "digest": pa.array(dg, pa.binary()),
             id_col: b[id_col],
         })
 
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    from ray.data.aggregate import Count, Min
-    return hashed.groupby("content_hash").aggregate(
-        Min(id_col, alias_name="canonical_id"),
-        Count(alias_name="n_dups"))
+    def dedup_part(g: pa.Table) -> pd.DataFrame:
+        # no pandas groupby (its object-dtype min falls back to a
+        # per-group Python apply — ~26 ms per 800-row call): stable-sort
+        # rows by id then by digest, so each digest segment's FIRST row
+        # carries the min id; counts are segment lengths.
+        dg = g["digest"].to_pylist()
+        if not dg:
+            return pd.DataFrame({"content_hash": pd.Series([], dtype=object),
+                                 "canonical_id": pd.Series([], dtype=object),
+                                 "n_dups": pd.Series([], dtype=np.int64)})
+        arr = np.frombuffer(b"".join(dg), dtype=">u8").reshape(-1, 2)
+        ids = g[id_col].to_pandas().to_numpy()
+        ord_id = np.argsort(ids, kind="stable")
+        order = ord_id[np.lexsort((arr[ord_id, 1], arr[ord_id, 0]))]
+        a = arr[order]
+        bound = np.concatenate(([True], (a[1:] != a[:-1]).any(axis=1)))
+        first = order[np.flatnonzero(bound)]
+        counts = np.diff(np.concatenate((np.flatnonzero(bound),
+                                         [len(order)])))
+        return pd.DataFrame({
+            "content_hash": [dg[i].hex() for i in first],
+            "canonical_id": ids[first],
+            "n_dups": counts.astype(np.int64)})
+
+    return ds.map_batches(add_hash, batch_format="pyarrow") \
+        .repartition(shuffle_blocks) \
+        .groupby("part").map_groups(dedup_part, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- minhash
