@@ -199,11 +199,53 @@ class MinHasher:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # batched across the whole Arrow batch: one (num_perm × 8192)
+        # mod-p pass per shingle chunk with per-doc mins folded by
+        # np.minimum.reduceat over doc boundaries. Per-doc signature()
+        # calls cost ~30 small-array numpy ops per doc (call overhead
+        # dwarfs the flops at ~50 shingles/doc); this path is
+        # bit-identical and ~3× the throughput.
+        from ..analysis.tokenizer import simple_tokenize
         ids = batch[self.id_col].to_pylist()
-        sigs = [self.signature(t) for t in batch[self.text_col].to_pylist()]
+        hs = [_shingle_hashes(simple_tokenize(t or ""), self.shingle)
+              for t in batch[self.text_col].to_pylist()]
+        n = len(hs)
+        out = np.full((self.num_perm, n), np.iinfo(np.uint64).max,
+                      dtype=np.uint64)
+        lens = np.fromiter((h.size for h in hs), dtype=np.int64, count=n)
+        nz = np.flatnonzero(lens)
+        if nz.size:
+            h_all = np.concatenate([hs[i] for i in nz])
+            offsets = np.concatenate(([0], np.cumsum(lens[nz])))
+            # the ~40-op mod-p chain runs once per DISTINCT shingle
+            # (webtext shingles repeat heavily across docs — ~4× even in
+            # the unreplicated test corpus); positions then gather from
+            # the value table. Chunks sized so each (num_perm × step)
+            # temporary stays L2-resident — the 8192-wide variant was
+            # memory-bound and LOST to the per-doc path.
+            u, inv = np.unique(h_all, return_inverse=True)
+            a_col, b_col = self.a[:, None], self.b[:, None]
+            vals = np.empty((self.num_perm, u.size), dtype=np.uint64)
+            for lo in range(0, u.size, 512):
+                hi = min(lo + 512, u.size)
+                vals[:, lo:hi] = _modadd_p61(
+                    _modmul_p61(a_col, u[None, lo:hi]), b_col)
+            for lo in range(0, h_all.size, 4096):
+                hi = min(lo + 4096, h_all.size)
+                m = vals[:, inv[lo:hi]]
+                # docs whose shingle range intersects [lo, hi); a doc
+                # split across chunks min-merges through `out`
+                d0 = int(np.searchsorted(offsets, lo, side="right")) - 1
+                d1 = int(np.searchsorted(offsets, hi, side="left"))
+                starts = (offsets[d0:d1] - lo).clip(min=0)
+                red = np.minimum.reduceat(m, starts, axis=1)
+                cols = nz[d0:d1]
+                out[:, cols] = np.minimum(out[:, cols], red)
+        sigs = np.ascontiguousarray(out.T)
         return pa.table({
             self.id_col: pa.array(ids),
-            "minhash": pa.array([s.tobytes() for s in sigs], pa.binary()),
+            "minhash": pa.array([sigs[j].tobytes() for j in range(n)],
+                                pa.binary()),
         })
 
 
@@ -320,11 +362,34 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                 seen.setdefault(ids_all[r], r)
             if len(seen) < 2:
                 continue
-            ids = sorted(seen)
-            sigs = [np.frombuffer(sigs_all[seen[i]], dtype=np.uint64)
-                    for i in ids]
-            frames.append(_unionfind_pairs(ids, lambda i, j: float(
-                np.mean(sigs[i] == sigs[j])) >= jaccard_threshold, id_col))
+            # collapse identical signatures before the O(k²) pairwise
+            # pass: webtext buckets are dominated by exact copies (est.
+            # Jaccard 1.0 by construction), so a bucket of b docs with
+            # one distinct signature costs zero compares instead of b².
+            # Connectivity is preserved — member→group-rep edges plus
+            # UF edges over the reps reach the same components, and the
+            # final labels come from the driver UF over all edges
+            # (_compress_canonical), not from per-bucket labels.
+            by_sig: dict = {}
+            for i in sorted(seen):
+                by_sig.setdefault(sigs_all[seen[i]], []).append(i)
+            items = sorted(by_sig.values())        # asc by rep (= min) id
+            if len(items) > 1:
+                reps = [v[0] for v in items]
+                sigs = [np.frombuffer(s, dtype=np.uint64)
+                        for s, _ in sorted(by_sig.items(),
+                                           key=lambda kv: kv[1][0])]
+                frames.append(_unionfind_pairs(reps, lambda i, j: float(
+                    np.mean(sigs[i] == sigs[j])) >= jaccard_threshold,
+                    id_col))
+            mem, canon = [], []
+            for v in items:
+                if len(v) > 1:
+                    mem += v
+                    canon += [v[0]] * len(v)
+            if mem:
+                frames.append(pd.DataFrame({id_col: mem,
+                                            "canonical_id": canon}))
         return pd.concat(frames) if frames else empty
 
     pairs = banded.groupby("part").map_groups(
@@ -390,11 +455,29 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                          "simhash": pa.array(np.array(out_fp, dtype=np.uint64))})
 
     def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(zip(g[id_col], g["simhash"].astype(np.uint64)))
-        ids = [r[0] for r in rows]
-        fps = [int(r[1]) for r in rows]
-        return _unionfind_pairs(ids, lambda i, j: bin(
-            fps[i] ^ fps[j]).count("1") <= max_hamming, id_col)
+        # collapse identical fingerprints (Hamming 0) before the O(k²)
+        # pass — same exact-copy hazard and connectivity argument as
+        # minhash_lsh_dedup.partition_pairs
+        by_fp: dict = {}
+        for i, f in sorted(zip(g[id_col], g["simhash"].astype(np.uint64))):
+            by_fp.setdefault(int(f), []).append(i)
+        items = sorted(by_fp.values())             # asc by rep (= min) id
+        frames = []
+        if len(items) > 1:
+            reps = [v[0] for v in items]
+            fps = [f for f, _ in sorted(by_fp.items(),
+                                        key=lambda kv: kv[1][0])]
+            frames.append(_unionfind_pairs(reps, lambda i, j: bin(
+                fps[i] ^ fps[j]).count("1") <= max_hamming, id_col))
+        mem, canon = [], []
+        for v in items:
+            if len(v) > 1:
+                mem += v
+                canon += [v[0]] * len(v)
+        if mem:
+            frames.append(pd.DataFrame({id_col: mem, "canonical_id": canon}))
+        return pd.concat(frames) if frames else \
+            pd.DataFrame({id_col: [], "canonical_id": []})
 
     pairs = fp_ds.map_batches(explode, batch_format="pyarrow") \
         .groupby(["band", "key"]).map_groups(bucket, batch_format="pandas")
