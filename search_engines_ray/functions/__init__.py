@@ -4,6 +4,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_dedup, simhash_pairs,
 )
+from .graph import connected_components
 from .similarity import ann_cosine_topk, ivf_ann_topk, lsh_ann_topk
 from .text import (
     doc_fingerprint, language_id, quality_scores, token_stats,
@@ -14,6 +15,7 @@ __all__ = [
     "minhash_candidate_pairs", "minhash_lsh_dedup", "ngram_jaccard",
     "ngram_jaccard_pairs",
     "simhash_dedup", "simhash_pairs",
+    "connected_components",
     "ann_cosine_topk", "ivf_ann_topk", "lsh_ann_topk",
     "doc_fingerprint", "language_id", "quality_scores", "token_stats",
 ]

@@ -282,14 +282,41 @@ def _check_bands(num_perm: int, bands: int) -> int:
     return num_perm // bands
 
 
+def _sig_fold(sig2d: np.ndarray) -> np.ndarray:
+    """(n, num_perm) uint64 → (n,) uint64 whole-signature fingerprint
+    (same multiply-xor fold family as ``_band_fold``)."""
+    h = np.full(sig2d.shape[0], 0xCBF29CE484222325, dtype=np.uint64)
+    mul = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for r in range(sig2d.shape[1]):
+            h = (h ^ sig2d[:, r]) * mul
+    return h
+
+
 def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 128, bands: int = 16, shingle: int = 3,
                       jaccard_threshold: float = 0.8):
     """→ Dataset (doc_id, canonical_id) for docs in near-dup groups.
 
-    signatures (actor pool) → explode to (band, band_hash, doc_id)
-    → groupby band key → verified candidate pairs (minhash-estimated
-    Jaccard) → min-label canonicalization."""
+    signatures → GLOBAL identical-signature collapse (one shuffle keyed
+    by a uint64 whole-signature fingerprint: member→rep edges out, one
+    representative per distinct signature on) → band explode over the
+    DISTINCT signatures only → groupby band key → in-bucket union-find
+    over the full-signature Jaccard estimate → min-label
+    canonicalization (driver union-find when the edge set is small,
+    ``graph.connected_components`` when it is corpus-sized).
+
+    Why collapse first: webtext is dominated by exact copies, and every
+    copy multiplies BOTH the band-shuffle payload (bands × 1 KB per
+    doc — measured 3.4 GB and ~80 % of the stage wall at sf0.1×40) and
+    the in-bucket pairwise work. After the collapse the banding cost
+    scales with DISTINCT content. On a corpus with no duplicates the
+    collapse adds one signature-sized shuffle — the documented price.
+    A 64-bit fingerprint collision merges two docs without
+    verification (~2⁻⁶⁴ per pair) — the same accepted risk class as
+    the uint64 bucket key. 'Verified' still means the full-signature
+    Jaccard ESTIMATE; true n-gram verification would need the text
+    (see ``ngram_jaccard``)."""
     from ..util import proc_cached
     rows_per_band = _check_bands(num_perm, bands)
 
@@ -302,20 +329,80 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                               text_col=text_col, id_col=id_col))
         return mh(b)
 
-    sig_ds = ds.map_batches(sig_fn, batch_format="pyarrow")
+    # materialized for the count: the two groupby fan-ins below pay
+    # fixed cost per (block × partition) cell, so partition count
+    # follows corpus size instead of a constant 256 (same lesson as
+    # exact_dedup / connected_components)
+    sig_ds = ds.map_batches(sig_fn, batch_format="pyarrow").materialize()
+    n_docs = sig_ds.count()
+    parts = max(16, min(_LSH_PARTS, n_docs // 20_000 + 1))
 
-    def explode_bands(b: pa.Table) -> pa.Table:
-        """(bucket, doc_id, minhash) rows — the full signature travels
-        with its band rows, so bucket verification needs no driver-side
-        signature table (shuffle volume = bands × 1 KB per doc, the
-        standard LSH trade). The bucket key is ONE uint64 (vectorized
-        multiply-xor fold of the band values, band index salted in)
-        instead of (int32, md5-hex-string): a 64-bit collision merely
-        merges two buckets — extra signature compares, never a wrong
-        pair, since every emitted pair is similarity-verified."""
+    def add_fp(b: pa.Table) -> pa.Table:
         n = b.num_rows
         if n == 0:
-            return pa.table({"bucket": pa.array([], pa.uint64()),
+            return pa.table({"part": pa.array([], pa.int32()),
+                             "sigfp": pa.array([], pa.uint64()),
+                             id_col: b[id_col],
+                             "minhash": b["minhash"]})
+        sig2d = np.frombuffer(b"".join(b["minhash"].to_pylist()),
+                              dtype=np.uint64).reshape(n, num_perm)
+        fp = _sig_fold(sig2d)
+        return pa.table({
+            "part": pa.array((fp % np.uint64(parts)).astype(np.int32)),
+            "sigfp": pa.array(fp),
+            id_col: b[id_col],
+            "minhash": b["minhash"]})
+
+    def collapse_fp(g: pa.Table) -> pd.DataFrame:
+        """Per hash partition of sigfp: one rep (min id) per distinct
+        signature. Emits rep rows (is_rep=1, signature attached) for
+        every distinct signature plus member→rep edges (is_rep=0) for
+        duplicated ones — same lexsort/segment fold as exact_dedup."""
+        ids = g[id_col].to_pandas().to_numpy()
+        fps = g["sigfp"].to_numpy()
+        ord_id = np.argsort(ids, kind="stable")
+        order = ord_id[np.argsort(fps[ord_id], kind="stable")]
+        f = fps[order]
+        bound = np.concatenate(([True], f[1:] != f[:-1]))
+        run_id = np.cumsum(bound) - 1
+        first = order[np.flatnonzero(bound)]       # rep = min id per fp
+        sigs = g["minhash"].to_pylist()
+        rep_of = first[run_id]
+        members = order[ids[order] != ids[rep_of]]
+        rep_for_member = first[run_id[ids[order] != ids[rep_of]]]
+        return pd.DataFrame({
+            id_col: np.concatenate((ids[first], ids[members])),
+            "canonical_id": np.concatenate((ids[first],
+                                            ids[rep_for_member])),
+            "minhash": [sigs[i] for i in first] + [b""] * len(members),
+            "is_rep": np.concatenate((
+                np.ones(len(first), np.int8),
+                np.zeros(len(members), np.int8)))})
+
+    collapsed = sig_ds.map_batches(add_fp, batch_format="pyarrow") \
+        .groupby("part").map_groups(collapse_fp, batch_format="pyarrow") \
+        .materialize()
+    member_edges = collapsed.map_batches(
+        lambda b: b[(b["is_rep"] == 0).to_numpy()][[id_col,
+                                                    "canonical_id"]],
+        batch_format="pandas")
+    reps = collapsed.map_batches(
+        lambda b: b[(b["is_rep"] == 1).to_numpy()][[id_col, "minhash"]],
+        batch_format="pandas")
+
+    def explode_bands(b: pa.Table) -> pa.Table:
+        """(bucket, rep_id, minhash) rows — the full signature travels
+        with its band rows so bucket verification needs no further
+        join, and after the collapse it travels once per DISTINCT
+        signature. The bucket key is ONE uint64 (vectorized
+        multiply-xor fold of the band values, band index salted in): a
+        collision merely merges two buckets — extra signature
+        compares, never a wrong pair, since every cross-signature pair
+        is similarity-verified."""
+        n = b.num_rows
+        if n == 0:
+            return pa.table({"part": pa.array([], pa.int32()),
+                             "bucket": pa.array([], pa.uint64()),
                              id_col: b[id_col],
                              "minhash": pa.array([], pa.binary())})
         sigs_list = b["minhash"].to_pylist()
@@ -324,24 +411,22 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         hv = _band_fold(sig).reshape(-1)
         idx = np.repeat(np.arange(n), bands)
         return pa.table({
-            "part": pa.array((hv % np.uint64(_LSH_PARTS)).astype(np.int32)),
+            "part": pa.array((hv % np.uint64(parts)).astype(np.int32)),
             "bucket": pa.array(hv),
             id_col: b[id_col].take(pa.array(idx)),
             "minhash": pa.array([sigs_list[i] for i in idx], pa.binary())})
 
-    banded = sig_ds.map_batches(explode_bands, batch_format="pyarrow")
+    banded = reps.map_batches(explode_bands, batch_format="pyarrow")
 
     def partition_pairs(g: pa.Table) -> pd.DataFrame:
         """One call per HASH PARTITION (bucket % _LSH_PARTS), not per
         bucket: a groupby().map_groups at bucket grain costs one Python
-        call per bucket (~bands × n_docs groups, almost all singletons);
-        here the partition's buckets are segmented vectorized and only
-        non-trivial ones (≥2 docs — rare) run the O(b²) signature
-        check + union-find. Emits (member, component-min) per
-        component. 'Verified' means the full-signature Jaccard ESTIMATE
-        — true n-gram verification would need the text shipped through
-        the shuffle; ``ngram_jaccard`` is provided for callers that
-        want it."""
+        call per bucket (~bands × n_reps groups, almost all
+        singletons); here the partition's buckets are segmented
+        vectorized and only non-trivial ones (≥2 reps — rare) run the
+        O(k²)-bounded union-find with early exit. Emits (member,
+        component-min) per in-bucket component; global transitivity is
+        _compress_canonical's job."""
         empty = pd.DataFrame({id_col: [], "canonical_id": []})
         if g.num_rows < 2:
             return empty
@@ -360,41 +445,65 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             seen: dict = {}
             for r in rows:
                 seen.setdefault(ids_all[r], r)
-            if len(seen) < 2:
+            k = len(seen)
+            if k < 2:
                 continue
-            # collapse identical signatures before the O(k²) pairwise
-            # pass: webtext buckets are dominated by exact copies (est.
-            # Jaccard 1.0 by construction), so a bucket of b docs with
-            # one distinct signature costs zero compares instead of b².
-            # Connectivity is preserved — member→group-rep edges plus
-            # UF edges over the reps reach the same components, and the
-            # final labels come from the driver UF over all edges
-            # (_compress_canonical), not from per-bucket labels.
-            by_sig: dict = {}
-            for i in sorted(seen):
-                by_sig.setdefault(sigs_all[seen[i]], []).append(i)
-            items = sorted(by_sig.values())        # asc by rep (= min) id
-            if len(items) > 1:
-                reps = [v[0] for v in items]
-                sigs = [np.frombuffer(s, dtype=np.uint64)
-                        for s, _ in sorted(by_sig.items(),
-                                           key=lambda kv: kv[1][0])]
-                frames.append(_unionfind_pairs(reps, lambda i, j: float(
-                    np.mean(sigs[i] == sigs[j])) >= jaccard_threshold,
-                    id_col))
-            mem, canon = [], []
-            for v in items:
-                if len(v) > 1:
-                    mem += v
-                    canon += [v[0]] * len(v)
-            if mem:
-                frames.append(pd.DataFrame({id_col: mem,
-                                            "canonical_id": canon}))
-        return pd.concat(frames) if frames else empty
+            ids = sorted(seen)
+            # vectorized pairwise estimate: boilerplate-heavy corpora
+            # produce buckets with hundreds of distinct signatures, and
+            # a per-pair Python predicate (k² lambda calls) dominated
+            # the stage wall; one broadcast compare per bucket (row-
+            # chunked to bound the k×k×num_perm temporary) leaves only
+            # the passing edges to a tiny index union-find.
+            A = np.frombuffer(
+                b"".join(sigs_all[seen[i]] for i in ids),
+                dtype=np.uint64).reshape(k, num_perm)
+            ea: list = []
+            eb: list = []
+            step = max(1, 4_000_000 // (k * num_perm))
+            for r0 in range(0, k, step):
+                est = (A[r0:r0 + step, None, :] == A[None, :, :]) \
+                    .mean(axis=2)
+                ii, jj = np.nonzero(est >= jaccard_threshold)
+                ii = ii + r0
+                keep = ii < jj
+                ea += ii[keep].tolist()
+                eb += jj[keep].tolist()
+            if not ea:
+                continue
+            parent = list(range(k))
 
-    pairs = banded.groupby("part").map_groups(
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for i, j in zip(ea, eb):
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    lo_, hi_ = (ri, rj) if ri < rj else (rj, ri)
+                    parent[hi_] = lo_
+            comp: dict = {}
+            for x in range(k):
+                comp.setdefault(find(x), []).append(x)
+            out_id, out_canon = [], []
+            for root, mem in comp.items():
+                if len(mem) < 2:
+                    continue
+                canon = ids[min(mem)]
+                for m in mem:
+                    out_id.append(ids[m])
+                    out_canon.append(canon)
+            if out_id:
+                frames.append(pd.DataFrame({id_col: out_id,
+                                            "canonical_id": out_canon}))
+        return pd.concat(frames).drop_duplicates(ignore_index=True) \
+            if frames else empty
+
+    rep_pairs = banded.groupby("part").map_groups(
         partition_pairs, batch_format="pyarrow")
-    return _compress_canonical(pairs, id_col)
+    return _compress_canonical(member_edges.union(rep_pairs), id_col)
 
 
 # ---------------------------------------------------------------- simhash
@@ -514,7 +623,8 @@ def _unionfind_pairs(ids: list, is_dup, id_col: str) -> pd.DataFrame:
     return pd.DataFrame({id_col: out_id, "canonical_id": out_canon})
 
 
-def _compress_canonical(pairs, id_col: str):
+def _compress_canonical(pairs, id_col: str,
+                        driver_edge_cap: int = 2_000_000):
     """Union-find over the raw bucket EDGES, not min-reduced labels.
 
     A min-label aggregate keeps only each doc's smallest canonical and
@@ -522,18 +632,35 @@ def _compress_canonical(pairs, id_col: str):
     → C→B; Min leaves C→A and drops the B–C link, so B misses A). So:
     per-block distinct-edge reduce (map_batches drop_duplicates — a doc
     repeated across buckets collapses inside each block, no groupby
-    job) → driver union-find over the globally-deduped edges with
-    min-root unioning → member → component-min map. The edge set holds
-    ONLY docs in some duplicate group — tiny relative to the corpus —
-    which is the ray_guide caveat for driver-side union-find."""
+    job), then:
+
+    - edge count ≤ ``driver_edge_cap``: driver union-find with min-root
+      unioning → member → component-min map. The edge set holds ONLY
+      docs in some duplicate group, so on lightly-duplicated corpora
+      this is tiny and one round-trip beats any distributed scheme.
+    - above the cap (duplicate-HEAVY corpora, where dup-group members
+      are a constant fraction of the corpus and no driver can hold
+      them): ``graph.connected_components`` — alternating large/small
+      star over the distributed edge set, O(log n) shuffle rounds,
+      identical output contract."""
     import ray.data as rd
 
     def _dedup_block(b: pd.DataFrame) -> pd.DataFrame:
         return b.drop_duplicates([id_col, "canonical_id"])
 
-    parts = [bt for bt in pairs.map_batches(_dedup_block,
-                                            batch_format="pandas")
-             .iter_batches(batch_size=None, batch_format="pandas")
+    ded = pairs.map_batches(_dedup_block, batch_format="pandas") \
+        .materialize()
+    if ded.count() > driver_edge_cap:
+        from .graph import connected_components
+        comp = connected_components(ded, src_col=id_col,
+                                    dst_col="canonical_id")
+        return comp.map_batches(
+            lambda b: b.rename(columns={"id": id_col,
+                                        "component": "canonical_id"}),
+            batch_format="pandas")
+
+    parts = [bt for bt in ded.iter_batches(batch_size=None,
+                                           batch_format="pandas")
              if len(bt)]
     if not parts:
         return rd.from_pandas(pd.DataFrame({id_col: [], "canonical_id": []}))

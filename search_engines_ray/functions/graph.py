@@ -1,0 +1,201 @@
+"""Distributed connected components over an edge Dataset.
+
+Alternating large-star / small-star (Kiveris, Lattanzi, Mirrokni,
+Rastogi, Vassilvitskii, "Connected Components in MapReduce and Beyond",
+SoCC 2014): each round is a hash-partitioned groupby whose per-partition
+work is pure vectorized segmentation — NO joins, NO driver-side state,
+so the edge set never has to fit one machine. Converges in O(log n)
+rounds to a star forest: every node points at its component minimum.
+
+This is the scale path behind the dedup canonicalization
+(`dedup._compress_canonical`): the driver union-find there is fine while
+duplicate-group members are rare, but on duplicate-heavy webtext the
+edge set is proportional to the corpus and must stay distributed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+# hash-partition fan-in for the per-round groupby — same role as
+# dedup._LSH_PARTS: per-partition work is vectorized, so the knob only
+# bounds per-task memory. The default auto-sizes from the edge count
+# (the shuffle's transfer matrix is blocks × partitions and pays fixed
+# cost per cell, so a small graph must not fan out 256×256 every round).
+_CC_EDGES_PER_PART = 500_000
+_CC_MAX_PARTS = 65536
+
+
+def _part_of(values: np.ndarray, parts: int) -> np.ndarray:
+    # deterministic vectorized hash for int and object (str/bytes) ids
+    return (pd.util.hash_array(values, categorize=False)
+            % np.uint64(parts)).astype(np.int32)
+
+
+def _large_star(df: pd.DataFrame) -> pd.DataFrame:
+    """Γ(u) grouped by u (symmetrized input): m = min(Γ(u) ∪ {u});
+    emit (v, m) for v ∈ Γ(u), v > u."""
+    df = df.sort_values(["src", "dst"], ignore_index=True)
+    src = df["src"].to_numpy()
+    dst = df["dst"].to_numpy()
+    bound = np.concatenate(([True], src[1:] != src[:-1]))
+    run_id = np.cumsum(bound) - 1
+    first = np.flatnonzero(bound)
+    m_run = np.minimum(dst[first], src[first])   # dst sorted within run
+    m = m_run[run_id]
+    mask = dst > src
+    return pd.DataFrame({"src": dst[mask], "dst": m[mask]}) \
+        .drop_duplicates(ignore_index=True)
+
+
+def _small_star(df: pd.DataFrame) -> pd.DataFrame:
+    """Edges oriented max→min, grouped by the max endpoint u:
+    m = min(Γ(u)); emit (v, m) for v ∈ Γ(u) \\ {m}, plus (u, m)."""
+    df = df.sort_values(["src", "dst"], ignore_index=True)
+    src = df["src"].to_numpy()
+    dst = df["dst"].to_numpy()
+    bound = np.concatenate(([True], src[1:] != src[:-1]))
+    run_id = np.cumsum(bound) - 1
+    first = np.flatnonzero(bound)
+    m_run = dst[first]                           # all dst < src
+    m = m_run[run_id]
+    mask = dst != m
+    return pd.DataFrame({
+        "src": np.concatenate((dst[mask], src[first])),
+        "dst": np.concatenate((m[mask], m_run)),
+    }).drop_duplicates(ignore_index=True)
+
+
+def connected_components(edges, src_col: str = "src", dst_col: str = "dst",
+                         *, num_parts: int | None = None,
+                         max_rounds: int = 64):
+    """→ Dataset (id, component): component = min node id reachable from
+    `id`. Every node that appears in `edges` (either endpoint) gets a
+    row; component roots map to themselves. Self-loops are allowed and
+    only assert node existence.
+
+    Each round: symmetrize → large-star (groupby hash(src)) → orient
+    max→min → small-star (groupby hash(src)). Convergence = the edge
+    multiset reaches its fixpoint (star forest), detected by an exact
+    count plus a wraparound sum of per-row hashes — sound here because
+    the per-node minimum only ever decreases, so two distinct
+    consecutive states collide with probability ~2⁻⁶⁴ and never
+    adversarially."""
+
+    def normalize(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"src": b[src_col], "dst": b[dst_col]})
+        return out.drop_duplicates(ignore_index=True)
+
+    def symmetrize(b: pd.DataFrame) -> pd.DataFrame:
+        mask = (b["src"] != b["dst"]).to_numpy()
+        fwd = b[mask]
+        out = pd.DataFrame({
+            "src": np.concatenate((fwd["src"].to_numpy(),
+                                   fwd["dst"].to_numpy())),
+            "dst": np.concatenate((fwd["dst"].to_numpy(),
+                                   fwd["src"].to_numpy()))})
+        out["part"] = _part_of(out["src"].to_numpy(), parts)
+        return out
+
+    def orient(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy()
+        d = b["dst"].to_numpy()
+        swap = d > s
+        hi = np.where(swap, d, s)
+        lo = np.where(swap, s, d)
+        keep = hi != lo
+        out = pd.DataFrame({"src": hi[keep], "dst": lo[keep]})
+        out["part"] = _part_of(out["src"].to_numpy(), parts)
+        return out
+
+    def digest(b: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(b[["src", "dst"]], index=False)
+        return pd.DataFrame({"n": [np.int64(len(b))],
+                             "h": [np.uint64(h.to_numpy().sum())]})
+
+    # self-loop-only nodes never survive symmetrize/orient — collect
+    # them per block (tiny) so they still appear in the output
+    def selfies(b: pd.DataFrame) -> pd.DataFrame:
+        s = b[(b[src_col] == b[dst_col]).to_numpy()][src_col]
+        return pd.DataFrame({"id": s.drop_duplicates()})
+
+    # tiny by construction (distinct self-loop endpoints per block);
+    # materialized so the no-self-loop common case skips the final
+    # anti-join shuffle entirely
+    self_nodes = edges.map_batches(selfies, batch_format="pandas") \
+        .materialize()
+
+    cur = edges.map_batches(normalize, batch_format="pandas").materialize()
+    if num_parts is None:
+        parts = max(8, min(_CC_MAX_PARTS,
+                           -(-cur.count() // _CC_EDGES_PER_PART)))
+    else:
+        parts = int(num_parts)
+    # bound the per-round shuffle fan-out: block count stays ≈ parts
+    # through the rounds because each map_groups emits one block per
+    # partition, but the INPUT edge set can arrive in hundreds of tiny
+    # blocks (same lesson as exact_dedup's coalesce)
+    cur = cur.repartition(parts)
+    prev_sig = None
+    for _ in range(max_rounds):
+        cur = cur.map_batches(symmetrize, batch_format="pandas") \
+            .groupby("part").map_groups(_large_star, batch_format="pandas")
+        cur = cur.map_batches(orient, batch_format="pandas") \
+            .groupby("part").map_groups(_small_star, batch_format="pandas")
+        cur = cur.materialize()
+        d = cur.map_batches(digest, batch_format="pandas").to_pandas()
+        sig = (int(d["n"].sum()),
+               int(np.uint64(d["h"].to_numpy(dtype=np.uint64).sum())))
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds")
+
+    # cur is a star forest: (member, root) with member > root, unique per
+    # member. Roots appear only as dst — route each distinct root to its
+    # owning hash partition so (root, root) rows dedupe without a
+    # driver-side set.
+    def root_parts(b: pd.DataFrame) -> pd.DataFrame:
+        r = b["dst"].drop_duplicates()
+        return pd.DataFrame({"id": r,
+                             "part": _part_of(r.to_numpy(), parts)})
+
+    def emit_roots(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["id"].drop_duplicates()
+        return pd.DataFrame({"id": ids, "component": ids})
+
+    roots = cur.map_batches(root_parts, batch_format="pandas") \
+        .groupby("part").map_groups(emit_roots, batch_format="pandas")
+
+    def member_rows(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id": b["src"], "component": b["dst"]})
+
+    members = cur.map_batches(member_rows, batch_format="pandas")
+    out = members.union(roots)
+
+    if self_nodes.count() == 0:
+        return out
+
+    # self-loop-only singletons: nodes never seen by the star rounds.
+    # Anti-join them against the known output, hash-partitioned on id —
+    # only taken when self-loops exist at all.
+    def anti_join(g: pd.DataFrame) -> pd.DataFrame:
+        known = g[(g["_kind"] == 0).to_numpy()]
+        cand = g[(g["_kind"] == 1).to_numpy()]
+        keep = cand[~cand["id"].isin(set(known["id"]))].drop_duplicates("id")
+        return pd.concat((known, keep),
+                         ignore_index=True)[["id", "component"]]
+
+    tagged_out = out.map_batches(
+        lambda b: b.assign(_kind=np.int8(0),
+                           part=_part_of(b["id"].to_numpy(), parts)),
+        batch_format="pandas")
+    tagged_lone = self_nodes.map_batches(
+        lambda b: b.assign(component=b["id"], _kind=np.int8(1),
+                           part=_part_of(b["id"].to_numpy(), parts)),
+        batch_format="pandas")
+    return tagged_out.union(tagged_lone).groupby("part") \
+        .map_groups(anti_join, batch_format="pandas")

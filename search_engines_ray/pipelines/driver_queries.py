@@ -656,6 +656,42 @@ from documents group by text
 """
 
 
+def q_connected_components(sf_dir: str):
+    """Distributed connected components (large/small-star) over chain
+    graphs: consecutive orders of each customer are linked, so every
+    multi-order customer becomes one chain component whose label is its
+    minimum order key. Chains force multi-hop label propagation (the
+    star rounds can't shortcut through a hub), while the oracle derives
+    the same labels analytically from the construction."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from ..functions.graph import connected_components
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+
+    def chain_edges(g: pd.DataFrame) -> pd.DataFrame:
+        k = np.sort(g["o_orderkey"].to_numpy())
+        if len(k) < 2:
+            return pd.DataFrame({"src": np.array([], dtype=np.int64),
+                                 "dst": np.array([], dtype=np.int64)})
+        return pd.DataFrame({"src": k[:-1], "dst": k[1:]})
+
+    edges = orders.groupby("o_custkey").map_groups(
+        chain_edges, batch_format="pandas")
+    return connected_components(edges)
+
+
+SQL_CONNECTED_COMPONENTS = """
+select o_orderkey as id,
+       min(o_orderkey) over (partition by o_custkey) as component
+from orders
+where o_custkey in (select o_custkey from orders
+                    group by o_custkey having count(*) >= 2)
+"""
+
+
 def q_lang_counts(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count
@@ -2311,6 +2347,7 @@ QUERIES = {
     "unranked_near_count": q_unranked_near_count,
     "unranked_window_count": q_unranked_window_count,
     "exact_dedup": q_exact_dedup,
+    "connected_components": q_connected_components,
     "lang_counts": q_lang_counts,
     "quality_scores": q_quality_scores,
     "ann_cosine_top10": q_ann_cosine_top10,
@@ -2377,6 +2414,7 @@ ORACLE_SQL = {
     "unranked_near_count": SQL_UNRANKED_NEAR_COUNT,
     "unranked_window_count": SQL_UNRANKED_WINDOW_COUNT,
     "exact_dedup": SQL_EXACT_DEDUP,
+    "connected_components": SQL_CONNECTED_COMPONENTS,
     "lang_counts": SQL_LANG_COUNTS,
     "quality_scores": SQL_QUALITY_SCORES,
     "ann_cosine_top10": SQL_ANN_COSINE_TOP10,

@@ -1,0 +1,72 @@
+"""connected_components (large/small-star) vs a local union-find."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+
+
+def local_cc(edges):
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edges:
+        nodes.update((a, b))
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in sorted(nodes)}
+
+
+def run_cc(edges, **kw):
+    from search_engines_ray.functions.graph import connected_components
+    ds = ray.data.from_pandas(
+        pd.DataFrame(edges, columns=["src", "dst"])).repartition(4)
+    out = connected_components(ds, **kw).to_pandas() \
+        .sort_values("id", ignore_index=True)
+    return dict(zip(out["id"], out["component"]))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_graphs(ray_session, seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(2, 150))
+    m = int(rng.integers(1, 300))
+    edges = [(int(rng.integers(0, n)), int(rng.integers(0, n)))
+             for _ in range(m)]
+    assert run_cc(edges) == local_cc(edges)
+
+
+def test_chain_needs_multi_hop(ray_session):
+    edges = [(i, i + 1) for i in range(80)]
+    got = run_cc(edges)
+    assert set(got.values()) == {0} and len(got) == 81
+
+
+def test_string_ids_and_self_loops(ray_session):
+    edges = [("a", "b"), ("b", "c"), ("c", "c"), ("z", "z"), ("x", "y")]
+    assert run_cc(edges) == {
+        "a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "z"}
+
+
+def test_compress_canonical_routes_large_edge_sets(ray_session):
+    # force the distributed path with a tiny cap; output must match the
+    # driver union-find path exactly
+    from search_engines_ray.functions.dedup import _compress_canonical
+    edges = [(1, 0), (2, 1), (5, 4), (7, 7), (3, 0)]
+    pairs = ray.data.from_pandas(
+        pd.DataFrame(edges, columns=["doc_id", "canonical_id"]))
+    small = _compress_canonical(pairs, "doc_id").to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    big = _compress_canonical(pairs, "doc_id", driver_edge_cap=1) \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    assert small.equals(big)
+    assert dict(zip(small["doc_id"], small["canonical_id"])) == {
+        0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 7: 7}
