@@ -52,16 +52,28 @@ LUCENE_STOP_WORDS = frozenset(
 #  - CJK ideographs and hiragana emit ONE TOKEN PER CHARACTER
 #    (<IDEOGRAPHIC>/<HIRAGANA>); katakana and hangul stay as runs
 #    (WB13 / ALetter).
-# Divergences vs the full UAX#29 table (documented, exercised in
-# tests/test_tokenizer_uax29.py): no Extend/Format (ZWJ, combining
-# marks treated as part of \w), no regional indicators.
+#  - WB4 (Extend/Format never break): a post-merge pass in
+#    _uni_word_tokens absorbs combining marks / Cf characters trailing
+#    a word run and fuses runs separated only by them (span text kept,
+#    marks included, as Lucene does);
+#  - WB15/16: regional-indicator PAIRS are one token (flag emoji), an
+#    unpaired trailing RI is its own token (<EMOJI> in Lucene 8's
+#    grammar).
+# Remaining divergences vs the full UAX#29 table (documented,
+# exercised in tests/test_tokenizer_uax29.py): the WB6/7 MidLetter
+# lookarounds see the literal preceding character, so a combining mark
+# directly before an apostrophe defeats the stay-together rule; non-RI
+# emoji (pictographs, ZWJ sequences) are not emitted.
 _ASCII_TOKEN_RE = re.compile(
     r"[A-Za-z0-9_]+"
     r"(?:(?<=[A-Za-z])['.](?=[A-Za-z])[A-Za-z0-9_]+"
     r"|(?<=[0-9])[.,](?=[0-9])[A-Za-z0-9_]+)*")
 _CJK_CLS = "぀-ゟ㐀-䶿一-鿿豈-﫿"
+_RI_LO, _RI_HI = "\U0001F1E6", "\U0001F1FF"
+_CJK_RE = re.compile(rf"[{_CJK_CLS}]")
 _UNI_TOKEN_RE = re.compile(
-    rf"[{_CJK_CLS}]"
+    rf"[{_RI_LO}-{_RI_HI}]{{1,2}}"
+    rf"|[{_CJK_CLS}]"
     rf"|(?:(?![{_CJK_CLS}])\w)+"
     rf"(?:(?<=[^\W\d_])['’.](?=[^\W\d_])(?:(?![{_CJK_CLS}])\w)+"
     rf"|(?<=[0-9])[.,](?=[0-9])(?:(?![{_CJK_CLS}])\w)+)*",
@@ -69,11 +81,45 @@ _UNI_TOKEN_RE = re.compile(
 _POSSESSIVE_RE = re.compile(r"['’][sS]$")
 
 
+def _is_extend(c: str) -> bool:
+    """UAX#29 WB4 ignorables: Extend (Mn/Me/Mc) and Format (Cf — ZWJ,
+    ZWNJ, soft hyphen, bidi controls)."""
+    import unicodedata
+    return unicodedata.category(c) in ("Mn", "Me", "Mc", "Cf")
+
+
+def _uni_word_tokens(text: str) -> list[str]:
+    """Non-ASCII segmentation: regex word runs + a WB4 post-merge. A
+    word token absorbs Extend/Format characters trailing it, and two
+    word runs separated only by such characters fuse into one token
+    (regex \\w never matches a mark, so the following run then starts
+    exactly at the absorbed end). CJK single-char and
+    regional-indicator tokens never fuse."""
+    out: list[str] = []
+    prev_end = -1
+    prev_fusable = False
+    n = len(text)
+    for m in _UNI_TOKEN_RE.finditer(text):
+        s, e = m.start(), m.end()
+        c0 = text[s]
+        fusable = not (_RI_LO <= c0 <= _RI_HI or _CJK_RE.match(c0))
+        if fusable:
+            while e < n and _is_extend(text[e]):
+                e += 1
+        if out and prev_fusable and fusable and s == prev_end:
+            out[-1] += text[prev_end:e]
+        else:
+            out.append(text[s:e])
+        prev_end = e
+        prev_fusable = fusable
+    return out
+
+
 def _word_tokens(text: str) -> list[str]:
     """StandardTokenizer-style segmentation; ASCII fast path (the hot
     indexing case), unicode rules otherwise. Joiner-only runs drop."""
     toks = (_ASCII_TOKEN_RE.findall(text) if text.isascii()
-            else _UNI_TOKEN_RE.findall(text))
+            else _uni_word_tokens(text))
     return [t for t in toks if t.strip("_")]
 
 # DuckDB-reproducible simple tokenizer.

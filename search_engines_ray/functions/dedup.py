@@ -9,13 +9,15 @@ scale. All are Ray-Data-first:
   not the text, is the shuffle key, so payload bytes cross the exchange
   once at most.
 - **MinHash + LSH**: per-batch signatures (numpy universal hashing over
-  token/shingle hashes), banded into (band, band_hash) keys, groupby the
-  band key, pairwise full-signature Jaccard *estimate* + union-find
-  within each bucket, canonical = component-min doc id; cross-bucket
-  components resolved by driver-side union-find over the distinct
-  bucket edges (the edge set holds only dup-group members — small).
-  True n-gram verification is available via ``ngram_jaccard`` for
-  callers holding the text.
+  token/shingle hashes), a GLOBAL identical-signature collapse (exact
+  copies — the webtext norm — become member→rep edges and never reach
+  the banding), banding over the distinct signatures with the full
+  signature riding each band row, vectorized pairwise full-signature
+  Jaccard *estimate* + union-find within each bucket; cross-bucket
+  components resolved by driver-side union-find while the edge set is
+  small, by ``graph.connected_components`` (distributed star rounds)
+  when it is corpus-sized. True n-gram verification is available via
+  ``ngram_jaccard`` for callers holding the text.
 - **SimHash**: 64-bit weighted fingerprints; near-dup = Hamming ≤ k via
   4-band exact-match blocking (pigeonhole: ≤3 differing bits leave one
   16-bit band intact).

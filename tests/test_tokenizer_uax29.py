@@ -16,10 +16,17 @@ chain EnglishAnalyzerConfigurable.java:142-165):
   CJK        ideographs and hiragana emit one token per character
              (<IDEOGRAPHIC>/<HIRAGANA>)
 
+  WB4        Extend/Format never break: combining marks and Cf chars
+             (ZWJ/ZWNJ/soft hyphen) are absorbed into the word token,
+             and runs separated only by them fuse (r4)
+  WB15/16    regional-indicator PAIRS are one token (flag emoji); an
+             unpaired trailing RI stands alone (r4)
+
 DOCUMENTED DIVERGENCES from the full UAX#29 table (not exercised as
-expectations): Extend/Format classes (ZWJ, combining marks) are treated
-as plain \\w members; regional indicators and MidLetter colon variants
-are not special-cased.
+expectations): MidLetter context checks see the literal preceding
+character (a combining mark directly before an apostrophe defeats the
+glue rule); non-RI emoji (pictographs, ZWJ emoji sequences) are not
+emitted; marks trailing a CJK single-char token drop.
 """
 
 from search_engines_ray.analysis.tokenizer import Analyzer, _word_tokens
@@ -146,6 +153,37 @@ CASES = [
     ("v2.0.1_beta", ["v2.0.1_beta"]),
     ("foo(bar)baz", ["foo", "bar", "baz"]),
 ]
+
+
+
+# --- WB4 Extend/Format + WB15/16 regional indicators (r4) ---
+WB4_RI_CASES = [
+    # decomposed combining mark inside a word: runs fuse, span kept
+    ("e\u0301tude", ["e\u0301tude"]),
+    # trailing mark absorbed into the token
+    ("cafe\u0301 x", ["cafe\u0301", "x"]),
+    # ZWNJ (Cf) joins two letter runs
+    ("ab\u200ccd", ["ab\u200ccd"]),
+    # ZWJ (Cf) joins
+    ("ab\u200dcd", ["ab\u200dcd"]),
+    # soft hyphen (Cf) joins
+    ("co\u00adoperate", ["co\u00adoperate"]),
+    # marks never start a token
+    ("\u0301abc", ["abc"]),
+    # RI pair = one flag token; two pairs = two tokens; lone RI stands
+    ("\U0001F1FA\U0001F1F8 usa", ["\U0001F1FA\U0001F1F8", "usa"]),
+    ("\U0001F1FA\U0001F1F8\U0001F1E9\U0001F1EA",
+     ["\U0001F1FA\U0001F1F8", "\U0001F1E9\U0001F1EA"]),
+    ("\U0001F1FA x", ["\U0001F1FA", "x"]),
+    # RI tokens never fuse with neighboring words through marks
+    ("ab\u0301\U0001F1FA\U0001F1F8", ["ab\u0301",
+                                         "\U0001F1FA\U0001F1F8"]),
+]
+
+
+def test_uax29_wb4_and_regional_indicators():
+    for text, want in WB4_RI_CASES:
+        assert _word_tokens(text) == want, (text, _word_tokens(text), want)
 
 
 def test_uax29_segmentation():
