@@ -106,6 +106,19 @@ class IndexBuildConfig:
     analyzer: str = "lucene"       # "lucene" (full chain) | "lucene_nostem"
                                    # (STEMMER=NONE, reference toy index)
                                    # | "simple" (SQL-checkable)
+    lineage: bool = False          # per-PARTITION checkpointing: the
+    #   forward stage at pid grain, the postings merge at (bucket, salt)
+    #   grain — each partition writes its file atomically plus a lineage
+    #   sidecar (fingerprint + metrics), so a crashed 100-TB build
+    #   resumes from the last finished partition instead of restarting
+    #   the stage (north rule: "resumable from checkpoint with
+    #   per-partition lineage + metrics"). Off by default on one box:
+    #   the streaming path pipelines tokenize batches across pid groups,
+    #   while the lineage path makes the pid the task grain (assign +
+    #   tokenize + write in one task) — same shuffle count, same output
+    #   bytes, but scheduling granularity = P tasks, so size
+    #   docid_partitions ≥ 4× cluster cores when enabling this. Both
+    #   paths produce bit-identical indexes (tested).
 
     def fingerprint(self, input_token: str, stage: str = "all") -> str:
         """Per-stage resume fingerprint. The forward stage does not
@@ -139,6 +152,278 @@ def _stage_done(index_dir: str, stage: str, fp: str) -> bool:
 def _mark_stage(index_dir: str, stage: str, fp: str, **metrics) -> None:
     with open(os.path.join(index_dir, stage + "_SUCCESS.json"), "w") as f:
         json.dump({"fingerprint": fp, "completed_at": time.time(), **metrics}, f)
+
+
+# ---------------------------------------------------------------------------
+# per-partition lineage (cfg.lineage=True): pid-grain forward checkpoints
+# ---------------------------------------------------------------------------
+LINEAGE_DIR = "_lineage"
+
+
+def _fwd_file(pid: int) -> str:
+    return f"part-pid-{pid:06d}.parquet"
+
+
+def _pid_of_fwd_file(name: str) -> int | None:
+    if name.startswith("part-pid-") and name.endswith(".parquet"):
+        try:
+            return int(name[len("part-pid-"):-len(".parquet")])
+        except ValueError:
+            return None
+    return None
+
+
+def forward_lineage(index_dir: str) -> dict[int, dict]:
+    """pid → lineage entry (fingerprint, n_docs, per-field token sums,
+    wall_s, completed_at) for a ``lineage=True`` build. Sidecars are the
+    authoritative per-partition record; entries whose data file is gone
+    are dropped (the pair is what makes a partition resumable)."""
+    fwd_path = os.path.join(index_dir, FORWARD_DIR)
+    d = os.path.join(fwd_path, LINEAGE_DIR)
+    out: dict[int, dict] = {}
+    if not os.path.isdir(d):
+        return out
+    for name in sorted(os.listdir(d)):
+        if not (name.startswith("pid-") and name.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(d, name)) as f:
+                e = json.load(f)
+            pid = int(e["pid"])
+        except Exception:
+            continue
+        if os.path.exists(os.path.join(fwd_path, _fwd_file(pid))):
+            out[pid] = e
+    return out
+
+
+class _ForwardGroupWriter:
+    """One task per pid: docid assignment + tokenize + ATOMIC write of the
+    pid's forward file, then its lineage sidecar (data first, sidecar
+    second — a sidecar therefore implies complete data). Returns one tiny
+    metrics row; the driver consumes those P rows as the stage record."""
+
+    __name__ = "ForwardGroupWriter"  # map_groups wraps fn.__name__
+
+    def __init__(self, cfg: "IndexBuildConfig", fwd_path: str, fp: str):
+        self.fields = dict(cfg.fields)
+        self.mode = cfg.analyzer
+        self.url_col = cfg.url_column
+        self.dedup = cfg.dedup
+        self.fwd_path = fwd_path
+        self.fp = fp
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+        t0 = time.time()
+        pid = int(g["pid"].iloc[0])
+        if self.dedup:
+            # identical first-wins rule as the streaming path (bit-equal
+            # docids between the two forward implementations)
+            g = g.sort_values(list(g.columns)).drop_duplicates(
+                self.url_col, keep="first")
+        g = g.sort_values(self.url_col, kind="mergesort").reset_index(drop=True)
+        g["docid_local"] = np.arange(len(g), dtype=np.int64)
+        g["external_id"] = g[self.url_col]
+        tbl = _Tokenize(self.fields, self.mode)(
+            pa.Table.from_pandas(g, preserve_index=False))
+        dest = os.path.join(self.fwd_path, _fwd_file(pid))
+        tmp = dest + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, dest)
+        entry = {
+            "pid": pid, "fingerprint": self.fp, "file": os.path.basename(dest),
+            "n_docs": int(len(g)), "wall_s": round(time.time() - t0, 3),
+            "completed_at": time.time(),
+            **{f"sum_len_{f}": int(np.sum(tbl[f"len_{f}"].to_numpy()))
+               for f in self.fields},
+        }
+        side = os.path.join(self.fwd_path, LINEAGE_DIR, f"pid-{pid:06d}.json")
+        with open(side + ".tmp", "w") as fh:
+            json.dump(entry, fh)
+        os.replace(side + ".tmp", side)
+        return pd.DataFrame([{"pid": pid, "n_docs": entry["n_docs"],
+                              "wall_s": entry["wall_s"]}])
+
+
+def _salt_file(salt: int) -> str:
+    return f"salt-{salt:05d}.parquet"
+
+
+def postings_lineage(index_dir: str) -> dict[tuple[int, int], dict]:
+    """(bucket, salt) → lineage entry for a ``lineage=True`` postings
+    merge; entries whose data file is gone are dropped."""
+    pdir = os.path.join(index_dir, POSTINGS_DIR)
+    d = os.path.join(pdir, LINEAGE_DIR)
+    out: dict[tuple[int, int], dict] = {}
+    if not os.path.isdir(d):
+        return out
+    for name in sorted(os.listdir(d)):
+        if not name.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(d, name)) as f:
+                e = json.load(f)
+            key = (int(e["bucket"]), int(e["salt"]))
+        except Exception:
+            continue
+        if os.path.exists(os.path.join(pdir, f"bucket={key[0]}",
+                                       _salt_file(key[1]))):
+            out[key] = e
+    return out
+
+
+class _PostingsGroupWriter:
+    """One task per (bucket, salt) cell: run the fan-in merge, write the
+    cell's file atomically under its hive bucket dir, then its lineage
+    sidecar. The file layout matches ``write_parquet(partition_cols=
+    ["bucket"])`` as the reader consumes it: bucket encoded in the dir
+    name only, every other column in-file (reader.py:266 opens bucket
+    dirs directly and never reads a bucket column)."""
+
+    __name__ = "PostingsGroupWriter"  # map_groups wraps fn.__name__
+
+    def __init__(self, pdir: str, fp: str):
+        self.pdir = pdir
+        self.fp = fp
+
+    def __call__(self, g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+        t0 = time.time()
+        b = int(g["bucket"].iloc[0])
+        s = int(g["salt"].iloc[0])
+        merged = _merge_bucket(g)
+        bdir = os.path.join(self.pdir, f"bucket={b}")
+        os.makedirs(bdir, exist_ok=True)
+        dest = os.path.join(bdir, _salt_file(s))
+        tmp = dest + ".tmp"
+        pq.write_table(pa.Table.from_pandas(merged.drop(columns=["bucket"]),
+                                            preserve_index=False), tmp)
+        os.replace(tmp, dest)
+        entry = {"bucket": b, "salt": s, "fingerprint": self.fp,
+                 "n_terms": int(len(merged)), "wall_s": round(time.time() - t0, 3),
+                 "completed_at": time.time()}
+        side = os.path.join(self.pdir, LINEAGE_DIR, f"b{b:05d}-s{s:05d}.json")
+        with open(side + ".tmp", "w") as fh:
+            json.dump(entry, fh)
+        os.replace(side + ".tmp", side)
+        return pd.DataFrame([{"bucket": b, "salt": s,
+                              "n_terms": entry["n_terms"]}])
+
+
+def _postings_lineage_merge(partial: "ray.data.Dataset", index_dir: str,
+                            fp: str, num_buckets: int, S: int) -> dict:
+    """Postings merge with per-(bucket, salt) lineage: sweep debris,
+    skip checkpointed cells (pre-shuffle filter on the partial
+    fragments), merge + write the rest atomically."""
+    pdir = os.path.join(index_dir, POSTINGS_DIR)
+    os.makedirs(os.path.join(pdir, LINEAGE_DIR), exist_ok=True)
+    entries = postings_lineage(index_dir)
+    done = {k for k, e in entries.items() if e.get("fingerprint") == fp}
+    for name in os.listdir(pdir):
+        bdir = os.path.join(pdir, name)
+        if not (os.path.isdir(bdir) and name.startswith("bucket=")):
+            continue
+        try:
+            b = int(name.split("=", 1)[1])
+        except ValueError:
+            b = -1
+        for f in os.listdir(bdir):
+            full = os.path.join(bdir, f)
+            salt = (int(f[len("salt-"):-len(".parquet")])
+                    if f.startswith("salt-") and f.endswith(".parquet")
+                    else None)
+            if salt is None or (b, salt) not in done:
+                os.remove(full)     # tmp, foreign layout, or not checkpointed
+    ldir = os.path.join(pdir, LINEAGE_DIR)
+    for name in os.listdir(ldir):
+        full = os.path.join(ldir, name)
+        if name.endswith(".tmp"):
+            os.remove(full)
+            continue
+        try:
+            b, s = (int(x[1:]) for x in name[:-len(".json")].split("-"))
+        except ValueError:
+            os.remove(full)
+            continue
+        if (b, s) not in done:
+            os.remove(full)
+
+    if done:
+        done_mask = np.zeros(num_buckets * S, dtype=bool)
+        done_mask[[b * S + s for b, s in done]] = True
+
+        def drop_done(t: pa.Table) -> pa.Table:
+            key = (t["bucket"].to_numpy().astype(np.int64) * S
+                   + t["salt"].to_numpy())
+            return t.filter(pa.array(~done_mask[key]))
+
+        partial = partial.map_batches(drop_done, batch_format="pyarrow")
+    rows = partial.groupby(["bucket", "salt"]).map_groups(
+        _PostingsGroupWriter(pdir, fp), batch_format="pandas").take_all()
+    return {"cells_built": len(rows), "cells_resumed": len(done),
+            "terms_built": int(sum(r["n_terms"] for r in rows))}
+
+
+def _build_forward_lineage(pages: "ray.data.Dataset", fwd_path: str,
+                           cfg: "IndexBuildConfig", fp_fwd: str) -> dict:
+    """Forward stage with per-pid lineage: skip pids whose (data file,
+    sidecar, fingerprint) triple is intact, clear anything unaccounted
+    for (crashed tmp files, stale foreign output), rebuild the rest."""
+    index_dir = os.path.dirname(fwd_path)
+    os.makedirs(os.path.join(fwd_path, LINEAGE_DIR), exist_ok=True)
+    entries = forward_lineage(index_dir)
+    done = {p for p, e in entries.items() if e.get("fingerprint") == fp_fwd}
+    # sweep: any data file not backed by a fingerprint-valid sidecar is
+    # from a crashed write or a different config — remove it so resumed
+    # output can't double-count; likewise orphan/invalid sidecars
+    for name in os.listdir(fwd_path):
+        full = os.path.join(fwd_path, name)
+        if not os.path.isfile(full):
+            continue
+        if name.endswith(".tmp"):
+            os.remove(full)
+        elif name.endswith(".parquet") and _pid_of_fwd_file(name) not in done:
+            os.remove(full)
+    ldir = os.path.join(fwd_path, LINEAGE_DIR)
+    for name in os.listdir(ldir):
+        full = os.path.join(ldir, name)
+        if name.endswith(".tmp"):
+            os.remove(full)
+            continue
+        try:
+            pid = int(name[len("pid-"):-len(".json")])
+        except ValueError:
+            os.remove(full)
+            continue
+        if pid not in done:
+            os.remove(full)
+
+    url_col = cfg.url_column
+    P = cfg.docid_partitions
+    cols = sorted({url_col, *cfg.fields.values()})
+    ds = pages.select_columns(cols)
+
+    def add_pid(b: pa.Table) -> pa.Table:
+        urls = b[url_col].to_pylist()
+        pids = np.fromiter((url_pid(u, P) for u in urls), dtype=np.int32,
+                           count=len(urls))
+        return b.append_column("pid", pa.array(pids))
+
+    ds = ds.map_batches(add_pid, batch_format="pyarrow")
+    if done:
+        done_mask = np.zeros(P, dtype=bool)
+        done_mask[list(done)] = True
+
+        def drop_done(b: pa.Table) -> pa.Table:
+            return b.filter(pa.array(~done_mask[b["pid"].to_numpy()]))
+
+        ds = ds.map_batches(drop_done, batch_format="pyarrow")
+    writer = _ForwardGroupWriter(cfg, fwd_path, fp_fwd)
+    rows = ds.groupby("pid").map_groups(
+        writer, batch_format="pandas").take_all()  # ≤ P tiny metric rows
+    return {"pids_built": len(rows), "pids_resumed": len(done),
+            "docs_built": int(sum(r["n_docs"] for r in rows))}
 
 
 # Ray reuses worker processes across tasks, so a process-global analyzer
@@ -378,7 +663,14 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
         return int(min(P, max(4, -(-n_docs // max(1, cfg.docs_per_salt)))))
 
     fwd_path = os.path.join(index_dir, FORWARD_DIR)
-    if not (resume and _stage_done(index_dir, FORWARD_DIR, fp_fwd)):
+    if cfg.lineage and not (resume and _stage_done(index_dir, FORWARD_DIR,
+                                                   fp_fwd)):
+        if not resume:
+            shutil.rmtree(fwd_path, ignore_errors=True)
+        lin = _build_forward_lineage(pages, fwd_path, cfg, fp_fwd)
+        metrics.update({f"forward_{k}": v for k, v in lin.items()})
+        _mark_stage(index_dir, FORWARD_DIR, fp_fwd, **lin)
+    elif not (resume and _stage_done(index_dir, FORWARD_DIR, fp_fwd)):
         # idempotent re-run: write_parquet APPENDS into an existing
         # directory, so a crashed/invalidated stage must start clean
         shutil.rmtree(fwd_path, ignore_errors=True)
@@ -506,8 +798,6 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
     # ---- postings
     t2 = time.time()
     if not (resume and _stage_done(index_dir, POSTINGS_DIR, fp)):
-        shutil.rmtree(os.path.join(index_dir, POSTINGS_DIR),
-                      ignore_errors=True)
         with open(os.path.join(index_dir, STATS_FILE)) as fh:
             st = json.load(fh)
         pid_offsets = np.asarray(st["pid_offsets"], dtype=np.int64)
@@ -524,13 +814,24 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
             _partial_postings_fn(fields, cfg.num_buckets, salt_of_pid,
                                  pid_offsets),
             batch_format="pyarrow", batch_size=cfg.postings_batch_size)
-        merged = partial.groupby(["bucket", "salt"]).map_groups(
-            _merge_bucket, batch_format="pandas")
-        merged.write_parquet(os.path.join(index_dir, POSTINGS_DIR),
-                             partition_cols=["bucket"])
-        if os.environ.get("SE_RAY_BUILD_STATS"):
-            print(merged.stats())
-        _mark_stage(index_dir, POSTINGS_DIR, fp)
+        if cfg.lineage:
+            if not resume:
+                shutil.rmtree(os.path.join(index_dir, POSTINGS_DIR),
+                              ignore_errors=True)
+            lin = _postings_lineage_merge(partial, index_dir, fp,
+                                          cfg.num_buckets, S)
+            metrics.update({f"postings_{k}": v for k, v in lin.items()})
+            _mark_stage(index_dir, POSTINGS_DIR, fp, **lin)
+        else:
+            shutil.rmtree(os.path.join(index_dir, POSTINGS_DIR),
+                          ignore_errors=True)
+            merged = partial.groupby(["bucket", "salt"]).map_groups(
+                _merge_bucket, batch_format="pandas")
+            merged.write_parquet(os.path.join(index_dir, POSTINGS_DIR),
+                                 partition_cols=["bucket"])
+            if os.environ.get("SE_RAY_BUILD_STATS"):
+                print(merged.stats())
+            _mark_stage(index_dir, POSTINGS_DIR, fp)
     metrics["postings_s"] = time.time() - t2
     metrics["total_s"] = time.time() - t0
     return metrics

@@ -9,6 +9,7 @@ CLI:  python -m search_engines_ray.index.inspect <index_dir> <cmd> [...]
   termvector <external_id> [field]
   doc <external_id>
   vocab [field] [limit]
+  lineage
 """
 
 from __future__ import annotations
@@ -78,6 +79,21 @@ def cmd_vocab(reader: IndexReader, field: str = "body", limit: int = 20) -> dict
             "top_terms": df.to_dict("records")}
 
 
+def cmd_lineage(reader: IndexReader) -> dict:
+    """Per-partition lineage record of a ``lineage=True`` build: one entry
+    per pid with n_docs, per-field token sums, wall_s and fingerprint —
+    the checkpoint inventory a resumed 100-TB run skips from."""
+    from .build import forward_lineage, postings_lineage
+    entries = forward_lineage(reader.index_dir)
+    cells = postings_lineage(reader.index_dir)
+    return {"n_partitions": len(entries),
+            "n_docs": sum(e.get("n_docs", 0) for e in entries.values()),
+            "n_postings_cells": len(cells),
+            "n_terms": sum(e.get("n_terms", 0) for e in cells.values()),
+            "partitions": [entries[p] for p in sorted(entries)],
+            "postings_cells": [cells[k] for k in sorted(cells)]}
+
+
 def main(argv: list[str]) -> int:
     if len(argv) < 2:
         print(__doc__)
@@ -85,7 +101,8 @@ def main(argv: list[str]) -> int:
     reader = IndexReader(argv[0])
     cmd, args = argv[1], argv[2:]
     fn = {"stats": cmd_stats, "postings": cmd_postings,
-          "termvector": cmd_termvector, "doc": cmd_doc, "vocab": cmd_vocab}[cmd]
+          "termvector": cmd_termvector, "doc": cmd_doc, "vocab": cmd_vocab,
+          "lineage": cmd_lineage}[cmd]
     out = fn(reader, *args)
     print(json.dumps(out, indent=1, default=str))
     return 0

@@ -31,7 +31,11 @@ def run(params: dict) -> str:
         import ray.data as rd
         from .index.build import IndexBuildConfig, build_index
         pages = rd.read_parquet(params["pagesPath"])
-        cfg = IndexBuildConfig()
+        # lineage=true → per-partition (pid-grain) forward checkpoints;
+        # the setting for a long ``ray job submit`` build that must
+        # resume from the last finished partition after a failure
+        cfg = IndexBuildConfig(
+            lineage=params.get("lineage", "").lower() == "true")
         build_index(pages, params["indexPath"], cfg,
                     input_token=params["pagesPath"])
 
