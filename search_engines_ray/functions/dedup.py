@@ -587,8 +587,12 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                 canon += [v[0]] * len(v)
         if mem:
             frames.append(pd.DataFrame({id_col: mem, "canonical_id": canon}))
-        return pd.concat(frames) if frames else \
-            pd.DataFrame({id_col: [], "canonical_id": []})
+        # drop empty frames before concat: an all-default empty DataFrame
+        # is float64 and would upcast the int id columns of its siblings
+        frames = [f for f in frames if len(f)]
+        return pd.concat(frames) if frames else pd.DataFrame({
+            id_col: pd.Series([], dtype=g[id_col].dtype),
+            "canonical_id": pd.Series([], dtype=g[id_col].dtype)})
 
     pairs = fp_ds.map_batches(explode, batch_format="pyarrow") \
         .groupby(["band", "key"]).map_groups(bucket, batch_format="pandas")

@@ -1516,7 +1516,7 @@ def q_jaccard_verified_dedup(sf_dir: str):
             continue
         j = ngram_jaccard(texts.get(int(d), ""), texts.get(int(c), ""))
         if j >= 0.5:
-            rows.append((int(d), int(c), round(j, 6)))
+            rows.append((int(d), int(c), float(round6(j))))
     rows.sort()
     return pa.table({
         "doc_id": pa.array([r[0] for r in rows], pa.int64()),
@@ -1593,6 +1593,22 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_pairs(ds)
 
 
+# connected components over an ``edges(a, b)`` CTE as recursive
+# reachability: canonical = min node reachable through the symmetric
+# closure. Mirrors _compress_canonical's contract exactly — every member
+# of a non-trivial component appears once, canonical rows included.
+# O(component²) paths: fine at oracle scale, the engine's distributed
+# large/small-star CC (functions/graph.py) is the scale path.
+_CC_CTES = """
+sym as (select a, b from edges union select b, a from edges),
+reach(src, dst) as (
+  select a, a from sym
+  union
+  select r.src, s.b from reach r join sym s on r.dst = s.a),
+comp as (select src as doc_id, min(dst) as canonical_id
+         from reach group by src)"""
+
+
 SQL_SIMHASH_PAIRS = f"""
 with tok as (
   select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
@@ -1626,6 +1642,18 @@ pairs as (
 select id_a, id_b, hamming from pairs
 """
 
+# simhash_dedup = connected components over the Hamming-≤3 pair graph:
+# the engine's per-bucket identical-fingerprint collapse + rep union-find
+# (functions/dedup.py simhash_dedup) produces exactly the components of
+# that graph, so the oracle reuses SQL_SIMHASH_PAIRS as the edge set.
+SQL_SIMHASH_DEDUP = f"""
+with recursive edges as (
+  select id_a as a, id_b as b from ({SQL_SIMHASH_PAIRS.strip()})
+),{_CC_CTES}
+select doc_id::bigint as doc_id, canonical_id::bigint as canonical_id
+from comp
+"""
+
 
 def q_minhash_candidate_pairs(sf_dir: str):
     """MinHash-LSH band-collision candidate pairs with collision counts
@@ -1640,15 +1668,17 @@ def q_minhash_candidate_pairs(sf_dir: str):
     return minhash_candidate_pairs(ds, num_perm=32, bands=8)
 
 
-def _minhash_pairs_sql(num_perm: int = 32, bands: int = 8,
-                       shingle: int = 3) -> str:
+def _minhash_core_cte(num_perm: int, shingle: int) -> str:
+    """Shared CTE block: tokenize → word shingles → md5-derived 64-bit
+    shingle hashes → the ``sig`` relation (doc_id, j, m) of per-
+    permutation minhash values, with the engine's permutation
+    coefficients inlined as VALUES (uhugeint arithmetic is exact mod
+    2⁶¹−1, so the values are bit-identical to MinHasher's)."""
     from ..functions.dedup import MinHasher
     mh = MinHasher(num_perm=num_perm, shingle=shingle)
     vals = ",".join(f"({j + 1},{int(a)},{int(b)})"
                     for j, (a, b) in enumerate(zip(mh.a, mh.b)))
-    rpb = num_perm // bands
-    return f"""
-with tok as (select doc_id, {SIMPLE_TOKS_SQL} as toks from documents),
+    return f"""tok as (select doc_id, {SIMPLE_TOKS_SQL} as toks from documents),
 perm(j, a, b) as (select * from (values {vals})),
 sh as (
   select t.doc_id,
@@ -1666,7 +1696,14 @@ sig as (
   from hs cross join perm p group by doc_id, p.j
   union all
   select t.doc_id, p.j, 18446744073709551615::ubigint as m
-  from tok t cross join perm p where len(t.toks) = 0),
+  from tok t cross join perm p where len(t.toks) = 0)"""
+
+
+def _minhash_pairs_sql(num_perm: int = 32, bands: int = 8,
+                       shingle: int = 3) -> str:
+    rpb = num_perm // bands
+    return f"""
+with {_minhash_core_cte(num_perm, shingle)},
 bandv as (
   select doc_id, (j - 1) // {rpb} as band, list(m order by j) as bv
   from sig group by doc_id, band),
@@ -1680,6 +1717,88 @@ select id_a, id_b, n_bands from pairs
 
 
 SQL_MINHASH_CANDIDATE_PAIRS = _minhash_pairs_sql()
+
+def _minhash_dedup_ctes(num_perm: int, bands: int, shingle: int,
+                        threshold: float) -> str:
+    """CTE chain through ``comp`` mirroring minhash_lsh_dedup
+    (functions/dedup.py:298): global identical-signature collapse
+    (member→rep edges, one rep = min id per distinct signature), band
+    join over DISTINCT signatures only, full-signature Jaccard-estimate
+    verification at ``threshold`` (both sides compute exact c/num_perm
+    doubles, so the comparison is bit-identical), then min-label
+    connected components over member ∪ verified edges."""
+    rpb = num_perm // bands
+    return f"""{_minhash_core_cte(num_perm, shingle)},
+sigv as (select doc_id, list(m order by j) as sv from sig group by doc_id),
+rep as (select sv, min(doc_id) as rep_id from sigv group by sv),
+medges as (select s.doc_id as a, r.rep_id as b
+           from sigv s join rep r using (sv) where s.doc_id <> r.rep_id),
+bandv as (
+  select sig.doc_id, (j - 1) // {rpb} as band, list(m order by j) as bv
+  from sig join rep on sig.doc_id = rep.rep_id
+  group by sig.doc_id, band),
+cand as (
+  select distinct a.doc_id as ia, b.doc_id as ib
+  from bandv a join bandv b
+    on a.band = b.band and a.bv = b.bv and a.doc_id < b.doc_id),
+vp as (
+  select c.ia as a, c.ib as b
+  from cand c
+  join sig sa on sa.doc_id = c.ia
+  join sig sb on sb.doc_id = c.ib and sb.j = sa.j
+  group by c.ia, c.ib
+  having sum(case when sa.m = sb.m then 1 else 0 end) * 1.0
+         / {num_perm} >= {threshold}),
+edges as (select a, b from medges union select a, b from vp),{_CC_CTES}"""
+
+
+def _minhash_dedup_sql(num_perm: int = 128, bands: int = 16,
+                       shingle: int = 3, threshold: float = 0.8) -> str:
+    return f"""
+with recursive {_minhash_dedup_ctes(num_perm, bands, shingle, threshold)}
+select doc_id::bigint as doc_id, canonical_id::bigint as canonical_id
+from comp
+"""
+
+
+def _jaccard_verified_sql(num_perm: int = 128, bands: int = 16,
+                          shingle: int = 3, sig_threshold: float = 0.5,
+                          jac_threshold: float = 0.5) -> str:
+    """minhash_lsh_dedup candidates at ``sig_threshold`` verified with
+    TRUE n-gram Jaccard over distinct shingles (driver_queries
+    q_jaccard_verified_dedup): pairs (member, canonical) from the
+    component map, Jaccard = |∩|/|∪| with ngram_jaccard's empty-side
+    conventions (both empty → 1.0, one empty → 0.0)."""
+    return f"""
+with recursive {_minhash_dedup_ctes(num_perm, bands, shingle, sig_threshold)},
+cpairs as (select doc_id, canonical_id from comp where doc_id <> canonical_id),
+dsh as (select distinct doc_id, s from sh),
+tsz as (select doc_id, count(*)::double as sz from dsh group by doc_id),
+inter as (
+  select p.doc_id, p.canonical_id, count(*)::double as c
+  from cpairs p
+  join dsh a on a.doc_id = p.doc_id
+  join dsh b on b.doc_id = p.canonical_id and b.s = a.s
+  group by 1, 2),
+jv as (
+  select p.doc_id, p.canonical_id,
+         case when za.sz is null and zb.sz is null then 1.0
+              when za.sz is null or zb.sz is null then 0.0
+              else coalesce(i.c, 0) / (za.sz + zb.sz - coalesce(i.c, 0))
+         end as jac
+  from cpairs p
+  left join tsz za on za.doc_id = p.doc_id
+  left join tsz zb on zb.doc_id = p.canonical_id
+  left join inter i on i.doc_id = p.doc_id
+                   and i.canonical_id = p.canonical_id)
+select doc_id::bigint as doc_id, canonical_id::bigint as canonical_id,
+       floor(jac * 1000000 + 0.5) / 1000000 as jaccard
+from jv where jac >= {jac_threshold}
+"""
+
+
+SQL_MINHASH_DEDUP = _minhash_dedup_sql()
+SQL_JACCARD_VERIFIED_DEDUP = _jaccard_verified_sql()
 
 
 def q_lsh_ann(sf_dir: str):
@@ -2380,14 +2499,14 @@ QUERIES = {
     "window_search": q_window_search,
     "sdm_wand_search_simple": q_sdm_wand_search_simple,
     "prf_expansion_simple": q_prf_expansion_simple,
+    "minhash_dedup": q_minhash_dedup,
+    "jaccard_verified_dedup": q_jaccard_verified_dedup,
+    "simhash_dedup": q_simhash_dedup,
     # rows-only (full-analyzer token chains — oracle-checked via their
     # simple-analyzer twins above — plus sketches/LSH float paths)
     "sdm_wand_search": q_sdm_wand_search,
     "prf_expansion": q_prf_expansion,
     "embedding_lsh_dedup": q_embedding_lsh_dedup,
-    "minhash_dedup": q_minhash_dedup,
-    "jaccard_verified_dedup": q_jaccard_verified_dedup,
-    "simhash_dedup": q_simhash_dedup,
     "lsh_ann": q_lsh_ann,
     "ivf_ann": q_ivf_ann,
     "xquad_rerank": q_xquad_rerank,
@@ -2437,7 +2556,10 @@ ORACLE_SQL = {
     "token_stats": SQL_TOKEN_STATS,
     "embedding_dedup": SQL_EMBEDDING_DEDUP,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "simhash_dedup": SQL_SIMHASH_DEDUP,
     "minhash_candidate_pairs": SQL_MINHASH_CANDIDATE_PAIRS,
+    "minhash_dedup": SQL_MINHASH_DEDUP,
+    "jaccard_verified_dedup": SQL_JACCARD_VERIFIED_DEDUP,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "letor_rerank_simple": SQL_LETOR_RERANK_SIMPLE,
     "xquad_rerank_simple": SQL_XQUAD_RERANK_SIMPLE,
