@@ -4,6 +4,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_dedup, simhash_pairs,
 )
+from .events import asof_join, sessionize, tumbling_window_aggregate
 from .graph import connected_components
 from .similarity import ann_cosine_topk, ivf_ann_topk, lsh_ann_topk
 from .text import (
@@ -15,6 +16,7 @@ __all__ = [
     "minhash_candidate_pairs", "minhash_lsh_dedup", "ngram_jaccard",
     "ngram_jaccard_pairs",
     "simhash_dedup", "simhash_pairs",
+    "asof_join", "sessionize", "tumbling_window_aggregate",
     "connected_components",
     "ann_cosine_topk", "ivf_ann_topk", "lsh_ann_topk",
     "doc_fingerprint", "language_id", "quality_scores", "token_stats",

@@ -1,0 +1,227 @@
+"""Event-stream operators over a timestamped fact table: tumbling-window
+aggregation, gap-based sessionization, and a distributed backward as-of
+join. These are the windowed/temporal operators a training-data pipeline
+needs that Ray Data has no built-in for; each is expressed as
+``map_batches`` partial work + ONE hash shuffle at partition grain
+(never a Python call per key), the same discipline as
+``functions/dedup.py``.
+
+Exact-arithmetic contract: monetary/metric ``value`` columns are treated
+as fixed-point with 2 decimals — batches convert to integer cents
+(``_cents``) so partial sums merge associatively and the DuckDB oracles
+hash-match bit for bit (float summation order would otherwise differ
+between engines).
+
+Scale notes (100 TB): the only shuffle in each op is keyed by
+``hash(key) % parts`` where ``parts`` follows the row count, so skewed
+event keys spread across partitions with their key groups intact;
+windows/sessions for one key land on one partition. ``asof_join``
+additionally assumes each partition's RIGHT-side slice fits a worker
+heap — true for dimension-style right sides (users, orders); for a fact-
+sized right side bucket both sides by coarse time range first.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _cents(vals: np.ndarray) -> np.ndarray:
+    """2-dp float → exact integer cents (np.rint: 28.999999999999996 →
+    29). Associative partial sums + bit-identical /100.0 finalization."""
+    return np.rint(np.asarray(vals, dtype=np.float64) * 100.0).astype(np.int64)
+
+
+def _epoch_us(arr: pa.ChunkedArray) -> np.ndarray:
+    return arr.cast(pa.timestamp("us")).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+
+
+def _auto_parts(n_rows: int, rows_per_part: int = 50_000,
+                cap: int = 256) -> int:
+    return max(8, min(cap, n_rows // rows_per_part + 1))
+
+
+# ------------------------------------------------------------- windows
+
+def tumbling_window_aggregate(ds, window_s: int = 3600,
+                              ts_col: str = "ts",
+                              key_col: str = "event_type",
+                              value_col: str = "value"):
+    """Tumbling event-time windows: → Dataset (window_start [epoch s],
+    ``key_col``, n_events, sum_value, min_value, max_value).
+
+    Combiner pattern: each batch pre-aggregates to at most
+    (windows × keys) partial rows BEFORE the shuffle, so the global
+    ``groupby`` moves per-window partials, not events — at web scale the
+    all-to-all exchange is proportional to window count, not row count.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+    win_us = int(window_s) * 1_000_000
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        t = _epoch_us(b[ts_col])
+        win = (t // win_us) * int(window_s)
+        cents = _cents(b[value_col].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({"window_start": win,
+                           key_col: b[key_col].to_pylist(),
+                           "n_events": np.int64(1),
+                           "sum_cents": cents,
+                           "min_cents": cents, "max_cents": cents})
+        g = df.groupby(["window_start", key_col], sort=False)
+        return g.agg(n_events=("n_events", "sum"),
+                     sum_cents=("sum_cents", "sum"),
+                     min_cents=("min_cents", "min"),
+                     max_cents=("max_cents", "max")).reset_index()
+
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["window_start", key_col]) \
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_cents", alias_name="sum_cents"),
+                   Min("min_cents", alias_name="min_cents"),
+                   Max("max_cents", alias_name="max_cents"))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": b["window_start"].cast(pa.int64()),
+            key_col: b[key_col],
+            "n_events": b["n_events"].cast(pa.int64()),
+            "sum_value": pa.array(
+                b["sum_cents"].to_numpy(zero_copy_only=False) / 100.0),
+            "min_value": pa.array(
+                b["min_cents"].to_numpy(zero_copy_only=False) / 100.0),
+            "max_value": pa.array(
+                b["max_cents"].to_numpy(zero_copy_only=False) / 100.0)})
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ sessions
+
+def sessionize(ds, gap_s: int = 1800, ts_col: str = "ts",
+               user_col: str = "user_id", value_col: str = "value"):
+    """Gap-based sessions: a user's events sorted by time split where
+    the gap to the previous event exceeds ``gap_s``. → Dataset
+    (``user_col``, session_id [0-based per user], session_start /
+    session_end [epoch µs], n_events, sum_value).
+
+    One shuffle keyed by ``user % parts``; inside a partition ALL users
+    are sessionized in one vectorized pass (lexsort by (user, ts) +
+    segment reduceat), not one Python call per user.
+    """
+    gap_us = int(gap_s) * 1_000_000
+    n_rows = ds.count()
+    parts = _auto_parts(n_rows)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        users = b[user_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array((users % parts).astype(np.int32)),
+            user_col: pa.array(users.astype(np.int64)),
+            "t": pa.array(_epoch_us(b[ts_col])),
+            "cents": pa.array(_cents(
+                b[value_col].to_numpy(zero_copy_only=False)))})
+
+    def sessions(g: pa.Table) -> pd.DataFrame:
+        users = g[user_col].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        if len(users) == 0:
+            return pd.DataFrame({user_col: pd.Series([], dtype=np.int64),
+                                 "session_id": pd.Series([], dtype=np.int64),
+                                 "session_start": pd.Series([], dtype=np.int64),
+                                 "session_end": pd.Series([], dtype=np.int64),
+                                 "n_events": pd.Series([], dtype=np.int64),
+                                 "sum_value": pd.Series([], dtype=np.float64)})
+        order = np.lexsort((t, users))
+        u, ts_, c = users[order], t[order], cents[order]
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        new_sess = new_user | np.concatenate(
+            ([False], (ts_[1:] - ts_[:-1]) > gap_us))
+        bounds = np.flatnonzero(new_sess)
+        # per-user 0-based session index: global session ordinal minus
+        # the ordinal of the user's first session
+        sess_ord = np.cumsum(new_sess) - 1
+        user_base = np.maximum.accumulate(np.where(new_user, sess_ord, 0))
+        sid = sess_ord - user_base
+        ends = np.concatenate((bounds[1:], [len(u)]))
+        return pd.DataFrame({
+            user_col: u[bounds],
+            "session_id": sid[bounds],
+            "session_start": ts_[bounds],
+            "session_end": ts_[ends - 1],
+            "n_events": (ends - bounds).astype(np.int64),
+            "sum_value": np.add.reduceat(c, bounds) / 100.0})
+
+    return ds.map_batches(keyed, batch_format="pyarrow") \
+        .groupby("part").map_groups(sessions, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ asof join
+
+def asof_join(left_ds, right_ds, left_key: str, right_key: str,
+              left_ts: str, right_ts: str, left_id: str, right_val: str,
+              no_match: int = -1):
+    """Backward as-of join: each left row picks the right row of the
+    same key with the LARGEST ``right_ts`` ≤ ``left_ts`` (ties on
+    ``right_ts`` broken by largest ``right_val``). → Dataset
+    (``left_id``, ``right_val``), unmatched rows carrying ``no_match``.
+
+    Both sides shuffle ONCE on ``key % parts`` (tagged union, so one
+    exchange covers both inputs); each partition then runs pandas
+    ``merge_asof`` — a vectorized C galloping merge — over its complete
+    key groups. The right side is first reduced to one row per
+    (key, ts), so partition memory is bounded by the distinct right
+    keyspace slice, not right-side row count.
+    """
+    n_rows = left_ds.count()
+    parts = _auto_parts(n_rows)
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        keys = b[left_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "part": pa.array((keys % parts).astype(np.int32)),
+            "k": pa.array(keys),
+            "t": pa.array(_epoch_us(b[left_ts])),
+            "rid": b[left_id].cast(pa.int64()),
+            "side": pa.array(np.zeros(len(keys), dtype=np.int8))})
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        keys = b[right_key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "part": pa.array((keys % parts).astype(np.int32)),
+            "k": pa.array(keys),
+            "t": pa.array(_epoch_us(b[right_ts])),
+            "rid": b[right_val].cast(pa.int64()),
+            "side": pa.array(np.ones(len(keys), dtype=np.int8))})
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow") \
+        .union(right_ds.map_batches(tag_right, batch_format="pyarrow"))
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0]
+        right = g[g["side"] == 1]
+        if not len(left):
+            return pd.DataFrame({left_id: pd.Series([], dtype=np.int64),
+                                 right_val: pd.Series([], dtype=np.int64)})
+        lf = left.sort_values("t", kind="mergesort")
+        if not len(right):
+            return pd.DataFrame({
+                left_id: lf["rid"].to_numpy(),
+                right_val: np.full(len(lf), no_match, dtype=np.int64)})
+        # one row per (key, ts): keep the largest value (tie rule)
+        rf = right.sort_values(["k", "t", "rid"], kind="mergesort") \
+            .drop_duplicates(["k", "t"], keep="last") \
+            .sort_values("t", kind="mergesort")
+        m = pd.merge_asof(lf[["k", "t", "rid"]],
+                          rf[["k", "t", "rid"]].rename(
+                              columns={"rid": "rv"}),
+                          on="t", by="k", direction="backward")
+        return pd.DataFrame({
+            left_id: m["rid"].to_numpy(),
+            right_val: m["rv"].fillna(no_match).astype(np.int64).to_numpy()})
+
+    return tagged.groupby("part").map_groups(join_part,
+                                             batch_format="pandas")

@@ -2446,9 +2446,96 @@ from b
 """
 
 
+def q_window_aggregate(sf_dir: str):
+    """Tumbling 1-hour event-time windows per event_type (combiner
+    pattern: per-batch partial aggregation before the groupby, exact
+    integer-cents sums so the float result is order-independent)."""
+    import ray.data as rd
+    from ..functions.events import tumbling_window_aggregate
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    return tumbling_window_aggregate(ds, window_s=3600)
+
+
+SQL_WINDOW_AGGREGATE = """
+select (epoch_us(ts) // 3600000000) * 3600 as window_start,
+       event_type,
+       count(*)::bigint as n_events,
+       sum(round(value * 100)::bigint) / 100.0 as sum_value,
+       min(round(value * 100)::bigint) / 100.0 as min_value,
+       max(round(value * 100)::bigint) / 100.0 as max_value
+from events group by 1, 2
+"""
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization (30-min gap) per user — one hash
+    shuffle at partition grain, vectorized lexsort+reduceat session
+    assembly inside each partition."""
+    import ray.data as rd
+    from ..functions.events import sessionize
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id", "value"])
+    return sessionize(ds, gap_s=1800)
+
+
+SQL_SESSIONIZE = """
+with e as (select user_id, epoch_us(ts) as t,
+                  round(value * 100)::bigint as cents from events),
+s as (select user_id, t, cents,
+             case when lag(t) over w is null
+                       or t - lag(t) over w > 1800000000
+                  then 1 else 0 end as is_new
+      from e window w as (partition by user_id order by t)),
+sess as (select user_id, t, cents,
+                sum(is_new) over (partition by user_id order by t
+                                  rows unbounded preceding) - 1 as sid
+         from s)
+select user_id, sid::bigint as session_id,
+       min(t)::bigint as session_start, max(t)::bigint as session_end,
+       count(*)::bigint as n_events,
+       sum(cents) / 100.0 as sum_value
+from sess group by user_id, sid
+"""
+
+
+def q_asof_join(sf_dir: str):
+    """Backward as-of join: each event picks the latest order of the
+    same customer placed at or before the event time (ties by largest
+    o_orderkey; -1 when the user never ordered). One tagged-union
+    shuffle, pandas merge_asof per partition."""
+    import ray.data as rd
+    from ..functions.events import asof_join
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    return asof_join(ev, orders, left_key="user_id", right_key="o_custkey",
+                     left_ts="ts", right_ts="o_orderdate",
+                     left_id="event_id", right_val="o_orderkey")
+
+
+SQL_ASOF_JOIN = """
+with m as (
+  select e.event_id, o.o_orderkey,
+         row_number() over (partition by e.event_id
+                            order by o.o_orderdate desc,
+                                     o.o_orderkey desc) as rn
+  from events e join orders o
+    on o.o_custkey = e.user_id and o.o_orderdate <= e.ts)
+select e.event_id,
+       coalesce(m.o_orderkey, -1)::bigint as o_orderkey
+from events e left join m on m.event_id = e.event_id and m.rn = 1
+"""
+
+
 QUERIES = {
     # oracle-checked
     "doc_token_counts": q_doc_token_counts,
+    "window_aggregate": q_window_aggregate,
+    "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
     "term_df_ctf_top50": q_term_df_ctf_top50,
     "index_bm25_top10": q_index_bm25_top10,
     "index_bm25_maxscore_top10": q_index_bm25_maxscore_top10,
@@ -2516,6 +2603,9 @@ QUERIES = {
 
 ORACLE_SQL = {
     "doc_token_counts": SQL_DOC_TOKEN_COUNTS,
+    "window_aggregate": SQL_WINDOW_AGGREGATE,
+    "sessionize": SQL_SESSIONIZE,
+    "asof_join": SQL_ASOF_JOIN,
     "term_df_ctf_top50": SQL_TERM_DF_CTF_TOP50,
     "index_bm25_top10": SQL_INDEX_BM25_TOP10,
     "index_bm25_maxscore_top10": SQL_INDEX_BM25_TOP10,
