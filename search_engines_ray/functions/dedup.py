@@ -331,12 +331,31 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                               text_col=text_col, id_col=id_col))
         return mh(b)
 
-    # materialized for the count: the two groupby fan-ins below pay
-    # fixed cost per (block × partition) cell, so partition count
-    # follows corpus size instead of a constant 256 (same lesson as
-    # exact_dedup / connected_components)
-    sig_ds = ds.map_batches(sig_fn, batch_format="pyarrow").materialize()
-    n_docs = sig_ds.count()
+    # the two groupby fan-ins below pay fixed cost per (block ×
+    # partition) cell, so partition count follows corpus size (same
+    # lesson as exact_dedup / connected_components). For file-backed
+    # inputs ds.count() is a parquet-metadata lookup (no execution), so
+    # the signatures stay LAZY and stream straight into the collapse
+    # shuffle — materializing them would both add a full barrier job
+    # (~1-2 s of fixed overhead at small scale) and park ~1 KB/doc of
+    # signatures in the object store (a terabyte at 10⁹ docs).
+    # batch_size bundles the read's small blocks into fewer, meatier
+    # tasks: a single-file corpus splits into ~2×CPU tiny blocks and
+    # per-task dispatch (~tens of ms) would otherwise dwarf the ~30 ms
+    # of signature work per block
+    sig_ds = ds.map_batches(sig_fn, batch_format="pyarrow",
+                            batch_size=1024)
+    n_docs = None
+    try:
+        if ds.input_files():
+            n_docs = ds.count()
+    except Exception:
+        n_docs = None
+    if n_docs is None:
+        # derived input: counting would execute the upstream pipeline
+        # twice — materialize the (narrow) signatures once instead
+        sig_ds = sig_ds.materialize()
+        n_docs = sig_ds.count()
     parts = max(16, min(_LSH_PARTS, n_docs // 20_000 + 1))
 
     def add_fp(b: pa.Table) -> pa.Table:
@@ -548,7 +567,8 @@ def simhash_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                          lambda: SimHasher(text_col=text_col, id_col=id_col))
         return sh(b)
 
-    fp_ds = ds.map_batches(fp_fn, batch_format="pyarrow")
+    fp_ds = ds.map_batches(fp_fn, batch_format="pyarrow",
+                           batch_size=1024)
 
     def explode(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_pylist()
@@ -745,7 +765,8 @@ def simhash_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                              "id_b": pd.array(b_out, dtype=dt),
                              "hamming": pd.array(h_out, dtype="int64")})
 
-    pairs = ds.map_batches(fp_fn, batch_format="pyarrow") \
+    pairs = ds.map_batches(fp_fn, batch_format="pyarrow",
+                           batch_size=1024) \
         .map_batches(explode, batch_format="pyarrow") \
         .groupby(["band", "key"]).map_groups(bucket, batch_format="pandas")
     return pairs.groupby(["id_a", "id_b"]).aggregate(
@@ -841,7 +862,8 @@ def minhash_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.table({"id_a": pa.array(a_out, t_id),
                          "id_b": pa.array(b_out, t_id)})
 
-    pairs = ds.map_batches(sig_fn, batch_format="pyarrow") \
+    pairs = ds.map_batches(sig_fn, batch_format="pyarrow",
+                           batch_size=1024) \
         .map_batches(explode_bands, batch_format="pyarrow") \
         .groupby("part").map_groups(partition_pairs, batch_format="pyarrow")
     return pairs.groupby(["id_a", "id_b"]).aggregate(
