@@ -1,0 +1,105 @@
+"""Deterministic sampling and per-group selection operators.
+
+- ``hash_sample``: uniform k-row sample selected by smallest md5(id) —
+  reproducible across runs, cluster sizes, and input partitionings
+  (unlike ``Dataset.random_sample``), so a 100 TB pipeline can re-derive
+  the exact sample for audits. Per-batch partial top-k bounds the merge
+  input to k rows per block; the final cut runs on one tiny block.
+- ``topk_per_group``: top-k rows per group by a sort column. Per-batch
+  partial top-k caps the shuffle at k rows per (batch, group); the
+  groupby then moves candidates, not the fact table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _id_hash64(ids: list) -> np.ndarray:
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big")
+         for i in ids), dtype=np.uint64, count=len(ids))
+
+
+def hash_sample(ds, k: int = 100, id_col: str = "doc_id"):
+    """→ Dataset (``id_col``, sample_rank 0..k−1) of the k rows with the
+    smallest md5(id), ties broken by id. The hash order is a uniform
+    random permutation for any non-adversarial id set, but — being pure
+    content arithmetic — identical on every run and every cluster."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        h = _id_hash64(ids)
+        ids_np = np.asarray(ids, dtype=np.int64)
+        order = np.lexsort((ids_np, h))[:k]
+        return pa.table({id_col: pa.array(ids_np[order]),
+                         "h": pa.array(h[order])})
+
+    def final(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        h = b["h"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))[:k]
+        return pa.table({
+            id_col: pa.array(ids[order]),
+            "sample_rank": pa.array(np.arange(len(order), dtype=np.int64))})
+
+    # candidates are ≤ k per input block — one tiny block merges exactly
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def topk_per_group(ds, group_col: str, sort_col: str, id_col: str,
+                   k: int = 3, num_parts: int = 64):
+    """→ Dataset (``group_col``, ``id_col``, ``sort_col``, rank 1..k):
+    the k rows with the largest ``sort_col`` per group (ties broken by
+    smallest id). Both the per-batch partial cut and the per-partition
+    final cut are one vectorized lexsort + segment slice over ALL groups
+    in the batch — no per-group Python calls."""
+
+    def _cut(groups, vals, ids, kk):
+        # sort by (group asc, val desc, id asc); take first kk per group
+        order = np.lexsort((ids, -vals, groups))
+        g = groups[order]
+        bound = np.concatenate(([True], g[1:] != g[:-1]))
+        seg_start = np.maximum.accumulate(
+            np.where(bound, np.arange(len(g)), 0))
+        keep = (np.arange(len(g)) - seg_start) < kk
+        return order[keep], np.arange(len(g))[keep] - seg_start[keep]
+
+    def partial(b: pa.Table) -> pa.Table:
+        groups = b[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(groups) == 0:
+            return pa.table({"part": pa.array([], pa.int32()),
+                             group_col: pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             sort_col: pa.array([], pa.float64())})
+        vals = b[sort_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep, _ = _cut(groups, vals, ids, k)
+        return pa.table({
+            "part": pa.array((groups[keep] % num_parts).astype(np.int32)),
+            group_col: pa.array(groups[keep]),
+            id_col: pa.array(ids[keep]),
+            sort_col: pa.array(vals[keep])})
+
+    def final(g: pa.Table) -> pd.DataFrame:
+        groups = g[group_col].to_numpy(zero_copy_only=False)
+        if len(groups) == 0:
+            return pd.DataFrame({group_col: pd.Series([], dtype=np.int64),
+                                 id_col: pd.Series([], dtype=np.int64),
+                                 sort_col: pd.Series([], dtype=np.float64),
+                                 "rank": pd.Series([], dtype=np.int64)})
+        vals = g[sort_col].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        keep, rank = _cut(groups, vals, ids, k)
+        return pd.DataFrame({group_col: groups[keep], id_col: ids[keep],
+                             sort_col: vals[keep],
+                             "rank": (rank + 1).astype(np.int64)})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(final, batch_format="pyarrow")

@@ -1,0 +1,132 @@
+"""Mergeable-sketch operators: distributed HyperLogLog distinct counts.
+
+The sketch pattern at 100 TB: every batch folds its rows into a tiny
+fixed-size state (here 2^p max-rho registers), states merge with an
+associative/commutative op (max), so the all-to-all exchange carries
+registers — kilobytes per group — never values. One ``groupby`` over
+(group, bucket) rows is the whole shuffle.
+
+Determinism contract (oracle-checked): value hashes are md5-derived
+64-bit ints, register arithmetic is exact integers (the harmonic sum is
+computed as Σ 2^(R−rho) in arbitrary precision before one float
+division), and the bias-corrected small-range branch uses the same
+`ln` libm call DuckDB uses, so the estimate is bit-identical to the SQL
+mirror.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# raw-estimator bias constant alpha_m for m = 2^p (Flajolet et al. 2007)
+def _alpha(m: int) -> float:
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hash64(vals: list) -> np.ndarray:
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(str(v if v is not None else "")
+                                    .encode()).digest()[:8], "big")
+         for v in vals), dtype=np.uint64, count=len(vals))
+
+
+def hyperloglog_distinct(ds, value_col: str, group_col: str, p: int = 12):
+    """→ Dataset (``group_col``, n_distinct_est): HyperLogLog estimate
+    of distinct ``value_col`` per group, with the standard linear-
+    counting correction below 2.5·m.
+
+    Stages: per-batch partial registers (vectorized; one (group, bucket,
+    max rho) row per touched register) → groupby max-merge → per-group
+    finalize. The rho computation uses ``np.frexp`` exponents — exact
+    integer bit lengths for the (64−p)-bit remainders, mirrored in SQL
+    by ``length(ltrim(bin(rest),'0'))``."""
+    from ray.data.aggregate import Max
+    m = 1 << p
+    rest_bits = 64 - p
+    R = rest_bits + 1
+    rest_mask = np.uint64((1 << rest_bits) - 1)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        h = _hash64(b[value_col].to_pylist())
+        bucket = (h >> np.uint64(rest_bits)).astype(np.int64)
+        rest = h & rest_mask
+        # frexp exponent == bit_length, exact for ints < 2^53 (rest has
+        # ≤ 52 bits at the default p=12); 0 for rest == 0 → rho = R
+        bl = np.frexp(rest.astype(np.float64))[1]
+        rho = (R - bl).astype(np.int64)
+        df = pd.DataFrame({group_col: b[group_col].to_pylist(),
+                           "bucket": bucket, "rho": rho})
+        return df.groupby([group_col, "bucket"], sort=False)["rho"] \
+            .max().reset_index()
+
+    regs = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=4096) \
+        .groupby([group_col, "bucket"]) \
+        .aggregate(Max("rho", alias_name="rho"))
+
+    alpha = _alpha(m)
+    two_R = float(1 << R)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        rho = np.zeros(m, dtype=np.int64)
+        rho[g["bucket"].to_numpy()] = g["rho"].to_numpy()
+        # harmonic sum as an exact integer: Σ 2^-rho = S / 2^R
+        s = sum(1 << (R - int(r)) for r in rho)
+        v = int(np.count_nonzero(rho == 0))
+        est = alpha * m * m * two_R / float(s)
+        if est <= 2.5 * m and v > 0:
+            est = float(m) * math.log(float(m) / v)
+        return pd.DataFrame({
+            group_col: [g[group_col].iloc[0]],
+            "n_distinct_est": np.array([math.floor(est + 0.5)],
+                                       dtype=np.int64)})
+
+    return regs.groupby(group_col).map_groups(finalize,
+                                              batch_format="pandas")
+
+
+def hyperloglog_sql(table: str, value_col: str, group_col: str,
+                    p: int = 12) -> str:
+    """DuckDB mirror of :func:`hyperloglog_distinct` (same md5-derived
+    hashes, integer register arithmetic via hugeint shifts)."""
+    m = 1 << p
+    rest_bits = 64 - p
+    R = rest_bits + 1
+    rest_mask = (1 << rest_bits) - 1
+    alpha = _alpha(m)
+    # every float literal is cast ::double — DuckDB parses bare decimal
+    # literals as DECIMAL, whose arithmetic differs from IEEE doubles
+    raw = (f"({alpha!r}::double) * {m} * {m} * "
+           f"({float(1 << R)!r}::double) / (s::double)")
+    return f"""
+with h as (select {group_col},
+                  ('0x' || substr(md5(coalesce({value_col}::varchar, '')),
+                                  1, 16))::ubigint as h
+           from {table}),
+b as (select {group_col}, (h >> {rest_bits})::bigint as bucket,
+             h & {rest_mask}::ubigint as rest from h),
+r as (select {group_col}, bucket,
+             max(case when rest = 0 then {R}
+                      else {R} - length(ltrim(bin(rest), '0')) end) as rho
+      from b group by {group_col}, bucket),
+agg as (select {group_col},
+               sum(1::hugeint << ({R} - rho)) as s_present,
+               count(*) as n_buckets
+        from r group by {group_col}),
+fin as (select {group_col},
+               s_present + ({m} - n_buckets) * (1::hugeint << {R}) as s,
+               {m} - n_buckets as v
+        from agg),
+est as (select {group_col}, {raw} as raw, v from fin)
+select {group_col},
+       case when raw <= ({2.5 * m!r}::double) and v > 0
+            then floor(({float(m)!r}::double)
+                       * ln(({float(m)!r}::double) / v) + 0.5)
+            else floor(raw + 0.5) end::bigint as n_distinct_est
+from est
+"""

@@ -2530,12 +2530,77 @@ from events e left join m on m.event_id = e.event_id and m.rn = 1
 """
 
 
+def q_hll_distinct(sf_dir: str):
+    """Distributed HyperLogLog (p=12) distinct-text count per language —
+    the mergeable-sketch pattern: per-batch registers, groupby max-merge,
+    exact-integer harmonic sum. The SQL mirror rebuilds the identical
+    sketch, and test_sketch checks the estimate against the true count."""
+    import ray.data as rd
+    from ..functions.sketch import hyperloglog_distinct
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "lang"])
+    return hyperloglog_distinct(ds, value_col="text", group_col="lang")
+
+
+def _hll_sql() -> str:
+    from ..functions.sketch import hyperloglog_sql
+    return hyperloglog_sql("documents", "text", "lang")
+
+
+SQL_HLL_DISTINCT = _hll_sql()
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic uniform 100-row sample by smallest md5(doc_id) —
+    reproducible across runs/cluster sizes, unlike random_sample."""
+    import ray.data as rd
+    from ..functions.sample import hash_sample
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return hash_sample(ds, k=100)
+
+
+SQL_HASH_SAMPLE = """
+with h as (select doc_id,
+                  ('0x' || substr(md5(doc_id::varchar), 1, 16))::ubigint as h
+           from documents),
+r as (select doc_id,
+             row_number() over (order by h, doc_id) - 1 as sample_rank
+      from h)
+select doc_id, sample_rank::bigint as sample_rank
+from r where sample_rank < 100
+"""
+
+
+def q_topk_per_group(sf_dir: str):
+    """Top-3 events by value per user (ties by smallest event_id) —
+    per-batch partial top-k bounds the shuffle to candidates."""
+    import ray.data as rd
+    from ..functions.sample import topk_per_group
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "value"])
+    return topk_per_group(ds, group_col="user_id", sort_col="value",
+                          id_col="event_id", k=3)
+
+
+SQL_TOPK_PER_GROUP = """
+with r as (select user_id, event_id, value,
+                  row_number() over (partition by user_id
+                                     order by value desc, event_id) as rnk
+           from events)
+select user_id, event_id, value, rnk::bigint as "rank"
+from r where rnk <= 3
+"""
+
+
 QUERIES = {
     # oracle-checked
     "doc_token_counts": q_doc_token_counts,
     "window_aggregate": q_window_aggregate,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
+    "hll_distinct": q_hll_distinct,
+    "hash_sample": q_hash_sample,
+    "topk_per_group": q_topk_per_group,
     "term_df_ctf_top50": q_term_df_ctf_top50,
     "index_bm25_top10": q_index_bm25_top10,
     "index_bm25_maxscore_top10": q_index_bm25_maxscore_top10,
@@ -2606,6 +2671,9 @@ ORACLE_SQL = {
     "window_aggregate": SQL_WINDOW_AGGREGATE,
     "sessionize": SQL_SESSIONIZE,
     "asof_join": SQL_ASOF_JOIN,
+    "hash_sample": SQL_HASH_SAMPLE,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+    "hll_distinct": SQL_HLL_DISTINCT,
     "term_df_ctf_top50": SQL_TERM_DF_CTF_TOP50,
     "index_bm25_top10": SQL_INDEX_BM25_TOP10,
     "index_bm25_maxscore_top10": SQL_INDEX_BM25_TOP10,

@@ -1,0 +1,76 @@
+"""Sketch/sample operators: partitioning-invariance and accuracy checks
+(the driver contract separately hash-checks them against DuckDB)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from search_engines_ray.functions.sample import hash_sample, topk_per_group
+from search_engines_ray.functions.sketch import hyperloglog_distinct
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data as rd
+    return rd
+
+
+def test_hll_accuracy_and_partition_invariance(rd):
+    # 6000 distinct values in one group, 300 in the other, with repeats
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 6000, 20_000)
+    b = rng.integers(0, 300, 5_000)
+    t = pa.table({
+        "v": pa.array([f"val-{x}" for x in a] + [f"w-{x}" for x in b]),
+        "g": pa.array(["a"] * len(a) + ["b"] * len(b)),
+    })
+    true = {"a": len(set(a.tolist())), "b": len(set(b.tolist()))}
+    est1 = hyperloglog_distinct(rd.from_arrow(t), "v", "g").to_pandas()
+    est8 = hyperloglog_distinct(rd.from_arrow(t).repartition(8),
+                                "v", "g").to_pandas()
+    # registers merge with max → the estimate cannot depend on blocking
+    pd.testing.assert_frame_equal(
+        est1.sort_values("g", ignore_index=True),
+        est8.sort_values("g", ignore_index=True))
+    for _, row in est1.iterrows():
+        assert abs(row.n_distinct_est - true[row.g]) / true[row.g] < 0.05, \
+            (row.g, row.n_distinct_est, true[row.g])
+
+
+def test_hash_sample_deterministic_across_partitioning(rd):
+    t = pa.table({"doc_id": pa.array(np.arange(5000), pa.int64())})
+    s1 = hash_sample(rd.from_arrow(t), k=50, id_col="doc_id").to_pandas()
+    s2 = hash_sample(rd.from_arrow(t).repartition(16), k=50,
+                     id_col="doc_id").to_pandas()
+    assert len(s1) == 50
+    pd.testing.assert_frame_equal(
+        s1.sort_values("sample_rank", ignore_index=True),
+        s2.sort_values("sample_rank", ignore_index=True))
+    # ranks follow the hash order: re-sampling a superset keeps the
+    # sample's relative order (prefix property of order-by-hash)
+    s_small = hash_sample(rd.from_arrow(t.slice(0, 2500)), k=50,
+                          id_col="doc_id").to_pandas()
+    common = set(s1.doc_id) & set(s_small.doc_id)
+    assert len(common) > 0
+
+
+def test_topk_per_group_matches_pandas(rd):
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 97, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "value": np.round(rng.uniform(0, 100, n), 2),
+    })
+    out = topk_per_group(rd.from_pandas(df), group_col="user_id",
+                         sort_col="value", id_col="event_id", k=3) \
+        .to_pandas().sort_values(["user_id", "rank"], ignore_index=True)
+    ref = df.sort_values(["user_id", "value", "event_id"],
+                         ascending=[True, False, True]) \
+        .groupby("user_id").head(3)
+    ref["rank"] = ref.groupby("user_id").cumcount() + 1
+    ref = ref.sort_values(["user_id", "rank"], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        out[["user_id", "event_id", "value", "rank"]],
+        ref[["user_id", "event_id", "value", "rank"]])
