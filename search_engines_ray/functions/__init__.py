@@ -7,7 +7,7 @@ from .dedup import (
 from .events import asof_join, sessionize, tumbling_window_aggregate
 from .graph import connected_components
 from .sample import hash_sample, topk_per_group
-from .sketch import hyperloglog_distinct
+from .sketch import hyperloglog_distinct, value_quantiles
 from .similarity import ann_cosine_topk, ivf_ann_topk, lsh_ann_topk
 from .text import (
     doc_fingerprint, language_id, quality_scores, token_stats,
@@ -21,6 +21,7 @@ __all__ = [
     "asof_join", "sessionize", "tumbling_window_aggregate",
     "connected_components",
     "hash_sample", "topk_per_group", "hyperloglog_distinct",
+    "value_quantiles",
     "ann_cosine_topk", "ivf_ann_topk", "lsh_ann_topk",
     "doc_fingerprint", "language_id", "quality_scores", "token_stats",
 ]

@@ -90,6 +90,73 @@ def hyperloglog_distinct(ds, value_col: str, group_col: str, p: int = 12):
                                               batch_format="pandas")
 
 
+def value_quantiles(ds, value_col: str, group_col: str,
+                    ps: tuple = (0.5, 0.9, 0.99)):
+    """EXACT distributed quantiles of a 2-dp metric column via a
+    counting-histogram sketch: each batch folds to (group, cents, n)
+    partial counts, a groupby sums them, and the per-group finalize
+    walks the cumulative histogram. → Dataset (``group_col``, p, value).
+
+    The shuffle carries one row per DISTINCT (group, cents) — bounded by
+    the metric's value cardinality, not the row count (a 2-dp bounded
+    metric has at most ~10⁴–10⁶ distinct cents). Quantile rule: the
+    smallest value whose cumulative count reaches ``ceil(p·n)`` — the
+    classic discrete (type-1) quantile, mirrored literally in SQL."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        cents = np.rint(np.asarray(
+            b[value_col].to_numpy(zero_copy_only=False),
+            dtype=np.float64) * 100.0).astype(np.int64)
+        df = pd.DataFrame({group_col: b[group_col].to_pylist(),
+                           "cents": cents})
+        g = df.groupby([group_col, "cents"], sort=False)
+        return g.size().rename("n").reset_index()
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([group_col, "cents"]) \
+        .aggregate(Sum("n", alias_name="n"))
+
+    ps = tuple(float(p) for p in ps)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["cents"].to_numpy())
+        cents = g["cents"].to_numpy()[order]
+        cum = np.cumsum(g["n"].to_numpy()[order])
+        tot = int(cum[-1])
+        out_p, out_v = [], []
+        for p in ps:
+            idx = int(np.searchsorted(cum, math.ceil(p * tot)))
+            out_p.append(p)
+            out_v.append(cents[idx] / 100.0)
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]] * len(ps),
+                             "p": np.asarray(out_p, dtype=np.float64),
+                             "value": np.asarray(out_v, dtype=np.float64)})
+
+    return counts.groupby(group_col).map_groups(finalize,
+                                                batch_format="pandas")
+
+
+def value_quantiles_sql(table: str, value_col: str, group_col: str,
+                        ps: tuple = (0.5, 0.9, 0.99)) -> str:
+    """DuckDB mirror of :func:`value_quantiles` (identical cents
+    histogram, identical ceil(p·n) rank arithmetic in doubles)."""
+    vals = ", ".join(f"({float(p)!r}::double)" for p in ps)
+    return f"""
+with c as (select {group_col}, round({value_col} * 100)::bigint as cents,
+                  count(*)::bigint as n
+           from {table} group by 1, 2),
+t as (select {group_col}, cents,
+             sum(n) over (partition by {group_col} order by cents) as cum,
+             sum(n) over (partition by {group_col}) as tot
+      from c)
+select t.{group_col}, q.p, min(t.cents) / 100.0 as value
+from t cross join (values {vals}) q(p)
+where t.cum >= ceil(q.p * t.tot)
+group by t.{group_col}, q.p
+"""
+
+
 def hyperloglog_sql(table: str, value_col: str, group_col: str,
                     p: int = 12) -> str:
     """DuckDB mirror of :func:`hyperloglog_distinct` (same md5-derived

@@ -2550,6 +2550,25 @@ def _hll_sql() -> str:
 SQL_HLL_DISTINCT = _hll_sql()
 
 
+def q_value_quantiles(sf_dir: str):
+    """Exact p50/p90/p99 of event value per event_type via the
+    counting-histogram sketch (shuffle carries distinct cents, not
+    rows)."""
+    import ray.data as rd
+    from ..functions.sketch import value_quantiles
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return value_quantiles(ds, value_col="value", group_col="event_type")
+
+
+def _quantiles_sql() -> str:
+    from ..functions.sketch import value_quantiles_sql
+    return value_quantiles_sql("events", "value", "event_type")
+
+
+SQL_VALUE_QUANTILES = _quantiles_sql()
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic uniform 100-row sample by smallest md5(doc_id) —
     reproducible across runs/cluster sizes, unlike random_sample."""
@@ -2601,6 +2620,7 @@ QUERIES = {
     "hll_distinct": q_hll_distinct,
     "hash_sample": q_hash_sample,
     "topk_per_group": q_topk_per_group,
+    "value_quantiles": q_value_quantiles,
     "term_df_ctf_top50": q_term_df_ctf_top50,
     "index_bm25_top10": q_index_bm25_top10,
     "index_bm25_maxscore_top10": q_index_bm25_maxscore_top10,
@@ -2674,6 +2694,7 @@ ORACLE_SQL = {
     "hash_sample": SQL_HASH_SAMPLE,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "hll_distinct": SQL_HLL_DISTINCT,
+    "value_quantiles": SQL_VALUE_QUANTILES,
     "term_df_ctf_top50": SQL_TERM_DF_CTF_TOP50,
     "index_bm25_top10": SQL_INDEX_BM25_TOP10,
     "index_bm25_maxscore_top10": SQL_INDEX_BM25_TOP10,

@@ -7,7 +7,9 @@ import pyarrow as pa
 import pytest
 
 from search_engines_ray.functions.sample import hash_sample, topk_per_group
-from search_engines_ray.functions.sketch import hyperloglog_distinct
+from search_engines_ray.functions.sketch import (
+    hyperloglog_distinct, value_quantiles,
+)
 
 
 @pytest.fixture(scope="module")
@@ -53,6 +55,21 @@ def test_hash_sample_deterministic_across_partitioning(rd):
                           id_col="doc_id").to_pandas()
     common = set(s1.doc_id) & set(s_small.doc_id)
     assert len(common) > 0
+
+
+def test_value_quantiles_exact(rd):
+    # known histogram: group "x" = 1.00..100.00 once each → p50 = 50.00
+    # (ceil(0.5·100) = 50th value), p90 = 90.00, p99 = 99.00
+    vals = np.arange(1, 101) / 1.0
+    t = pa.table({"g": pa.array(["x"] * 100),
+                  "value": pa.array(vals, pa.float64())})
+    out = value_quantiles(rd.from_arrow(t), "value", "g") \
+        .to_pandas().sort_values("p", ignore_index=True)
+    assert out["value"].tolist() == [50.0, 90.0, 99.0]
+    # partitioning invariance: histogram partials merge by sum
+    out8 = value_quantiles(rd.from_arrow(t).repartition(8), "value", "g") \
+        .to_pandas().sort_values("p", ignore_index=True)
+    pd.testing.assert_frame_equal(out, out8)
 
 
 def test_topk_per_group_matches_pandas(rd):
