@@ -46,6 +46,11 @@ def hyperloglog_distinct(ds, value_col: str, group_col: str, p: int = 12):
     integer bit lengths for the (64−p)-bit remainders, mirrored in SQL
     by ``length(ltrim(bin(rest),'0'))``."""
     from ray.data.aggregate import Max
+    if not 12 <= p <= 18:
+        raise ValueError(
+            f"p={p}: need 12 ≤ p ≤ 18 — the (64−p)-bit remainders must "
+            f"stay ≤ 52 bits for np.frexp bit lengths to be exact (and "
+            f"match the SQL mirror's bin() arithmetic)")
     m = 1 << p
     rest_bits = 64 - p
     R = rest_bits + 1

@@ -57,6 +57,12 @@ def test_hash_sample_deterministic_across_partitioning(rd):
     assert len(common) > 0
 
 
+def test_hll_rejects_inexact_precision(rd):
+    t = pa.table({"g": ["x"], "v": ["a"]})
+    with pytest.raises(ValueError, match="frexp"):
+        hyperloglog_distinct(rd.from_arrow(t), "v", "g", p=8)
+
+
 def test_value_quantiles_exact(rd):
     # known histogram: group "x" = 1.00..100.00 once each → p50 = 50.00
     # (ceil(0.5·100) = 50th value), p90 = 90.00, p99 = 99.00
