@@ -4,8 +4,12 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_dedup, simhash_pairs,
 )
-from .events import asof_join, sessionize, tumbling_window_aggregate
+from .events import (
+    asof_join, sessionize, sliding_window_aggregate,
+    tumbling_window_aggregate,
+)
 from .graph import connected_components
+from .join import broadcast_hash_join, broadcast_semijoin
 from .sample import hash_sample, topk_per_group
 from .sketch import hyperloglog_distinct, value_quantiles
 from .similarity import ann_cosine_topk, ivf_ann_topk, lsh_ann_topk
@@ -18,8 +22,10 @@ __all__ = [
     "minhash_candidate_pairs", "minhash_lsh_dedup", "ngram_jaccard",
     "ngram_jaccard_pairs",
     "simhash_dedup", "simhash_pairs",
-    "asof_join", "sessionize", "tumbling_window_aggregate",
+    "asof_join", "sessionize", "sliding_window_aggregate",
+    "tumbling_window_aggregate",
     "connected_components",
+    "broadcast_hash_join", "broadcast_semijoin",
     "hash_sample", "topk_per_group", "hyperloglog_distinct",
     "value_quantiles",
     "ann_cosine_topk", "ivf_ann_topk", "lsh_ann_topk",

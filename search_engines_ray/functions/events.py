@@ -98,6 +98,57 @@ def tumbling_window_aggregate(ds, window_s: int = 3600,
     return merged.map_batches(finalize, batch_format="pyarrow")
 
 
+def sliding_window_aggregate(ds, window_s: int = 3600, stride_s: int = 900,
+                             ts_col: str = "ts", key_col: str = "event_type",
+                             value_col: str = "value"):
+    """Overlapping (sliding/hopping) event-time windows: window starts
+    step by ``stride_s``; each event lands in ``window_s / stride_s``
+    windows. → Dataset (window_start [epoch s], ``key_col``, n_events,
+    sum_value). Requires ``window_s % stride_s == 0``.
+
+    Same combiner discipline as :func:`tumbling_window_aggregate`: the
+    ×(w/stride) replication happens INSIDE the batch (vectorized
+    np.repeat) and immediately folds to (window, key) partials, so the
+    shuffle carries per-window partials — replication never crosses the
+    exchange."""
+    from ray.data.aggregate import Sum
+    if window_s % stride_s:
+        raise ValueError(f"window_s={window_s} must be a multiple of "
+                         f"stride_s={stride_s}")
+    q = window_s // stride_s
+    stride_us = int(stride_s) * 1_000_000
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        t = _epoch_us(b[ts_col])
+        cents = _cents(b[value_col].to_numpy(zero_copy_only=False))
+        keys = np.asarray(b[key_col].to_pylist(), dtype=object)
+        base = t // stride_us           # index of the stride containing t
+        offs = np.arange(q, dtype=np.int64)
+        win = (np.repeat(base, q) - np.tile(offs, len(t))) * int(stride_s)
+        df = pd.DataFrame({"window_start": win,
+                           key_col: np.repeat(keys, q),
+                           "n_events": np.int64(1),
+                           "sum_cents": np.repeat(cents, q)})
+        g = df.groupby(["window_start", key_col], sort=False)
+        return g.agg(n_events=("n_events", "sum"),
+                     sum_cents=("sum_cents", "sum")).reset_index()
+
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["window_start", key_col]) \
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_cents", alias_name="sum_cents"))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": b["window_start"].cast(pa.int64()),
+            key_col: b[key_col],
+            "n_events": b["n_events"].cast(pa.int64()),
+            "sum_value": pa.array(
+                b["sum_cents"].to_numpy(zero_copy_only=False) / 100.0)})
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------ sessions
 
 def sessionize(ds, gap_s: int = 1800, ts_col: str = "ts",

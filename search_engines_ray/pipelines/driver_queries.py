@@ -2468,6 +2468,30 @@ from events group by 1, 2
 """
 
 
+def q_sliding_window_aggregate(sf_dir: str):
+    """Sliding 1-hour windows hopping every 15 min: the ×4 event
+    replication happens inside each batch and folds to (window, key)
+    partials before the shuffle — the exchange carries window partials,
+    not replicated events."""
+    import ray.data as rd
+    from ..functions.events import sliding_window_aggregate
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    return sliding_window_aggregate(ds, window_s=3600, stride_s=900)
+
+
+SQL_SLIDING_WINDOW_AGGREGATE = """
+with e as (select epoch_us(ts) as t, event_type,
+                  round(value * 100)::bigint as cents from events),
+offs as (select unnest(range(0, 4)) as i)
+select ((t // 900000000) - i) * 900 as window_start, event_type,
+       count(*)::bigint as n_events,
+       sum(cents) / 100.0 as sum_value
+from e cross join offs
+group by 1, 2
+"""
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessionization (30-min gap) per user — one hash
     shuffle at partition grain, vectorized lexsort+reduceat session
@@ -2569,6 +2593,143 @@ def _quantiles_sql() -> str:
 SQL_VALUE_QUANTILES = _quantiles_sql()
 
 
+def q_semijoin_urgent_lineitem(sf_dir: str):
+    """Zero-shuffle broadcast semijoin: the urgent order keys are
+    gathered once and filter the lineitem fact stream inside
+    map_batches; the fact table never enters an exchange — only the
+    per-batch (flag, n, sum_qty) partials reach the tiny groupby."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from ..functions.join import broadcast_semijoin
+
+    keys = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey"],
+                           filter=pc.field("o_orderpriority") == "1-URGENT")
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity",
+                                  "l_returnflag"])
+    hit = broadcast_semijoin(li, keys, "l_orderkey", keys_col="o_orderkey")
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        qty = np.rint(b["l_quantity"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        df = pd.DataFrame({"l_returnflag": b["l_returnflag"].to_pylist(),
+                           "q": qty})
+        g = df.groupby("l_returnflag", sort=False)["q"]
+        out = pd.DataFrame({"n": g.size().astype(np.int64),
+                            "sum_qty": g.sum().astype(np.int64)})
+        return out.reset_index()
+
+    return hit.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_returnflag") \
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sum_qty", alias_name="sum_qty"))
+
+
+SQL_SEMIJOIN_URGENT_LINEITEM = """
+select l_returnflag, count(*)::bigint as n,
+       sum(round(l_quantity)::bigint)::bigint as sum_qty
+from lineitem
+where l_orderkey in (select o_orderkey from orders
+                     where o_orderpriority = '1-URGENT')
+group by l_returnflag
+"""
+
+
+def q_antijoin_idle_customers(sf_dir: str):
+    """Broadcast ANTI-semijoin: customers that never placed an URGENT
+    order, counted per nation. The key side (distinct o_custkey of
+    urgent orders) broadcasts; the customer stream is filtered per batch
+    with an inverted is_in. (The plain no-orders variant is degenerate
+    on this synthetic corpus — every customer has orders.)"""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from ..functions.join import broadcast_semijoin
+
+    keys = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey"],
+                           filter=pc.field("o_orderpriority") == "1-URGENT")
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    idle = broadcast_semijoin(cust, keys, "c_custkey",
+                              keys_col="o_custkey", anti=True)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"c_nationkey": nk})
+        out = df.groupby("c_nationkey", sort=False).size().rename("n")
+        return out.astype(np.int64).reset_index()
+
+    return idle.map_batches(partial, batch_format="pyarrow") \
+        .groupby("c_nationkey").aggregate(Sum("n", alias_name="n"))
+
+
+SQL_ANTIJOIN_IDLE_CUSTOMERS = """
+select c_nationkey::bigint as c_nationkey, count(*)::bigint as n
+from customer
+where not exists (select 1 from orders
+                  where o_custkey = c_custkey
+                    and o_orderpriority = '1-URGENT')
+group by c_nationkey
+"""
+
+
+def q_broadcast_join_nation_revenue(sf_dir: str):
+    """Two broadcast hash joins around a pre-aggregated fact stream:
+    orders widen with the (small) customer nation key per batch, fold to
+    integer-cent partials, groupby-sum the ≤25-row nation totals, then
+    widen with nation names — the fact table crosses no exchange."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from ..functions.join import broadcast_hash_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+
+    j = broadcast_hash_join(orders, cust, left_on="o_custkey",
+                            right_on="c_custkey")
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        cents = np.rint(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        nk = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"c_nationkey": nk, "revenue_cents": cents})
+        return df.groupby("c_nationkey", sort=False).sum().reset_index()
+
+    per_nation = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("c_nationkey") \
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+
+    def widen_key(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("n_nationkey")
+        return b.set_column(i, "n_nationkey",
+                            pc.cast(b["n_nationkey"], pa.int64()))
+
+    named = broadcast_hash_join(per_nation,
+                                nation.map_batches(widen_key,
+                                                   batch_format="pyarrow"),
+                                left_on="c_nationkey",
+                                right_on="n_nationkey")
+    return named.select_columns(["n_name", "revenue_cents"])
+
+
+SQL_BROADCAST_JOIN_NATION_REVENUE = """
+select n_name, sum(round(o_totalprice * 100)::bigint)::bigint
+         as revenue_cents
+from orders
+join customer on o_custkey = c_custkey
+join nation on c_nationkey = n_nationkey
+group by n_name
+"""
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic uniform 100-row sample by smallest md5(doc_id) —
     reproducible across runs/cluster sizes, unlike random_sample."""
@@ -2615,12 +2776,16 @@ QUERIES = {
     # oracle-checked
     "doc_token_counts": q_doc_token_counts,
     "window_aggregate": q_window_aggregate,
+    "sliding_window_aggregate": q_sliding_window_aggregate,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
     "hll_distinct": q_hll_distinct,
     "hash_sample": q_hash_sample,
     "topk_per_group": q_topk_per_group,
     "value_quantiles": q_value_quantiles,
+    "semijoin_urgent_lineitem": q_semijoin_urgent_lineitem,
+    "antijoin_idle_customers": q_antijoin_idle_customers,
+    "broadcast_join_nation_revenue": q_broadcast_join_nation_revenue,
     "term_df_ctf_top50": q_term_df_ctf_top50,
     "index_bm25_top10": q_index_bm25_top10,
     "index_bm25_maxscore_top10": q_index_bm25_maxscore_top10,
@@ -2689,12 +2854,16 @@ QUERIES = {
 ORACLE_SQL = {
     "doc_token_counts": SQL_DOC_TOKEN_COUNTS,
     "window_aggregate": SQL_WINDOW_AGGREGATE,
+    "sliding_window_aggregate": SQL_SLIDING_WINDOW_AGGREGATE,
     "sessionize": SQL_SESSIONIZE,
     "asof_join": SQL_ASOF_JOIN,
     "hash_sample": SQL_HASH_SAMPLE,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "hll_distinct": SQL_HLL_DISTINCT,
     "value_quantiles": SQL_VALUE_QUANTILES,
+    "semijoin_urgent_lineitem": SQL_SEMIJOIN_URGENT_LINEITEM,
+    "antijoin_idle_customers": SQL_ANTIJOIN_IDLE_CUSTOMERS,
+    "broadcast_join_nation_revenue": SQL_BROADCAST_JOIN_NATION_REVENUE,
     "term_df_ctf_top50": SQL_TERM_DF_CTF_TOP50,
     "index_bm25_top10": SQL_INDEX_BM25_TOP10,
     "index_bm25_maxscore_top10": SQL_INDEX_BM25_TOP10,

@@ -8,7 +8,8 @@ import pyarrow as pa
 import pytest
 
 from search_engines_ray.functions.events import (
-    asof_join, sessionize, tumbling_window_aggregate,
+    asof_join, sessionize, sliding_window_aggregate,
+    tumbling_window_aggregate,
 )
 
 US = 1_000_000
@@ -45,6 +46,47 @@ def test_tumbling_window(rd):
         {"window_start": 3600, "event_type": "b", "n_events": 1,
          "sum_value": 1.5, "min_value": 1.5, "max_value": 1.5},
     ]
+
+
+def test_sliding_window_matches_bruteforce(rd):
+    # 1-h windows hopping 15 min: every event in exactly 4 windows;
+    # brute-force check over a random table, plus partitioning invariance
+    rng = np.random.default_rng(3)
+    n = 500
+    secs = rng.integers(0, 20_000, size=n)
+    keys = rng.choice(["a", "b", "c"], size=n)
+    vals = rng.integers(0, 10_000, size=n) / 100.0
+    t = pa.table({"ts": _ts(secs), "event_type": keys, "value": vals})
+    out = sliding_window_aggregate(rd.from_arrow(t), window_s=3600,
+                                   stride_s=900) \
+        .to_pandas().sort_values(["window_start", "event_type"],
+                                 ignore_index=True)
+    rows = []
+    for ws in range(-3 * 900, 20_000 + 900, 900):
+        m = (secs >= ws) & (secs < ws + 3600)
+        for k in ("a", "b", "c"):
+            mk = m & (keys == k)
+            if mk.any():
+                rows.append({"window_start": ws, "event_type": k,
+                             "n_events": int(mk.sum()),
+                             "sum_value": round(vals[mk].sum() * 100) / 100})
+    want = pd.DataFrame(rows).sort_values(["window_start", "event_type"],
+                                          ignore_index=True)
+    want["n_events"] = want["n_events"].astype(np.int64)
+    want["window_start"] = want["window_start"].astype(np.int64)
+    pd.testing.assert_frame_equal(out, want)
+    out8 = sliding_window_aggregate(rd.from_arrow(t).repartition(8),
+                                    window_s=3600, stride_s=900) \
+        .to_pandas().sort_values(["window_start", "event_type"],
+                                 ignore_index=True)
+    pd.testing.assert_frame_equal(out, out8)
+
+
+def test_sliding_window_rejects_ragged_stride(rd):
+    t = pa.table({"ts": _ts([1]), "event_type": ["a"], "value": [1.0]})
+    with pytest.raises(ValueError, match="multiple"):
+        sliding_window_aggregate(rd.from_arrow(t), window_s=3600,
+                                 stride_s=700)
 
 
 def test_sessionize_gap_split(rd):

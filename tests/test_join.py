@@ -1,0 +1,90 @@
+"""Broadcast semijoin / anti-semijoin / hash-join vs pandas ground truth."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from search_engines_ray.functions.join import (
+    broadcast_hash_join, broadcast_semijoin,
+)
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data as rd
+    return rd
+
+
+@pytest.fixture(scope="module")
+def fact():
+    rng = np.random.default_rng(7)
+    return pd.DataFrame({
+        "k": rng.integers(0, 200, size=5000).astype(np.int64),
+        "v": rng.integers(0, 1000, size=5000).astype(np.int64),
+    })
+
+
+@pytest.fixture(scope="module")
+def dim():
+    # duplicate keys on the small side exercise both the semijoin's
+    # dedup-before-broadcast and the hash join's fan-out bound
+    return pd.DataFrame({
+        "dk": np.array([3, 3, 17, 42, 42, 191, 500], dtype=np.int64),
+        "name": ["a", "a2", "b", "c", "c2", "d", "never"],
+    })
+
+
+def test_semijoin_matches_isin(rd, fact, dim):
+    out = broadcast_semijoin(rd.from_pandas(fact).repartition(6),
+                             rd.from_pandas(dim), "k", keys_col="dk") \
+        .to_pandas().sort_values(["k", "v"], ignore_index=True)
+    want = fact[fact["k"].isin(dim["dk"])] \
+        .sort_values(["k", "v"], ignore_index=True)
+    pd.testing.assert_frame_equal(out, want)
+
+
+def test_antijoin_matches_isin(rd, fact, dim):
+    out = broadcast_semijoin(rd.from_pandas(fact).repartition(6),
+                             rd.from_pandas(dim), "k", keys_col="dk",
+                             anti=True) \
+        .to_pandas().sort_values(["k", "v"], ignore_index=True)
+    want = fact[~fact["k"].isin(dim["dk"])] \
+        .sort_values(["k", "v"], ignore_index=True)
+    pd.testing.assert_frame_equal(out, want)
+
+
+def test_hash_join_matches_pandas_inner(rd, fact, dim):
+    out = broadcast_hash_join(rd.from_pandas(fact).repartition(6),
+                              rd.from_pandas(dim), left_on="k",
+                              right_on="dk") \
+        .to_pandas().sort_values(["k", "v", "name"], ignore_index=True)
+    want = fact.merge(dim, left_on="k", right_on="dk").drop(columns=["dk"]) \
+        .sort_values(["k", "v", "name"], ignore_index=True)
+    pd.testing.assert_frame_equal(out[sorted(out.columns)],
+                                  want[sorted(want.columns)])
+
+
+def test_hash_join_accepts_arrow_table_small_side(rd, fact, dim):
+    small = pa.Table.from_pandas(dim)
+    out = broadcast_hash_join(rd.from_pandas(fact), small, left_on="k",
+                              right_on="dk").to_pandas()
+    assert len(out) == fact["k"].isin(dim["dk"]).sum() + \
+        fact["k"].isin([3, 42]).sum()  # duplicated small keys fan out ×2
+
+
+def test_broadcast_guard_raises(rd, fact, dim):
+    with pytest.raises(ValueError, match="max_broadcast_bytes"):
+        broadcast_semijoin(rd.from_pandas(fact), rd.from_pandas(dim),
+                           "k", keys_col="dk", max_broadcast_bytes=8)
+    with pytest.raises(ValueError, match="max_broadcast_bytes"):
+        broadcast_hash_join(rd.from_pandas(fact), rd.from_pandas(dim),
+                            left_on="k", right_on="dk",
+                            max_broadcast_bytes=8)
+
+
+def test_hash_join_rejects_widening_join_types(rd, fact, dim):
+    with pytest.raises(ValueError, match="join_type"):
+        broadcast_hash_join(rd.from_pandas(fact), rd.from_pandas(dim),
+                            left_on="k", right_on="dk",
+                            join_type="full outer")
