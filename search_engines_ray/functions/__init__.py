@@ -9,7 +9,7 @@ from .events import (
     tumbling_window_aggregate,
 )
 from .graph import connected_components
-from .join import broadcast_hash_join, broadcast_semijoin
+from .join import broadcast_hash_join, broadcast_semijoin, shuffle_hash_join
 from .sample import hash_sample, topk_per_group
 from .sketch import hyperloglog_distinct, value_quantiles
 from .similarity import ann_cosine_topk, ivf_ann_topk, lsh_ann_topk
@@ -25,7 +25,7 @@ __all__ = [
     "asof_join", "sessionize", "sliding_window_aggregate",
     "tumbling_window_aggregate",
     "connected_components",
-    "broadcast_hash_join", "broadcast_semijoin",
+    "broadcast_hash_join", "broadcast_semijoin", "shuffle_hash_join",
     "hash_sample", "topk_per_group", "hyperloglog_distinct",
     "value_quantiles",
     "ann_cosine_topk", "ivf_ann_topk", "lsh_ann_topk",

@@ -1,4 +1,5 @@
-"""Broadcast joins — the no-shuffle join family for 100-TB pipelines.
+"""Join operators for 100-TB pipelines: broadcast (no-shuffle) and
+shuffle-hash (large × large).
 
 At Common-Crawl scale a fact table must never enter an all-to-all
 exchange to join a dimension/key table that fits in one worker's heap.
@@ -14,6 +15,11 @@ the one-time per-node object-store fetch of the small table:
   via a per-batch ``pyarrow`` hash join (Acero) against the broadcast
   table.
 
+When NEITHER side fits a worker, ``shuffle_hash_join`` hash-partitions
+both sides on the key in ONE tagged-union exchange (the same
+single-shuffle discipline as ``events.asof_join``) and merges each
+partition's complete key slice locally.
+
 The reference's analogues are driver-side hash maps keyed by
 externalDocid/qid (``FeatureVector.java:65,99-100,243-248`` — pagerank
 and qrels lookups); here the lookup side is an Arrow table in the
@@ -22,6 +28,7 @@ object store, shared zero-copy by every task on a node.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -112,3 +119,86 @@ def broadcast_hash_join(ds, small, left_on: str, right_on: str | None = None,
                       join_type=join_type)
 
     return ds.map_batches(join_batch, batch_format="pyarrow")
+
+
+def shuffle_hash_join(left, right, left_on: str, right_on: str | None = None,
+                      how: str = "inner", num_parts: int | None = None):
+    """Large × large join: both sides hash-partition on the key in ONE
+    tagged-union exchange; each partition then merges its complete key
+    slice with a local pandas hash join. → Dataset with the left
+    columns (key under ``left_on``) plus the right side's non-key
+    columns.
+
+    ``how``: ``inner`` or ``left`` (unmatched left rows carry nulls —
+    pandas upcasts int right-columns to float for those, the usual SQL
+    NULL semantics). Non-key column names must be disjoint across
+    sides (no implicit suffixing — rename upstream). Skew note: one
+    partition holds ALL rows of the keys that hash into it, so a single
+    mega-key (a webtext boilerplate URL, say) bounds per-task memory;
+    pre-aggregate or salt such keys before a fact-fact join.
+    """
+    import pandas as pd
+
+    right_on = right_on or left_on
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r}: only 'inner' and 'left'")
+    lschema, rschema = left.schema(), right.schema()
+    lrest = [n for n in lschema.names if n != left_on]
+    rrest = [n for n in rschema.names if n != right_on]
+    overlap = sorted(set(lrest) & set(rrest))
+    if overlap:
+        raise ValueError(
+            f"non-key columns {overlap} exist on both sides — rename "
+            f"upstream (no implicit suffixing)")
+    if num_parts is None:
+        # follow the bigger side's row count (metadata for parquet reads)
+        num_parts = max(8, min(4096,
+                               max(left.count(), right.count()) // 200_000))
+    def _pa_type(t) -> pa.DataType:
+        # ray.data.Schema.types yields pyarrow types for Arrow blocks but
+        # numpy dtypes / Python classes for pandas-backed datasets
+        if isinstance(t, pa.DataType):
+            return t
+        if t in (str, object):
+            return pa.string()
+        if t is bytes:
+            return pa.binary()
+        return pa.from_numpy_dtype(np.dtype(t))
+
+    types = {n: _pa_type(lschema.types[lschema.names.index(n)])
+             for n in lrest}
+    types.update({n: _pa_type(rschema.types[rschema.names.index(n)])
+                  for n in rrest})
+
+    def _part(arr) -> pa.Array:
+        vals = arr.to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(np.asarray(vals), categorize=False)
+        return pa.array((h % np.uint64(num_parts)).astype(np.int32))
+
+    def tag(side: int, key: str, own: list):
+        def fn(b: pa.Table) -> pa.Table:
+            n = len(b)
+            cols = {"part": _part(b[key]), "_k": b[key],
+                    "_side": pa.array(np.full(n, side, dtype=np.int8))}
+            for name in (*lrest, *rrest):
+                cols[name] = b[name] if name in own \
+                    else pa.nulls(n, type=types[name])
+            return pa.table(cols)
+        return fn
+
+    tagged = left.map_batches(tag(0, left_on, lrest),
+                              batch_format="pyarrow") \
+        .union(right.map_batches(tag(1, right_on, rrest),
+                                 batch_format="pyarrow"))
+
+    def join_part(g: pa.Table) -> "pd.DataFrame":
+        side = g["_side"]
+        # split FIRST, then to_pandas per side: each side's own columns
+        # are null-free, so integer dtypes survive the conversion
+        lf = g.filter(pc.equal(side, 0)).select(["_k", *lrest]).to_pandas()
+        rf = g.filter(pc.equal(side, 1)).select(["_k", *rrest]).to_pandas()
+        out = lf.merge(rf, on="_k", how=how)
+        return out.rename(columns={"_k": left_on})
+
+    return tagged.groupby("part").map_groups(join_part,
+                                             batch_format="pyarrow")

@@ -2730,6 +2730,47 @@ group by n_name
 """
 
 
+def q_shuffle_join_priority_revenue(sf_dir: str):
+    """Large × large shuffle hash join (neither side broadcast):
+    lineitem ⨝ orders on the order key in one tagged-union exchange,
+    then integer-cent revenue per order priority. The per-batch partial
+    fold after the join keeps the second shuffle at ≤ 5 rows per
+    partition."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from ..functions.join import shuffle_hash_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    j = shuffle_hash_join(li, orders, left_on="l_orderkey",
+                          right_on="o_orderkey")
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        cents = np.rint(b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        df = pd.DataFrame({"o_orderpriority":
+                           b["o_orderpriority"].to_pylist(),
+                           "revenue_cents": cents, "n": np.int64(1)})
+        g = df.groupby("o_orderpriority", sort=False)
+        return g.agg(n=("n", "sum"),
+                     revenue_cents=("revenue_cents", "sum")).reset_index()
+
+    return j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_orderpriority") \
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("revenue_cents", alias_name="revenue_cents"))
+
+
+SQL_SHUFFLE_JOIN_PRIORITY_REVENUE = """
+select o_orderpriority, count(*)::bigint as n,
+       sum(round(l_extendedprice * 100)::bigint)::bigint as revenue_cents
+from lineitem join orders on l_orderkey = o_orderkey
+group by o_orderpriority
+"""
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic uniform 100-row sample by smallest md5(doc_id) —
     reproducible across runs/cluster sizes, unlike random_sample."""
@@ -2786,6 +2827,7 @@ QUERIES = {
     "semijoin_urgent_lineitem": q_semijoin_urgent_lineitem,
     "antijoin_idle_customers": q_antijoin_idle_customers,
     "broadcast_join_nation_revenue": q_broadcast_join_nation_revenue,
+    "shuffle_join_priority_revenue": q_shuffle_join_priority_revenue,
     "term_df_ctf_top50": q_term_df_ctf_top50,
     "index_bm25_top10": q_index_bm25_top10,
     "index_bm25_maxscore_top10": q_index_bm25_maxscore_top10,
@@ -2864,6 +2906,7 @@ ORACLE_SQL = {
     "semijoin_urgent_lineitem": SQL_SEMIJOIN_URGENT_LINEITEM,
     "antijoin_idle_customers": SQL_ANTIJOIN_IDLE_CUSTOMERS,
     "broadcast_join_nation_revenue": SQL_BROADCAST_JOIN_NATION_REVENUE,
+    "shuffle_join_priority_revenue": SQL_SHUFFLE_JOIN_PRIORITY_REVENUE,
     "term_df_ctf_top50": SQL_TERM_DF_CTF_TOP50,
     "index_bm25_top10": SQL_INDEX_BM25_TOP10,
     "index_bm25_maxscore_top10": SQL_INDEX_BM25_TOP10,

@@ -6,7 +6,7 @@ import pyarrow as pa
 import pytest
 
 from search_engines_ray.functions.join import (
-    broadcast_hash_join, broadcast_semijoin,
+    broadcast_hash_join, broadcast_semijoin, shuffle_hash_join,
 )
 
 
@@ -81,6 +81,47 @@ def test_broadcast_guard_raises(rd, fact, dim):
         broadcast_hash_join(rd.from_pandas(fact), rd.from_pandas(dim),
                             left_on="k", right_on="dk",
                             max_broadcast_bytes=8)
+
+
+def test_shuffle_join_matches_pandas_inner(rd, fact, dim):
+    out = shuffle_hash_join(rd.from_pandas(fact).repartition(5),
+                            rd.from_pandas(dim).repartition(3),
+                            left_on="k", right_on="dk", num_parts=16) \
+        .to_pandas().sort_values(["k", "v", "name"], ignore_index=True)
+    want = fact.merge(dim, left_on="k", right_on="dk").drop(columns=["dk"]) \
+        .sort_values(["k", "v", "name"], ignore_index=True)
+    pd.testing.assert_frame_equal(out[sorted(out.columns)],
+                                  want[sorted(want.columns)])
+    assert out["v"].dtype == np.int64  # int dtypes survive the union
+
+
+def test_shuffle_join_left_keeps_unmatched(rd, fact, dim):
+    out = shuffle_hash_join(rd.from_pandas(fact), rd.from_pandas(dim),
+                            left_on="k", right_on="dk", how="left",
+                            num_parts=8).to_pandas()
+    assert len(out) == len(fact) + fact["k"].isin([3, 42]).sum()
+    unmatched = out[out["name"].isna()]
+    assert (~unmatched["k"].isin(dim["dk"])).all()
+
+
+def test_shuffle_join_string_keys(rd):
+    lf = pd.DataFrame({"k": ["a", "b", "a", "z"],
+                       "v": np.arange(4, dtype=np.int64)})
+    rf = pd.DataFrame({"k2": ["a", "b", "c"], "w": ["x", "y", "z"]})
+    out = shuffle_hash_join(rd.from_pandas(lf), rd.from_pandas(rf),
+                            left_on="k", right_on="k2", num_parts=8) \
+        .to_pandas().sort_values(["k", "v"], ignore_index=True)
+    want = lf.merge(rf, left_on="k", right_on="k2").drop(columns=["k2"]) \
+        .sort_values(["k", "v"], ignore_index=True)
+    pd.testing.assert_frame_equal(out[sorted(out.columns)],
+                                  want[sorted(want.columns)])
+
+
+def test_shuffle_join_rejects_overlapping_columns(rd, fact):
+    other = pd.DataFrame({"dk": [1], "v": [2]})  # "v" exists on left too
+    with pytest.raises(ValueError, match="both sides"):
+        shuffle_hash_join(rd.from_pandas(fact), rd.from_pandas(other),
+                          left_on="k", right_on="dk")
 
 
 def test_hash_join_rejects_widening_join_types(rd, fact, dim):
