@@ -74,21 +74,29 @@ def broadcast_semijoin(ds, keys, key_col: str, keys_col: str | None = None,
     in the small side's ``keys_col`` set. → Dataset with ``ds``'s schema.
 
     The key set is deduplicated before broadcast, so the object-store
-    payload is bounded by the DISTINCT key count; each fact batch is
-    filtered with one vectorized ``pc.is_in`` — the fact table itself
-    never shuffles. ``ray.get`` on the broadcast ref inside the batch
-    function is a zero-copy shared-memory lookup after the first
-    per-node fetch."""
+    payload is bounded by the DISTINCT key count; the fact table itself
+    never shuffles. The lookup hash table is built ONCE PER WORKER
+    PROCESS (``util.proc_cached`` over a ``pd.Index``, whose hash engine
+    is cached after first use) — ``pc.is_in`` would re-index the whole
+    key set on every batch, which at a 10⁸-key set dominates the stage."""
+    import pandas as pd
+
+    from ..util import proc_cached
+
     keys_col = keys_col or key_col
     kt = _gather_small(keys, [keys_col], max_broadcast_bytes,
                        what="semijoin key set")
     key_ref = ray.put(pc.unique(kt[keys_col]))
+    cache_key = ("semijoin_keys", key_ref.hex())
 
     def filt(b: pa.Table) -> pa.Table:
-        mask = pc.is_in(b[key_col], value_set=ray.get(key_ref))
+        idx = proc_cached(cache_key, lambda: pd.Index(
+            ray.get(key_ref).to_numpy(zero_copy_only=False)))
+        vals = b[key_col].to_numpy(zero_copy_only=False)
+        mask = idx.get_indexer(vals) >= 0
         if anti:
-            mask = pc.invert(mask)
-        return b.filter(mask)
+            mask = ~mask
+        return b.filter(pa.array(mask))
 
     return ds.map_batches(filt, batch_format="pyarrow")
 
@@ -96,12 +104,23 @@ def broadcast_semijoin(ds, keys, key_col: str, keys_col: str | None = None,
 def broadcast_hash_join(ds, small, left_on: str, right_on: str | None = None,
                         columns=None, join_type: str = "inner",
                         max_broadcast_bytes: int = 256 << 20):
-    """Join each fact batch against the broadcast small table (Acero
-    hash join per batch). → Dataset with ``ds``'s columns plus the small
-    side's non-key ``columns``. ``join_type``: ``inner`` or
-    ``left outer`` (each fact row keeps at most its matches; small-side
-    rows never fan IN, so output size is bounded by fact rows × max key
-    multiplicity on the small side)."""
+    """Join each fact batch against the broadcast small table. →
+    Dataset with ``ds``'s columns plus the small side's non-key
+    ``columns``. ``join_type``: ``inner`` or ``left outer`` (each fact
+    row keeps at most its matches; small-side rows never fan IN, so
+    output size is bounded by fact rows × max key multiplicity on the
+    small side).
+
+    When the small side's keys are UNIQUE (the dimension-table norm)
+    the lookup is a per-worker cached ``pd.Index`` + Arrow ``take`` —
+    the hash table is built once per worker process. With duplicated
+    keys it falls back to a per-batch Acero hash join, which re-indexes
+    the small side every batch: fine for a few-MB side, wasteful for a
+    big one (dedup or pre-aggregate the small side instead)."""
+    import pandas as pd
+
+    from ..util import proc_cached
+
     right_on = right_on or left_on
     if join_type not in ("inner", "left outer"):
         raise ValueError(f"join_type={join_type!r}: only 'inner' and "
@@ -112,13 +131,50 @@ def broadcast_hash_join(ds, small, left_on: str, right_on: str | None = None,
     st = _gather_small(small, cols, max_broadcast_bytes,
                        what="hash-join small side")
 
+    small_nonkey = set(st.column_names) - {right_on}
+
+    def _check_overlap(b: pa.Table):
+        # checked per batch (set op over ~10 names) rather than via
+        # ds.schema(), which would force execution of a derived fact side
+        overlap = sorted(small_nonkey & set(b.column_names))
+        if overlap:
+            raise ValueError(
+                f"non-key columns {overlap} exist on both sides — rename "
+                f"upstream or pass `columns=` to prune the small side")
+
+    keys_unique = st.num_rows == len(pc.unique(st[right_on]))
     small_ref = ray.put(st)
+    cache_key = ("bcast_join_small", small_ref.hex())
 
-    def join_batch(b: pa.Table) -> pa.Table:
-        return b.join(ray.get(small_ref), keys=left_on, right_keys=right_on,
-                      join_type=join_type)
+    if not keys_unique:
+        def join_batch(b: pa.Table) -> pa.Table:
+            _check_overlap(b)
+            return b.join(ray.get(small_ref), keys=left_on,
+                          right_keys=right_on, join_type=join_type)
+        return ds.map_batches(join_batch, batch_format="pyarrow")
 
-    return ds.map_batches(join_batch, batch_format="pyarrow")
+    def build():
+        t = ray.get(small_ref)
+        idx = pd.Index(t[right_on].to_numpy(zero_copy_only=False))
+        return idx, t.drop_columns([right_on])
+
+    def join_unique(b: pa.Table) -> pa.Table:
+        _check_overlap(b)
+        idx, rt = proc_cached(cache_key, build)
+        pos = idx.get_indexer(b[left_on].to_numpy(zero_copy_only=False))
+        if join_type == "inner":
+            keep = pos >= 0
+            lb = b.filter(pa.array(keep))
+            rb = rt.take(pos[keep])
+        else:
+            lb = b
+            rb = rt.take(pa.array(np.maximum(pos, 0), type=pa.int64(),
+                                  mask=pos < 0))
+        out = {n: lb[n] for n in lb.column_names}
+        out.update({n: rb[n] for n in rb.column_names})
+        return pa.table(out)
+
+    return ds.map_batches(join_unique, batch_format="pyarrow")
 
 
 def shuffle_hash_join(left, right, left_on: str, right_on: str | None = None,

@@ -83,6 +83,33 @@ def test_broadcast_guard_raises(rd, fact, dim):
                             max_broadcast_bytes=8)
 
 
+def test_hash_join_unique_keys_inner_and_left(rd, fact):
+    # unique small-side keys take the per-worker-cached pd.Index path
+    udim = pd.DataFrame({"dk": np.array([3, 17, 42, 500], dtype=np.int64),
+                         "name": ["a", "b", "c", "never"]})
+    out = broadcast_hash_join(rd.from_pandas(fact).repartition(4),
+                              rd.from_pandas(udim), left_on="k",
+                              right_on="dk") \
+        .to_pandas().sort_values(["k", "v"], ignore_index=True)
+    want = fact.merge(udim, left_on="k", right_on="dk") \
+        .drop(columns=["dk"]).sort_values(["k", "v"], ignore_index=True)
+    pd.testing.assert_frame_equal(out[sorted(out.columns)],
+                                  want[sorted(want.columns)])
+    lout = broadcast_hash_join(rd.from_pandas(fact), rd.from_pandas(udim),
+                               left_on="k", right_on="dk",
+                               join_type="left outer").to_pandas()
+    assert len(lout) == len(fact)
+    assert lout["name"].isna().sum() == (~fact["k"].isin(udim["dk"])).sum()
+
+
+def test_hash_join_rejects_overlapping_columns(rd, fact):
+    other = pd.DataFrame({"dk": np.array([1], dtype=np.int64), "v": [2]})
+    j = broadcast_hash_join(rd.from_pandas(fact), rd.from_pandas(other),
+                            left_on="k", right_on="dk")
+    with pytest.raises(Exception, match="both sides"):  # raised in-task
+        j.to_pandas()
+
+
 def test_shuffle_join_matches_pandas_inner(rd, fact, dim):
     out = shuffle_hash_join(rd.from_pandas(fact).repartition(5),
                             rd.from_pandas(dim).repartition(3),
