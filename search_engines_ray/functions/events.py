@@ -54,12 +54,16 @@ def tumbling_window_aggregate(ds, window_s: int = 3600,
     ``key_col``, n_events, sum_value, min_value, max_value).
 
     Combiner pattern: each batch pre-aggregates to at most
-    (windows × keys) partial rows BEFORE the shuffle, so the global
-    ``groupby`` moves per-window partials, not events — at web scale the
-    all-to-all exchange is proportional to window count, not row count.
+    (windows × keys) partial rows BEFORE the shuffle, so the exchange
+    moves per-window partials, not events — at web scale it is
+    proportional to window count, not row count. The merge is the house
+    int-key-partition + vectorized-map_groups pattern
+    (``window_start % parts`` co-locates every (window, key) partial);
+    Ray's multi-key hash Aggregate is orders of magnitude slower on
+    compound int+string keys.
     """
-    from ray.data.aggregate import Max, Min, Sum
     win_us = int(window_s) * 1_000_000
+    merge_parts = 64
 
     def partial(b: pa.Table) -> pd.DataFrame:
         t = _epoch_us(b[ts_col])
@@ -71,31 +75,30 @@ def tumbling_window_aggregate(ds, window_s: int = 3600,
                            "sum_cents": cents,
                            "min_cents": cents, "max_cents": cents})
         g = df.groupby(["window_start", key_col], sort=False)
-        return g.agg(n_events=("n_events", "sum"),
-                     sum_cents=("sum_cents", "sum"),
-                     min_cents=("min_cents", "min"),
-                     max_cents=("max_cents", "max")).reset_index()
+        out = g.agg(n_events=("n_events", "sum"),
+                    sum_cents=("sum_cents", "sum"),
+                    min_cents=("min_cents", "min"),
+                    max_cents=("max_cents", "max")).reset_index()
+        out["part"] = (out["window_start"] % merge_parts).astype(np.int32)
+        return out
 
-    merged = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["window_start", key_col]) \
-        .aggregate(Sum("n_events", alias_name="n_events"),
-                   Sum("sum_cents", alias_name="sum_cents"),
-                   Min("min_cents", alias_name="min_cents"),
-                   Max("max_cents", alias_name="max_cents"))
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby(["window_start", key_col], sort=False) \
+            .agg(n_events=("n_events", "sum"),
+                 sum_cents=("sum_cents", "sum"),
+                 min_cents=("min_cents", "min"),
+                 max_cents=("max_cents", "max")).reset_index()
+        return pd.DataFrame({
+            "window_start": gg["window_start"].astype(np.int64),
+            key_col: gg[key_col],
+            "n_events": gg["n_events"].astype(np.int64),
+            "sum_value": gg["sum_cents"].to_numpy() / 100.0,
+            "min_value": gg["min_cents"].to_numpy() / 100.0,
+            "max_value": gg["max_cents"].to_numpy() / 100.0})
 
-    def finalize(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "window_start": b["window_start"].cast(pa.int64()),
-            key_col: b[key_col],
-            "n_events": b["n_events"].cast(pa.int64()),
-            "sum_value": pa.array(
-                b["sum_cents"].to_numpy(zero_copy_only=False) / 100.0),
-            "min_value": pa.array(
-                b["min_cents"].to_numpy(zero_copy_only=False) / 100.0),
-            "max_value": pa.array(
-                b["max_cents"].to_numpy(zero_copy_only=False) / 100.0)})
-
-    return merged.map_batches(finalize, batch_format="pyarrow")
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None) \
+        .groupby("part").map_groups(merge, batch_format="pandas")
 
 
 def sliding_window_aggregate(ds, window_s: int = 3600, stride_s: int = 900,
@@ -110,13 +113,14 @@ def sliding_window_aggregate(ds, window_s: int = 3600, stride_s: int = 900,
     ×(w/stride) replication happens INSIDE the batch (vectorized
     np.repeat) and immediately folds to (window, key) partials, so the
     shuffle carries per-window partials — replication never crosses the
-    exchange."""
-    from ray.data.aggregate import Sum
+    exchange. Merge = int-key partition + vectorized map_groups (see
+    the tumbling variant for why not Ray's multi-key Aggregate)."""
     if window_s % stride_s:
         raise ValueError(f"window_s={window_s} must be a multiple of "
                          f"stride_s={stride_s}")
     q = window_s // stride_s
     stride_us = int(stride_s) * 1_000_000
+    merge_parts = 64
 
     def partial(b: pa.Table) -> pd.DataFrame:
         t = _epoch_us(b[ts_col])
@@ -130,23 +134,24 @@ def sliding_window_aggregate(ds, window_s: int = 3600, stride_s: int = 900,
                            "n_events": np.int64(1),
                            "sum_cents": np.repeat(cents, q)})
         g = df.groupby(["window_start", key_col], sort=False)
-        return g.agg(n_events=("n_events", "sum"),
-                     sum_cents=("sum_cents", "sum")).reset_index()
+        out = g.agg(n_events=("n_events", "sum"),
+                    sum_cents=("sum_cents", "sum")).reset_index()
+        out["part"] = (out["window_start"] % merge_parts).astype(np.int32)
+        return out
 
-    merged = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["window_start", key_col]) \
-        .aggregate(Sum("n_events", alias_name="n_events"),
-                   Sum("sum_cents", alias_name="sum_cents"))
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby(["window_start", key_col], sort=False) \
+            .agg(n_events=("n_events", "sum"),
+                 sum_cents=("sum_cents", "sum")).reset_index()
+        return pd.DataFrame({
+            "window_start": gg["window_start"].astype(np.int64),
+            key_col: gg[key_col],
+            "n_events": gg["n_events"].astype(np.int64),
+            "sum_value": gg["sum_cents"].to_numpy() / 100.0})
 
-    def finalize(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "window_start": b["window_start"].cast(pa.int64()),
-            key_col: b[key_col],
-            "n_events": b["n_events"].cast(pa.int64()),
-            "sum_value": pa.array(
-                b["sum_cents"].to_numpy(zero_copy_only=False) / 100.0)})
-
-    return merged.map_batches(finalize, batch_format="pyarrow")
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None) \
+        .groupby("part").map_groups(merge, batch_format="pandas")
 
 
 # ------------------------------------------------------------ sessions
