@@ -281,3 +281,53 @@ def asof_join(left_ds, right_ds, left_key: str, right_key: str,
 
     return tagged.groupby("part").map_groups(join_part,
                                              batch_format="pandas")
+
+
+def json_field_agg(ds, field: str = "k", json_col: str = "props",
+                   group_col: str = "event_type"):
+    """Parse a JSON-string column, extract one numeric ``field``, and
+    aggregate (count of non-null, sum, 6-dp mean) per ``group_col`` —
+    the semi-structured-sidecar pattern (event props, page metadata)
+    that at 100 TB must parse once per payload in the map stage and
+    exchange only per-(batch, group) partial rows. stdlib ``json`` per
+    row is the cost floor here: the payload itself must be parsed, and
+    rows-per-batch Python overhead is dwarfed by the parse. Missing
+    keys / nulls / non-JSON rows contribute to neither count nor sum
+    (mirrors SQL ``json_extract`` → NULL semantics)."""
+    import json
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        groups = b[group_col].to_pylist()
+        vals = np.full(len(groups), np.nan, dtype=np.float64)
+        for i, s in enumerate(b[json_col].to_pylist()):
+            if not s:
+                continue
+            try:
+                v = json.loads(s).get(field)
+            except (ValueError, AttributeError):
+                continue
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                vals[i] = float(v)
+        df = pd.DataFrame({group_col: groups, "v": vals})
+        agg = df.groupby(group_col, sort=False)["v"].agg(
+            n="count", s="sum")
+        return pa.table({group_col: pa.array(agg.index.to_numpy()),
+                         "n": pa.array(agg["n"].to_numpy(np.int64)),
+                         "s": pa.array(agg["s"].to_numpy(np.float64))})
+
+    def final(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = b.to_pandas().groupby(group_col, sort=True).sum().reset_index()
+        from ..functions.text import round6
+        mean = np.where(df["n"] > 0, df["s"] / df["n"].where(df["n"] > 0, 1),
+                        np.nan)
+        return pa.table({group_col: pa.array(df[group_col].to_numpy()),
+                         "n_vals": pa.array(df["n"].to_numpy(np.int64)),
+                         "sum_val": pa.array(df["s"].to_numpy(np.float64)),
+                         "mean_val": pa.array(round6(mean))})
+
+    # group cardinality is tiny (event types); one single-block merge
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(final, batch_format="pyarrow", batch_size=None)

@@ -110,3 +110,50 @@ def topk_per_group(ds, group_col: str, sort_col: str, id_col: str,
 
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("part").map_groups(final, batch_format="pyarrow")
+
+
+def stratified_sample(ds, strata_col: str, id_col: str = "doc_id",
+                      k: int = 10):
+    """→ Dataset (``strata_col``, ``id_col``, sample_rank 1..k): the k
+    rows with the smallest md5(id) WITHIN each stratum — a deterministic
+    stratified sample (equal depth per stratum regardless of stratum
+    skew), auditable in SQL as ``row_number() over (partition by stratum
+    order by md5(id::varchar), id) <= k``. Per-batch partial cut bounds
+    the merge at k × strata × blocks rows; strata counts are small by
+    definition (languages, sources, buckets), so the final cut runs on
+    one tiny block."""
+
+    def _cut(strata, ids, h, kk):
+        # (stratum asc, hash asc, id asc); first kk rows per stratum
+        order = np.lexsort((ids, h, strata))
+        s = strata[order]
+        bound = np.concatenate(([True], s[1:] != s[:-1]))
+        seg_start = np.maximum.accumulate(
+            np.where(bound, np.arange(len(s)), 0))
+        rank = np.arange(len(s)) - seg_start
+        keep = rank < kk
+        return order[keep], rank[keep]
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        strata = np.asarray(b[strata_col].to_pylist(), dtype=object)
+        h = _id_hash64(ids)
+        ids_np = np.asarray(ids, dtype=np.int64)
+        keep, _ = _cut(strata, ids_np, h, k)
+        return pa.table({strata_col: pa.array(strata[keep].tolist()),
+                         id_col: pa.array(ids_np[keep]),
+                         "h": pa.array(h[keep])})
+
+    def final(b: pa.Table) -> pa.Table:
+        strata = np.asarray(b[strata_col].to_pylist(), dtype=object)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        h = b["h"].to_numpy(zero_copy_only=False)
+        keep, rank = _cut(strata, ids, h, k)
+        return pa.table({
+            strata_col: pa.array(strata[keep].tolist()),
+            id_col: pa.array(ids[keep]),
+            "sample_rank": pa.array((rank + 1).astype(np.int64))})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(final, batch_format="pyarrow", batch_size=None)

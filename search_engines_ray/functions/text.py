@@ -157,3 +157,152 @@ def doc_fingerprint(ds, text_col: str = "text", id_col: str = "doc_id",
         return pa.table({id_col: pa.array(ids),
                          "fingerprint": pa.array(fps, pa.list_(pa.uint64()))})
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def repetition_batch(b: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style per-doc repetition signals (Rae et al. 2021 §A1.1,
+    word-level because this corpus has no line structure):
+    ``dup_token_frac`` = 1 − distinct/total tokens, ``top_token_frac``
+    = most-frequent-token count / total, ``dup_bigram_frac`` = 1 −
+    distinct/total word bigrams. All 6-dp rounded for the DuckDB
+    oracle; empty docs score 0 on every signal."""
+    texts = b[text_col].to_pylist()
+    n = len(texts)
+    dup_tok = np.zeros(n, dtype=np.float64)
+    top_tok = np.zeros(n, dtype=np.float64)
+    dup_bg = np.zeros(n, dtype=np.float64)
+    for i, t in enumerate(texts):
+        toks = simple_tokenize(t or "")
+        if not toks:
+            continue
+        arr = np.asarray(toks, dtype=object)
+        _, counts = np.unique(arr, return_counts=True)
+        dup_tok[i] = 1.0 - counts.size / len(toks)
+        top_tok[i] = counts.max() / len(toks)
+        if len(toks) >= 2:
+            bgs = np.char.add(np.char.add(arr[:-1].astype(str), " "),
+                              arr[1:].astype(str))
+            dup_bg[i] = 1.0 - np.unique(bgs).size / (len(toks) - 1)
+    out = pa.table({c: b[c] for c in b.column_names})
+    out = out.append_column("dup_token_frac", pa.array(round6(dup_tok)))
+    out = out.append_column("top_token_frac", pa.array(round6(top_tok)))
+    out = out.append_column("dup_bigram_frac", pa.array(round6(dup_bg)))
+    return out
+
+
+def repetition_stats(ds, text_col: str = "text"):
+    return ds.map_batches(lambda b: repetition_batch(b, text_col),
+                          batch_format="pyarrow")
+
+
+def heuristic_filter(ds, text_col: str = "text",
+                     min_tokens: int = 20, max_tokens: int = 100_000,
+                     min_mean_len: float = 2.0, max_mean_len: float = 10.0,
+                     min_stopword_ratio: float = 0.0,
+                     max_dup_token_frac: float = 0.9):
+    """C4/Gopher-style quality gate: a boolean ``keep`` per doc from the
+    already-oracle-checked quality + repetition signals (C4: Raffel et
+    al. 2020 §2.2; Gopher rules as above). Emits (…, keep) rather than
+    dropping rows so the decision itself is auditable — a production
+    pipeline chains ``.filter(expr="keep")``."""
+    def fn(b: pa.Table) -> pa.Table:
+        q = quality_batch(b, text_col)
+        r = repetition_batch(b, text_col)
+        n_tok = q["n_tokens"].to_numpy()
+        mtl = q["mean_token_len"].to_numpy()
+        stop = q["stopword_ratio"].to_numpy()
+        dup = r["dup_token_frac"].to_numpy()
+        keep = ((n_tok >= min_tokens) & (n_tok <= max_tokens)
+                & (mtl >= min_mean_len) & (mtl <= max_mean_len)
+                & (stop >= min_stopword_ratio)
+                & (dup <= max_dup_token_frac))
+        out = pa.table({c: b[c] for c in b.column_names})
+        return out.append_column("keep", pa.array(keep))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# PII patterns chosen inside the RE2 ∩ Python-re common subset so the
+# DuckDB oracle's regexp_* calls match byte for byte.
+_PII_EMAIL_RE = re.compile(r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}")
+_PII_PHONE_RE = re.compile(r"\d{3}-\d{3}-\d{4}")
+_PII_IPV4_RE = re.compile(r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}")
+
+
+def pii_scrub(ds, text_col: str = "text", out_col: str = "scrubbed"):
+    """Redact emails → ``<EMAIL>``, phones → ``<PHONE>``, IPv4 →
+    ``<IP>`` (in that order: the phone pattern must not eat the ipv4
+    dotted quads and vice versa — ordering is part of the contract and
+    mirrored in the oracle's nested regexp_replace). Adds per-doc match
+    counts alongside the scrubbed text."""
+    def fn(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        n = len(texts)
+        n_email = np.empty(n, dtype=np.int64)
+        n_phone = np.empty(n, dtype=np.int64)
+        n_ip = np.empty(n, dtype=np.int64)
+        scrubbed = []
+        for i, t in enumerate(texts):
+            t = t or ""
+            t, n_email[i] = _PII_EMAIL_RE.subn("<EMAIL>", t)
+            t, n_phone[i] = _PII_PHONE_RE.subn("<PHONE>", t)
+            t, n_ip[i] = _PII_IPV4_RE.subn("<IP>", t)
+            scrubbed.append(t)
+        out = pa.table({c: b[c] for c in b.column_names})
+        out = out.append_column("n_emails", pa.array(n_email))
+        out = out.append_column("n_phones", pa.array(n_phone))
+        out = out.append_column("n_ipv4", pa.array(n_ip))
+        return out.append_column(out_col, pa.array(scrubbed, pa.string()))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def top_bigrams(ds, text_col: str = "text", k: int = 50,
+                num_parts: int = 64):
+    """Corpus-level word-bigram counts, top ``k`` (count desc, bigram
+    asc). Three-stage shape built for 100 TB: (1) per-batch Counter
+    pre-aggregation so the exchange carries one row per distinct bigram
+    per batch, not one per occurrence; (2) hash-partitioned per-part
+    exact sums + per-part top-k (a bigram lives in exactly one part, so
+    the per-part cut is globally safe); (3) a ≤ num_parts × k row
+    single-block merge."""
+    from collections import Counter
+    from zlib import crc32
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in b[text_col].to_pylist():
+            toks = simple_tokenize(t or "")
+            c.update(" ".join(p) for p in zip(toks, toks[1:]))
+        bigrams = list(c.keys())
+        # crc32, NOT hash(): str hashing is salted per process, and the
+        # per-part top-k cut is only safe if every worker routes a given
+        # bigram to the same partition
+        parts = np.fromiter(
+            (crc32(g.encode()) % num_parts for g in bigrams),
+            dtype=np.int32, count=len(bigrams))
+        return pa.table({
+            "part": pa.array(parts),
+            "bigram": pa.array(bigrams, pa.string()),
+            "n": pa.array(np.fromiter(c.values(), dtype=np.int64,
+                                      count=len(c)))})
+
+    def per_part(g: pa.Table):
+        import pandas as pd
+        df = g.to_pandas()
+        if df.empty:
+            return pd.DataFrame({"bigram": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        s = df.groupby("bigram", sort=False)["n"].sum()
+        top = s.sort_index().sort_values(kind="stable", ascending=False)[:k]
+        return pd.DataFrame({"bigram": top.index.to_numpy(),
+                             "n": top.to_numpy()})
+
+    def final(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = b.to_pandas().sort_values(
+            ["n", "bigram"], ascending=[False, True], kind="stable")[:k]
+        return pa.Table.from_pandas(df.reset_index(drop=True))
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(per_part, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(final, batch_format="pyarrow", batch_size=None)

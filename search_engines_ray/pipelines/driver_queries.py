@@ -2813,6 +2813,217 @@ from r where rnk <= 3
 """
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style per-doc repetition signals (duplicate-token /
+    top-token / duplicate-bigram fractions) — the standard web-text
+    repetition filters, fully vectorized per batch."""
+    import ray.data as rd
+    from ..functions.text import repetition_stats
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return repetition_stats(ds).select_columns(
+        ["doc_id", "dup_token_frac", "top_token_frac", "dup_bigram_frac"])
+
+
+SQL_REPETITION_STATS = f"""
+with t as (select doc_id, {SIMPLE_TOKS_SQL} as toks from documents),
+b as (select doc_id, len(toks) as n, len(list_distinct(toks)) as nd,
+        case when len(toks) >= 2 then len(toks) - 1 else 0 end as nbg,
+        case when len(toks) >= 2 then len(list_distinct(
+          list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i+1])))
+        else 0 end as nbgd
+      from t),
+tc as (select doc_id, max(c) as topc from (
+        select doc_id, tok, count(*) as c
+        from (select doc_id, unnest(toks) as tok from t)
+        group by doc_id, tok) group by doc_id)
+select b.doc_id,
+  floor((case when n > 0 then 1.0 - nd::double / n else 0.0 end)
+        * 1000000 + 0.5) / 1000000 as dup_token_frac,
+  floor((case when n > 0 then coalesce(tc.topc, 0)::double / n
+         else 0.0 end) * 1000000 + 0.5) / 1000000 as top_token_frac,
+  floor((case when nbg > 0 then 1.0 - nbgd::double / nbg else 0.0 end)
+        * 1000000 + 0.5) / 1000000 as dup_bigram_frac
+from b left join tc on tc.doc_id = b.doc_id
+"""
+
+
+def q_heuristic_filter(sf_dir: str):
+    """C4/Gopher-style quality gate producing an auditable boolean
+    ``keep`` per doc (token-count band, mean-token-length band,
+    stopword floor, duplicate-token ceiling). Thresholds chosen to
+    split this corpus non-trivially."""
+    import ray.data as rd
+    from ..functions.text import heuristic_filter
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = heuristic_filter(ds, min_tokens=40, max_tokens=100_000,
+                           min_mean_len=2.0, max_mean_len=10.0,
+                           min_stopword_ratio=0.0,
+                           max_dup_token_frac=0.55)
+    return out.select_columns(["doc_id", "keep"])
+
+
+SQL_HEURISTIC_FILTER = f"""
+with t as (select doc_id, text, {SIMPLE_TOKS_SQL} as toks from documents),
+q as (select doc_id, len(toks) as n,
+        floor((case when len(toks) > 0
+              then list_aggregate(list_transform(toks, x -> len(x)),
+                                  'sum')::double / len(toks)
+              else 0.0 end) * 1000000 + 0.5) / 1000000 as mtl,
+        floor((case when len(toks) > 0
+              then len(list_filter(toks, x -> x in {_STOPLIST_SQL}))::double
+                   / len(toks)
+              else 0.0 end) * 1000000 + 0.5) / 1000000 as stopr,
+        floor((case when len(toks) > 0
+              then 1.0 - len(list_distinct(toks))::double / len(toks)
+              else 0.0 end) * 1000000 + 0.5) / 1000000 as dup
+      from t)
+select doc_id,
+       (n >= 40 and n <= 100000 and mtl >= 2.0 and mtl <= 10.0
+        and stopr >= 0.0 and dup <= 0.55) as keep
+from q
+"""
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII redaction (emails → <EMAIL>, phones → <PHONE>, IPv4 → <IP>)
+    with per-doc match counts. The corpus carries no PII, so both sides
+    first inject deterministic doc_id-derived contact strings — the
+    oracle then verifies counts AND the md5 of the scrubbed text, i.e.
+    the full redaction transform, not a vacuous all-zeros pass."""
+    import hashlib
+    import ray.data as rd
+    from ..functions.text import pii_scrub
+
+    def inject(b):
+        ids = b["doc_id"].to_pylist()
+        texts = b["text"].to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            s = (t or "") + " u{}@ex.com".format(i) * (i % 3)
+            s += " 555-123-{:04d}".format(i % 10000) * (i % 2)
+            if i % 5 == 0:
+                s += " 10.0.{}.{}".format(i % 256, (i // 256) % 256)
+            out.append(s)
+        return pa.table({"doc_id": pa.array(ids),
+                         "text": pa.array(out, pa.string())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    scrubbed = pii_scrub(ds.map_batches(inject, batch_format="pyarrow"))
+
+    def digest(b):
+        md5 = [hashlib.md5(s.encode()).hexdigest()
+               for s in b["scrubbed"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_emails": b["n_emails"],
+                         "n_phones": b["n_phones"],
+                         "n_ipv4": b["n_ipv4"],
+                         "scrub_md5": pa.array(md5, pa.string())})
+
+    return scrubbed.map_batches(digest, batch_format="pyarrow")
+
+
+SQL_PII_SCRUB = r"""
+with inj as (select doc_id,
+    text || repeat(' u' || doc_id::varchar || '@ex.com', doc_id % 3)
+         || repeat(' 555-123-' || lpad((doc_id % 10000)::varchar, 4, '0'),
+                   doc_id % 2)
+         || case when doc_id % 5 = 0
+                 then ' 10.0.' || (doc_id % 256)::varchar || '.'
+                      || ((doc_id // 256) % 256)::varchar
+                 else '' end as s0
+  from documents),
+e as (select doc_id,
+        len(regexp_extract_all(s0,
+            '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::bigint as n_emails,
+        regexp_replace(s0, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+                       '<EMAIL>', 'g') as s1
+      from inj),
+p as (select doc_id, n_emails,
+        len(regexp_extract_all(s1, '\d{3}-\d{3}-\d{4}'))::bigint as n_phones,
+        regexp_replace(s1, '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') as s2
+      from e),
+i as (select doc_id, n_emails, n_phones,
+        len(regexp_extract_all(s2,
+            '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}'))::bigint as n_ipv4,
+        regexp_replace(s2, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}',
+                       '<IP>', 'g') as s3
+      from p)
+select doc_id, n_emails, n_phones, n_ipv4, md5(s3) as scrub_md5 from i
+"""
+
+
+def q_top_bigrams(sf_dir: str):
+    """Corpus-level top-50 word bigrams (count desc, bigram asc) via
+    per-batch Counter partials → hash-partitioned exact per-part sums →
+    single tiny merge; the exchange carries per-(batch, bigram) rows,
+    never per-occurrence rows."""
+    import ray.data as rd
+    from ..functions.text import top_bigrams
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return top_bigrams(ds, k=50)
+
+
+SQL_TOP_BIGRAMS = f"""
+with t as (select {SIMPLE_TOKS_SQL} as toks from documents),
+b as (select unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) as bigram from t)
+select bigram, count(*)::bigint as n
+from b group by bigram order by n desc, bigram limit 50
+"""
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-language deterministic 10-doc sample by smallest md5(doc_id)
+    within each stratum — equal depth regardless of stratum skew."""
+    import ray.data as rd
+    from ..functions.sample import stratified_sample
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "doc_id"])
+    return stratified_sample(ds, strata_col="lang", id_col="doc_id", k=10)
+
+
+SQL_STRATIFIED_SAMPLE = """
+with h as (select lang, doc_id,
+                  ('0x' || substr(md5(doc_id::varchar), 1, 16))::ubigint as h
+           from documents),
+r as (select lang, doc_id,
+             row_number() over (partition by lang
+                                order by h, doc_id) as sample_rank
+      from h)
+select lang, doc_id, sample_rank::bigint as sample_rank
+from r where sample_rank <= 10
+"""
+
+
+def q_json_field_agg(sf_dir: str):
+    """Parse the events' JSON ``props`` sidecar, extract the numeric
+    ``k`` field, aggregate (count, sum, 6-dp mean) per event_type —
+    parse once per payload in the map stage, exchange only per-(batch,
+    type) partials."""
+    import ray.data as rd
+    from ..functions.events import json_field_agg
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+    return json_field_agg(ds, field="k", json_col="props",
+                          group_col="event_type")
+
+
+SQL_JSON_FIELD_AGG = """
+select event_type,
+  count(json_extract_string(props, '$.k'))::bigint as n_vals,
+  coalesce(sum(json_extract_string(props, '$.k')::double), 0)::double
+    as sum_val,
+  floor((sum(json_extract_string(props, '$.k')::double)
+         / count(json_extract_string(props, '$.k')))
+        * 1000000 + 0.5) / 1000000 as mean_val
+from events group by event_type
+"""
+
+
 QUERIES = {
     # oracle-checked
     "doc_token_counts": q_doc_token_counts,
@@ -2881,6 +3092,12 @@ QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "jaccard_verified_dedup": q_jaccard_verified_dedup,
     "simhash_dedup": q_simhash_dedup,
+    "repetition_stats": q_repetition_stats,
+    "heuristic_filter": q_heuristic_filter,
+    "pii_scrub": q_pii_scrub,
+    "top_bigrams": q_top_bigrams,
+    "stratified_sample": q_stratified_sample,
+    "json_field_agg": q_json_field_agg,
     # rows-only (full-analyzer token chains — oracle-checked via their
     # simple-analyzer twins above — plus sketches/LSH float paths)
     "sdm_wand_search": q_sdm_wand_search,
@@ -2894,6 +3111,12 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "repetition_stats": SQL_REPETITION_STATS,
+    "heuristic_filter": SQL_HEURISTIC_FILTER,
+    "pii_scrub": SQL_PII_SCRUB,
+    "top_bigrams": SQL_TOP_BIGRAMS,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "json_field_agg": SQL_JSON_FIELD_AGG,
     "doc_token_counts": SQL_DOC_TOKEN_COUNTS,
     "window_aggregate": SQL_WINDOW_AGGREGATE,
     "sliding_window_aggregate": SQL_SLIDING_WINDOW_AGGREGATE,

@@ -1,0 +1,149 @@
+"""Web-text curation operators added in round 4: repetition signals,
+heuristic quality gate, PII scrubbing, corpus bigram counts, stratified
+sampling, JSON-sidecar aggregation. Hand-computed expectations on toy
+inputs — independent of the DuckDB oracle mirrors in driver_queries."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data as rd
+    return rd
+
+
+def test_repetition_stats(rd):
+    from search_engines_ray.functions.text import repetition_stats
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["go go go go",                 # 4 tokens, 1 distinct
+                 "one two three four",          # all distinct
+                 ""],                           # empty -> all zeros
+    })
+    out = repetition_stats(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert out.loc[0, "dup_token_frac"] == 0.75
+    assert out.loc[0, "top_token_frac"] == 1.0
+    # bigrams of doc 1: "go go" x3 -> 1 distinct of 3 -> 1 - 1/3
+    assert out.loc[0, "dup_bigram_frac"] == round(1 - 1 / 3, 6)
+    assert out.loc[1, "dup_token_frac"] == 0.0
+    assert out.loc[1, "top_token_frac"] == 0.25
+    assert out.loc[1, "dup_bigram_frac"] == 0.0
+    assert (out.loc[2, ["dup_token_frac", "top_token_frac",
+                        "dup_bigram_frac"]] == 0.0).all()
+
+
+def test_heuristic_filter(rd):
+    from search_engines_ray.functions.text import heuristic_filter
+    long_ok = " ".join(f"word{i}" for i in range(30))
+    too_short = "tiny doc"
+    too_repetitive = " ".join(["spam"] * 30)
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": [long_ok, too_short, too_repetitive],
+    })
+    out = heuristic_filter(
+        rd.from_arrow(t), min_tokens=20, max_tokens=1000,
+        min_mean_len=2.0, max_mean_len=10.0,
+        max_dup_token_frac=0.5).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert list(out["keep"]) == [True, False, False]
+
+
+def test_pii_scrub(rd):
+    from search_engines_ray.functions.text import pii_scrub
+    t = pa.table({
+        "doc_id": [1, 2],
+        "text": ["mail bob@example.com or call 555-123-4567 at 10.0.0.1",
+                 "no pii here"],
+    })
+    out = pii_scrub(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert out.loc[0, "scrubbed"] == "mail <EMAIL> or call <PHONE> at <IP>"
+    assert (out.loc[0, ["n_emails", "n_phones", "n_ipv4"]] == 1).all()
+    assert out.loc[1, "scrubbed"] == "no pii here"
+    assert (out.loc[1, ["n_emails", "n_phones", "n_ipv4"]] == 0).all()
+
+
+def test_pii_scrub_order_phone_before_ip(rd):
+    # the phone pattern must fire before ipv4 so dotted quads are not
+    # half-eaten; and ipv4 must not match inside an already-redacted
+    # phone. A bare 3-3-4 digit string with dots is ip, dashes is phone.
+    from search_engines_ray.functions.text import pii_scrub
+    t = pa.table({"doc_id": [1],
+                  "text": ["192.168.001.12 555-000-1234"]})
+    out = pii_scrub(rd.from_arrow(t)).to_pandas()
+    assert out.loc[0, "scrubbed"] == "<IP> <PHONE>"
+
+
+def test_top_bigrams(rd):
+    from search_engines_ray.functions.text import top_bigrams
+    t = pa.table({"text": ["a b a b c", "a b x", ""]})
+    out = top_bigrams(rd.from_arrow(t), k=2).to_pandas()
+    # "a b" appears 3x (twice in doc1: positions 0-1 and 2-3; once doc2)
+    assert list(out["bigram"]) == ["a b", "b a"]
+    assert list(out["n"]) == [3, 1]
+
+
+def test_top_bigrams_tie_break(rd):
+    from search_engines_ray.functions.text import top_bigrams
+    t = pa.table({"text": ["z y", "b c"]})
+    out = top_bigrams(rd.from_arrow(t), k=2).to_pandas()
+    # equal counts -> bigram asc
+    assert list(out["bigram"]) == ["b c", "z y"]
+
+
+def test_stratified_sample(rd):
+    from search_engines_ray.functions.sample import stratified_sample
+    df = pd.DataFrame({
+        "lang": ["en"] * 50 + ["fr"] * 3,
+        "doc_id": list(range(50)) + [100, 101, 102],
+    })
+    out = stratified_sample(rd.from_pandas(df), strata_col="lang",
+                            id_col="doc_id", k=5).to_pandas()
+    en = out[out["lang"] == "en"]
+    fr = out[out["lang"] == "fr"]
+    assert len(en) == 5 and sorted(en["sample_rank"]) == [1, 2, 3, 4, 5]
+    assert len(fr) == 3 and sorted(fr["sample_rank"]) == [1, 2, 3]
+    # deterministic: smallest md5(doc_id) first within each stratum
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:16], 16)
+    expect_en = sorted(range(50), key=lambda i: (h(i), i))[:5]
+    got_en = list(en.sort_values("sample_rank")["doc_id"])
+    assert got_en == expect_en
+
+
+def test_stratified_sample_is_partition_invariant(rd):
+    from search_engines_ray.functions.sample import stratified_sample
+    df = pd.DataFrame({"lang": ["en"] * 40, "doc_id": range(40)})
+    one = stratified_sample(rd.from_pandas(df), "lang", "doc_id", k=4) \
+        .to_pandas().sort_values("sample_rank", ignore_index=True)
+    many = stratified_sample(rd.from_pandas(df).repartition(8),
+                             "lang", "doc_id", k=4) \
+        .to_pandas().sort_values("sample_rank", ignore_index=True)
+    assert list(one["doc_id"]) == list(many["doc_id"])
+
+
+def test_json_field_agg(rd):
+    from search_engines_ray.functions.events import json_field_agg
+    t = pa.table({
+        "event_type": ["a", "a", "a", "b", "b", "c"],
+        "props": ['{"k": 2}', '{"k": 3.5}', '{"other": 1}',
+                  '{"k": 10}', 'not json', None],
+    })
+    out = json_field_agg(rd.from_arrow(t)).to_pandas() \
+        .sort_values("event_type", ignore_index=True)
+    assert out.iloc[:2].to_dict("records") == [
+        {"event_type": "a", "n_vals": 2, "sum_val": 5.5,
+         "mean_val": 2.75},
+        {"event_type": "b", "n_vals": 1, "sum_val": 10.0,
+         "mean_val": 10.0},
+    ]
+    assert out.loc[2, "event_type"] == "c"
+    assert out.loc[2, "n_vals"] == 0 and out.loc[2, "sum_val"] == 0.0
+    assert np.isnan(out.loc[2, "mean_val"])
