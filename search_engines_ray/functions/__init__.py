@@ -1,33 +1,38 @@
 from .dedup import (
-    embedding_dedup, embedding_lsh_dedup, exact_dedup,
+    dup_span_stats, embedding_dedup, embedding_lsh_dedup, exact_dedup,
     minhash_candidate_pairs, minhash_lsh_dedup, ngram_jaccard,
     ngram_jaccard_pairs,
     simhash_dedup, simhash_pairs,
 )
 from .events import (
-    asof_join, sessionize, sliding_window_aggregate,
+    asof_join, json_field_agg, sessionize, sliding_window_aggregate,
     tumbling_window_aggregate,
 )
 from .graph import connected_components
 from .join import broadcast_hash_join, broadcast_semijoin, shuffle_hash_join
-from .sample import hash_sample, topk_per_group
+from .sample import hash_sample, stratified_sample, topk_per_group
 from .sketch import hyperloglog_distinct, value_quantiles
 from .similarity import ann_cosine_topk, ivf_ann_topk, lsh_ann_topk
 from .text import (
-    doc_fingerprint, language_id, quality_scores, token_stats,
+    doc_fingerprint, heuristic_filter, language_id, pii_scrub,
+    quality_scores, repetition_stats, token_stats, top_bigrams,
 )
 
 __all__ = [
+    "dup_span_stats",
     "embedding_dedup", "embedding_lsh_dedup", "exact_dedup",
     "minhash_candidate_pairs", "minhash_lsh_dedup", "ngram_jaccard",
     "ngram_jaccard_pairs",
     "simhash_dedup", "simhash_pairs",
-    "asof_join", "sessionize", "sliding_window_aggregate",
+    "asof_join", "json_field_agg", "sessionize",
+    "sliding_window_aggregate",
     "tumbling_window_aggregate",
     "connected_components",
     "broadcast_hash_join", "broadcast_semijoin", "shuffle_hash_join",
-    "hash_sample", "topk_per_group", "hyperloglog_distinct",
+    "hash_sample", "stratified_sample", "topk_per_group",
+    "hyperloglog_distinct",
     "value_quantiles",
     "ann_cosine_topk", "ivf_ann_topk", "lsh_ann_topk",
-    "doc_fingerprint", "language_id", "quality_scores", "token_stats",
+    "doc_fingerprint", "heuristic_filter", "language_id", "pii_scrub",
+    "quality_scores", "repetition_stats", "token_stats", "top_bigrams",
 ]

@@ -1114,3 +1114,98 @@ def _ngrams(tokens: list[str], n: int):
     if len(tokens) < n:
         return [tuple(tokens)] if tokens else []
     return [tuple(tokens[i:i + n]) for i in range(len(tokens) - n + 1)]
+
+
+# ---------------------------------------------------------------- dup spans
+
+def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
+                   w: int = 8, num_parts: int | None = None):
+    """→ Dataset (``id_col``, n_shingles, n_dup_shingles, dup_span_frac):
+    per-doc exact duplicate-span signal — the fraction of the doc's
+    w-token shingles whose exact shingle text occurs ≥ 2 times
+    corpus-wide (within- AND cross-document occurrences both count),
+    i.e. the substring-dedup statistic of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better"),
+    shingle-approximated so it distributes. Docs with fewer than ``w``
+    tokens have no shingles and are omitted.
+
+    Shape (the same one the index build uses — this IS an inverted
+    index over shingle hashes): map side emits one row per distinct
+    (doc, shingle-hash) with its in-doc count, pre-aggregated per batch;
+    one hash-partitioned exchange groups by shingle to mark dup rows
+    (group total ≥ 2); a second doc-keyed exchange folds per-doc sums.
+    Both exchanges carry (uint64, int64, int64) rows — never text — and
+    per-partition work is vectorized segment arithmetic. At cluster
+    scale pass num_parts ≈ distinct-shingle count / 50M so a
+    partition's rows fit a worker's heap."""
+    parts = int(num_parts or _EXACT_PARTS)
+    shuffle_blocks = max(16, parts // 8)
+
+    def shingles(b: pa.Table) -> pa.Table:
+        from ..analysis.tokenizer import simple_tokenize
+        hs, ds_, cs = [], [], []
+        for did, text in zip(b[id_col].to_pylist(),
+                             b[text_col].to_pylist()):
+            toks = simple_tokenize(text or "")
+            if len(toks) < w:
+                continue
+            h, c = np.unique(_shingle_hashes(toks, w), return_counts=True)
+            hs.append(h)
+            cs.append(c)
+            ds_.append(np.full(len(h), did, dtype=np.int64))
+        h = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+        return pa.table({
+            "part": pa.array((h % np.uint64(parts)).astype(np.int32)),
+            "h": pa.array(h),
+            id_col: pa.array(np.concatenate(ds_) if ds_
+                             else np.empty(0, np.int64)),
+            "cnt": pa.array(np.concatenate(cs).astype(np.int64) if cs
+                            else np.empty(0, np.int64))})
+
+    def mark_dups(g: pa.Table) -> pd.DataFrame:
+        # rows of one shingle-hash partition: group totals by h via
+        # sorted segment sums, then per-doc partial (total, dup) sums
+        h = g["h"].to_numpy(zero_copy_only=False)
+        if not len(h):
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "sh": pd.Series([], dtype=np.int64),
+                                 "dup": pd.Series([], dtype=np.int64)})
+        doc = g[id_col].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        hs, cs = h[order], cnt[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], hs[1:] != hs[:-1])))
+        totals = np.add.reduceat(cs, starts)
+        seg_len = np.diff(np.concatenate((starts, [len(hs)])))
+        is_dup = np.repeat(totals >= 2, seg_len)
+        dup_cnt = np.where(is_dup, cs, 0)
+        df = pd.DataFrame({id_col: doc[order], "sh": cs, "dup": dup_cnt})
+        out = df.groupby(id_col, sort=False)[["sh", "dup"]].sum()
+        return pd.DataFrame({id_col: out.index.to_numpy(),
+                             "sh": out["sh"].to_numpy(np.int64),
+                             "dup": out["dup"].to_numpy(np.int64)})
+
+    def fold_docs(g: pa.Table) -> pd.DataFrame:
+        df = g.to_pandas().groupby(id_col, sort=False)[["sh", "dup"]].sum()
+        from .text import round6
+        return pd.DataFrame({
+            id_col: df.index.to_numpy(),
+            "n_shingles": df["sh"].to_numpy(np.int64),
+            "n_dup_shingles": df["dup"].to_numpy(np.int64),
+            "dup_span_frac": round6(df["dup"].to_numpy(np.float64)
+                                    / df["sh"].to_numpy(np.float64))})
+
+    marked = ds.map_batches(shingles, batch_format="pyarrow") \
+        .repartition(shuffle_blocks) \
+        .groupby("part").map_groups(mark_dups, batch_format="pyarrow")
+
+    def repart(b: pa.Table) -> pa.Table:
+        doc = b[id_col].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "part2", pa.array((doc % parts).astype(np.int32)))
+
+    return marked.map_batches(repart, batch_format="pyarrow") \
+        .groupby("part2").map_groups(fold_docs, batch_format="pyarrow") \
+        .select_columns([id_col, "n_shingles", "n_dup_shingles",
+                         "dup_span_frac"])

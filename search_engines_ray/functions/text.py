@@ -306,3 +306,211 @@ def top_bigrams(ds, text_col: str = "text", k: int = 50,
         .groupby("part").map_groups(per_part, batch_format="pyarrow") \
         .repartition(1) \
         .map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def kwic_snippets(ds, term: str, text_col: str = "text",
+                  id_col: str = "doc_id", context_chars: int = 40):
+    """Keyword-in-context result snippets — the search-results surface
+    of the engine (the reference emits ranked ids only; a web UI needs
+    the snippet). For docs containing ``term`` (case-insensitive raw
+    substring match): 1-based first match position, non-overlapping
+    match count, and the snippet of ``context_chars`` chars around the
+    first match. Pure per-batch string kernels (Arrow lower + substring
+    search to prune non-matching rows zero-copy, Python slicing only on
+    the matched minority); embarrassingly parallel, no exchange."""
+    t = term.lower()
+
+    def fn(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        low = pc.utf8_lower(b[text_col])
+        has = pc.match_substring(low, t)
+        kept = b.filter(has)
+        low_kept = pc.utf8_lower(kept[text_col]).to_pylist()
+        texts = kept[text_col].to_pylist()
+        n = len(texts)
+        first = np.empty(n, dtype=np.int64)
+        cnt = np.empty(n, dtype=np.int64)
+        snip = []
+        for i, (s, sl) in enumerate(zip(texts, low_kept)):
+            idx = sl.find(t)
+            first[i] = idx + 1
+            cnt[i] = sl.count(t)
+            start = max(0, idx - context_chars)
+            snip.append(s[start:idx + len(t) + context_chars])
+        return pa.table({id_col: kept[id_col],
+                         "first_pos": pa.array(first),
+                         "n_matches": pa.array(cnt),
+                         "snippet": pa.array(snip, pa.string())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def distinctive_terms(ds, text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 5, num_parts: int = 128):
+    """→ Dataset (``id_col``, term, tf, df, rank 1..k): each doc's k
+    most distinctive terms — highest in-doc term frequency, corpus
+    document frequency as the tie-breaker (rarer wins), then term asc.
+    A tf·idf-style doc profiler with integer-exact ordering (no float
+    idf, so the DuckDB oracle matches bit for bit).
+
+    One term-keyed exchange carries distinct (term, doc, tf) rows —
+    the index build's shape; df is annotated inside the term partition
+    (a term lives in exactly one partition, so its df is complete
+    there); the per-doc top-k cut is a second small exchange on doc id
+    over already-k-boundable rows."""
+    from ..analysis.tokenizer import simple_tokenize
+    from zlib import crc32
+
+    def tf_rows(b: pa.Table) -> pa.Table:
+        terms, docs, tfs = [], [], []
+        for did, text in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            toks = simple_tokenize(text or "")
+            if not toks:
+                continue
+            t, c = np.unique(np.asarray(toks, dtype=object),
+                             return_counts=True)
+            terms.append(t)
+            tfs.append(c)
+            docs.append(np.full(len(t), did, dtype=np.int64))
+        terms = np.concatenate(terms) if terms else np.empty(0, object)
+        parts = np.fromiter((crc32(t.encode()) % num_parts for t in terms),
+                            dtype=np.int32, count=len(terms))
+        return pa.table({
+            "part": pa.array(parts),
+            "term": pa.array(terms.tolist(), pa.string()),
+            id_col: pa.array(np.concatenate(docs) if docs
+                             else np.empty(0, np.int64)),
+            "tf": pa.array(np.concatenate(tfs).astype(np.int64) if tfs
+                           else np.empty(0, np.int64))})
+
+    def annotate_df(g: pa.Table) -> pd.DataFrame:
+        import pandas as pd
+        term = np.asarray(g["term"].to_pylist(), dtype=object)
+        if not len(term):
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "term": pd.Series([], dtype=object),
+                                 "tf": pd.Series([], dtype=np.int64),
+                                 "df": pd.Series([], dtype=np.int64)})
+        doc = g[id_col].to_numpy(zero_copy_only=False)
+        tf = g["tf"].to_numpy(zero_copy_only=False)
+        order = np.argsort(term, kind="stable")
+        ts = term[order]
+        starts = np.flatnonzero(np.concatenate(([True], ts[1:] != ts[:-1])))
+        seg_len = np.diff(np.concatenate((starts, [len(ts)])))
+        df_per_row = np.repeat(seg_len.astype(np.int64), seg_len)
+        return pd.DataFrame({id_col: doc[order], "term": ts,
+                             "tf": tf[order], "df": df_per_row})
+
+    def topk(g: pa.Table) -> pd.DataFrame:
+        import pandas as pd
+        doc = g[id_col].to_numpy(zero_copy_only=False)
+        if not len(doc):
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "term": pd.Series([], dtype=object),
+                                 "tf": pd.Series([], dtype=np.int64),
+                                 "df": pd.Series([], dtype=np.int64),
+                                 "rank": pd.Series([], dtype=np.int64)})
+        term = np.asarray(g["term"].to_pylist(), dtype=object)
+        tf = g["tf"].to_numpy(zero_copy_only=False)
+        df = g["df"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((term, df, -tf, doc))
+        d = doc[order]
+        bound = np.concatenate(([True], d[1:] != d[:-1]))
+        seg_start = np.maximum.accumulate(
+            np.where(bound, np.arange(len(d)), 0))
+        rank = np.arange(len(d)) - seg_start
+        keep = order[rank < k]
+        return pd.DataFrame({id_col: doc[keep], "term": term[keep],
+                             "tf": tf[keep], "df": df[keep],
+                             "rank": (rank[rank < k] + 1).astype(np.int64)})
+
+    import pandas as pd  # noqa: F401  (map_groups pandas outputs)
+
+    annotated = ds.map_batches(tf_rows, batch_format="pyarrow") \
+        .repartition(max(16, num_parts // 8)) \
+        .groupby("part").map_groups(annotate_df, batch_format="pyarrow")
+
+    def part2(b: pa.Table) -> pa.Table:
+        doc = b[id_col].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "part2", pa.array((doc % num_parts).astype(np.int32)))
+
+    return annotated.map_batches(part2, batch_format="pyarrow") \
+        .groupby("part2").map_groups(topk, batch_format="pyarrow") \
+        .select_columns([id_col, "term", "tf", "df", "rank"])
+
+
+def unigram_lm_surprisal(ds, text_col: str = "text",
+                         id_col: str = "doc_id", num_parts: int = 64):
+    """→ Dataset (``id_col``, n_tokens, mean_surprisal): CCNet-style
+    LM quality scoring with a corpus-fit add-one-smoothed unigram LM —
+    mean per-token surprisal −log2((c+1)/(N+V)) in bits (= log2 of the
+    doc's unigram perplexity). Per-token surprisal is quantized to an
+    integer 1e-4-bit grid BEFORE summing so partial sums are
+    associative and the DuckDB oracle matches despite libm log2
+    differing from numpy's by a few ulp (a flip would need the true
+    value within ~1e-11 of a grid edge).
+
+    Two passes over the input: (1) corpus token counts via per-batch
+    Counter partials + a hash-partitioned exact sum — the vocab table
+    (not the corpus) is what reaches the driver and is ray.put once,
+    read per worker through the process cache; (2) a stateless scoring
+    map. At web scale cap the broadcast vocab to the top-V tokens
+    (everything else smooths to c=0) — here the corpus vocabulary IS
+    the LM, matching the SQL oracle exactly. Empty docs are omitted
+    (no tokens to score)."""
+    from collections import Counter
+    from zlib import crc32
+    import ray
+
+    from ..analysis.tokenizer import simple_tokenize
+    from ..util import proc_cached
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in b[text_col].to_pylist():
+            c.update(simple_tokenize(t or ""))
+        terms = list(c.keys())
+        parts = np.fromiter((crc32(t.encode()) % num_parts for t in terms),
+                            dtype=np.int32, count=len(terms))
+        return pa.table({"part": pa.array(parts),
+                         "term": pa.array(terms, pa.string()),
+                         "c": pa.array(np.fromiter(c.values(), np.int64,
+                                                   count=len(c)))})
+
+    def sum_part(g: pa.Table):
+        import pandas as pd
+        df = g.to_pandas()
+        if df.empty:
+            return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype=np.int64)})
+        s = df.groupby("term", sort=False)["c"].sum()
+        return pd.DataFrame({"term": s.index.to_numpy(),
+                             "c": s.to_numpy(np.int64)})
+
+    vocab = ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(max(8, num_parts // 8)) \
+        .groupby("part").map_groups(sum_part, batch_format="pyarrow") \
+        .to_pandas()
+    n_total = int(vocab["c"].sum())
+    v_size = len(vocab)
+    # integer surprisal per vocab entry, computed ONCE driver-side
+    su = np.floor(-np.log2((vocab["c"].to_numpy(np.float64) + 1.0)
+                           / (n_total + v_size)) * 1e4 + 0.5).astype(np.int64)
+    ref = ray.put(dict(zip(vocab["term"], su)))
+
+    def score(b: pa.Table) -> pa.Table:
+        lut = proc_cached(("unigram_lm", ref.hex()), lambda: ray.get(ref))
+        ids, n_toks, means = [], [], []
+        for did, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            toks = simple_tokenize(t or "")
+            if not toks:
+                continue
+            total = sum(lut[tok] for tok in toks)
+            ids.append(did)
+            n_toks.append(len(toks))
+            means.append(total / len(toks) / 1e4)
+        return pa.table({id_col: pa.array(np.asarray(ids, np.int64)),
+                         "n_tokens": pa.array(np.asarray(n_toks, np.int64)),
+                         "mean_surprisal": pa.array(round6(means))})
+
+    return ds.map_batches(score, batch_format="pyarrow")

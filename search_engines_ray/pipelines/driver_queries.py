@@ -2999,6 +2999,116 @@ from r where sample_rank <= 10
 """
 
 
+def q_dup_span_stats(sf_dir: str):
+    """Exact duplicate-span signal (Lee et al. 2021 substring-dedup,
+    shingle-approximated): per doc, the fraction of its 8-token
+    shingles occurring ≥ 2 times corpus-wide. Inverted-index-shaped:
+    one hash-keyed exchange of (shingle-hash, doc, cnt) rows marks
+    duplicated shingles, a doc-keyed fold sums per-doc fractions."""
+    import ray.data as rd
+    from ..functions.dedup import dup_span_stats
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return dup_span_stats(ds, w=8)
+
+
+_DUP_SPAN_W = 8
+
+SQL_DUP_SPAN_STATS = f"""
+with t as (select doc_id, {SIMPLE_TOKS_SQL} as toks from documents),
+s as (select doc_id,
+        unnest(list_transform(range(1, len(toks) - {_DUP_SPAN_W} + 2),
+               i -> array_to_string(toks[i:i+{_DUP_SPAN_W}-1], ' '))) as sh
+      from t where len(toks) >= {_DUP_SPAN_W}),
+h as (select doc_id, ('0x' || substr(md5(sh), 1, 16))::ubigint as h from s),
+g as (select h, doc_id, count(*)::bigint as cnt from h group by h, doc_id),
+tot as (select h, sum(cnt)::bigint as total from g group by h)
+select g.doc_id,
+  sum(cnt)::bigint as n_shingles,
+  sum(case when total >= 2 then cnt else 0 end)::bigint as n_dup_shingles,
+  floor((sum(case when total >= 2 then cnt else 0 end)::double
+         / sum(cnt)) * 1000000 + 0.5) / 1000000 as dup_span_frac
+from g join tot using (h) group by g.doc_id
+"""
+
+
+def q_kwic_snippets(sf_dir: str):
+    """Keyword-in-context snippets for the term 'merge': first match
+    position, match count, ±40-char snippet — the search-results
+    surface. Exact string semantics mirrored in SQL (strpos/substr on
+    the lowered text)."""
+    import ray.data as rd
+    from ..functions.text import kwic_snippets
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return kwic_snippets(ds, term="merge", context_chars=40)
+
+
+SQL_KWIC_SNIPPETS = """
+with m as (select doc_id, text, strpos(lower(text), 'merge') as p
+           from documents where strpos(lower(text), 'merge') > 0)
+select doc_id, p::bigint as first_pos,
+  ((len(lower(text)) - len(replace(lower(text), 'merge', '')))
+   / len('merge'))::bigint as n_matches,
+  substr(text, greatest(1, p - 40),
+         p + len('merge') + 40 - greatest(1, p - 40)) as snippet
+from m
+"""
+
+
+def q_distinctive_terms(sf_dir: str):
+    """Top-5 distinctive terms per doc (tf desc, df asc, term asc) —
+    integer-exact tf·idf-style doc profiling; one term-keyed exchange
+    annotates df inside the term partition, then a per-doc top-k cut."""
+    import ray.data as rd
+    from ..functions.text import distinctive_terms
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return distinctive_terms(ds, k=5)
+
+
+SQL_DISTINCTIVE_TERMS = f"""
+with t as (select doc_id, {SIMPLE_TOKS_SQL} as toks from documents),
+tok as (select doc_id, unnest(toks) as term from t),
+tf as (select doc_id, term, count(*)::bigint as tf
+       from tok group by doc_id, term),
+df as (select term, count(*)::bigint as df from tf group by term),
+r as (select tf.doc_id, tf.term, tf.tf, df.df,
+        row_number() over (partition by tf.doc_id
+                           order by tf.tf desc, df.df, tf.term) as rnk
+      from tf join df using (term))
+select doc_id, term, tf, df, rnk::bigint as rank from r where rnk <= 5
+"""
+
+
+def q_unigram_surprisal(sf_dir: str):
+    """CCNet-style LM quality score: mean per-token surprisal under a
+    corpus-fit add-one unigram LM (= log2 unigram perplexity), token
+    surprisals integer-quantized to 1e-4 bits so sums are associative
+    and libm/numpy log2 ulp differences cannot flip the oracle."""
+    import ray.data as rd
+    from ..functions.text import unigram_lm_surprisal
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return unigram_lm_surprisal(ds)
+
+
+SQL_UNIGRAM_SURPRISAL = f"""
+with t as (select doc_id, {SIMPLE_TOKS_SQL} as toks from documents),
+tok as (select doc_id, unnest(toks) as term from t),
+cnt as (select term, count(*)::bigint as c from tok group by term),
+tot as (select count(*)::bigint as n,
+               (select count(*) from cnt)::bigint as v from tok),
+s as (select doc_id,
+        floor(-log2((c + 1)::double / (n + v)) * 10000 + 0.5)::bigint as su
+      from tok join cnt using (term), tot)
+select doc_id, count(*)::bigint as n_tokens,
+  floor((sum(su)::double / count(*) / 10000) * 1000000 + 0.5) / 1000000
+    as mean_surprisal
+from s group by doc_id
+"""
+
+
 def q_json_field_agg(sf_dir: str):
     """Parse the events' JSON ``props`` sidecar, extract the numeric
     ``k`` field, aggregate (count, sum, 6-dp mean) per event_type —
@@ -3098,6 +3208,10 @@ QUERIES = {
     "top_bigrams": q_top_bigrams,
     "stratified_sample": q_stratified_sample,
     "json_field_agg": q_json_field_agg,
+    "dup_span_stats": q_dup_span_stats,
+    "kwic_snippets": q_kwic_snippets,
+    "distinctive_terms": q_distinctive_terms,
+    "unigram_surprisal": q_unigram_surprisal,
     # rows-only (full-analyzer token chains — oracle-checked via their
     # simple-analyzer twins above — plus sketches/LSH float paths)
     "sdm_wand_search": q_sdm_wand_search,
@@ -3111,6 +3225,10 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "dup_span_stats": SQL_DUP_SPAN_STATS,
+    "kwic_snippets": SQL_KWIC_SNIPPETS,
+    "distinctive_terms": SQL_DISTINCTIVE_TERMS,
+    "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
     "repetition_stats": SQL_REPETITION_STATS,
     "heuristic_filter": SQL_HEURISTIC_FILTER,
     "pii_scrub": SQL_PII_SCRUB,

@@ -147,3 +147,97 @@ def test_json_field_agg(rd):
     assert out.loc[2, "event_type"] == "c"
     assert out.loc[2, "n_vals"] == 0 and out.loc[2, "sum_val"] == 0.0
     assert np.isnan(out.loc[2, "mean_val"])
+
+
+def test_dup_span_stats(rd):
+    from search_engines_ray.functions.dedup import dup_span_stats
+    boiler = "alpha beta gamma delta epsilon zeta eta theta"   # 8 tokens
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [boiler + " one two three",
+                 boiler + " four five six",          # shares the 8-gram
+                 "u1 u2 u3 u4 u5 u6 u7 u8 u9",       # all unique
+                 "short doc"],                        # < 8 tokens: omitted
+    })
+    out = dup_span_stats(rd.from_arrow(t), w=8).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert list(out["doc_id"]) == [1, 2, 3]
+    # docs 1/2: 11 tokens -> 4 shingles each; exactly the boiler 8-gram
+    # is shared (1 dup shingle each)
+    assert list(out["n_shingles"]) == [4, 4, 2]
+    assert list(out["n_dup_shingles"]) == [1, 1, 0]
+    assert out.loc[0, "dup_span_frac"] == 0.25
+    assert out.loc[2, "dup_span_frac"] == 0.0
+
+
+def test_dup_span_counts_within_doc_repeats(rd):
+    from search_engines_ray.functions.dedup import dup_span_stats
+    eight = "a b c d e f g h"
+    t = pa.table({"doc_id": [1],
+                  "text": [eight + " " + eight]})    # 16 tokens, 9 shingles
+    out = dup_span_stats(rd.from_arrow(t), w=8).to_pandas()
+    # the 8-gram "a..h" occurs at positions 0 and 8 -> dup within one doc
+    assert out.loc[0, "n_shingles"] == 9
+    assert out.loc[0, "n_dup_shingles"] == 2
+
+
+def test_kwic_snippets(rd):
+    from search_engines_ray.functions.text import kwic_snippets
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["x" * 50 + "NEEDLE tail text here plus more padding end",
+                 "no match in this document",
+                 "needle at the very start, then needle again"],
+    })
+    out = kwic_snippets(rd.from_arrow(t), term="needle",
+                        context_chars=10).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert list(out["doc_id"]) == [1, 3]
+    assert out.loc[0, "first_pos"] == 51
+    assert out.loc[0, "n_matches"] == 1
+    assert out.loc[0, "snippet"] == "x" * 10 + "NEEDLE tail text"
+    assert out.loc[1, "first_pos"] == 1
+    assert out.loc[1, "n_matches"] == 2
+    assert out.loc[1, "snippet"] == "needle at the ve"
+
+
+def test_distinctive_terms(rd):
+    from search_engines_ray.functions.text import distinctive_terms
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["zebra zebra zebra common common",
+                 "common zebra other",
+                 "common unique"],
+    })
+    out = distinctive_terms(rd.from_arrow(t), k=2).to_pandas() \
+        .sort_values(["doc_id", "rank"], ignore_index=True)
+    d1 = out[out["doc_id"] == 1]
+    # doc1: zebra tf=3 beats common tf=2
+    assert list(d1["term"]) == ["zebra", "common"]
+    assert list(d1["tf"]) == [3, 2]
+    assert list(d1["df"]) == [2, 3]          # zebra in 2 docs, common in 3
+    d2 = out[out["doc_id"] == 2]
+    # doc2: all tf=1 -> rarer df first (other df=1, then zebra df=2)
+    assert list(d2["term"]) == ["other", "zebra"]
+
+
+def test_unigram_surprisal(rd):
+    from search_engines_ray.functions.text import unigram_lm_surprisal
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["common common common rare",
+                 "common common",
+                 ""],
+    })
+    out = unigram_lm_surprisal(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    # N=6 tokens, V=2; p(common)=(5+1)/8, p(rare)=(1+1)/8
+    su_common = np.floor(-np.log2(6 / 8) * 1e4 + 0.5)
+    su_rare = np.floor(-np.log2(2 / 8) * 1e4 + 0.5)
+    exp1 = np.floor((3 * su_common + su_rare) / 4 / 1e4 * 1e6 + 0.5) / 1e6
+    exp2 = np.floor(su_common / 1e4 * 1e6 + 0.5) / 1e6
+    assert list(out["doc_id"]) == [1, 2]     # empty doc omitted
+    assert out.loc[0, "mean_surprisal"] == exp1
+    assert out.loc[1, "mean_surprisal"] == exp2
+    # rarer tokens are more surprising
+    assert out.loc[0, "mean_surprisal"] > out.loc[1, "mean_surprisal"]
