@@ -275,22 +275,31 @@ def top_bigrams(ds, text_col: str = "text", k: int = 50,
         bigrams = list(c.keys())
         # crc32, NOT hash(): str hashing is salted per process, and the
         # per-part top-k cut is only safe if every worker routes a given
-        # bigram to the same partition
-        parts = np.fromiter(
-            (crc32(g.encode()) % num_parts for g in bigrams),
-            dtype=np.int32, count=len(bigrams))
+        # bigram to the same partition. Sentinel row (part -1, dropped
+        # in per_part) keeps the schema alive through Ray's sort-groupby
+        # when no doc has a bigram.
+        parts = np.concatenate([
+            np.fromiter((crc32(g.encode()) % num_parts for g in bigrams),
+                        dtype=np.int32, count=len(bigrams)),
+            np.array([-1], dtype=np.int32)])
         return pa.table({
             "part": pa.array(parts),
-            "bigram": pa.array(bigrams, pa.string()),
-            "n": pa.array(np.fromiter(c.values(), dtype=np.int64,
-                                      count=len(c)))})
+            "bigram": pa.array(bigrams + [""], pa.string()),
+            "n": pa.array(np.concatenate([
+                np.fromiter(c.values(), dtype=np.int64, count=len(c)),
+                np.array([0], dtype=np.int64)]))})
 
     def per_part(g: pa.Table):
+        # the sentinel group (part -1) passes THROUGH as a marker row
+        # (n = -1, dropped in final) — a 0-row output block would be
+        # dropped and the schema lost with it
         import pandas as pd
         df = g.to_pandas()
-        if df.empty:
-            return pd.DataFrame({"bigram": pd.Series([], dtype=object),
-                                 "n": pd.Series([], dtype=np.int64)})
+        if (df["part"] < 0).any():
+            df = df[df["part"] >= 0]
+            if df.empty:
+                return pd.DataFrame({"bigram": pd.Series([""], dtype=object),
+                                     "n": pd.Series([-1], dtype=np.int64)})
         s = df.groupby("bigram", sort=False)["n"].sum()
         top = s.sort_index().sort_values(kind="stable", ascending=False)[:k]
         return pd.DataFrame({"bigram": top.index.to_numpy(),
@@ -298,7 +307,8 @@ def top_bigrams(ds, text_col: str = "text", k: int = 50,
 
     def final(b: pa.Table) -> pa.Table:
         import pandas as pd
-        df = b.to_pandas().sort_values(
+        df = b.to_pandas()
+        df = df[df["n"] >= 0].sort_values(
             ["n", "bigram"], ascending=[False, True], kind="stable")[:k]
         return pa.Table.from_pandas(df.reset_index(drop=True))
 
@@ -514,3 +524,190 @@ def unigram_lm_surprisal(ds, text_col: str = "text",
                          "mean_surprisal": pa.array(round6(means))})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def prefix_suggest(ds, prefix: str, text_col: str = "text", k: int = 10,
+                   num_parts: int = 64):
+    """→ Dataset (term, df, rank 1..k): autocomplete — the k corpus
+    terms starting with ``prefix``, by document frequency desc then
+    term asc. The prefix filter applies at the map side, so the
+    exchange carries only per-(batch, matching-term) partial df rows —
+    at web scale this is the job that builds the suggestion dictionary,
+    not a per-keystroke query path. A term lives in exactly one hash
+    partition, so per-part df sums are exact and the per-part top-k cut
+    is globally safe; the final merge sees ≤ parts × k rows."""
+    from zlib import crc32
+    from ..analysis.tokenizer import simple_tokenize
+
+    def partial(b: pa.Table) -> pa.Table:
+        df: dict[str, int] = {}
+        for t in b[text_col].to_pylist():
+            for w in set(simple_tokenize(t or "")):
+                if w.startswith(prefix):
+                    df[w] = df.get(w, 0) + 1
+        terms = list(df.keys())
+        # sentinel row (part -1, dropped downstream): Ray's sort-based
+        # groupby erases the SCHEMA of a zero-row dataset, so a prefix
+        # with no matches would otherwise return a column-less result
+        parts = np.concatenate([
+            np.fromiter((crc32(t.encode()) % num_parts for t in terms),
+                        dtype=np.int32, count=len(terms)),
+            np.array([-1], dtype=np.int32)])
+        return pa.table({"part": pa.array(parts),
+                         "term": pa.array(terms + [""], pa.string()),
+                         "df": pa.array(np.concatenate([
+                             np.fromiter(df.values(), np.int64,
+                                         count=len(df)),
+                             np.array([0], dtype=np.int64)]))})
+
+    def per_part(g: pa.Table):
+        # the sentinel group (part -1) passes THROUGH as a marker row —
+        # a 0-row output block would be dropped and the schema lost
+        import pandas as pd
+        df = g.to_pandas()
+        if (df["part"] < 0).any():
+            df = df[df["part"] >= 0]
+            if df.empty:
+                return pd.DataFrame({"term": pd.Series([""], dtype=object),
+                                     "df": pd.Series([-1], dtype=np.int64)})
+        s = df.groupby("term", sort=False)["df"].sum()
+        top = s.sort_index().sort_values(kind="stable", ascending=False)[:k]
+        return pd.DataFrame({"term": top.index.to_numpy(),
+                             "df": top.to_numpy(np.int64)})
+
+    def final(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[df["df"] >= 0].sort_values(
+            ["df", "term"], ascending=[False, True], kind="stable")[:k]
+        return pa.table({
+            "term": pa.array(df["term"].to_numpy(dtype=object).tolist(),
+                             pa.string()),
+            "df": pa.array(df["df"].to_numpy(np.int64)),
+            "rank": pa.array(np.arange(1, len(df) + 1, dtype=np.int64))})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(per_part, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance (insert/delete/substitute), the same
+    definition as DuckDB's ``levenshtein`` — two-row DP."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def spell_suggest(ds, query_terms: list[str], text_col: str = "text",
+                  num_parts: int = 64, max_distance: int = 3):
+    """→ Dataset (query_term, suggestion, distance, df): did-you-mean —
+    for each query term, the corpus vocabulary term minimizing
+    (edit distance, −df, term asc), among terms within
+    ``max_distance``. Query terms with no vocab term in range are
+    omitted.
+
+    Shape: the vocabulary df table is built with the usual per-batch
+    partial + hash-partitioned exact sum; the tiny query-term list
+    rides into every vocab partition inside the map closure (it IS the
+    broadcast side); each partition emits at most |query_terms| local
+    winners, so the final merge sees ≤ parts × |terms| rows. The DP
+    kernel is per (vocab term, query term) — bounded by vocab size,
+    never corpus size, and trivially parallel across partitions."""
+    from zlib import crc32
+    from ..analysis.tokenizer import simple_tokenize
+
+    qterms = sorted(set(query_terms))
+
+    def partial(b: pa.Table) -> pa.Table:
+        df: dict[str, int] = {}
+        for t in b[text_col].to_pylist():
+            for w in set(simple_tokenize(t or "")):
+                df[w] = df.get(w, 0) + 1
+        terms = list(df.keys())
+        # sentinel row (part -1, dropped in local_best): keeps the
+        # schema alive through Ray's sort-groupby when no vocab matches
+        parts = np.concatenate([
+            np.fromiter((crc32(t.encode()) % num_parts for t in terms),
+                        dtype=np.int32, count=len(terms)),
+            np.array([-1], dtype=np.int32)])
+        return pa.table({"part": pa.array(parts),
+                         "term": pa.array(terms + [""], pa.string()),
+                         "df": pa.array(np.concatenate([
+                             np.fromiter(df.values(), np.int64,
+                                         count=len(df)),
+                             np.array([0], dtype=np.int64)]))})
+
+    def local_best(g: pa.Table):
+        # the sentinel group (part -1) passes THROUGH as a marker row
+        # (distance -1, dropped in final) — a 0-row output block would
+        # be dropped and the schema lost with it
+        import pandas as pd
+        vdf = g.to_pandas()
+        sentinel = pd.DataFrame(
+            {"query_term": pd.Series([""], dtype=object),
+             "suggestion": pd.Series([""], dtype=object),
+             "distance": pd.Series([-1], dtype=np.int64),
+             "df": pd.Series([-1], dtype=np.int64)})
+        if (vdf["part"] < 0).any():
+            vdf = vdf[vdf["part"] >= 0]
+            if vdf.empty:
+                return sentinel
+        cols = {"query_term": pd.Series([], dtype=object),
+                "suggestion": pd.Series([], dtype=object),
+                "distance": pd.Series([], dtype=np.int64),
+                "df": pd.Series([], dtype=np.int64)}
+        if vdf.empty:
+            return pd.DataFrame(cols)
+        s = vdf.groupby("term", sort=True)["df"].sum()
+        vocab, dfs = s.index.to_numpy(), s.to_numpy(np.int64)
+        rows = []
+        for q in qterms:
+            best = None
+            for v, d in zip(vocab, dfs):
+                # cheap length lower bound prunes most DP calls
+                if abs(len(v) - len(q)) > max_distance:
+                    continue
+                dist = _levenshtein(q, v)
+                if dist > max_distance:
+                    continue
+                key = (dist, -d, v)
+                if best is None or key < best:
+                    best = key
+            if best is not None:
+                rows.append((q, best[2], best[0], -best[1]))
+        if not rows:
+            return pd.DataFrame(cols)
+        return pd.DataFrame(rows, columns=["query_term", "suggestion",
+                                           "distance", "df"])
+
+    def final(df):
+        import pandas as pd
+        df = df[df["distance"] >= 0]
+        if df.empty:
+            return pd.DataFrame({
+                "query_term": pd.Series([], dtype=object),
+                "suggestion": pd.Series([], dtype=object),
+                "distance": pd.Series([], dtype=np.int64),
+                "df": pd.Series([], dtype=np.int64)})
+        df = df.sort_values(["query_term", "distance", "df", "suggestion"],
+                            ascending=[True, True, False, True],
+                            kind="stable")
+        return df.groupby("query_term", sort=True).head(1) \
+            .reset_index(drop=True)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(local_best, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(final, batch_format="pandas", batch_size=None)

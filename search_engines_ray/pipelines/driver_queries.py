@@ -160,12 +160,17 @@ def q_index_bm25_top10(sf_dir: str):
     return _ranked_to_table(res)
 
 
-def _bm25_sql(terms: tuple[str, ...], k: int, raw: bool = False) -> str:
+def _bm25_sql(terms: tuple[str, ...], k: int, raw: bool = False,
+              doc_filter: str = "") -> str:
     """Standalone DuckDB BM25 top-k SQL for a bag of words — the single
     template behind every BM25 oracle (single query, batch, rerankers).
     ``raw=True`` keeps the unrounded score (for consumers that re-rank
-    and round later, like LeToR/xQuAD)."""
+    and round later, like LeToR/xQuAD). ``doc_filter`` (a boolean SQL
+    predicate over ``tfs.doc_id``) applies a metadata facet filter
+    BEFORE the top-k cut; corpus stats stay corpus-wide — the filtered
+    -search semantics of QueryEngine.search(allowed=...)."""
     in_list = ",".join(f"'{t}'" for t in terms)
+    where = f"where {doc_filter}" if doc_filter else ""
     select = ("select doc_id, raw from scored order by raw desc, doc_id asc"
               if raw else
               "select doc_id, floor(raw*1000000 + 0.5)/1000000 as score "
@@ -190,6 +195,7 @@ scored as (
   join dfs on tfs.term = dfs.term
   join doclen on tfs.doc_id = doclen.doc_id
   cross join stats
+  {where}
   group by tfs.doc_id)
 {select} limit {k}
 """
@@ -3109,6 +3115,112 @@ from s group by doc_id
 """
 
 
+def q_facet_counts(sf_dir: str):
+    """Faceted search: per-language counts of the docs matching the
+    boolean #AND(fast sort merge) query. Candidates come from the index
+    engine; the facet join is a broadcast semijoin of the match-id set
+    against the streamed documents table (the match set is the small
+    side — the fact table never shuffles), then a tiny per-lang count."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+    from ..functions.join import broadcast_semijoin
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, UnrankedBooleanModel())
+    res = engine.search("#and(fast sort merge)", k=10**9)
+    ids = _docid_of_external(res["external_id"].to_pylist())
+    small = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.asarray(ids, np.int64))}))
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    return broadcast_semijoin(docs, small, "doc_id") \
+        .groupby("lang").aggregate(Count(alias_name="n"))
+
+
+SQL_FACET_COUNTS = f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+m as (select doc_id from tok where term in ('fast','sort','merge')
+      group by doc_id having count(distinct term) = 3)
+select lang, count(*)::bigint as n
+from documents join m using (doc_id) group by lang
+"""
+
+
+def q_bm25_filtered_top10(sf_dir: str):
+    """Metadata-filtered ranked retrieval: BM25 top-10 over docs with
+    lang='en' only — the facet filter applies BEFORE the top-k cut,
+    corpus statistics stay corpus-wide (standard filtered-search
+    semantics, QueryEngine.search(allowed=...))."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from .corpus import doc_url
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    en = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"],
+                         filter=pc.field("lang") == "en").to_pandas()
+    allowed = reader.internal_docids_for(
+        [doc_url(i) for i in en["doc_id"]])
+    res = engine.search(" ".join(BM25_QUERY_TERMS), k=10, allowed=allowed)
+    return _ranked_to_table(res)
+
+
+SQL_BM25_FILTERED_TOP10 = _bm25_sql(
+    BM25_QUERY_TERMS, 10,
+    doc_filter="tfs.doc_id in (select doc_id from documents "
+               "where lang = 'en')")
+
+
+def q_prefix_suggest(sf_dir: str):
+    """Autocomplete: top-10 corpus terms with prefix 's' by document
+    frequency desc, term asc — map-side prefix pruning, exact per-part
+    df sums, one tiny merge."""
+    import ray.data as rd
+    from ..functions.text import prefix_suggest
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return prefix_suggest(ds, prefix="s", k=10)
+
+
+SQL_PREFIX_SUGGEST = f"""
+with tok as (
+  select doc_id, unnest(list_distinct({SIMPLE_TOKS_SQL})) as term
+  from documents),
+d as (select term, count(*)::bigint as df from tok
+      where term like 's%' group by term)
+select term, df,
+       row_number() over (order by df desc, term)::bigint as rank
+from d order by df desc, term limit 10
+"""
+
+
+def q_spell_suggest(sf_dir: str):
+    """Did-you-mean: for each misspelled query term, the vocabulary
+    term minimizing (edit distance, −df, term asc) within distance 3.
+    The DP kernel runs inside hash partitions of the vocabulary df
+    table; DuckDB's ``levenshtein`` mirrors the Python DP exactly
+    (parity fuzz-tested in tests)."""
+    import ray.data as rd
+    from ..functions.text import spell_suggest
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return spell_suggest(ds, ["mrge", "hach", "custmer", "windoow"])
+
+
+SQL_SPELL_SUGGEST = f"""
+with tok as (
+  select doc_id, unnest(list_distinct({SIMPLE_TOKS_SQL})) as term
+  from documents),
+v as (select term, count(*)::bigint as df from tok group by term),
+q as (select unnest(['mrge','hach','custmer','windoow']) as query_term),
+c as (select q.query_term, v.term as suggestion,
+             levenshtein(q.query_term, v.term)::bigint as distance, v.df
+      from q cross join v
+      where levenshtein(q.query_term, v.term) <= 3),
+r as (select *, row_number() over (partition by query_term
+        order by distance, df desc, suggestion) as rn from c)
+select query_term, suggestion, distance, df from r where rn = 1
+"""
+
+
 def q_json_field_agg(sf_dir: str):
     """Parse the events' JSON ``props`` sidecar, extract the numeric
     ``k`` field, aggregate (count, sum, 6-dp mean) per event_type —
@@ -3212,6 +3324,10 @@ QUERIES = {
     "kwic_snippets": q_kwic_snippets,
     "distinctive_terms": q_distinctive_terms,
     "unigram_surprisal": q_unigram_surprisal,
+    "facet_counts": q_facet_counts,
+    "bm25_filtered_top10": q_bm25_filtered_top10,
+    "prefix_suggest": q_prefix_suggest,
+    "spell_suggest": q_spell_suggest,
     # rows-only (full-analyzer token chains — oracle-checked via their
     # simple-analyzer twins above — plus sketches/LSH float paths)
     "sdm_wand_search": q_sdm_wand_search,
@@ -3229,6 +3345,10 @@ ORACLE_SQL = {
     "kwic_snippets": SQL_KWIC_SNIPPETS,
     "distinctive_terms": SQL_DISTINCTIVE_TERMS,
     "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
+    "facet_counts": SQL_FACET_COUNTS,
+    "bm25_filtered_top10": SQL_BM25_FILTERED_TOP10,
+    "prefix_suggest": SQL_PREFIX_SUGGEST,
+    "spell_suggest": SQL_SPELL_SUGGEST,
     "repetition_stats": SQL_REPETITION_STATS,
     "heuristic_filter": SQL_HEURISTIC_FILTER,
     "pii_scrub": SQL_PII_SCRUB,

@@ -455,19 +455,31 @@ class QueryEngine:
         raise ValueError(f"unknown Sop #{op}")
 
     # ---- public API ----
-    def search(self, query: str, k: int = 100) -> pa.Table:
+    def search(self, query: str, k: int = 100,
+               allowed: np.ndarray | None = None) -> pa.Table:
         """→ Arrow table (external_id, score, rank), reference ordering:
         score desc, externalId asc, top-k, scores >= 0 only
-        (ScoreList.java:87-126, QryEval.java:437,491)."""
+        (ScoreList.java:87-126, QryEval.java:437,491).
+
+        ``allowed`` (internal docids) applies a metadata facet filter —
+        top-k is cut AFTER the filter, corpus statistics (df/doclens)
+        stay corpus-wide, matching the standard filtered-search
+        semantics. The mask is candidate-sized, never O(n_docs); at
+        cluster scale the allowed set lives as an attribute shard like
+        the doclens shards, not a driver list."""
         plan = self.parser.parse(query, self.model.default_op)
         if plan is None:
             return _empty_results()
         cache = self._fetch(plan)
         self._build_dlut(cache)
         scored = self._eval_sop(plan, cache)
+        docids, scores = scored.docids, scored.scores
+        if allowed is not None:
+            keep = np.isin(docids, allowed)
+            docids, scores = docids[keep], scores[keep]
         # candidate-set id lookup, not the dense external_ids() array —
         # the interactive path must not allocate O(n_docs) driver memory
-        return rank_results_candidates(scored.docids, scored.scores,
+        return rank_results_candidates(docids, scores,
                                        self.reader.external_ids_for, k)
 
     def run_queries(self, queries: list[tuple[str, str]], k: int = 100) -> pa.Table:

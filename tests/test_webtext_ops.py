@@ -241,3 +241,87 @@ def test_unigram_surprisal(rd):
     assert out.loc[1, "mean_surprisal"] == exp2
     # rarer tokens are more surprising
     assert out.loc[0, "mean_surprisal"] > out.loc[1, "mean_surprisal"]
+
+
+def test_prefix_suggest(rd):
+    from search_engines_ray.functions.text import prefix_suggest
+    t = pa.table({"text": ["map merge map", "map sort", "other words"]})
+    out = prefix_suggest(rd.from_arrow(t), prefix="m", k=2).to_pandas()
+    # df(map)=2, df(merge)=1; in-doc repeats don't inflate df
+    assert list(out["term"]) == ["map", "merge"]
+    assert list(out["df"]) == [2, 1]
+    assert list(out["rank"]) == [1, 2]
+
+
+def test_prefix_suggest_no_match_keeps_schema(rd):
+    # Ray's sort-groupby erases the schema of a 0-row dataset entirely;
+    # the sentinel-marker rows keep it alive (Dataset.to_pandas() still
+    # returns a column-less frame for 0 rows — a Ray quirk, so assert
+    # on the Dataset schema, which downstream stages consume)
+    from search_engines_ray.functions.text import prefix_suggest
+    t = pa.table({"text": ["alpha beta"]})
+    ds = prefix_suggest(rd.from_arrow(t), prefix="zz", k=3)
+    assert ds.schema().names == ["term", "df", "rank"]
+    assert ds.count() == 0
+
+
+def test_spell_suggest(rd):
+    from search_engines_ray.functions.text import spell_suggest
+    t = pa.table({"text": ["merge sort merge", "merge hash",
+                           "marge once"]})
+    out = spell_suggest(rd.from_arrow(t), ["mrge", "qqqqqq"]).to_pandas()
+    # 'mrge': merge and marge are both distance 1 -> higher df wins
+    assert len(out) == 1
+    assert out.loc[0, "query_term"] == "mrge"
+    assert out.loc[0, "suggestion"] == "merge"
+    assert out.loc[0, "distance"] == 1
+    assert out.loc[0, "df"] == 2
+    # 'qqqqqq' has nothing within distance 3 -> omitted
+
+
+def test_levenshtein_matches_duckdb():
+    import duckdb
+    import random
+    import string
+    from search_engines_ray.functions.text import _levenshtein
+    con = duckdb.connect()
+    rng = random.Random(42)
+    for _ in range(200):
+        a = "".join(rng.choices(string.ascii_lowercase[:5],
+                                k=rng.randint(0, 7)))
+        b = "".join(rng.choices(string.ascii_lowercase[:5],
+                                k=rng.randint(0, 7)))
+        assert _levenshtein(a, b) == con.execute(
+            "select levenshtein(?, ?)", [a, b]).fetchone()[0]
+
+
+def test_filtered_search(ray_session, tmp_path):
+    import ray.data as rd
+    from search_engines_ray.index import (
+        build_index, IndexBuildConfig, IndexReader)
+    from search_engines_ray.pipelines.corpus import doc_url
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import BM25Model
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["fox fox fox", "fox fox", "fox", "nothing here"],
+        "lang": ["en", "de", "en", "en"],
+    })
+    pages = rd.from_pandas(df).map_batches(
+        __import__("search_engines_ray.pipelines.corpus",
+                   fromlist=["documents_to_pages_batch"])
+        .documents_to_pages_batch, batch_format="pyarrow")
+    idx = str(tmp_path / "idx")
+    build_index(pages, idx, IndexBuildConfig(num_buckets=4,
+                                             analyzer="simple"),
+                input_token="t", resume=False)
+    reader = IndexReader(idx)
+    engine = QueryEngine(reader, BM25Model())
+    unfiltered = engine.search("fox", k=10)
+    assert unfiltered.num_rows == 3
+    allowed = reader.internal_docids_for([doc_url(1), doc_url(3),
+                                          doc_url(4)])
+    filtered = engine.search("fox", k=10, allowed=allowed)
+    # doc 2 (de) excluded; order preserved among the rest
+    exts = filtered["external_id"].to_pylist()
+    assert exts == [doc_url(1), doc_url(3)]
