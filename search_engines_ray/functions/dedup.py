@@ -1209,3 +1209,76 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
         .groupby("part2").map_groups(fold_docs, batch_format="pyarrow") \
         .select_columns([id_col, "n_shingles", "n_dup_shingles",
                          "dup_span_frac"])
+
+
+def decontaminate(ds, benchmark_ds, text_col: str = "text",
+                  id_col: str = "doc_id", w: int = 8,
+                  max_broadcast_bytes: int = 256 << 20):
+    """→ Dataset (``id_col``, n_shingles, n_contaminated, contam_frac):
+    benchmark decontamination — for every doc, the fraction of its
+    w-token shingles that appear in ``benchmark_ds`` (the eval/test
+    set). Docs scoring > 0 overlap the benchmark and should be dropped
+    or audited before training. Docs with fewer than ``w`` tokens are
+    omitted (no shingles to match).
+
+    Shape: benchmark sets are small by definition (thousands of eval
+    docs vs billions of training docs), so the benchmark's distinct
+    shingle-hash set is reduced distributively (per-batch unique →
+    driver distinct) and ``ray.put`` ONCE; the training corpus streams
+    through a stateless map that probes the broadcast set via a
+    per-worker cached sorted array. The byte guard fails loudly if the
+    benchmark side is too big to broadcast — shuffle-join the shingles
+    instead at that size (the dup_span_stats exchange shape)."""
+    import ray
+
+    from ..analysis.tokenizer import simple_tokenize
+    from ..util import proc_cached
+
+    def bench_shingles(b: pa.Table) -> pa.Table:
+        hs = []
+        for t in b[text_col].to_pylist():
+            toks = simple_tokenize(t or "")
+            if len(toks) >= w:
+                hs.append(np.unique(_shingle_hashes(toks, w)))
+        h = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.uint64)
+        return pa.table({"h": pa.array(h)})
+
+    parts = [t["h"].to_numpy(zero_copy_only=False)
+             for t in benchmark_ds.map_batches(
+                 bench_shingles, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow")]
+    bench = np.unique(np.concatenate(parts)) if parts \
+        else np.empty(0, np.uint64)
+    if bench.nbytes > max_broadcast_bytes:
+        raise ValueError(
+            f"benchmark shingle set {bench.nbytes >> 20} MiB exceeds the "
+            f"{max_broadcast_bytes >> 20} MiB broadcast guard — use the "
+            "shuffle-join path (dup_span_stats shape) for a side this big")
+    ref = ray.put(bench)
+
+    def score(b: pa.Table) -> pa.Table:
+        bset = proc_cached(("decontam", ref.hex()), lambda: ray.get(ref))
+        ids, n_sh, n_hit = [], [], []
+        for did, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            toks = simple_tokenize(t or "")
+            if len(toks) < w:
+                continue
+            hs = _shingle_hashes(toks, w)
+            # sorted-array membership probe: O(s log B), no Python set
+            idx = np.searchsorted(bset, hs)
+            idx[idx == len(bset)] = 0
+            hit = int((bset[idx] == hs).sum()) if len(bset) else 0
+            ids.append(did)
+            n_sh.append(len(hs))
+            n_hit.append(hit)
+        from .text import round6
+        n_sh_a = np.asarray(n_sh, np.int64)
+        n_hit_a = np.asarray(n_hit, np.int64)
+        return pa.table({
+            id_col: pa.array(np.asarray(ids, np.int64)),
+            "n_shingles": pa.array(n_sh_a),
+            "n_contaminated": pa.array(n_hit_a),
+            "contam_frac": pa.array(round6(
+                n_hit_a / np.where(n_sh_a == 0, 1, n_sh_a)))})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -711,3 +711,87 @@ def spell_suggest(ds, query_terms: list[str], text_col: str = "text",
         .groupby("part").map_groups(local_best, batch_format="pyarrow") \
         .repartition(1) \
         .map_batches(final, batch_format="pandas", batch_size=None)
+
+
+def chunk_documents(ds, text_col: str = "text", id_col: str = "doc_id",
+                    max_tokens: int = 64, stride: int | None = None,
+                    emit_text: bool = False):
+    """→ Dataset (``id_col``, chunk_id 1.., n_tokens, chunk_md5[, chunk]):
+    split each doc into training-ready windows of ``max_tokens`` tokens,
+    window starts every ``stride`` tokens (default = max_tokens, i.e.
+    non-overlapping; smaller stride = overlapping context windows). The
+    final partial window is kept. Docs with no tokens are omitted.
+
+    Embarrassingly parallel — one map stage, no exchange; output rows ≈
+    n_tokens/stride per doc, bounded per batch. ``emit_text=False``
+    ships the md5 of each chunk instead of the chunk text — the shape
+    for audit/dedup joins where the downstream consumer re-reads the
+    payload lazily; pass True to materialize the text (the actual
+    training-data write path)."""
+    import hashlib
+    from ..analysis.tokenizer import simple_tokenize
+
+    step = stride or max_tokens
+    if step < 1 or step > max_tokens:
+        raise ValueError("stride must be in [1, max_tokens]")
+
+    def fn(b: pa.Table) -> pa.Table:
+        ids, cids, ntoks, md5s, texts = [], [], [], [], []
+        for did, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            toks = simple_tokenize(t or "")
+            if not toks:
+                continue
+            cid = 0
+            for s in range(0, len(toks), step):
+                w = toks[s:s + max_tokens]
+                cid += 1
+                chunk = " ".join(w)
+                ids.append(did)
+                cids.append(cid)
+                ntoks.append(len(w))
+                md5s.append(hashlib.md5(chunk.encode()).hexdigest())
+                if emit_text:
+                    texts.append(chunk)
+                if s + max_tokens >= len(toks):
+                    break
+        cols = {id_col: pa.array(np.asarray(ids, np.int64)),
+                "chunk_id": pa.array(np.asarray(cids, np.int64)),
+                "n_tokens": pa.array(np.asarray(ntoks, np.int64)),
+                "chunk_md5": pa.array(md5s, pa.string())}
+        if emit_text:
+            cols["chunk"] = pa.array(texts, pa.string())
+        return pa.table(cols)
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# entity set chosen small and explicit so the DuckDB oracle's replace()
+# chain mirrors it byte for byte, in this exact order
+_HTML_ENTITIES = (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                  ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "))
+_TAG_RE = re.compile(r"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+
+
+def strip_html_str(h: str) -> str:
+    """Tags → space, entity unescape (fixed order), whitespace collapse,
+    trim — the extraction kernel."""
+    s = _TAG_RE.sub(" ", h or "")
+    for ent, ch in _HTML_ENTITIES:
+        s = s.replace(ent, ch)
+    return _WS_RE.sub(" ", s).strip()
+
+
+def strip_html(ds, html_col: str = "html", out_col: str = "clean_text"):
+    """→ input columns + ``out_col``: boilerplate-free text from an
+    HTML payload — tag removal, small-entity unescape, whitespace
+    collapse (the extraction step of a Common-Crawl-style pipeline;
+    the index build's ``extract_text`` is the byte-exact inverse of the
+    synthetic wrapper, THIS op is the lossy general-HTML path). Pure
+    per-batch compiled-regex kernel, no exchange."""
+    def fn(b: pa.Table) -> pa.Table:
+        vals = b[html_col].to_pylist()
+        clean = [strip_html_str(h.decode() if isinstance(h, bytes) else h)
+                 for h in vals]
+        out = pa.table({c: b[c] for c in b.column_names})
+        return out.append_column(out_col, pa.array(clean, pa.string()))
+    return ds.map_batches(fn, batch_format="pyarrow")

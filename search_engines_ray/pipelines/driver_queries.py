@@ -3221,6 +3221,137 @@ select query_term, suggestion, distance, df from r where rn = 1
 """
 
 
+def q_chunk_documents(sf_dir: str):
+    """Training-data chunking: overlapping 32-token windows every 24
+    tokens (final partial window kept, md5 of each chunk verified) —
+    the context-window split step of an LLM data pipeline; no exchange,
+    output rows bounded per batch."""
+    import ray.data as rd
+    from ..functions.text import chunk_documents
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return chunk_documents(ds, max_tokens=32, stride=24)
+
+
+_CHUNK_W, _CHUNK_S = 32, 24
+
+SQL_CHUNK_DOCUMENTS = f"""
+with t as (select doc_id, {SIMPLE_TOKS_SQL} as toks from documents),
+n as (select doc_id, toks, len(toks) as n from t where len(toks) > 0),
+-- last emitted start: first stride multiple s with s + W >= n
+-- (0 when the doc fits one window)
+s as (select doc_id, toks, n,
+        case when n > {_CHUNK_W}
+             then {_CHUNK_S} * ((n - {_CHUNK_W} + {_CHUNK_S} - 1)
+                               // {_CHUNK_S})
+             else 0 end as slast
+      from n),
+w as (select doc_id, toks, n,
+        unnest(range(0, slast + 1, {_CHUNK_S})) as s0
+      from s)
+select doc_id,
+  (s0 / {_CHUNK_S} + 1)::bigint as chunk_id,
+  (least(s0 + {_CHUNK_W}, n) - s0)::bigint as n_tokens,
+  md5(array_to_string(toks[s0 + 1:least(s0 + {_CHUNK_W}, n)], ' '))
+    as chunk_md5
+from w
+"""
+
+
+def q_strip_html(sf_dir: str):
+    """General-HTML text extraction (tags → space, entity unescape,
+    whitespace collapse): both sides build the same deterministic HTML
+    wrapper (title = first 5 words, plus an entity-bearing suffix) and
+    the oracle verifies the md5 of the cleaned text — the lossy-HTML
+    sibling of the index build's byte-exact extract_text."""
+    import hashlib
+    import ray.data as rd
+    from ..functions.text import strip_html
+
+    def inject(b):
+        ids = b["doc_id"].to_pylist()
+        htmls = []
+        for t in b["text"].to_pylist():
+            t = t or ""
+            title = " ".join(t.split()[:5])
+            aug = t + " x &amp; y &lt;z&gt; &quot;w&#39;s&quot;&nbsp;end"
+            htmls.append(f"<html><title>{title}</title>"
+                         f"<body>{aug}</body></html>")
+        return pa.table({"doc_id": pa.array(ids),
+                         "html": pa.array(htmls, pa.string())})
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    cleaned = strip_html(ds.map_batches(inject, batch_format="pyarrow"))
+
+    def digest(b):
+        md5 = [hashlib.md5(s.encode()).hexdigest()
+               for s in b["clean_text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"],
+                         "clean_md5": pa.array(md5, pa.string())})
+
+    return cleaned.map_batches(digest, batch_format="pyarrow")
+
+
+SQL_STRIP_HTML = r"""
+with inj as (select doc_id,
+    '<html><title>'
+    || array_to_string(list_filter(string_split_regex(text, '\s+'),
+                                   x -> len(x) > 0)[1:5], ' ')
+    || '</title><body>' || text
+    || ' x &amp; y &lt;z&gt; &quot;w&#39;s&quot;&nbsp;end'
+    || '</body></html>' as h
+  from documents),
+c as (select doc_id,
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(h, '<[^>]*>', ' ', 'g'),
+            '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+            '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' '),
+          '\s+', ' ', 'g')) as clean
+      from inj)
+select doc_id, md5(clean) as clean_md5 from c
+"""
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: fraction of each doc's 8-token
+    shingles that appear in the 'benchmark' subset (doc_id % 97 = 0) —
+    the eval-overlap audit every LLM data pipeline runs before
+    training. Benchmark shingle hashes broadcast once (byte-guarded);
+    the corpus streams through a stateless sorted-probe map."""
+    import ray.data as rd
+    from ..functions.dedup import decontaminate
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    def bench_only(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 97 == 0))
+
+    bench = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"]) \
+        .map_batches(bench_only, batch_format="pyarrow")
+    return decontaminate(ds, bench, w=8)
+
+
+SQL_DECONTAMINATE = f"""
+with t as (select doc_id, {SIMPLE_TOKS_SQL} as toks from documents
+           where len({SIMPLE_TOKS_SQL}) >= 8),
+s as (select doc_id,
+        unnest(list_transform(range(1, len(toks) - 8 + 2),
+               i -> array_to_string(toks[i:i+7], ' '))) as sh
+      from t),
+h as (select doc_id, ('0x' || substr(md5(sh), 1, 16))::ubigint as h from s),
+bench as (select distinct h from h where doc_id % 97 = 0),
+agg as (select h.doc_id, count(*)::bigint as n_sh,
+          sum(case when b.h is not null then 1 else 0 end)::bigint as n_hit
+        from h left join bench b using (h) group by h.doc_id)
+select doc_id, n_sh as n_shingles, n_hit as n_contaminated,
+  floor((n_hit::double / n_sh) * 1000000 + 0.5) / 1000000 as contam_frac
+from agg
+"""
+
+
 def q_json_field_agg(sf_dir: str):
     """Parse the events' JSON ``props`` sidecar, extract the numeric
     ``k`` field, aggregate (count, sum, 6-dp mean) per event_type —
@@ -3328,6 +3459,9 @@ QUERIES = {
     "bm25_filtered_top10": q_bm25_filtered_top10,
     "prefix_suggest": q_prefix_suggest,
     "spell_suggest": q_spell_suggest,
+    "chunk_documents": q_chunk_documents,
+    "strip_html": q_strip_html,
+    "decontaminate": q_decontaminate,
     # rows-only (full-analyzer token chains — oracle-checked via their
     # simple-analyzer twins above — plus sketches/LSH float paths)
     "sdm_wand_search": q_sdm_wand_search,
@@ -3349,6 +3483,9 @@ ORACLE_SQL = {
     "bm25_filtered_top10": SQL_BM25_FILTERED_TOP10,
     "prefix_suggest": SQL_PREFIX_SUGGEST,
     "spell_suggest": SQL_SPELL_SUGGEST,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "strip_html": SQL_STRIP_HTML,
+    "decontaminate": SQL_DECONTAMINATE,
     "repetition_stats": SQL_REPETITION_STATS,
     "heuristic_filter": SQL_HEURISTIC_FILTER,
     "pii_scrub": SQL_PII_SCRUB,

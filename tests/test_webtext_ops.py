@@ -325,3 +325,64 @@ def test_filtered_search(ray_session, tmp_path):
     # doc 2 (de) excluded; order preserved among the rest
     exts = filtered["external_id"].to_pylist()
     assert exts == [doc_url(1), doc_url(3)]
+
+
+def test_chunk_documents(rd):
+    import hashlib
+    from search_engines_ray.functions.text import chunk_documents
+    toks = " ".join(f"t{i}" for i in range(10))
+    t = pa.table({"doc_id": [1, 2], "text": [toks, ""]})
+    out = chunk_documents(rd.from_arrow(t), max_tokens=4, stride=3,
+                          emit_text=True).to_pandas() \
+        .sort_values("chunk_id", ignore_index=True)
+    # starts 0,3,6: window at 6 reaches the end (6+4 >= 10) -> 3 chunks
+    assert list(out["doc_id"]) == [1, 1, 1]
+    assert list(out["n_tokens"]) == [4, 4, 4]
+    assert out.loc[0, "chunk"] == "t0 t1 t2 t3"
+    assert out.loc[2, "chunk"] == "t6 t7 t8 t9"
+    assert out.loc[0, "chunk_md5"] == hashlib.md5(
+        b"t0 t1 t2 t3").hexdigest()
+
+
+def test_chunk_documents_partial_tail(rd):
+    from search_engines_ray.functions.text import chunk_documents
+    t = pa.table({"doc_id": [1], "text": ["a b c d e"]})
+    out = chunk_documents(rd.from_arrow(t), max_tokens=2,
+                          emit_text=True).to_pandas() \
+        .sort_values("chunk_id", ignore_index=True)
+    assert list(out["chunk"]) == ["a b", "c d", "e"]
+    assert list(out["n_tokens"]) == [2, 2, 1]
+
+
+def test_strip_html(rd):
+    from search_engines_ray.functions.text import strip_html
+    t = pa.table({
+        "doc_id": [1, 2],
+        "html": ["<html><title>Hi</title><body>a &amp; b"
+                 " &lt;kept&gt;&nbsp;end</body></html>",
+                 "<p>  spaced   out  </p>"],
+    })
+    out = strip_html(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert out.loc[0, "clean_text"] == 'Hi a & b <kept> end'
+    assert out.loc[1, "clean_text"] == "spaced out"
+
+
+def test_decontaminate(rd):
+    from search_engines_ray.functions.dedup import decontaminate
+    bench_text = "b1 b2 b3 b4 b5 b6 b7 b8"
+    half = "b1 b2 b3 b4 b5 b6 b7 b8 x1 x2 x3 x4 x5 x6 x7 x8"
+    clean = "c1 c2 c3 c4 c5 c6 c7 c8 c9"
+    docs = pa.table({"doc_id": [1, 2, 3],
+                     "text": [bench_text, half, clean]})
+    bench = pa.table({"doc_id": [100], "text": [bench_text]})
+    out = decontaminate(rd.from_arrow(docs), rd.from_arrow(bench),
+                        w=8).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    # doc1 == the benchmark doc: fully contaminated
+    assert out.loc[0, "contam_frac"] == 1.0
+    # doc2: 9 shingles, exactly the first (the benchmark 8-gram) hits
+    assert out.loc[1, "n_shingles"] == 9
+    assert out.loc[1, "n_contaminated"] == 1
+    # doc3: no overlap
+    assert out.loc[2, "n_contaminated"] == 0
