@@ -199,3 +199,181 @@ def connected_components(edges, src_col: str = "src", dst_col: str = "dst",
         batch_format="pandas")
     return tagged_out.union(tagged_lone).groupby("part") \
         .map_groups(anti_join, batch_format="pandas")
+
+
+# pagerank shuffle fan-in — same role as _CC_EDGES_PER_PART: the
+# per-partition fold is vectorized, so the knob only bounds per-task
+# group size; auto-sized from the node count.
+_PR_NODES_PER_PART = 500_000
+
+
+def pagerank(edges, nodes, iters: int = 3, damping=(85, 100),
+             scale: int = 10 ** 12, num_parts: int | None = None):
+    """→ Dataset (node int64, outdeg int64, rank_u int64): integer
+    fixed-point PageRank after ``iters`` synchronous power iterations.
+    ``rank_u`` is the rank in units of 1/``scale`` (start mass
+    ``scale // n`` per node); damping is the rational
+    ``damping[0]/damping[1]`` and EVERY step is int64 arithmetic —
+    per-edge contribution ``rank_u // outdeg``, damped in-sum
+    ``(d_num * sum) // d_den`` — so distributed partial sums associate
+    exactly and the result is bit-identical to any serial evaluation
+    (the usual float PageRank differs in ulps between partition
+    orders). The remainder mass shed by each integer division is
+    deliberately NOT redistributed: determinism over mass conservation
+    (total mass decays < iters * n / scale relative).
+
+    Dangling nodes (outdeg 0) donate their damped mass uniformly:
+    ``((d_num * D) // d_den) // n`` per node, ``D`` = total dangling
+    rank, computed per iteration as a scalar aggregate over the
+    (small) rank table — and skipped entirely when the graph has no
+    dangling nodes.
+
+    Scale shape: per iteration, ONE tagged-union exchange joins the
+    rank table onto the edge list by ``src`` (``shuffle_hash_join`` —
+    ranks are n_nodes × 24 B, edges are the big side) and ONE groupby
+    exchange sums contributions per ``dst``; the union with per-node
+    zero rows folds the "nodes with no in-links" left-join into that
+    same exchange. The rank table is materialized each iteration to
+    cut lineage (it is tiny relative to the corpus). On a real
+    cluster the edge list would be hash-partitioned by ``src`` once
+    and kept in place across iterations; Ray Data has no persistent
+    partition cache, so each iteration re-ships the edges — fine for
+    the small ``iters`` PageRank needs.
+
+    The reference consumes precomputed PageRank priors from a side
+    file (``FeatureVector.java:65`` loads them per externalDocid);
+    this op is the producer side of that file.
+
+    ``nodes``: Dataset with a ``node`` column, one row per vertex
+    (must cover every ``src``/``dst``). ``edges``: columns
+    ``src``/``dst``; parallel edges each contribute (multigraph
+    semantics — dedup upstream if unwanted).
+    """
+    import pyarrow as pa
+
+    d_num, d_den = int(damping[0]), int(damping[1])
+    n = nodes.count()
+    if n == 0:
+        return nodes.map_batches(
+            lambda b: pa.table({"node": pa.array([], pa.int64()),
+                                "outdeg": pa.array([], pa.int64()),
+                                "rank_u": pa.array([], pa.int64())}),
+            batch_format="pyarrow")
+    P = int(num_parts or max(8, min(4096, n // _PR_NODES_PER_PART)))
+    # coalesce target for every per-iteration exchange input: groupby's
+    # sort shuffle emits as many blocks as it consumes, and the rank
+    # table feeds the NEXT iteration's union — without a bound the
+    # block count (and the shuffle's blocks × partitions transfer
+    # matrix) doubles per iteration (measured 14 → 61 → 225 s for
+    # iters 1/2/3 on a 500-node toy graph before this coalesce).
+    shuffle_blocks = max(4, P // 8)
+    teleport = ((d_den - d_num) * scale // d_den) // n
+    r0 = scale // n
+
+    # ---- static (node, outdeg) table: one exchange unions per-edge
+    # degree partials with per-node zero rows (the left join folded
+    # into the groupby, same trick as the iteration body).
+    def deg_partial(b: pa.Table) -> pa.Table:
+        src = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"part": pa.array((src % P).astype(np.int32)),
+                         "node": pa.array(src),
+                         "c": pa.array(np.ones(len(src), np.int64))})
+
+    def node_zero(b: pa.Table) -> pa.Table:
+        nd = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"part": pa.array((nd % P).astype(np.int32)),
+                         "node": pa.array(nd),
+                         "c": pa.array(np.zeros(len(nd), np.int64))})
+
+    def fold_deg(g: pa.Table) -> pa.Table:
+        nd = g["node"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(nd, kind="stable")
+        nds, cs = nd[order], c[order]
+        bound = np.concatenate(([True], nds[1:] != nds[:-1]))
+        first = np.flatnonzero(bound)
+        od = np.add.reduceat(cs, first)
+        return pa.table({"node": pa.array(nds[first]),
+                         "outdeg": pa.array(od),
+                         "rank_u": pa.array(np.full(len(first), r0,
+                                                    np.int64))})
+
+    ranks = edges.map_batches(deg_partial, batch_format="pyarrow") \
+        .union(nodes.map_batches(node_zero, batch_format="pyarrow")) \
+        .repartition(shuffle_blocks) \
+        .groupby("part").map_groups(fold_deg, batch_format="pyarrow") \
+        .materialize()
+
+    def dangling_partial(b: pa.Table) -> pa.Table:
+        od = b["outdeg"].to_numpy(zero_copy_only=False)
+        ru = b["rank_u"].to_numpy(zero_copy_only=False)
+        return pa.table({"d": pa.array([int(ru[od == 0].sum())],
+                                       pa.int64())})
+
+    has_dangling = int(ranks.map_batches(
+        lambda b: pa.table({"z": pa.array(
+            [int((b["outdeg"].to_numpy(zero_copy_only=False) == 0).sum())],
+            pa.int64())}), batch_format="pyarrow").sum("z") or 0) > 0
+
+    from .join import shuffle_hash_join
+
+    def fold_rank(dangle_t: int):
+        def fold(g: pa.Table) -> pa.Table:
+            nd = g["node"].to_numpy(zero_copy_only=False)
+            od = g["outdeg"].to_numpy(zero_copy_only=False)
+            c = g["c"].to_numpy(zero_copy_only=False)
+            order = np.argsort(nd, kind="stable")
+            nds, ods, cs = nd[order], od[order], c[order]
+            bound = np.concatenate(([True], nds[1:] != nds[:-1]))
+            first = np.flatnonzero(bound)
+            s = np.add.reduceat(cs, first)
+            deg = np.maximum.reduceat(ods, first)
+            ru = teleport + (d_num * s) // d_den + dangle_t
+            return pa.table({"node": pa.array(nds[first]),
+                             "outdeg": pa.array(deg),
+                             "rank_u": pa.array(ru)})
+        return fold
+
+    for _ in range(int(iters)):
+        if has_dangling:
+            D = int(ranks.map_batches(dangling_partial,
+                                      batch_format="pyarrow").sum("d") or 0)
+            dangle_t = ((d_num * D) // d_den) // n
+        else:
+            dangle_t = 0
+
+        # rank/outdeg keyed by src for the edge join (outdeg > 0 by
+        # construction for every node that appears as a src)
+        by_src = ranks.map_batches(
+            lambda b: pa.table({"src": b["node"], "od": b["outdeg"],
+                                "ru": b["rank_u"]}),
+            batch_format="pyarrow")
+        joined = shuffle_hash_join(edges, by_src, left_on="src",
+                                   num_parts=P)
+
+        def contrib(b: pa.Table) -> pa.Table:
+            dst = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ru = b["ru"].to_numpy(zero_copy_only=False).astype(np.int64)
+            od = b["od"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "part": pa.array((dst % P).astype(np.int32)),
+                "node": pa.array(dst),
+                "outdeg": pa.array(np.full(len(dst), -1, np.int64)),
+                "c": pa.array(ru // od)})
+
+        def zero(b: pa.Table) -> pa.Table:
+            nd = b["node"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "part": pa.array((nd % P).astype(np.int32)),
+                "node": b["node"],
+                "outdeg": b["outdeg"],
+                "c": pa.array(np.zeros(len(nd), np.int64))})
+
+        ranks = joined.map_batches(contrib, batch_format="pyarrow") \
+            .union(ranks.map_batches(zero, batch_format="pyarrow")) \
+            .repartition(shuffle_blocks) \
+            .groupby("part").map_groups(fold_rank(dangle_t),
+                                        batch_format="pyarrow") \
+            .materialize()
+
+    return ranks

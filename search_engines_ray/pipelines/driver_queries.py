@@ -3352,6 +3352,73 @@ from agg
 """
 
 
+def q_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank (3 iterations, damping 85/100) over
+    a deterministic synthetic link graph on the documents: docs with
+    ``doc_id % 7 == 0`` are dangling (crawl frontier leaves), the rest
+    emit 1–3 out-links ``(doc_id*131 + k*7919) % n``. Every arithmetic
+    step is int64 (contribution = rank // outdeg, damped sum =
+    (85*s)//100), so distributed partials associate exactly and the
+    unrolled-CTE oracle hash-matches bit for bit — the producer side of
+    the PageRank prior file the reference only consumes."""
+    import ray.data as rd
+    from ..functions.graph import pagerank
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    n = docs.count()
+
+    def edges_fn(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = ids[ids % 7 != 0]
+        kc = ids % 3 + 1
+        src = np.repeat(ids, kc)
+        off = np.repeat(np.cumsum(kc) - kc, kc)
+        k = np.arange(len(src), dtype=np.int64) - off + 1
+        dst = (src * 131 + k * 7919) % n
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = docs.map_batches(edges_fn, batch_format="pyarrow")
+    nodes = docs.map_batches(
+        lambda b: pa.table({"node": b["doc_id"]}), batch_format="pyarrow")
+    return pagerank(edges, nodes, iters=3)
+
+
+_PR_SCALE = 10 ** 12
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    """One unrolled PageRank iteration as a CTE — the exact integer
+    mirror of ``graph.pagerank``'s update rule."""
+    return f""",
+{cur} as (
+  select nd.node, nd.od,
+    ((((100 - 85) * {_PR_SCALE}) // 100) // (select n from nn))
+      + (85 * coalesce(s.s, 0)) // 100
+      + ((85 * (select coalesce(sum(ru), 0)::bigint
+                from {prev} where od = 0)) // 100)
+        // (select n from nn) as ru
+  from nd left join (
+      select e.dst as node, sum(r.ru // r.od)::bigint as s
+      from e join {prev} r on e.src = r.node
+      group by e.dst) s on nd.node = s.node)"""
+
+
+SQL_PAGERANK = f"""
+with nn as (select count(*)::bigint as n from documents),
+e as (select d.doc_id as src,
+        (d.doc_id * 131 + k.k * 7919) % (select n from nn) as dst
+      from documents d cross join (values (1), (2), (3)) k(k)
+      where d.doc_id % 7 <> 0 and k.k <= d.doc_id % 3 + 1),
+deg as (select src as node, count(*)::bigint as od from e group by src),
+nd as (select doc_id as node, coalesce(od, 0::bigint) as od
+       from documents left join deg on doc_id = node),
+r0 as (select node, od,
+         ({_PR_SCALE} // (select n from nn))::bigint as ru
+       from nd){_pr_iter_sql('r0', 'r1')}{_pr_iter_sql('r1', 'r2')}{_pr_iter_sql('r2', 'r3')}
+select node, od as outdeg, ru as rank_u from r3
+"""
+
+
 def q_json_field_agg(sf_dir: str):
     """Parse the events' JSON ``props`` sidecar, extract the numeric
     ``k`` field, aggregate (count, sum, 6-dp mean) per event_type —
@@ -3462,6 +3529,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "strip_html": q_strip_html,
     "decontaminate": q_decontaminate,
+    "pagerank": q_pagerank,
     # rows-only (full-analyzer token chains — oracle-checked via their
     # simple-analyzer twins above — plus sketches/LSH float paths)
     "sdm_wand_search": q_sdm_wand_search,
@@ -3486,6 +3554,7 @@ ORACLE_SQL = {
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "strip_html": SQL_STRIP_HTML,
     "decontaminate": SQL_DECONTAMINATE,
+    "pagerank": SQL_PAGERANK,
     "repetition_stats": SQL_REPETITION_STATS,
     "heuristic_filter": SQL_HEURISTIC_FILTER,
     "pii_scrub": SQL_PII_SCRUB,

@@ -70,3 +70,61 @@ def test_compress_canonical_routes_large_edge_sets(ray_session):
     assert small.equals(big)
     assert dict(zip(small["doc_id"], small["canonical_id"])) == {
         0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 7: 7}
+
+
+# ---------------------------------------------------------------- pagerank
+
+def serial_pagerank(edges, n, iters=3, d=(85, 100), scale=10 ** 12):
+    """Reference serial integer PageRank — same fixed-point contract."""
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: scale // n for v in range(n)}
+    teleport = ((d[1] - d[0]) * scale // d[1]) // n
+    for _ in range(iters):
+        D = sum(r for v, r in rank.items() if outdeg.get(v, 0) == 0)
+        dangle_t = ((d[0] * D) // d[1]) // n
+        s = {v: 0 for v in range(n)}
+        for u, v in edges:
+            s[v] += rank[u] // outdeg[u]
+        rank = {v: teleport + (d[0] * s[v]) // d[1] + dangle_t
+                for v in range(n)}
+    return rank
+
+
+def run_pr(edges, n, **kw):
+    from search_engines_ray.functions.graph import pagerank
+    e = ray.data.from_pandas(pd.DataFrame(
+        {"src": [a for a, _ in edges], "dst": [b for _, b in edges]}))
+    nodes = ray.data.from_pandas(pd.DataFrame({"node": np.arange(n)}))
+    out = pagerank(e, nodes, **kw).to_pandas() \
+        .sort_values("node", ignore_index=True)
+    return dict(zip(out["node"], out["rank_u"]))
+
+
+def test_pagerank_matches_serial(ray_session):
+    edges = [(0, 1), (1, 2), (2, 0), (2, 1), (3, 2), (0, 2)]
+    got = run_pr(edges, 4, iters=3, num_parts=3)
+    assert got == serial_pagerank(edges, 4, iters=3)
+
+
+def test_pagerank_dangling_and_sinks(ray_session):
+    # node 2 dangles (no out-edges); node 3 has no in-edges
+    edges = [(0, 1), (1, 2), (3, 1), (3, 0)]
+    got = run_pr(edges, 4, iters=4, num_parts=2)
+    want = serial_pagerank(edges, 4, iters=4)
+    assert got == want
+    assert got[3] > 0  # teleport + dangling share only
+
+    # total mass decays but stays within the documented bound
+    scale = 10 ** 12
+    assert scale * 0.9 < sum(got.values()) <= scale
+
+
+def test_pagerank_multigraph_and_random(ray_session):
+    rng = np.random.RandomState(7)
+    n = 50
+    edges = [(int(rng.randint(n)), int(rng.randint(n))) for _ in range(400)]
+    edges += edges[:20]  # parallel edges count twice
+    got = run_pr(edges, n, iters=3)
+    assert got == serial_pagerank(edges, n, iters=3)
