@@ -64,6 +64,50 @@ def get_index(sf_dir: str, mode: str, fields: dict | None = None) -> IndexReader
     return IndexReader(path)
 
 
+def get_merged_index(sf_dir: str, mode: str) -> IndexReader:
+    """Incremental-indexing path: build TWO half-corpus indexes (docs
+    split by doc_id parity — two independent 'crawl segments'), then
+    ``merge_indexes`` them; cached on disk like ``get_index``. Rankings
+    over the merged index must equal the one-pass full build's (same
+    corpus stats by addition), which the shared BM25 oracle checks."""
+    import shutil
+    from ..index.merge import merge_indexes
+    tag = hashlib.md5(f"{sf_dir}|merged".encode()).hexdigest()[:8]
+    path = os.path.join(_IDX_ROOT, f"{tag}_{mode}_merged")
+    if not os.path.exists(os.path.join(path, "stats.json")):
+        shutil.rmtree(path, ignore_errors=True)  # no half-written appends
+        import ray
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        cfg = dict(num_buckets=16, docid_partitions=8, analyzer=mode,
+                   fields={"body": "text"},
+                   tokenize_concurrency=max(1, min(ncpu - 2, 8)))
+        halves = []
+        for parity in (0, 1):
+            def keep(b: pa.Table, parity=parity) -> pa.Table:
+                nums = np.array([int(u.rsplit("/", 1)[1])
+                                 for u in b["url"].to_pylist()], np.int64)
+                return b.filter(pa.array(nums % 2 == parity))
+            hp = os.path.join(_IDX_ROOT, f"{tag}_{mode}_h{parity}")
+            build_index(
+                pages_from_documents(sf_dir).map_batches(
+                    keep, batch_format="pyarrow"),
+                hp, IndexBuildConfig(**cfg),
+                input_token=f"{sf_dir}|h{parity}", resume=True)
+            halves.append(hp)
+        merge_indexes(halves[0], halves[1], path)
+    return IndexReader(path)
+
+
+def q_bm25_merged_top10(sf_dir: str):
+    """BM25 over a MERGED index (two parity-split segment builds folded
+    by ``merge_indexes``) — same oracle as ``index_bm25_top10``: the
+    segment merge must be ranking-invisible."""
+    reader = get_merged_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    res = engine.search(" ".join(BM25_QUERY_TERMS), k=10)
+    return _ranked_to_table(res)
+
+
 def _docid_of_external(ext_ids: list[str]) -> np.ndarray:
     """external_id 'http://docs.example.com/00000042' → doc_id 42."""
     return np.array([int(e.rsplit("/", 1)[1]) for e in ext_ids], dtype=np.int64)
@@ -3524,6 +3568,7 @@ QUERIES = {
     "unigram_surprisal": q_unigram_surprisal,
     "facet_counts": q_facet_counts,
     "bm25_filtered_top10": q_bm25_filtered_top10,
+    "bm25_merged_top10": q_bm25_merged_top10,
     "prefix_suggest": q_prefix_suggest,
     "spell_suggest": q_spell_suggest,
     "chunk_documents": q_chunk_documents,
@@ -3577,6 +3622,7 @@ ORACLE_SQL = {
     "term_df_ctf_top50": SQL_TERM_DF_CTF_TOP50,
     "index_bm25_top10": SQL_INDEX_BM25_TOP10,
     "index_bm25_maxscore_top10": SQL_INDEX_BM25_TOP10,
+    "bm25_merged_top10": SQL_INDEX_BM25_TOP10,
     "bm25_multifield_top10": SQL_BM25_MULTIFIELD_TOP10,
     "index_indri_top10": SQL_INDEX_INDRI_TOP10,
     "indri_batch_distributed": SQL_INDEX_INDRI_TOP10,

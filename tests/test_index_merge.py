@@ -1,0 +1,126 @@
+"""merge_indexes: a merged pair of half-corpus indexes must answer
+every read / search / distributed-scoring path identically to an index
+built over the whole corpus in one pass (external-id level — internal
+docids may permute across builds)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray
+
+from .conftest import _toy_pages
+
+
+@pytest.fixture(scope="module")
+def merged_and_full(tmp_path_factory, ray_session):
+    import ray.data as rd
+    from search_engines_ray.index import (
+        IndexBuildConfig, IndexReader, build_index, merge_indexes)
+
+    pages = _toy_pages()
+    root = tmp_path_factory.mktemp("merge_idx")
+    cfg = dict(fields={"body": "text", "title": "title"},
+               num_buckets=4, docid_partitions=2, merge_salts=2,
+               tokenize_concurrency=2)
+    # the toy corpus's duplicate url must stay within ONE segment:
+    # build-plane dedup is per build, and merge (like a Lucene segment
+    # merge) concatenates doc spaces — cross-segment dedup is the
+    # caller's job (exact_dedup / semijoin upstream).
+    dirs = {}
+    for name, df in (("full", pages), ("a", pages.iloc[[0, 1, 2, 3, 7]]),
+                     ("b", pages.iloc[4:7])):
+        d = str(root / name)
+        build_index(rd.from_pandas(df.reset_index(drop=True)), d,
+                    IndexBuildConfig(**cfg), input_token=name, resume=False)
+        dirs[name] = d
+    dirs["m"] = str(root / "m")
+    merge_indexes(dirs["a"], dirs["b"], dirs["m"])
+    return {k: IndexReader(d) for k, d in dirs.items()} | {"dirs": dirs}
+
+
+def _by_ext(reader, term, field="body"):
+    """posting list keyed by external id: {ext: (tf, positions)}."""
+    p = reader.postings(term, field)
+    if p is None:
+        return {}
+    exts = reader.external_ids()[p.docids]
+    out, off = {}, 0
+    for e, tf in zip(exts, p.tfs):
+        out[e] = (int(tf), tuple(p.positions[off:off + tf]))
+        off += tf
+    return out
+
+
+def test_merged_stats_match_full(merged_and_full):
+    m, f = merged_and_full["m"], merged_and_full["full"]
+    assert m.n_docs == f.n_docs
+    for fld in f.fields:
+        assert m.doc_count(fld) == f.doc_count(fld)
+        assert m.sum_field_lengths(fld) == f.sum_field_lengths(fld)
+    # salts/pids add across segments
+    a, b = merged_and_full["a"], merged_and_full["b"]
+    assert m.stats["merge_salts"] == (a.stats["merge_salts"]
+                                      + b.stats["merge_salts"])
+    assert m.pid_offsets[-1] == m.n_docs
+
+
+def test_merged_postings_match_full(merged_and_full):
+    m, f = merged_and_full["m"], merged_and_full["full"]
+    for term in ("quick", "fox", "lazy", "cat", "running"):
+        assert _by_ext(m, term) == _by_ext(f, term), term
+    assert _by_ext(m, "fox", "title") == _by_ext(f, "fox", "title")
+    # df/ctf via the engine-facing aggregate
+    pm, pf = m.postings("fox", "body"), f.postings("fox", "body")
+    assert (pm.df, pm.ctf) == (pf.df, pf.ctf)
+
+
+def test_merged_docid_space_dense(merged_and_full):
+    m = merged_and_full["m"]
+    ids = m.external_ids()
+    assert len(ids) == m.n_docs
+    assert all(isinstance(e, str) and e for e in ids)
+    assert len(set(ids)) == m.n_docs
+
+
+def test_merged_search_matches_full(merged_and_full):
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import BM25Model, IndriModel
+    m, f = merged_and_full["m"], merged_and_full["full"]
+    for model in (BM25Model(k1=1.2, b=0.75),
+                  IndriModel(mu=1000, lambda_=0.3)):
+        em = QueryEngine(m, model).search("quick fox lazy", k=10)
+        ef = QueryEngine(f, model).search("quick fox lazy", k=10)
+        assert em["external_id"].to_pylist() == ef["external_id"].to_pylist()
+        assert np.allclose(em["score"].to_numpy(), ef["score"].to_numpy(),
+                           rtol=0, atol=1e-12)
+
+
+def test_merged_distributed_matches_full(merged_and_full):
+    from search_engines_ray.query.distributed import bm25_batch_search
+    dirs = merged_and_full["dirs"]
+    qs = [("q1", "quick fox"), ("q2", "lazy cat dog")]
+    tm = bm25_batch_search(dirs["m"], qs, k=5).to_pandas()
+    tf_ = bm25_batch_search(dirs["full"], qs, k=5).to_pandas()
+    cols = ["qid", "external_id"]
+    pd.testing.assert_frame_equal(
+        tm[cols].reset_index(drop=True), tf_[cols].reset_index(drop=True))
+    assert np.allclose(tm["score"], tf_["score"], rtol=0, atol=1e-12)
+
+
+def test_merge_rejects_mismatched_config(tmp_path, ray_session):
+    import ray.data as rd
+    from search_engines_ray.index import (
+        IndexBuildConfig, build_index, merge_indexes)
+    pages = _toy_pages().iloc[:3]
+    d1, d2 = str(tmp_path / "x"), str(tmp_path / "y")
+    build_index(rd.from_pandas(pages.reset_index(drop=True)), d1,
+                IndexBuildConfig(fields={"body": "text"}, num_buckets=4,
+                                 docid_partitions=2, merge_salts=2),
+                input_token="x", resume=False)
+    build_index(rd.from_pandas(pages.reset_index(drop=True)), d2,
+                IndexBuildConfig(fields={"body": "text"}, num_buckets=8,
+                                 docid_partitions=2, merge_salts=2),
+                input_token="y", resume=False)
+    with pytest.raises(ValueError, match="num_buckets"):
+        merge_indexes(d1, d2, str(tmp_path / "z"))
