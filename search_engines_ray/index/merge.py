@@ -159,3 +159,126 @@ def merge_indexes(index_a: str, index_b: str, out_dir: str) -> dict:
     with open(os.path.join(out_dir, STATS_FILE), "w") as f:
         json.dump(stats, f)
     return stats
+
+
+def compact_index(index_dir: str, out_dir: str,
+                  merge_salts: int | None = None,
+                  num_parts: int = 64) -> dict:
+    """Rewrite ``index_dir``'s postings into exactly ``merge_salts``
+    docid-range runs per (term, field), writing a full new index at
+    ``out_dir`` (forward plane copied verbatim — docids are unchanged).
+    Returns the new stats dict.
+
+    This is the LSM compaction that pairs with ``merge_indexes``: every
+    merge ADDS the inputs' salt counts, so after k segment folds a term
+    carries k× more (smaller) runs — per-salt distributed-query tasks
+    multiply while each one shrinks, and run-level metadata stops
+    pruning well. Compaction restores the build-time invariant
+    (``merge_salts`` runs of roughly equal docid mass, boundaries at
+    ``docid * S // n_docs``) without touching a single document.
+
+    Shape: ONE keyed exchange of the (vocab × salts)-row blob table —
+    rows hash-partition on (term, field) so each group holds all of a
+    term's runs; per partition the runs are decoded, concatenated in
+    ``min_docid`` order (disjoint ranges — already globally sorted),
+    re-split at the new boundaries and re-encoded. Payload bytes cross
+    the wire once; documents never do. ``merge_salts=None`` auto-sizes
+    like the build plane: ``ceil(n_docs / docs_per_salt)``, min 4.
+    """
+    import pandas as pd
+
+    import ray.data as rd
+
+    from .build import IndexBuildConfig
+    from .varbyte import decode_postings, encode_postings
+
+    with open(os.path.join(index_dir, STATS_FILE)) as f:
+        stats = json.load(f)
+    n_docs = int(stats["n_docs"])
+    if merge_salts is None:
+        dps = IndexBuildConfig().docs_per_salt
+        merge_salts = int(min(4096, max(4, -(-n_docs // dps))))
+    S = int(merge_salts)
+    os.makedirs(out_dir, exist_ok=True)
+
+    fwd_out = os.path.join(out_dir, FORWARD_DIR)
+    rd.read_parquet(os.path.join(index_dir, FORWARD_DIR)) \
+        .write_parquet(fwd_out)
+
+    def key_part(b: pa.Table) -> pa.Table:
+        # deterministic across worker processes (Python's str hash is
+        # per-process salted and would split a term's runs across parts)
+        import pandas as pd
+        key = np.asarray(
+            [f"{t}\x00{f}" for t, f in zip(b["term"].to_pylist(),
+                                           b["field"].to_pylist())],
+            dtype=object)
+        part = (pd.util.hash_array(key, categorize=False)
+                % np.uint64(num_parts)).astype(np.int32)
+        return b.append_column("part", pa.array(part))
+
+    def recompact(g: pa.Table) -> pd.DataFrame:
+        df = g.to_pandas()
+        out = {k: [] for k in
+               ("term", "field", "bucket", "salt", "df", "ctf",
+                "min_docid", "max_tf", "docid_blob", "tf_blob",
+                "pos_blob")}
+        if df.empty:
+            typed = {"term": object, "field": object, "bucket": np.int32,
+                     "salt": np.int32, "df": np.int64, "ctf": np.int64,
+                     "min_docid": np.int64, "max_tf": np.int32,
+                     "docid_blob": object, "tf_blob": object,
+                     "pos_blob": object}
+            return pd.DataFrame({k: pd.Series([], dtype=t)
+                                 for k, t in typed.items()})
+        for (term, fld), rows in df.groupby(["term", "field"], sort=False):
+            rows = rows.sort_values("min_docid")
+            dparts, tparts, pparts = [], [], []
+            for db, tb, pb in zip(rows["docid_blob"], rows["tf_blob"],
+                                  rows["pos_blob"]):
+                d, tf, p = decode_postings(db, tb, pb)
+                dparts.append(d); tparts.append(tf); pparts.append(p)
+            docids = np.concatenate(dparts)
+            tfs = np.concatenate(tparts)
+            pos = np.concatenate(pparts)
+            pos_bounds = np.concatenate(
+                ([0], np.cumsum(tfs.astype(np.int64))))
+            salt_of_doc = (docids * S // n_docs).astype(np.int32)
+            bound = np.concatenate(([True],
+                                    salt_of_doc[1:] != salt_of_doc[:-1]))
+            starts = np.flatnonzero(bound)
+            ends = np.append(starts[1:], docids.size)
+            for a, z in zip(starts, ends):
+                d, tf = docids[a:z], tfs[a:z]
+                p = pos[pos_bounds[a]:pos_bounds[z]]
+                db, tb, pb = encode_postings(d, tf, p)
+                out["term"].append(term)
+                out["field"].append(fld)
+                out["bucket"].append(int(rows["bucket"].iloc[0]))
+                out["salt"].append(int(salt_of_doc[a]))
+                out["df"].append(int(d.size))
+                out["ctf"].append(int(tf.sum()))
+                out["min_docid"].append(int(d[0]))
+                out["max_tf"].append(int(tf.max()))
+                out["docid_blob"].append(db)
+                out["tf_blob"].append(tb)
+                out["pos_blob"].append(pb)
+        res = pd.DataFrame(out)
+        # match the build plane's column dtypes exactly so every output
+        # file (and the empty-partition frame above) agrees
+        return res.astype({"bucket": np.int32, "salt": np.int32,
+                           "df": np.int64, "ctf": np.int64,
+                           "min_docid": np.int64, "max_tf": np.int32})
+
+    rd.read_parquet(os.path.join(index_dir, POSTINGS_DIR)) \
+        .map_batches(key_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(recompact, batch_format="pyarrow") \
+        .write_parquet(os.path.join(out_dir, POSTINGS_DIR),
+                       partition_cols=["bucket"])
+
+    new_stats = dict(stats)
+    new_stats["merge_salts"] = S
+    new_stats["compacted_from"] = os.path.abspath(index_dir)
+    with open(os.path.join(out_dir, STATS_FILE), "w") as f:
+        json.dump(new_stats, f)
+    return new_stats

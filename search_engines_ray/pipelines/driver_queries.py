@@ -108,6 +108,27 @@ def q_bm25_merged_top10(sf_dir: str):
     return _ranked_to_table(res)
 
 
+def q_bm25_compacted_top10(sf_dir: str):
+    """BM25 over the merged index AFTER ``compact_index`` rewrote its
+    (doubled) salt runs back to the build-time budget — the LSM
+    compaction step; also shares the full-build BM25 oracle, so the
+    whole segment lifecycle (split builds → merge → compact) is proven
+    ranking-invisible."""
+    import shutil
+    from ..index.merge import compact_index
+    get_merged_index(sf_dir, "simple")  # ensure the merged input exists
+    tag = hashlib.md5(f"{sf_dir}|merged".encode()).hexdigest()[:8]
+    src = os.path.join(_IDX_ROOT, f"{tag}_simple_merged")
+    path = os.path.join(_IDX_ROOT, f"{tag}_simple_compacted")
+    if not os.path.exists(os.path.join(path, "stats.json")):
+        shutil.rmtree(path, ignore_errors=True)
+        compact_index(src, path, merge_salts=4)
+    reader = IndexReader(path)
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    res = engine.search(" ".join(BM25_QUERY_TERMS), k=10)
+    return _ranked_to_table(res)
+
+
 def _docid_of_external(ext_ids: list[str]) -> np.ndarray:
     """external_id 'http://docs.example.com/00000042' → doc_id 42."""
     return np.array([int(e.rsplit("/", 1)[1]) for e in ext_ids], dtype=np.int64)
@@ -3569,6 +3590,7 @@ QUERIES = {
     "facet_counts": q_facet_counts,
     "bm25_filtered_top10": q_bm25_filtered_top10,
     "bm25_merged_top10": q_bm25_merged_top10,
+    "bm25_compacted_top10": q_bm25_compacted_top10,
     "prefix_suggest": q_prefix_suggest,
     "spell_suggest": q_spell_suggest,
     "chunk_documents": q_chunk_documents,
@@ -3623,6 +3645,7 @@ ORACLE_SQL = {
     "index_bm25_top10": SQL_INDEX_BM25_TOP10,
     "index_bm25_maxscore_top10": SQL_INDEX_BM25_TOP10,
     "bm25_merged_top10": SQL_INDEX_BM25_TOP10,
+    "bm25_compacted_top10": SQL_INDEX_BM25_TOP10,
     "bm25_multifield_top10": SQL_BM25_MULTIFIELD_TOP10,
     "index_indri_top10": SQL_INDEX_INDRI_TOP10,
     "indri_batch_distributed": SQL_INDEX_INDRI_TOP10,

@@ -124,3 +124,49 @@ def test_merge_rejects_mismatched_config(tmp_path, ray_session):
                 input_token="y", resume=False)
     with pytest.raises(ValueError, match="num_buckets"):
         merge_indexes(d1, d2, str(tmp_path / "z"))
+
+
+def test_compact_restores_salt_budget(merged_and_full, tmp_path):
+    from search_engines_ray.index import IndexReader
+    from search_engines_ray.index.merge import compact_index
+    dirs = merged_and_full["dirs"]
+    out = str(tmp_path / "compacted")
+    stats = compact_index(dirs["m"], out, merge_salts=2, num_parts=4)
+    assert stats["merge_salts"] == 2
+    c, f = IndexReader(out), merged_and_full["full"]
+    assert c.n_docs == f.n_docs
+    # postings identical at external-id level, positions included
+    for term in ("quick", "fox", "lazy", "cat"):
+        assert _by_ext(c, term) == _by_ext(f, term), term
+    # every run's salt is within the new budget and runs stay disjoint
+    meta = c.postings_meta(["quick", "fox", "lazy", "cat"], "body")
+    assert meta["salt"].to_pandas().between(0, 1).all()
+
+
+def test_compact_search_matches_full(merged_and_full, tmp_path):
+    from search_engines_ray.index import IndexReader
+    from search_engines_ray.index.merge import compact_index
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import BM25Model
+    dirs = merged_and_full["dirs"]
+    out = str(tmp_path / "compacted2")
+    compact_index(dirs["m"], out, merge_salts=3, num_parts=2)
+    ec = QueryEngine(IndexReader(out), BM25Model()).search("quick fox lazy", k=10)
+    ef = QueryEngine(merged_and_full["full"], BM25Model()).search(
+        "quick fox lazy", k=10)
+    assert ec["external_id"].to_pylist() == ef["external_id"].to_pylist()
+    assert np.allclose(ec["score"].to_numpy(), ef["score"].to_numpy(),
+                       rtol=0, atol=1e-12)
+
+
+def test_compact_distributed_matches_full(merged_and_full, tmp_path):
+    from search_engines_ray.index.merge import compact_index
+    from search_engines_ray.query.distributed import bm25_batch_search
+    dirs = merged_and_full["dirs"]
+    out = str(tmp_path / "compacted3")
+    compact_index(dirs["m"], out, merge_salts=2, num_parts=4)
+    qs = [("q1", "quick fox"), ("q2", "lazy cat dog")]
+    tc = bm25_batch_search(out, qs, k=5).to_pandas()
+    tf_ = bm25_batch_search(dirs["full"], qs, k=5).to_pandas()
+    assert tc["external_id"].tolist() == tf_["external_id"].tolist()
+    assert np.allclose(tc["score"], tf_["score"], rtol=0, atol=1e-12)
