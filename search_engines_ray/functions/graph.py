@@ -377,3 +377,49 @@ def pagerank(edges, nodes, iters: int = 3, damping=(85, 100),
             .materialize()
 
     return ranks
+
+
+def anchor_text(links, target_col: str = "dst",
+                anchor_col: str = "anchor",
+                order_cols: tuple = ("src",),
+                sep: str = " ", num_parts: int | None = None):
+    """→ Dataset (``target_col``, ``inlink``): per link target, the
+    concatenation of all anchor strings pointing at it, in
+    ``order_cols`` order — the web-graph side of the reference's
+    ``inlink`` document field (ClueWeb indexes anchor text of inbound
+    links as a ranked field alongside body/title/url;
+    ``QryParser.java:156-158`` whitelists it). Feed the result into
+    ``build_index`` as one more ``fields`` entry.
+
+    Shape: one hash-partitioned exchange of the (target, order, anchor)
+    rows; per partition a vectorized sort + segment walk concatenates
+    each target's anchors. Deterministic ordering makes the field
+    byte-reproducible (and SQL-mirrorable via
+    ``string_agg(... order by ...)``). Mega-targets (a URL half the web
+    links to) concentrate in one partition — cap upstream (sample or
+    truncate per-target anchors) the way webtext pipelines cap
+    boilerplate."""
+    import pyarrow as pa
+
+    P = int(num_parts or 64)
+    ocols = list(order_cols)
+
+    def key(b: pa.Table) -> pa.Table:
+        tgt = b[target_col].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "part", pa.array(_part_of(tgt, P)))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([target_col] + ocols, ignore_index=True)
+        tgt = g[target_col].to_numpy()
+        bound = np.concatenate(([True], tgt[1:] != tgt[:-1]))
+        starts = np.flatnonzero(bound)
+        ends = np.append(starts[1:], len(g))
+        anchors = g[anchor_col].to_numpy()
+        return pd.DataFrame({
+            target_col: tgt[starts],
+            "inlink": [sep.join(anchors[a:z]) for a, z in
+                       zip(starts, ends)]})
+
+    return links.map_batches(key, batch_format="pyarrow") \
+        .groupby("part").map_groups(fold, batch_format="pandas")

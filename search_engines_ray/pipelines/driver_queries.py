@@ -129,6 +129,125 @@ def q_bm25_compacted_top10(sf_dir: str):
     return _ranked_to_table(res)
 
 
+def q_bm25_inlink_top10(sf_dir: str):
+    """Anchor-text ('inlink') field, end to end: the deterministic link
+    graph's anchors (first two tokens of the linking doc) aggregate per
+    target via ``graph.anchor_text`` (one keyed exchange, ordered
+    concat), join onto the corpus as one more indexed field, and a
+    two-field ``#SUM(hash.inlink fast.body)`` ranks with per-field
+    stats — the reference's ClueWeb inlink field
+    (``QryParser.java:156-158``) produced from the graph instead of
+    pre-baked."""
+    import ray.data as rd
+    from ..functions.graph import anchor_text
+    from ..functions.join import shuffle_hash_join
+    tag = hashlib.md5(f"{sf_dir}|inlink".encode()).hexdigest()[:8]
+    path = os.path.join(_IDX_ROOT, f"{tag}_simple_inlink")
+    if not os.path.exists(os.path.join(path, "stats.json")):
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        n = docs.count()
+
+        def links_fn(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            src_l, k_l, dst_l, anch = [], [], [], []
+            for i, t in zip(ids, b["text"].to_pylist()):
+                toks = simple_tokenize(t or "")
+                if len(toks) < 2:
+                    continue
+                a = " ".join(toks[:2])
+                for k in range(1, int(i % 3 + 1) + 1):
+                    src_l.append(int(i))
+                    k_l.append(k)
+                    dst_l.append(int((i * 131 + k * 7919) % n))
+                    anch.append(a)
+            return pa.table({
+                "src": pa.array(np.asarray(src_l, np.int64)),
+                "k": pa.array(np.asarray(k_l, np.int64)),
+                "dst": pa.array(np.asarray(dst_l, np.int64)),
+                "anchor": pa.array(anch, pa.string())})
+
+        il = anchor_text(docs.map_batches(links_fn, batch_format="pyarrow"),
+                         target_col="dst", order_cols=("src", "k"),
+                         num_parts=16) \
+            .map_batches(lambda b: pa.table(
+                {"doc_id": b["dst"], "inlink": b["inlink"]}),
+                batch_format="pyarrow")
+        joined = shuffle_hash_join(docs, il, left_on="doc_id", how="left",
+                                   num_parts=16)
+
+        def to_pages(b: pd.DataFrame) -> pa.Table:
+            return pa.table({
+                "url": pa.array([f"http://docs.example.com/{i:08d}"
+                                 for i in b["doc_id"]], pa.string()),
+                "text": pa.array(b["text"].fillna("").tolist(), pa.string()),
+                "inlink": pa.array(b["inlink"].fillna("").tolist(),
+                                   pa.string())})
+
+        pages = joined.map_batches(to_pages, batch_format="pandas")
+        import ray
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        build_index(pages, path,
+                    IndexBuildConfig(
+                        num_buckets=16, docid_partitions=8,
+                        analyzer="simple",
+                        fields={"body": "text", "inlink": "inlink"},
+                        tokenize_concurrency=max(1, min(ncpu - 2, 8))),
+                    input_token=f"{sf_dir}|inlink", resume=True)
+    reader = IndexReader(path)
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    res = engine.search("#sum(hash.inlink fast.body)", k=10)
+    return _ranked_to_table(res)
+
+
+SQL_BM25_INLINK_TOP10 = f"""
+with t as (select doc_id, {SIMPLE_TOKS_SQL} as toks from documents),
+n0 as (select count(*)::bigint as c from documents),
+anch as (select t.doc_id as src, k.k,
+           (t.doc_id * 131 + k.k * 7919) % (select c from n0) as dst,
+           array_to_string(toks[1:2], ' ') as anchor
+         from t cross join (values (1), (2), (3)) k(k)
+         where len(toks) >= 2 and k.k <= t.doc_id % 3 + 1),
+il as (select dst as doc_id,
+         string_agg(anchor, ' ' order by src, k) as inlink
+       from anch group by dst),
+tok as (select doc_id, unnest(toks) as term from t),
+itok as (select doc_id,
+           unnest(list_filter(string_split_regex(lower(inlink),
+                  '[^a-z0-9]+'), x -> len(x) > 0)) as term from il),
+nv as (select count(*)::double as v from documents),
+bdl as (select doc_id, count(*)::double as dl from tok group by doc_id),
+bstats as (select (select count(*) from bdl)::double as dc,
+                  (select sum(dl) from bdl)::double as suml),
+idl as (select doc_id, count(*)::double as dl from itok group by doc_id),
+istats as (select (select count(*) from idl)::double as dc,
+                  (select sum(dl) from idl)::double as suml),
+btf as (select doc_id, count(*)::double as tf from tok
+        where term = 'fast' group by doc_id),
+bdf as (select count(*)::double as df from btf),
+itf as (select doc_id, count(*)::double as tf from itok
+        where term = 'hash' group by doc_id),
+idf as (select count(*)::double as df from itf),
+bscore as (select btf.doc_id,
+    greatest(0.0, ln((nv.v - bdf.df + 0.5)/(bdf.df + 0.5)))
+      * (btf.tf / (btf.tf + 1.2*((1.0-0.75)
+         + 0.75*bdl.dl/(bstats.suml/bstats.dc)))) as s
+  from btf cross join bdf join bdl using (doc_id)
+  cross join nv cross join bstats),
+iscore as (select itf.doc_id,
+    greatest(0.0, ln((nv.v - idf.df + 0.5)/(idf.df + 0.5)))
+      * (itf.tf / (itf.tf + 1.2*((1.0-0.75)
+         + 0.75*idl.dl/(istats.suml/istats.dc)))) as s
+  from itf cross join idf join idl using (doc_id)
+  cross join nv cross join istats),
+scored as (select coalesce(b.doc_id, i.doc_id) as doc_id,
+    coalesce(b.s, 0.0) + coalesce(i.s, 0.0) as raw
+  from bscore b full outer join iscore i on b.doc_id = i.doc_id)
+select doc_id, floor(raw*1000000 + 0.5)/1000000 as score from scored
+order by raw desc, doc_id asc limit 10
+"""
+
+
 def _docid_of_external(ext_ids: list[str]) -> np.ndarray:
     """external_id 'http://docs.example.com/00000042' → doc_id 42."""
     return np.array([int(e.rsplit("/", 1)[1]) for e in ext_ids], dtype=np.int64)
@@ -3591,6 +3710,7 @@ QUERIES = {
     "bm25_filtered_top10": q_bm25_filtered_top10,
     "bm25_merged_top10": q_bm25_merged_top10,
     "bm25_compacted_top10": q_bm25_compacted_top10,
+    "bm25_inlink_top10": q_bm25_inlink_top10,
     "prefix_suggest": q_prefix_suggest,
     "spell_suggest": q_spell_suggest,
     "chunk_documents": q_chunk_documents,
@@ -3646,6 +3766,7 @@ ORACLE_SQL = {
     "index_bm25_maxscore_top10": SQL_INDEX_BM25_TOP10,
     "bm25_merged_top10": SQL_INDEX_BM25_TOP10,
     "bm25_compacted_top10": SQL_INDEX_BM25_TOP10,
+    "bm25_inlink_top10": SQL_BM25_INLINK_TOP10,
     "bm25_multifield_top10": SQL_BM25_MULTIFIELD_TOP10,
     "index_indri_top10": SQL_INDEX_INDRI_TOP10,
     "indri_batch_distributed": SQL_INDEX_INDRI_TOP10,

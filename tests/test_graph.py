@@ -128,3 +128,21 @@ def test_pagerank_multigraph_and_random(ray_session):
     edges += edges[:20]  # parallel edges count twice
     got = run_pr(edges, n, iters=3)
     assert got == serial_pagerank(edges, n, iters=3)
+
+
+# ------------------------------------------------------------- anchor_text
+
+def test_anchor_text_ordered_concat(ray_session):
+    from search_engines_ray.functions.graph import anchor_text
+    links = pd.DataFrame({
+        "src": [3, 1, 2, 1, 5],
+        "k":   [1, 2, 1, 1, 1],
+        "dst": [9, 9, 9, 7, 7],
+        "anchor": ["c c", "b2", "a", "b1", "e"],
+    })
+    out = anchor_text(ray.data.from_pandas(links), target_col="dst",
+                      order_cols=("src", "k"), num_parts=3) \
+        .to_pandas().sort_values("dst", ignore_index=True)
+    # dst 7: src 1 before 5; dst 9: (1,2) then (2,1) then (3,1)
+    assert out.loc[0, "dst"] == 7 and out.loc[0, "inlink"] == "b1 e"
+    assert out.loc[1, "dst"] == 9 and out.loc[1, "inlink"] == "b2 a c c"
