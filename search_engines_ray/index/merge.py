@@ -163,11 +163,25 @@ def merge_indexes(index_a: str, index_b: str, out_dir: str) -> dict:
 
 def compact_index(index_dir: str, out_dir: str,
                   merge_salts: int | None = None,
-                  num_parts: int = 64) -> dict:
+                  num_parts: int = 64, apply_deletes: bool = True) -> dict:
     """Rewrite ``index_dir``'s postings into exactly ``merge_salts``
     docid-range runs per (term, field), writing a full new index at
-    ``out_dir`` (forward plane copied verbatim — docids are unchanged).
-    Returns the new stats dict.
+    ``out_dir``. Returns the new stats dict.
+
+    With ``apply_deletes`` (default) and a ``deletes.json`` tombstone
+    sidecar present (``delete_docs``), compaction also PURGES the
+    tombstoned documents — Lucene's deletes-until-merge made physical:
+    deleted docids drop out of every posting run and the forward
+    table, survivors renumber densely (new docid = old − #deleted
+    below, pure arithmetic against the sorted tombstone array — no
+    mapping table ships), and every statistic (n_docs, per-field
+    doc_count / sum_len, pid_offsets) is recomputed, so post-purge
+    rankings equal a fresh build over the surviving corpus exactly.
+    The tombstone array rides along in task closures — it is the
+    DELETED set (≪ corpus by assumption); shard it like the doclens
+    if a caller ever tombstones a constant fraction of the corpus.
+    Without deletes the forward plane is copied verbatim (docids
+    unchanged).
 
     This is the LSM compaction that pairs with ``merge_indexes``: every
     merge ADDS the inputs' salt counts, so after k segment folds a term
@@ -195,15 +209,43 @@ def compact_index(index_dir: str, out_dir: str,
     with open(os.path.join(index_dir, STATS_FILE)) as f:
         stats = json.load(f)
     n_docs = int(stats["n_docs"])
+    dels = np.empty(0, np.int64)
+    if apply_deletes and os.path.exists(os.path.join(index_dir,
+                                                     DELETES_FILE)):
+        with open(os.path.join(index_dir, DELETES_FILE)) as f:
+            dels = np.asarray(sorted(json.load(f).get("docids", [])),
+                              np.int64)
+    n_live = n_docs - int(dels.size)
     if merge_salts is None:
         dps = IndexBuildConfig().docs_per_salt
-        merge_salts = int(min(4096, max(4, -(-n_docs // dps))))
+        merge_salts = int(min(4096, max(4, -(-n_live // dps))))
     S = int(merge_salts)
+    offsets = np.asarray(stats["pid_offsets"], np.int64)
     os.makedirs(out_dir, exist_ok=True)
 
     fwd_out = os.path.join(out_dir, FORWARD_DIR)
-    rd.read_parquet(os.path.join(index_dir, FORWARD_DIR)) \
-        .write_parquet(fwd_out)
+    if dels.size == 0:
+        rd.read_parquet(os.path.join(index_dir, FORWARD_DIR)) \
+            .write_parquet(fwd_out)
+    else:
+        def purge_fwd(b: pa.Table) -> pa.Table:
+            pid = b["pid"].to_numpy(zero_copy_only=False).astype(np.int64)
+            old = offsets[pid] + b["docid_local"].to_numpy(
+                zero_copy_only=False)
+            below = np.searchsorted(dels, old)          # deleted < old
+            probe = np.minimum(below, dels.size - 1)
+            keep = dels[probe] != old
+            # new local rank = old local − deleted below within the pid
+            new_local = (b["docid_local"].to_numpy(zero_copy_only=False)
+                         - (below - np.searchsorted(dels, offsets[pid])))
+            b = b.set_column(
+                b.schema.get_field_index("docid_local"), "docid_local",
+                pa.array(new_local.astype(np.int64)))
+            return b.filter(pa.array(keep))
+
+        rd.read_parquet(os.path.join(index_dir, FORWARD_DIR)) \
+            .map_batches(purge_fwd, batch_format="pyarrow") \
+            .write_parquet(fwd_out)
 
     def key_part(b: pa.Table) -> pa.Table:
         # deterministic across worker processes (Python's str hash is
@@ -243,7 +285,22 @@ def compact_index(index_dir: str, out_dir: str,
             pos = np.concatenate(pparts)
             pos_bounds = np.concatenate(
                 ([0], np.cumsum(tfs.astype(np.int64))))
-            salt_of_doc = (docids * S // n_docs).astype(np.int32)
+            if dels.size:
+                below = np.searchsorted(dels, docids)
+                probe = np.minimum(below, dels.size - 1)
+                keep = np.flatnonzero(dels[probe] != docids)
+                if keep.size == 0:
+                    continue
+                seg_len = tfs[keep].astype(np.int64)
+                out_start = np.concatenate(([0], np.cumsum(seg_len)[:-1]))
+                idx = (np.repeat(pos_bounds[keep] - out_start, seg_len)
+                       + np.arange(int(seg_len.sum())))
+                pos = pos[idx]
+                docids = docids[keep] - below[keep]   # dense renumber
+                tfs = tfs[keep]
+                pos_bounds = np.concatenate(
+                    ([0], np.cumsum(tfs.astype(np.int64))))
+            salt_of_doc = (docids * S // n_live).astype(np.int32)
             bound = np.concatenate(([True],
                                     salt_of_doc[1:] != salt_of_doc[:-1]))
             starts = np.flatnonzero(bound)
@@ -279,6 +336,62 @@ def compact_index(index_dir: str, out_dir: str,
     new_stats = dict(stats)
     new_stats["merge_salts"] = S
     new_stats["compacted_from"] = os.path.abspath(index_dir)
+    if dels.size:
+        # purge made the stats stale: dense renumber shifts the pid
+        # boundaries by the deleted-below counts, and per-field
+        # doc_count/sum_len re-aggregate from the purged forward table
+        # (a pruned column scan, streamed — one int64 pair per field
+        # per block reaches the driver).
+        flds = list(stats["fields"])
+
+        def psum(b: pa.Table) -> pa.Table:
+            cols = {}
+            for f2 in flds:
+                arr = b[f"len_{f2}"].to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                cols[f"s_{f2}"] = pa.array([int(arr.sum())], pa.int64())
+                cols[f"c_{f2}"] = pa.array([int((arr > 0).sum())],
+                                           pa.int64())
+            return pa.table(cols)
+
+        agg = rd.read_parquet(
+            fwd_out, columns=[f"len_{f2}" for f2 in flds]) \
+            .map_batches(psum, batch_format="pyarrow").to_pandas().sum()
+        new_stats["n_docs"] = int(n_live)
+        new_stats["pid_offsets"] = [
+            int(x) for x in offsets - np.searchsorted(dels, offsets)]
+        new_stats["fields"] = {
+            f2: {"doc_count": int(agg[f"c_{f2}"]),
+                 "sum_len": int(agg[f"s_{f2}"])} for f2 in flds}
+        new_stats["purged_deletes"] = int(dels.size)
     with open(os.path.join(out_dir, STATS_FILE), "w") as f:
         json.dump(new_stats, f)
     return new_stats
+
+
+DELETES_FILE = "deletes.json"
+
+
+def delete_docs(index_dir: str, external_ids) -> int:
+    """Tombstone documents by external id (Lucene-style deletes-as-
+    mask): appends to ``deletes.json`` in the index dir; idempotent
+    union. Search paths mask tombstoned docids out AFTER scoring —
+    corpus statistics stay as-built until the next ``compact_index``
+    (which physically purges them and refreshes every statistic), the
+    same freshness contract as Lucene's deletes-until-merge. Returns
+    the total tombstone count. Unknown external ids are ignored (the
+    usual delete-by-key semantics)."""
+    from .reader import IndexReader
+
+    reader = IndexReader(index_dir)
+    ids = reader.internal_docids_for(list(external_ids))
+    docids = sorted(int(i) for i in np.asarray(ids) if int(i) >= 0)
+    path = os.path.join(index_dir, DELETES_FILE)
+    prev = []
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f).get("docids", [])
+    merged = sorted(set(prev) | set(docids))
+    with open(path, "w") as f:
+        json.dump({"docids": merged}, f)
+    return len(merged)

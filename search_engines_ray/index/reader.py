@@ -68,6 +68,25 @@ class IndexReader:
                 os.path.join(self.index_dir, FORWARD_DIR), format="parquet")
         return self._fwd_dset
 
+    def deleted_docids(self) -> np.ndarray:
+        """Sorted tombstoned docids (``merge.delete_docs`` sidecar);
+        empty when none. Search paths mask these AFTER scoring —
+        corpus stats stay as-built until ``compact_index`` purges
+        (Lucene's deletes-until-merge contract). Cached by sidecar
+        mtime so the per-search cost is one stat() call."""
+        path = os.path.join(self.index_dir, "deletes.json")
+        try:
+            mt = os.path.getmtime(path)
+        except OSError:
+            return np.empty(0, np.int64)
+        cached = getattr(self, "_deletes", None)
+        if cached is not None and cached[0] == mt:
+            return cached[1]
+        with open(path) as f:
+            arr = np.asarray(json.load(f).get("docids", []), np.int64)
+        self._deletes = (mt, arr)
+        return arr
+
     # ---- corpus statistics (Idx.java:62-65,123-138,150-153) ----
     @property
     def n_docs(self) -> int:

@@ -248,6 +248,62 @@ order by raw desc, doc_id asc limit 10
 """
 
 
+def _get_deleted_index(sf_dir: str) -> str:
+    """A dedicated simple-analyzer index with every ``doc_id % 5 == 0``
+    document tombstoned (``delete_docs``) — kept separate from the
+    shared ``get_index`` cache, which other queries must see
+    undeleted."""
+    import shutil
+    from ..index.merge import delete_docs
+    tag = hashlib.md5(f"{sf_dir}|deleted".encode()).hexdigest()[:8]
+    path = os.path.join(_IDX_ROOT, f"{tag}_simple_deleted")
+    if not os.path.exists(os.path.join(path, "deletes.json")):
+        shutil.rmtree(path, ignore_errors=True)
+        import ray
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        build_index(pages_from_documents(sf_dir), path,
+                    IndexBuildConfig(
+                        num_buckets=16, docid_partitions=16,
+                        analyzer="simple", fields={"body": "text"},
+                        tokenize_concurrency=max(1, min(ncpu - 2, 8))),
+                    input_token=f"{sf_dir}|del", resume=True)
+        n = IndexReader(path).n_docs
+        delete_docs(path, [f"http://docs.example.com/{i:08d}"
+                           for i in range(0, n, 5)])
+    return path
+
+
+def q_bm25_deleted_top10(sf_dir: str):
+    """Tombstoned search: every ``doc_id % 5 == 0`` doc deleted via
+    ``delete_docs``; BM25 masks them out AFTER scoring while corpus
+    statistics stay as-built — exactly the oracle's candidate-filter
+    semantics (Lucene's deletes-until-merge)."""
+    reader = IndexReader(_get_deleted_index(sf_dir))
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    res = engine.search(" ".join(BM25_QUERY_TERMS), k=10)
+    return _ranked_to_table(res)
+
+
+def q_bm25_purged_top10(sf_dir: str):
+    """The purge half of the delete lifecycle: ``compact_index`` over
+    the tombstoned index physically drops the deleted docs, renumbers
+    survivors densely and REFRESHES every statistic — so the oracle is
+    BM25 over the surviving corpus with live-only stats (unlike the
+    tombstone query, whose stats stay corpus-wide)."""
+    import shutil
+    from ..index.merge import compact_index
+    src = _get_deleted_index(sf_dir)
+    tag = hashlib.md5(f"{sf_dir}|deleted".encode()).hexdigest()[:8]
+    path = os.path.join(_IDX_ROOT, f"{tag}_simple_purged")
+    if not os.path.exists(os.path.join(path, "stats.json")):
+        shutil.rmtree(path, ignore_errors=True)
+        compact_index(src, path, merge_salts=4)
+    reader = IndexReader(path)
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    res = engine.search(" ".join(BM25_QUERY_TERMS), k=10)
+    return _ranked_to_table(res)
+
+
 def _docid_of_external(ext_ids: list[str]) -> np.ndarray:
     """external_id 'http://docs.example.com/00000042' → doc_id 42."""
     return np.array([int(e.rsplit("/", 1)[1]) for e in ext_ids], dtype=np.int64)
@@ -3355,6 +3411,19 @@ SQL_BM25_FILTERED_TOP10 = _bm25_sql(
                "where lang = 'en')")
 
 
+SQL_BM25_DELETED_TOP10 = _bm25_sql(
+    BM25_QUERY_TERMS, 10, doc_filter="tfs.doc_id % 5 <> 0")
+
+# purge refreshes the statistics: the oracle is plain BM25 over the
+# SURVIVING corpus — shadow `documents` with the live subset inside the
+# shared template
+SQL_BM25_PURGED_TOP10 = _bm25_sql(BM25_QUERY_TERMS, 10) \
+    .replace("from documents", "from live_docs") \
+    .replace("\nwith tok as (",
+             "\nwith live_docs as (select * from documents "
+             "where doc_id % 5 <> 0),\ntok as (", 1)
+
+
 def q_prefix_suggest(sf_dir: str):
     """Autocomplete: top-10 corpus terms with prefix 's' by document
     frequency desc, term asc — map-side prefix pruning, exact per-part
@@ -3711,6 +3780,8 @@ QUERIES = {
     "bm25_merged_top10": q_bm25_merged_top10,
     "bm25_compacted_top10": q_bm25_compacted_top10,
     "bm25_inlink_top10": q_bm25_inlink_top10,
+    "bm25_deleted_top10": q_bm25_deleted_top10,
+    "bm25_purged_top10": q_bm25_purged_top10,
     "prefix_suggest": q_prefix_suggest,
     "spell_suggest": q_spell_suggest,
     "chunk_documents": q_chunk_documents,
@@ -3767,6 +3838,8 @@ ORACLE_SQL = {
     "bm25_merged_top10": SQL_INDEX_BM25_TOP10,
     "bm25_compacted_top10": SQL_INDEX_BM25_TOP10,
     "bm25_inlink_top10": SQL_BM25_INLINK_TOP10,
+    "bm25_deleted_top10": SQL_BM25_DELETED_TOP10,
+    "bm25_purged_top10": SQL_BM25_PURGED_TOP10,
     "bm25_multifield_top10": SQL_BM25_MULTIFIELD_TOP10,
     "index_indri_top10": SQL_INDEX_INDRI_TOP10,
     "indri_batch_distributed": SQL_INDEX_INDRI_TOP10,

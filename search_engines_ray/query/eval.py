@@ -474,6 +474,14 @@ class QueryEngine:
         self._build_dlut(cache)
         scored = self._eval_sop(plan, cache)
         docids, scores = scored.docids, scored.scores
+        dels = self.reader.deleted_docids()
+        if dels.size:
+            # tombstone mask (merge.delete_docs): sorted-probe, never
+            # O(n_docs); stats stay as-built until compaction purges
+            idx = np.searchsorted(dels, docids)
+            idx[idx == dels.size] = 0
+            keep = dels[idx] != docids
+            docids, scores = docids[keep], scores[keep]
         if allowed is not None:
             keep = np.isin(docids, allowed)
             docids, scores = docids[keep], scores[keep]

@@ -170,3 +170,81 @@ def test_compact_distributed_matches_full(merged_and_full, tmp_path):
     tf_ = bm25_batch_search(dirs["full"], qs, k=5).to_pandas()
     assert tc["external_id"].tolist() == tf_["external_id"].tolist()
     assert np.allclose(tc["score"], tf_["score"], rtol=0, atol=1e-12)
+
+
+# ------------------------------------------------------------ delete/purge
+
+@pytest.fixture()
+def deletable_index(tmp_path, ray_session):
+    """A fresh full-corpus index the delete tests may mutate."""
+    import ray.data as rd
+    from search_engines_ray.index import (
+        IndexBuildConfig, IndexReader, build_index)
+    d = str(tmp_path / "del_idx")
+    build_index(rd.from_pandas(_toy_pages()), d,
+                IndexBuildConfig(fields={"body": "text", "title": "title"},
+                                 num_buckets=4, docid_partitions=2,
+                                 merge_salts=2, tokenize_concurrency=2),
+                input_token="del", resume=False)
+    return d
+
+
+def test_tombstone_masks_search(deletable_index):
+    from search_engines_ray.index import IndexReader, delete_docs
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import BM25Model
+    r = IndexReader(deletable_index)
+    before = QueryEngine(r, BM25Model()).search("fox", k=10)
+    top = before["external_id"].to_pylist()[0]
+    n = delete_docs(deletable_index, [top, "http://no.such/url"])
+    assert n == 1
+    after = QueryEngine(r, BM25Model()).search("fox", k=10)
+    assert top not in after["external_id"].to_pylist()
+    # survivors keep their as-built scores (stats unchanged until purge)
+    kept = {e: s for e, s in zip(before["external_id"].to_pylist(),
+                                 before["score"].to_pylist()) if e != top}
+    got = dict(zip(after["external_id"].to_pylist(),
+                   after["score"].to_pylist()))
+    assert got == kept
+    # idempotent union
+    assert delete_docs(deletable_index, [top]) == 1
+
+
+def test_purge_equals_fresh_build(deletable_index, tmp_path, ray_session):
+    import ray.data as rd
+    from search_engines_ray.index import (
+        IndexBuildConfig, IndexReader, build_index, compact_index,
+        delete_docs)
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import BM25Model, IndriModel
+
+    pages = _toy_pages()
+    gone = ["http://t.example.com/2", "http://t.example.com/5"]
+    delete_docs(deletable_index, gone)
+    out = str(tmp_path / "purged")
+    stats = compact_index(deletable_index, out, merge_salts=2, num_parts=4)
+    assert stats["purged_deletes"] == 2
+
+    fresh = str(tmp_path / "fresh")
+    live = pages[~pages["url"].isin(gone)].reset_index(drop=True)
+    build_index(rd.from_pandas(live), fresh,
+                IndexBuildConfig(fields={"body": "text", "title": "title"},
+                                 num_buckets=4, docid_partitions=2,
+                                 merge_salts=2, tokenize_concurrency=2),
+                input_token="fresh", resume=False)
+
+    p, f = IndexReader(out), IndexReader(fresh)
+    assert p.n_docs == f.n_docs
+    for fld in f.fields:
+        assert p.doc_count(fld) == f.doc_count(fld)
+        assert p.sum_field_lengths(fld) == f.sum_field_lengths(fld)
+    for term in ("quick", "fox", "lazy", "cat"):
+        assert _by_ext(p, term) == _by_ext(f, term), term
+    # post-purge rankings equal a fresh build over the survivors —
+    # statistics fully refreshed, not just masked
+    for model in (BM25Model(), IndriModel(mu=1000, lambda_=0.3)):
+        ep = QueryEngine(p, model).search("quick fox lazy", k=10)
+        ef = QueryEngine(f, model).search("quick fox lazy", k=10)
+        assert ep["external_id"].to_pylist() == ef["external_id"].to_pylist()
+        assert np.allclose(ep["score"].to_numpy(), ef["score"].to_numpy(),
+                           rtol=0, atol=1e-12)
