@@ -3672,6 +3672,68 @@ select node, od as outdeg, ru as rank_u from r3
 """
 
 
+def q_bm25_pagerank_blend(sf_dir: str):
+    """Static-prior blended ranking: BM25 candidates re-scored as
+    ``raw + rank_u / 1e12`` with the integer fixed-point PageRank of
+    the synthetic link graph — the producer (``graph.pagerank``)
+    feeding the consumer role the reference gives PageRank priors
+    (``FeatureVector.java:65`` loads them per doc as a LeToR feature).
+    The prior joins the candidate set driver-side here (the rank table
+    is small); at cluster scale it shards like the doclens and the
+    blend happens inside the distributed scorer."""
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    res = engine.search(" ".join(BM25_QUERY_TERMS), k=10 ** 9)
+    ids = _docid_of_external(res["external_id"].to_pylist())
+    raw = res["score"].to_numpy()
+    pr = q_pagerank(sf_dir).to_pandas()
+    pr_map = dict(zip(pr["node"], pr["rank_u"]))
+    blend = raw + np.array([pr_map[int(i)] for i in ids],
+                           np.int64) / 1e12
+    order = np.lexsort((ids, -blend))[:10]
+    return pa.table({"doc_id": pa.array(ids[order]),
+                     "score": pa.array(round6(blend[order]))})
+
+
+SQL_BM25_PAGERANK_BLEND = f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+doclen as (select doc_id, count(*)::double as dl from tok group by doc_id),
+stats as (select
+  (select count(*) from documents)::double as n,
+  (select count(*) from doclen)::double as dc,
+  (select sum(dl) from doclen)::double as suml),
+tfs as (select doc_id, term, count(*)::double as tf from tok
+        where term in ({",".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+        group by doc_id, term),
+dfs as (select term, count(*)::double as df from tfs group by term),
+scored as (
+  select tfs.doc_id,
+         sum(greatest(0.0, ln((stats.n - dfs.df + 0.5)/(dfs.df + 0.5)))
+             * (tfs.tf / (tfs.tf + 1.2*((1.0-0.75)
+                + 0.75*doclen.dl/(stats.suml/stats.dc))))) as raw
+  from tfs join dfs on tfs.term = dfs.term
+  join doclen on tfs.doc_id = doclen.doc_id
+  cross join stats group by tfs.doc_id),
+nn as (select count(*)::bigint as n from documents),
+e as (select d.doc_id as src,
+        (d.doc_id * 131 + k.k * 7919) % (select n from nn) as dst
+      from documents d cross join (values (1), (2), (3)) k(k)
+      where d.doc_id % 7 <> 0 and k.k <= d.doc_id % 3 + 1),
+deg as (select src as node, count(*)::bigint as od from e group by src),
+nd as (select doc_id as node, coalesce(od, 0::bigint) as od
+       from documents left join deg on doc_id = node),
+r0 as (select node, od,
+         ({_PR_SCALE} // (select n from nn))::bigint as ru
+       from nd){_pr_iter_sql('r0', 'r1')}{_pr_iter_sql('r1', 'r2')}{_pr_iter_sql('r2', 'r3')}
+select s.doc_id,
+  floor((s.raw + r.ru / 1000000000000.0) * 1000000 + 0.5) / 1000000
+    as score
+from scored s join r3 r on s.doc_id = r.node
+order by (s.raw + r.ru / 1000000000000.0) desc, s.doc_id asc limit 10
+"""
+
+
 def q_json_field_agg(sf_dir: str):
     """Parse the events' JSON ``props`` sidecar, extract the numeric
     ``k`` field, aggregate (count, sum, 6-dp mean) per event_type —
@@ -3788,6 +3850,7 @@ QUERIES = {
     "strip_html": q_strip_html,
     "decontaminate": q_decontaminate,
     "pagerank": q_pagerank,
+    "bm25_pagerank_blend": q_bm25_pagerank_blend,
     # rows-only (full-analyzer token chains — oracle-checked via their
     # simple-analyzer twins above — plus sketches/LSH float paths)
     "sdm_wand_search": q_sdm_wand_search,
@@ -3813,6 +3876,7 @@ ORACLE_SQL = {
     "strip_html": SQL_STRIP_HTML,
     "decontaminate": SQL_DECONTAMINATE,
     "pagerank": SQL_PAGERANK,
+    "bm25_pagerank_blend": SQL_BM25_PAGERANK_BLEND,
     "repetition_stats": SQL_REPETITION_STATS,
     "heuristic_filter": SQL_HEURISTIC_FILTER,
     "pii_scrub": SQL_PII_SCRUB,
