@@ -3734,6 +3734,89 @@ order by (s.raw + r.ru / 1000000000000.0) desc, s.doc_id asc limit 10
 """
 
 
+def _raw_url_of(i: int) -> str:
+    """Deterministic messy-url family: every canonicalization rule is
+    exercised (case, www, :80, tracking params, fragment, trailing
+    slash), and the canonical form is analytically
+    ``http://host{i%17}.example.{com|org}/p/{(i*7)%50}`` — which is
+    what the SQL oracle constructs directly, making it ground truth
+    rather than a re-implementation of the kernel."""
+    scheme = "HTTP" if i % 3 == 0 else "http"
+    www = "WWW." if i % 4 == 0 else ""
+    host = f"Host{i % 17}.Example.{'com' if i % 2 == 0 else 'org'}"
+    port = ":80" if i % 5 == 0 else ""
+    trail = "/" if i % 6 == 0 else ""
+    frag = "#frag" if i % 8 == 0 else ""
+    return (f"{scheme}://{www}{host}{port}/p/{(i * 7) % 50}{trail}"
+            f"?utm_source=x&fbclid=42{frag}")
+
+
+def q_url_canonicalize(sf_dir: str):
+    """URL canonicalization over the deterministic messy-url family;
+    the oracle builds the expected canonical form analytically from
+    doc_id (the general regex kernel must land exactly on it)."""
+    import ray.data as rd
+    from ..functions.web import url_canonicalize
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+
+    def inject(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        return pa.table({"doc_id": b["doc_id"],
+                         "url": pa.array([_raw_url_of(i) for i in ids],
+                                         pa.string())})
+
+    return url_canonicalize(docs.map_batches(inject,
+                                             batch_format="pyarrow")) \
+        .select_columns(["doc_id", "canonical_url", "host"])
+
+
+SQL_URL_CANONICALIZE = """
+select doc_id,
+  'http://host' || (doc_id % 17) || '.example.'
+    || case when doc_id % 2 = 0 then 'com' else 'org' end
+    || '/p/' || ((doc_id * 7) % 50) as canonical_url,
+  'host' || (doc_id % 17) || '.example.'
+    || case when doc_id % 2 = 0 then 'com' else 'org' end as host
+from documents
+"""
+
+
+def q_domain_stats(sf_dir: str):
+    """Per-domain crawl rollup over the messy-url family: docs per
+    host, DISTINCT canonical urls per host (the alias-collapse rate —
+    tracking params/case/slash variants fold), total chars. Partials
+    pre-aggregate per batch (hash-set distinct), one tiny host
+    groupby folds them."""
+    import ray.data as rd
+    from ..functions.web import domain_stats
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+
+    def inject(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_chars": b["n_chars"],
+                         "url": pa.array([_raw_url_of(i) for i in ids],
+                                         pa.string())})
+
+    return domain_stats(docs.map_batches(inject, batch_format="pyarrow"),
+                        size_col="n_chars")
+
+
+SQL_DOMAIN_STATS = """
+with c as (select doc_id, n_chars,
+    'host' || (doc_id % 17) || '.example.'
+      || case when doc_id % 2 = 0 then 'com' else 'org' end as host,
+    '/p/' || ((doc_id * 7) % 50) as path
+  from documents)
+select host, count(*)::bigint as n_docs,
+  count(distinct path)::bigint as n_distinct_canonical,
+  sum(n_chars)::bigint as sum_size
+from c group by host
+"""
+
+
 def q_json_field_agg(sf_dir: str):
     """Parse the events' JSON ``props`` sidecar, extract the numeric
     ``k`` field, aggregate (count, sum, 6-dp mean) per event_type —
@@ -3851,6 +3934,8 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "pagerank": q_pagerank,
     "bm25_pagerank_blend": q_bm25_pagerank_blend,
+    "url_canonicalize": q_url_canonicalize,
+    "domain_stats": q_domain_stats,
     # rows-only (full-analyzer token chains — oracle-checked via their
     # simple-analyzer twins above — plus sketches/LSH float paths)
     "sdm_wand_search": q_sdm_wand_search,
@@ -3877,6 +3962,8 @@ ORACLE_SQL = {
     "decontaminate": SQL_DECONTAMINATE,
     "pagerank": SQL_PAGERANK,
     "bm25_pagerank_blend": SQL_BM25_PAGERANK_BLEND,
+    "url_canonicalize": SQL_URL_CANONICALIZE,
+    "domain_stats": SQL_DOMAIN_STATS,
     "repetition_stats": SQL_REPETITION_STATS,
     "heuristic_filter": SQL_HEURISTIC_FILTER,
     "pii_scrub": SQL_PII_SCRUB,

@@ -386,3 +386,33 @@ def test_decontaminate(rd):
     assert out.loc[1, "n_contaminated"] == 1
     # doc3: no overlap
     assert out.loc[2, "n_contaminated"] == 0
+
+
+def test_canonical_url_rules():
+    from search_engines_ray.functions.web import canonical_url, host_of
+    cases = {
+        "HTTP://WWW.Ex.COM:80/a/b/?utm_source=x&id=3&fbclid=9#frag":
+            "http://ex.com/a/b?id=3",
+        "http://ex.com/": "http://ex.com/",          # bare root slash stays
+        "https://ex.com:8080/a?x=1": "https://ex.com:8080/a?x=1",  # :80 only
+        "http://ex.com/a/?x=1": "http://ex.com/a?x=1",  # slash before query
+        "http://ex.com/a?utm_campaign=z": "http://ex.com/a",
+        "http://ex.com/a&b/c": "http://ex.com/a&b/c",  # & outside query
+    }
+    for raw, want in cases.items():
+        assert canonical_url(raw) == want, raw
+    assert host_of("https://ex.com:8080/a") == "ex.com"
+
+
+def test_domain_stats_alias_collapse(rd):
+    from search_engines_ray.functions.web import domain_stats
+    urls = ["http://A.com/x?utm_source=1", "http://a.com/x/",
+            "http://a.com/y", "http://b.org/x"]
+    t = pa.table({"url": urls, "sz": [10, 20, 30, 5]})
+    out = domain_stats(rd.from_arrow(t), size_col="sz").to_pandas() \
+        .sort_values("host", ignore_index=True)
+    assert out.loc[0, "host"] == "a.com"
+    assert out.loc[0, "n_docs"] == 3
+    assert out.loc[0, "n_distinct_canonical"] == 2   # /x variants fold
+    assert out.loc[0, "sum_size"] == 60
+    assert out.loc[1, "host"] == "b.org" and out.loc[1, "n_docs"] == 1
