@@ -329,6 +329,36 @@ class IndexReader:
                              if f.endswith(".parquet"))
         return paths
 
+    def terms_with_prefix(self, prefix: str, field: str,
+                          max_terms: int = 64) -> list[str]:
+        """All indexed terms of ``field`` starting with ``prefix``,
+        ascending, capped at ``max_terms`` (the wildcard-expansion
+        budget — Lucene caps its PrefixQuery rewrite the same way).
+        Term hash-bucketing cannot prune a prefix, so this is a
+        full-vocabulary scan — but of the ``term`` column only
+        (columnar prune), with the ``[prefix, prefix⁺)`` range filter
+        pushed to parquet row groups."""
+        if not prefix:
+            return []
+        base = os.path.join(self.index_dir, POSTINGS_DIR)
+        paths: list[str] = []
+        if os.path.isdir(base):
+            for d in sorted(os.listdir(base)):
+                full = os.path.join(base, d)
+                if d.startswith("bucket=") and os.path.isdir(full):
+                    paths.extend(os.path.join(full, f)
+                                 for f in sorted(os.listdir(full))
+                                 if f.endswith(".parquet"))
+        if not paths:
+            return []
+        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        t = pads.dataset(paths, format="parquet").to_table(
+            columns=["term"],
+            filter=((pc.field("field") == field)
+                    & (pc.field("term") >= prefix)
+                    & (pc.field("term") < hi)))
+        return sorted(set(t["term"].to_pylist()))[:max_terms]
+
     def postings_meta(self, terms: list[str], field: str):
         """Run-level metadata WITHOUT decoding (or even reading) posting
         blobs: per (term, salt-run) df, ctf, min_docid, max_tf. This is

@@ -1423,6 +1423,29 @@ order by raw desc, doc_id asc limit 100
 """
 
 
+def q_prefix_search(sf_dir: str):
+    """Wildcard retrieval: ``s*`` rewrites to a #SYN of every indexed
+    body term starting with 's' (PrefixQuery → term-disjunction,
+    vocabulary-metadata scan only), ranked boolean (score = merged tf).
+    The oracle mirrors the expansion with a LIKE-limited vocab CTE."""
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, RankedBooleanModel())
+    res = engine.search("s*", k=100)
+    return _ranked_to_table(res)
+
+
+SQL_PREFIX_SEARCH = f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+vocab as (select distinct term from tok where term like 's%'
+          order by term limit 64),
+syntf as (select doc_id, count(*)::double as tf from tok
+          where term in (select term from vocab) group by doc_id)
+select doc_id, floor(tf*1000000 + 0.5)/1000000 as score from syntf
+order by tf desc, doc_id asc limit 100
+"""
+
+
 def q_sdm_wand_search(sf_dir: str):
     """Full-analyzer SDM — rows-only integration run; the oracle-checked
     twin is ``sdm_wand_search_simple`` (same driver code path, simple
@@ -3936,6 +3959,7 @@ QUERIES = {
     "bm25_pagerank_blend": q_bm25_pagerank_blend,
     "url_canonicalize": q_url_canonicalize,
     "domain_stats": q_domain_stats,
+    "prefix_search": q_prefix_search,
     # rows-only (full-analyzer token chains — oracle-checked via their
     # simple-analyzer twins above — plus sketches/LSH float paths)
     "sdm_wand_search": q_sdm_wand_search,
@@ -3964,6 +3988,7 @@ ORACLE_SQL = {
     "bm25_pagerank_blend": SQL_BM25_PAGERANK_BLEND,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "domain_stats": SQL_DOMAIN_STATS,
+    "prefix_search": SQL_PREFIX_SEARCH,
     "repetition_stats": SQL_REPETITION_STATS,
     "heuristic_filter": SQL_HEURISTIC_FILTER,
     "pii_scrub": SQL_PII_SCRUB,

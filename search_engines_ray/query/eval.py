@@ -454,6 +454,33 @@ class QueryEngine:
 
         raise ValueError(f"unknown Sop #{op}")
 
+    def _expand_prefixes(self, node: PlanNode) -> PlanNode:
+        """Rewrite wildcard TermNodes (``fa*``, parser-marked) into a
+        ``#SYN`` of the matching indexed terms — Lucene's PrefixQuery →
+        term-disjunction rewrite. Zero matches keeps the starred term,
+        which fetches as an empty posting list; one match collapses to
+        the plain term. Expansion hits the vocabulary metadata only
+        (``reader.terms_with_prefix``)."""
+        if isinstance(node, TermNode):
+            if node.term.endswith("*") and len(node.term) > 1:
+                terms = self.reader.terms_with_prefix(node.term[:-1],
+                                                      node.field)
+                if not terms:
+                    return node
+                if len(terms) == 1:
+                    return TermNode(term=terms[0], field=node.field)
+                return IopNode(op="syn",
+                               args=[TermNode(term=t, field=node.field)
+                                     for t in terms])
+            return node
+        if isinstance(node, ScoreNode):
+            node.child = self._expand_prefixes(node.child)
+            return node
+        if isinstance(node, (IopNode, SopNode)):
+            node.args = [self._expand_prefixes(a) for a in node.args]
+            return node
+        return node
+
     # ---- public API ----
     def search(self, query: str, k: int = 100,
                allowed: np.ndarray | None = None) -> pa.Table:
@@ -470,6 +497,7 @@ class QueryEngine:
         plan = self.parser.parse(query, self.model.default_op)
         if plan is None:
             return _empty_results()
+        plan = self._expand_prefixes(plan)
         cache = self._fetch(plan)
         self._build_dlut(cache)
         scored = self._eval_sop(plan, cache)

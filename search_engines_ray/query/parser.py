@@ -127,13 +127,26 @@ class QueryParser:
         return node, i
 
     def _make_terms(self, tok: str):
-        """token → 0..k TermNodes (QryParser createTerms semantics)."""
+        """token → 0..k TermNodes (QryParser createTerms semantics).
+
+        A trailing ``*`` marks a PREFIX (wildcard) term: the base goes
+        through the analyzer's char normalization, and the star is
+        re-attached to the last produced term — the engine expands it
+        against the indexed vocabulary at plan time
+        (``QueryEngine._expand_prefixes``). Lucene's analogue is the
+        ``PrefixQuery`` rewrite to a term disjunction."""
         field = self.default_field
         if "." in tok:
             base, suffix = tok.rsplit(".", 1)
             if suffix.lower() in KNOWN_FIELDS and base:
                 tok, field = base, suffix.lower()
+        prefix = tok.endswith("*") and len(tok) > 1
+        if prefix:
+            tok = tok[:-1]
         terms = self.analyzer.analyze_query_token(tok)
+        if prefix and terms:
+            return ([TermNode(term=t, field=field) for t in terms[:-1]]
+                    + [TermNode(term=terms[-1] + "*", field=field)])
         return [TermNode(term=t, field=field) for t in terms]
 
     # ---- optimizer (QryParser.java:224-261) ----

@@ -319,3 +319,28 @@ def test_batch_search_rejects_duplicate_qids(docs_index):
     for fn in (bm25_batch_search, indri_batch_search):
         with pytest.raises(ValueError, match="duplicate qids"):
             fn(docs_index.index_dir, [("1", "dup"), ("1", "line")], k=5)
+
+
+# ------------------------------------------------------------ prefix terms
+
+def test_prefix_expansion(toy_index):
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import RankedBooleanModel
+    eng = QueryEngine(toy_index, RankedBooleanModel())
+    # vocabulary scan: qu* covers quick/quickly (lucene KStem may fold)
+    terms = toy_index.terms_with_prefix("qu", "body")
+    assert terms and all(t.startswith("qu") for t in terms)
+    # fo* expands to fox; the scored result equals the plain-term query
+    a = eng.search("fo*", k=10)
+    b = eng.search("fox", k=10)
+    assert a["external_id"].to_pylist() == b["external_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+    # multi-match prefix behaves as a #SYN of the expansions
+    c = eng.search("#syn(" + " ".join(terms) + ")", k=10)
+    d = eng.search("qu*", k=10)
+    assert c["external_id"].to_pylist() == d["external_id"].to_pylist()
+    # zero-match prefix returns no hits, no crash
+    assert eng.search("zzzq*", k=10).num_rows == 0
+    # cap respected
+    assert len(toy_index.terms_with_prefix("", "body")) == 0
+    assert len(toy_index.terms_with_prefix("q", "body", max_terms=1)) == 1
