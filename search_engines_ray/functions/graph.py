@@ -208,7 +208,8 @@ _PR_NODES_PER_PART = 500_000
 
 
 def pagerank(edges, nodes, iters: int = 3, damping=(85, 100),
-             scale: int = 10 ** 12, num_parts: int | None = None):
+             scale: int = 10 ** 12, num_parts: int | None = None,
+             seeds=None):
     """→ Dataset (node int64, outdeg int64, rank_u int64): integer
     fixed-point PageRank after ``iters`` synchronous power iterations.
     ``rank_u`` is the rank in units of 1/``scale`` (start mass
@@ -248,6 +249,13 @@ def pagerank(edges, nodes, iters: int = 3, damping=(85, 100),
     (must cover every ``src``/``dst``). ``edges``: columns
     ``src``/``dst``; parallel edges each contribute (multigraph
     semantics — dedup upstream if unwanted).
+
+    ``seeds`` (sorted-able int array) switches to PERSONALIZED
+    PageRank (topic-sensitive, Haveliwala WWW'02): start mass,
+    teleport and the dangling donation all flow to the seed set only
+    (each ``// n_seeds`` instead of ``// n``); non-seeds hold rank
+    purely through in-links. The seed array rides in task closures —
+    it is a topic/query set, tiny by construction.
     """
     import pyarrow as pa
 
@@ -267,8 +275,20 @@ def pagerank(edges, nodes, iters: int = 3, damping=(85, 100),
     # matrix) doubles per iteration (measured 14 → 61 → 225 s for
     # iters 1/2/3 on a 500-node toy graph before this coalesce).
     shuffle_blocks = max(4, P // 8)
-    teleport = ((d_den - d_num) * scale // d_den) // n
-    r0 = scale // n
+    seed_arr = (np.unique(np.asarray(list(seeds), np.int64))
+                if seeds is not None else None)
+    if seed_arr is not None and seed_arr.size == 0:
+        raise ValueError("seeds must be non-empty when given")
+    n_t = int(seed_arr.size) if seed_arr is not None else n
+    teleport = ((d_den - d_num) * scale // d_den) // n_t
+    r0 = scale // n_t
+
+    def in_seed(ids: np.ndarray) -> np.ndarray:
+        if seed_arr is None:
+            return np.ones(ids.size, bool)
+        idx = np.searchsorted(seed_arr, ids)
+        idx[idx == seed_arr.size] = 0
+        return seed_arr[idx] == ids
 
     # ---- static (node, outdeg) table: one exchange unions per-edge
     # degree partials with per-node zero rows (the left join folded
@@ -293,10 +313,10 @@ def pagerank(edges, nodes, iters: int = 3, damping=(85, 100),
         bound = np.concatenate(([True], nds[1:] != nds[:-1]))
         first = np.flatnonzero(bound)
         od = np.add.reduceat(cs, first)
+        ru0 = np.where(in_seed(nds[first]), r0, 0).astype(np.int64)
         return pa.table({"node": pa.array(nds[first]),
                          "outdeg": pa.array(od),
-                         "rank_u": pa.array(np.full(len(first), r0,
-                                                    np.int64))})
+                         "rank_u": pa.array(ru0)})
 
     ranks = edges.map_batches(deg_partial, batch_format="pyarrow") \
         .union(nodes.map_batches(node_zero, batch_format="pyarrow")) \
@@ -328,7 +348,9 @@ def pagerank(edges, nodes, iters: int = 3, damping=(85, 100),
             first = np.flatnonzero(bound)
             s = np.add.reduceat(cs, first)
             deg = np.maximum.reduceat(ods, first)
-            ru = teleport + (d_num * s) // d_den + dangle_t
+            base = np.where(in_seed(nds[first]),
+                            teleport + dangle_t, 0).astype(np.int64)
+            ru = base + (d_num * s) // d_den
             return pa.table({"node": pa.array(nds[first]),
                              "outdeg": pa.array(deg),
                              "rank_u": pa.array(ru)})
@@ -338,7 +360,7 @@ def pagerank(edges, nodes, iters: int = 3, damping=(85, 100),
         if has_dangling:
             D = int(ranks.map_batches(dangling_partial,
                                       batch_format="pyarrow").sum("d") or 0)
-            dangle_t = ((d_num * D) // d_den) // n
+            dangle_t = ((d_num * D) // d_den) // n_t
         else:
             dangle_t = 0
 

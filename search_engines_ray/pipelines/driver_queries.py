@@ -3628,17 +3628,12 @@ from agg
 """
 
 
-def q_pagerank(sf_dir: str):
-    """Integer fixed-point PageRank (3 iterations, damping 85/100) over
-    a deterministic synthetic link graph on the documents: docs with
-    ``doc_id % 7 == 0`` are dangling (crawl frontier leaves), the rest
-    emit 1–3 out-links ``(doc_id*131 + k*7919) % n``. Every arithmetic
-    step is int64 (contribution = rank // outdeg, damped sum =
-    (85*s)//100), so distributed partials associate exactly and the
-    unrolled-CTE oracle hash-matches bit for bit — the producer side of
-    the PageRank prior file the reference only consumes."""
+def _pr_graph(sf_dir: str):
+    """The deterministic synthetic link graph shared by every PageRank
+    oracle: docs with ``doc_id % 7 == 0`` are dangling (crawl frontier
+    leaves), the rest emit 1–3 out-links ``(doc_id*131 + k*7919) % n``.
+    → (edges Dataset, nodes Dataset)."""
     import ray.data as rd
-    from ..functions.graph import pagerank
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id"])
     n = docs.count()
@@ -3656,7 +3651,33 @@ def q_pagerank(sf_dir: str):
     edges = docs.map_batches(edges_fn, batch_format="pyarrow")
     nodes = docs.map_batches(
         lambda b: pa.table({"node": b["doc_id"]}), batch_format="pyarrow")
+    return edges, nodes, n
+
+
+def q_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank (3 iterations, damping 85/100) over
+    the synthetic link graph. Every arithmetic step is int64
+    (contribution = rank // outdeg, damped sum = (85*s)//100), so
+    distributed partials associate exactly and the unrolled-CTE oracle
+    hash-matches bit for bit — the producer side of the PageRank prior
+    file the reference only consumes."""
+    from ..functions.graph import pagerank
+    edges, nodes, _ = _pr_graph(sf_dir)
     return pagerank(edges, nodes, iters=3)
+
+
+def q_personalized_pagerank(sf_dir: str):
+    """Topic-sensitive PageRank (Haveliwala WWW'02): teleport/start/
+    dangling mass flow ONLY to the seed set (docs with
+    ``doc_id % 13 == 0``); non-seeds hold rank purely through
+    in-links. Same int64 fixed-point arithmetic, seed-aware unrolled
+    CTEs as the oracle."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from ..functions.graph import pagerank
+    edges, nodes, n = _pr_graph(sf_dir)
+    seeds = np.arange(0, n, 13, dtype=np.int64)
+    return pagerank(edges, nodes, iters=3, seeds=seeds)
 
 
 _PR_SCALE = 10 ** 12
@@ -3679,6 +3700,28 @@ def _pr_iter_sql(prev: str, cur: str) -> str:
       group by e.dst) s on nd.node = s.node)"""
 
 
+_PPR_NT = "(select count(*)::bigint from documents where doc_id % 13 = 0)"
+
+
+def _ppr_iter_sql(prev: str, cur: str) -> str:
+    """One unrolled PERSONALIZED-PageRank iteration: teleport and the
+    dangling donation are gated on the seed predicate and divided by
+    the seed count — the exact mirror of ``graph.pagerank(seeds=...)``."""
+    return f""",
+{cur} as (
+  select nd.node, nd.od,
+    case when nd.node % 13 = 0 then
+      ((((100 - 85) * {_PR_SCALE}) // 100) // {_PPR_NT})
+      + ((85 * (select coalesce(sum(ru), 0)::bigint
+                from {prev} where od = 0)) // 100) // {_PPR_NT}
+    else 0 end
+      + (85 * coalesce(s.s, 0)) // 100 as ru
+  from nd left join (
+      select e.dst as node, sum(r.ru // r.od)::bigint as s
+      from e join {prev} r on e.src = r.node
+      group by e.dst) s on nd.node = s.node)"""
+
+
 SQL_PAGERANK = f"""
 with nn as (select count(*)::bigint as n from documents),
 e as (select d.doc_id as src,
@@ -3691,6 +3734,24 @@ nd as (select doc_id as node, coalesce(od, 0::bigint) as od
 r0 as (select node, od,
          ({_PR_SCALE} // (select n from nn))::bigint as ru
        from nd){_pr_iter_sql('r0', 'r1')}{_pr_iter_sql('r1', 'r2')}{_pr_iter_sql('r2', 'r3')}
+select node, od as outdeg, ru as rank_u from r3
+"""
+
+
+SQL_PERSONALIZED_PAGERANK = f"""
+with nn as (select count(*)::bigint as n from documents),
+e as (select d.doc_id as src,
+        (d.doc_id * 131 + k.k * 7919) % (select n from nn) as dst
+      from documents d cross join (values (1), (2), (3)) k(k)
+      where d.doc_id % 7 <> 0 and k.k <= d.doc_id % 3 + 1),
+deg as (select src as node, count(*)::bigint as od from e group by src),
+nd as (select doc_id as node, coalesce(od, 0::bigint) as od
+       from documents left join deg on doc_id = node),
+r0 as (select node, od,
+         case when node % 13 = 0
+              then ({_PR_SCALE} // {_PPR_NT})::bigint
+              else 0::bigint end as ru
+       from nd){_ppr_iter_sql('r0', 'r1')}{_ppr_iter_sql('r1', 'r2')}{_ppr_iter_sql('r2', 'r3')}
 select node, od as outdeg, ru as rank_u from r3
 """
 
@@ -3957,6 +4018,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "pagerank": q_pagerank,
     "bm25_pagerank_blend": q_bm25_pagerank_blend,
+    "personalized_pagerank": q_personalized_pagerank,
     "url_canonicalize": q_url_canonicalize,
     "domain_stats": q_domain_stats,
     "prefix_search": q_prefix_search,
@@ -3986,6 +4048,7 @@ ORACLE_SQL = {
     "decontaminate": SQL_DECONTAMINATE,
     "pagerank": SQL_PAGERANK,
     "bm25_pagerank_blend": SQL_BM25_PAGERANK_BLEND,
+    "personalized_pagerank": SQL_PERSONALIZED_PAGERANK,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "domain_stats": SQL_DOMAIN_STATS,
     "prefix_search": SQL_PREFIX_SEARCH,

@@ -146,3 +146,35 @@ def test_anchor_text_ordered_concat(ray_session):
     # dst 7: src 1 before 5; dst 9: (1,2) then (2,1) then (3,1)
     assert out.loc[0, "dst"] == 7 and out.loc[0, "inlink"] == "b1 e"
     assert out.loc[1, "dst"] == 9 and out.loc[1, "inlink"] == "b2 a c c"
+
+
+def serial_ppr(edges, n, seeds, iters=3, d=(85, 100), scale=10 ** 12):
+    """Personalized-PageRank serial mirror: teleport/start/dangling
+    mass flow to the seed set only."""
+    seeds = set(seeds)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: (scale // len(seeds) if v in seeds else 0)
+            for v in range(n)}
+    teleport = ((d[1] - d[0]) * scale // d[1]) // len(seeds)
+    for _ in range(iters):
+        D = sum(r for v, r in rank.items() if outdeg.get(v, 0) == 0)
+        dangle_t = ((d[0] * D) // d[1]) // len(seeds)
+        s = {v: 0 for v in range(n)}
+        for u, v in edges:
+            s[v] += rank[u] // outdeg[u]
+        rank = {v: (teleport + dangle_t if v in seeds else 0)
+                + (d[0] * s[v]) // d[1] for v in range(n)}
+    return rank
+
+
+def test_personalized_pagerank(ray_session):
+    edges = [(0, 1), (1, 2), (2, 0), (3, 1), (2, 3)]
+    got = run_pr(edges, 5, iters=4, num_parts=2, seeds=[0, 3])
+    want = serial_ppr(edges, 5, [0, 3], iters=4)
+    assert got == want
+    # node 4 is isolated and non-seed: zero rank
+    assert got[4] == 0
+    # seeds hold teleport mass even without in-links into them
+    assert got[0] > 0 and got[3] > 0
