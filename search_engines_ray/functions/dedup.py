@@ -1282,3 +1282,123 @@ def decontaminate(ds, benchmark_ds, text_col: str = "text",
                 n_hit_a / np.where(n_sh_a == 0, 1, n_sh_a)))})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def remove_dup_spans(ds, text_col: str = "text", id_col: str = "doc_id",
+                     w: int = 8, min_count: int = 2,
+                     max_broadcast_bytes: int = 256 << 20,
+                     num_parts: int | None = None):
+    """→ Dataset (``id_col``, n_tokens, n_removed, clean_md5): EXACT
+    substring dedup à la Lee et al. 2021 ("Deduplicating Training Data
+    Makes Language Models Better"), shingle-approximated: every token
+    covered by a w-token shingle whose exact text occurs ≥ ``min_count``
+    times corpus-wide (within- AND cross-doc occurrences count) is cut;
+    the surviving tokens re-join with single spaces. Docs shorter than
+    ``w`` tokens carry no shingles and pass through untouched. The op
+    emits the md5 of the cleaned text (the audit/join shape — re-emit
+    the text itself in the write path by mirroring the second pass).
+
+    Two passes over the corpus, dup-set broadcast in between:
+
+    1. per-batch (hash, count) partials → one uint64-keyed exchange
+       sums counts per shingle hash → hashes with total ≥ min_count
+       stream back to the driver (the DUPLICATED subset only) and
+       ``ray.put`` once, byte-guarded — on webtext the duplicated
+       shingle set is orders of magnitude smaller than the shingle
+       stream, but a boilerplate-heavy corpus can blow the guard, in
+       which case mark spans with ``dup_span_stats``'s doc-keyed
+       exchange and join marks back by doc id instead of broadcasting.
+    2. a stateless map re-shingles each doc, sorted-probes the
+       broadcast set, unions the covered [i, i+w) intervals with one
+       cumulative-sum sweep and emits the cleaned text's digest.
+    """
+    import hashlib as _hl
+
+    import ray
+
+    from ..analysis.tokenizer import simple_tokenize
+    from ..util import proc_cached
+
+    parts = int(num_parts or _EXACT_PARTS)
+
+    def partial(b: pa.Table) -> pa.Table:
+        hs, cs = [], []
+        for t in b[text_col].to_pylist():
+            toks = simple_tokenize(t or "")
+            if len(toks) < w:
+                continue
+            h = _shingle_hashes(toks, w)
+            uh, uc = np.unique(h, return_counts=True)
+            hs.append(uh)
+            cs.append(uc.astype(np.int64))
+        h = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+        c = np.concatenate(cs) if cs else np.empty(0, np.int64)
+        # fold batch-local repeats before the exchange
+        uh, inv = np.unique(h, return_inverse=True)
+        uc = np.zeros(uh.size, np.int64)
+        np.add.at(uc, inv, c)
+        return pa.table({
+            "part": pa.array((uh % np.uint64(parts)).astype(np.int32)),
+            "h": pa.array(uh), "c": pa.array(uc)})
+
+    def dup_only(g: pa.Table) -> pa.Table:
+        h = g["h"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        hs, cs = h[order], c[order]
+        bound = np.concatenate(([True], hs[1:] != hs[:-1]))
+        first = np.flatnonzero(bound)
+        tot = np.add.reduceat(cs, first)
+        keep = tot >= min_count
+        return pa.table({"h": pa.array(hs[first][keep])})
+
+    gathered, nbytes = [], 0
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby("part").map_groups(dup_only, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        arr = b["h"].to_numpy(zero_copy_only=False)
+        nbytes += arr.nbytes
+        if nbytes > max_broadcast_bytes:
+            raise ValueError(
+                f"duplicated-shingle set exceeds the "
+                f"{max_broadcast_bytes >> 20} MiB broadcast guard — mark "
+                "spans via dup_span_stats' doc-keyed exchange and join "
+                "marks back by doc id instead")
+        gathered.append(arr)
+    dup = np.sort(np.concatenate(gathered)) if gathered \
+        else np.empty(0, np.uint64)
+    ref = ray.put(dup)
+
+    def clean(b: pa.Table) -> pa.Table:
+        dset = proc_cached(("dupspans", ref.hex()), lambda: ray.get(ref))
+        ids, n_tok, n_rm, md5s = [], [], [], []
+        for did, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            toks = simple_tokenize(t or "")
+            n = len(toks)
+            if n >= w and dset.size:
+                h = _shingle_hashes(toks, w)
+                idx = np.searchsorted(dset, h)
+                idx[idx == dset.size] = 0
+                starts = np.flatnonzero(dset[idx] == h)
+                if starts.size:
+                    # union of [i, i+w) via a +1/-1 sweep
+                    delta = np.zeros(n + 1, np.int64)
+                    delta[starts] += 1
+                    delta[np.minimum(starts + w, n)] -= 1
+                    covered = np.cumsum(delta[:-1]) > 0
+                    kept = [tk for tk, cv in zip(toks, covered) if not cv]
+                else:
+                    kept = toks
+            else:
+                kept = toks
+            ids.append(did)
+            n_tok.append(n)
+            n_rm.append(n - len(kept))
+            md5s.append(_hl.md5(" ".join(kept).encode()).hexdigest())
+        return pa.table({
+            id_col: pa.array(np.asarray(ids, np.int64)),
+            "n_tokens": pa.array(np.asarray(n_tok, np.int64)),
+            "n_removed": pa.array(np.asarray(n_rm, np.int64)),
+            "clean_md5": pa.array(md5s, pa.string())})
+
+    return ds.map_batches(clean, batch_format="pyarrow")

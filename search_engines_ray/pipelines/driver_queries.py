@@ -3901,6 +3901,48 @@ from c group by host
 """
 
 
+def q_remove_dup_spans(sf_dir: str):
+    """Exact-substring dedup (Lee et al. 2021): tokens covered by any
+    corpus-duplicated 8-token shingle are cut; the oracle re-derives
+    coverage with an interval-EXISTS join and verifies the cleaned
+    text's md5, token and removal counts."""
+    import ray.data as rd
+    from ..functions.dedup import remove_dup_spans
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return remove_dup_spans(ds, w=8)
+
+
+SQL_REMOVE_DUP_SPANS = f"""
+with t as (select doc_id, {SIMPLE_TOKS_SQL} as toks from documents),
+s as (select doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) as i
+      from t where len(toks) >= 8),
+h as (select doc_id, i,
+        ('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 16))
+          ::ubigint as h
+      from s),
+dup as (select h from h group by h having count(*) >= 2),
+starts as (select doc_id, i from h join dup using (h)),
+tokpos as (select doc_id, unnest(toks) as tok,
+             generate_subscripts(toks, 1) as j from t),
+cov as (select tk.doc_id, tk.j, tk.tok,
+          exists (select 1 from starts st where st.doc_id = tk.doc_id
+                  and tk.j between st.i and st.i + 7) as covered
+        from tokpos tk),
+clean as (select doc_id,
+            coalesce(string_agg(tok, ' ' order by j)
+                     filter (where not covered), '') as txt,
+            count(*)::bigint as n_tokens,
+            sum(case when covered then 1 else 0 end)::bigint as n_removed
+          from cov group by doc_id)
+select d.doc_id,
+  coalesce(c.n_tokens, 0::bigint) as n_tokens,
+  coalesce(c.n_removed, 0::bigint) as n_removed,
+  coalesce(md5(c.txt), md5('')) as clean_md5
+from documents d left join clean c using (doc_id)
+"""
+
+
 def q_json_field_agg(sf_dir: str):
     """Parse the events' JSON ``props`` sidecar, extract the numeric
     ``k`` field, aggregate (count, sum, 6-dp mean) per event_type —
@@ -4019,6 +4061,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "bm25_pagerank_blend": q_bm25_pagerank_blend,
     "personalized_pagerank": q_personalized_pagerank,
+    "remove_dup_spans": q_remove_dup_spans,
     "url_canonicalize": q_url_canonicalize,
     "domain_stats": q_domain_stats,
     "prefix_search": q_prefix_search,
@@ -4049,6 +4092,7 @@ ORACLE_SQL = {
     "pagerank": SQL_PAGERANK,
     "bm25_pagerank_blend": SQL_BM25_PAGERANK_BLEND,
     "personalized_pagerank": SQL_PERSONALIZED_PAGERANK,
+    "remove_dup_spans": SQL_REMOVE_DUP_SPANS,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "domain_stats": SQL_DOMAIN_STATS,
     "prefix_search": SQL_PREFIX_SEARCH,

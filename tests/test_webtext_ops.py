@@ -416,3 +416,37 @@ def test_domain_stats_alias_collapse(rd):
     assert out.loc[0, "n_distinct_canonical"] == 2   # /x variants fold
     assert out.loc[0, "sum_size"] == 60
     assert out.loc[1, "host"] == "b.org" and out.loc[1, "n_docs"] == 1
+
+
+def test_remove_dup_spans(rd):
+    import hashlib
+    from search_engines_ray.functions.dedup import remove_dup_spans
+    boiler = "b1 b2 b3 b4"   # appears in docs 1 and 2 -> duplicated
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [f"u1 u2 {boiler} t1",            # span covers b1..b4
+                 f"v1 {boiler} v2 v3",
+                 "w1 w2 w3 w4 w5",                # unique: untouched
+                 "s1 s2"],                        # shorter than w
+    })
+    out = remove_dup_spans(rd.from_arrow(docs), w=4).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert out.loc[0, "n_removed"] == 4
+    assert out.loc[0, "clean_md5"] == hashlib.md5(b"u1 u2 t1").hexdigest()
+    assert out.loc[1, "n_removed"] == 4
+    assert out.loc[1, "clean_md5"] == hashlib.md5(b"v1 v2 v3").hexdigest()
+    assert out.loc[2, "n_removed"] == 0
+    assert out.loc[2, "clean_md5"] == hashlib.md5(b"w1 w2 w3 w4 w5").hexdigest()
+    assert out.loc[3, "n_tokens"] == 2 and out.loc[3, "n_removed"] == 0
+
+
+def test_remove_dup_spans_within_doc(rd):
+    import hashlib
+    from search_engines_ray.functions.dedup import remove_dup_spans
+    # the same 3-token run twice WITHIN one doc counts as duplicated
+    t = pa.table({"doc_id": [1],
+                  "text": ["x1 a b c y1 y2 a b c z1"]})
+    out = remove_dup_spans(rd.from_arrow(t), w=3).to_pandas()
+    assert out.loc[0, "n_removed"] == 6
+    assert out.loc[0, "clean_md5"] == hashlib.md5(
+        b"x1 y1 y2 z1").hexdigest()
