@@ -103,6 +103,12 @@ class IndexBuildConfig:
     tokenize_concurrency: int | tuple = 4   # retained for API compat; unused
     postings_batch_size: int = 16384        # docs per partial-postings batch
     dedup: bool = True
+    store_positions: bool = True   # False = BoW-only index: postings
+    #   carry empty position blobs (positions are the BULK of postings
+    #   bytes on webtext, so a pure-BM25/Indri 100-TB index halves or
+    #   better its footprint). #NEAR/#WINDOW then raise at query time;
+    #   the forward table keeps its per-doc position lists either way
+    #   (term-vector API + a later positional re-merge stay possible).
     analyzer: str = "lucene"       # "lucene" (full chain) | "lucene_nostem"
                                    # (STEMMER=NONE, reference toy index)
                                    # | "simple" (SQL-checkable)
@@ -133,7 +139,7 @@ class IndexBuildConfig:
             # stats.json records num_buckets/merge_salts (the reader's
             # bucket-pruning contract), so docmeta + postings include them
             parts += [self.num_buckets, self.merge_salts,
-                      self.docs_per_salt]
+                      self.docs_per_salt, self.store_positions]
         blob = json.dumps(parts, sort_keys=True)
         return hashlib.md5(blob.encode()).hexdigest()
 
@@ -473,7 +479,8 @@ class _Tokenize:
 
 
 def _partial_postings_fn(fields: list[str], num_buckets: int,
-                         salt_of_pid: np.ndarray, pid_offsets: np.ndarray):
+                         salt_of_pid: np.ndarray, pid_offsets: np.ndarray,
+                         store_positions: bool = True):
     """Returns the map_batches fn building partial posting fragments.
 
     Within a batch: rows sorted by docid, then for each field a single
@@ -544,7 +551,9 @@ def _partial_postings_fn(fields: list[str], num_buckets: int,
                     a0, a1 = lo + seg_starts[si], lo + seg_starts[si + 1]
                     dids = post_docids[a0:a1]
                     tfs = tf[a0:a1]
-                    pcat = p_sorted[pos_bounds[a0]:pos_bounds[a1]]
+                    pcat = (p_sorted[pos_bounds[a0]:pos_bounds[a1]]
+                            if store_positions else
+                            np.empty(0, np.int64))
                     dblob, tblob, pblob = encode_postings(dids, tfs, pcat)
                     out["term"].append(term)
                     out["field"].append(fname)
@@ -605,8 +614,14 @@ def _merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
         new_len = seg_len[order]
         total = int(new_len.sum())
         out_start = np.concatenate(([0], np.cumsum(new_len)[:-1]))
-        idx = np.repeat(seg_start[order] - out_start, new_len) + np.arange(total)
-        pnew = pcat[idx]
+        if pcat.size:
+            idx = (np.repeat(seg_start[order] - out_start, new_len)
+                   + np.arange(total))
+            pnew = pcat[idx]
+        else:
+            # positions-less partials (store_positions=False): nothing
+            # to gather, the re-encode emits an empty pos blob
+            pnew = pcat
         dblob, tblob, pblob = encode_postings(docids, tfs_o, pnew)
         rows["term"].append(term)
         rows["field"].append(fld)
@@ -736,6 +751,7 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
                      "num_buckets": cfg.num_buckets,
                      "merge_salts": resolve_salts(0),
                      "docid_partitions": P, "analyzer": cfg.analyzer,
+                     "positions": bool(cfg.store_positions),
                      "pid_offsets": [0] * (P + 1)}
             with open(os.path.join(index_dir, STATS_FILE), "w") as fh:
                 json.dump(stats, fh, indent=1)
@@ -789,6 +805,7 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
                  "num_buckets": cfg.num_buckets,
                  "merge_salts": resolve_salts(int(n_docs)),
                  "docid_partitions": P, "analyzer": cfg.analyzer,
+                 "positions": bool(cfg.store_positions),
                  "pid_offsets": pid_offsets}
         with open(os.path.join(index_dir, STATS_FILE), "w") as fh:
             json.dump(stats, fh, indent=1)
@@ -812,7 +829,7 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
         fwd = ray.data.read_parquet(fwd_path, columns=fwd_cols)
         partial = fwd.map_batches(
             _partial_postings_fn(fields, cfg.num_buckets, salt_of_pid,
-                                 pid_offsets),
+                                 pid_offsets, cfg.store_positions),
             batch_format="pyarrow", batch_size=cfg.postings_batch_size)
         if cfg.lineage:
             if not resume:

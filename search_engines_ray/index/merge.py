@@ -76,8 +76,8 @@ def merge_indexes(index_a: str, index_b: str, out_dir: str) -> dict:
         sa = json.load(f)
     with open(os.path.join(index_b, STATS_FILE)) as f:
         sb = json.load(f)
-    for key in ("num_buckets", "analyzer"):
-        if sa.get(key) != sb.get(key):
+    for key in ("num_buckets", "analyzer", "positions"):
+        if sa.get(key, True) != sb.get(key, True):
             raise ValueError(
                 f"cannot merge: {key} differs ({sa.get(key)!r} vs "
                 f"{sb.get(key)!r}) — rebuild one side to match")

@@ -279,6 +279,11 @@ class IndexReader:
         terms = sorted(set(terms))
         if not terms:
             return {}
+        if positions and not self.stats.get("positions", True):
+            raise ValueError(
+                "index was built with store_positions=False — positional "
+                "operators (#NEAR/#WINDOW) are unavailable; rebuild with "
+                "store_positions=True")
         paths = self._bucket_paths(terms)
         if not paths:
             return {}
@@ -382,6 +387,11 @@ class IndexReader:
         provably unable to affect the top-k."""
         if not salts:
             return None
+        if positions and not self.stats.get("positions", True):
+            raise ValueError(
+                "index was built with store_positions=False — positional "
+                "operators (#NEAR/#WINDOW) are unavailable; rebuild with "
+                "store_positions=True")
         paths = self._bucket_paths([term])
         if not paths:
             return None

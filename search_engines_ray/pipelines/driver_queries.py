@@ -304,6 +304,28 @@ def q_bm25_purged_top10(sf_dir: str):
     return _ranked_to_table(res)
 
 
+def q_bm25_positionless_top10(sf_dir: str):
+    """BM25 over a ``store_positions=False`` index — the BoW-only
+    footprint mode (positions are the bulk of postings bytes at
+    100 TB); scoring must be identical to the positional build, so it
+    shares the full BM25 oracle."""
+    tag = hashlib.md5(f"{sf_dir}|nopos".encode()).hexdigest()[:8]
+    path = os.path.join(_IDX_ROOT, f"{tag}_simple_nopos")
+    import ray
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    build_index(pages_from_documents(sf_dir), path,
+                IndexBuildConfig(
+                    num_buckets=16, docid_partitions=16,
+                    analyzer="simple", fields={"body": "text"},
+                    store_positions=False,
+                    tokenize_concurrency=max(1, min(ncpu - 2, 8))),
+                input_token=f"{sf_dir}|nopos", resume=True)
+    reader = IndexReader(path)
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    res = engine.search(" ".join(BM25_QUERY_TERMS), k=10)
+    return _ranked_to_table(res)
+
+
 def _docid_of_external(ext_ids: list[str]) -> np.ndarray:
     """external_id 'http://docs.example.com/00000042' → doc_id 42."""
     return np.array([int(e.rsplit("/", 1)[1]) for e in ext_ids], dtype=np.int64)
@@ -4053,6 +4075,7 @@ QUERIES = {
     "bm25_inlink_top10": q_bm25_inlink_top10,
     "bm25_deleted_top10": q_bm25_deleted_top10,
     "bm25_purged_top10": q_bm25_purged_top10,
+    "bm25_positionless_top10": q_bm25_positionless_top10,
     "prefix_suggest": q_prefix_suggest,
     "spell_suggest": q_spell_suggest,
     "chunk_documents": q_chunk_documents,
@@ -4123,6 +4146,7 @@ ORACLE_SQL = {
     "bm25_inlink_top10": SQL_BM25_INLINK_TOP10,
     "bm25_deleted_top10": SQL_BM25_DELETED_TOP10,
     "bm25_purged_top10": SQL_BM25_PURGED_TOP10,
+    "bm25_positionless_top10": SQL_INDEX_BM25_TOP10,
     "bm25_multifield_top10": SQL_BM25_MULTIFIELD_TOP10,
     "index_indri_top10": SQL_INDEX_INDRI_TOP10,
     "indri_batch_distributed": SQL_INDEX_INDRI_TOP10,

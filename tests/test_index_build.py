@@ -179,3 +179,54 @@ def test_merge_salts_auto_sizes_with_corpus(tmp_path, docs_pages):
     build_index(rd.from_pandas(docs_pages.head(20)), idx2, cfg_small,
                 input_token="floor", resume=False)
     assert int(IndexReader(idx2).stats["merge_salts"]) == 4
+
+
+def test_positionless_index(tmp_path, toy_pages, ray_session):
+    """store_positions=False: BM25 identical, footprint smaller,
+    positional ops raise a clear error."""
+    import os
+    import ray.data as rd
+    import numpy as np
+    import pytest
+    from search_engines_ray.index import (
+        IndexBuildConfig, IndexReader, build_index)
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import BM25Model
+
+    def build(d, store):
+        build_index(rd.from_pandas(toy_pages), d,
+                    IndexBuildConfig(fields={"body": "text"},
+                                     num_buckets=4, docid_partitions=2,
+                                     merge_salts=2, store_positions=store),
+                    input_token=f"pos={store}", resume=False)
+        return IndexReader(d)
+
+    full = build(str(tmp_path / "pos"), True)
+    bow = build(str(tmp_path / "nopos"), False)
+    assert bow.stats["positions"] is False
+
+    # BoW retrieval identical (positions never consulted)
+    ef = QueryEngine(full, BM25Model()).search("quick fox lazy", k=10)
+    eb = QueryEngine(bow, BM25Model()).search("quick fox lazy", k=10)
+    assert ef["external_id"].to_pylist() == eb["external_id"].to_pylist()
+    assert np.allclose(ef["score"].to_numpy(), eb["score"].to_numpy(),
+                       rtol=0, atol=0)
+
+    # df/ctf intact, positions absent
+    p = bow.postings("fox", "body", positions=False)
+    pf = full.postings("fox", "body", positions=False)
+    assert (p.df, p.ctf) == (pf.df, pf.ctf)
+
+    # positional access fails loudly, at fetch AND through the engine
+    with pytest.raises(ValueError, match="store_positions"):
+        bow.postings("fox", "body", positions=True)
+    with pytest.raises(ValueError, match="store_positions"):
+        QueryEngine(bow, BM25Model()).search("#near/1(quick fox)", k=10)
+
+    def dir_bytes(d):
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _, fs in os.walk(os.path.join(d, "postings"))
+                   for f in fs)
+
+    assert dir_bytes(str(tmp_path / "nopos")) < dir_bytes(
+        str(tmp_path / "pos"))
