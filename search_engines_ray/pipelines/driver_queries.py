@@ -3965,6 +3965,52 @@ from documents d left join clean c using (doc_id)
 """
 
 
+def q_warc_roundtrip(sf_dir: str):
+    """Crawl-format ingest: the corpus serializes to WARC response
+    records (fixed WARC-Date — byte-reproducible), reads back via the
+    per-file parse tasks, and extracts text with the general-HTML
+    kernel; the cleaned-text digests must equal the direct
+    ``strip_html`` path's, so the oracle is shared — what the check
+    pins is the WARC write→read hop itself."""
+    import hashlib as _h
+    import ray.data as rd
+    from ..functions.text import strip_html
+    from ..io.warc import read_warc, write_warc
+
+    tag = hashlib.md5(f"{sf_dir}|warc".encode()).hexdigest()[:8]
+    out = os.path.join("/tmp/se_ray_warc", tag)
+
+    def inject(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        htmls, urls = [], []
+        for i, t in zip(ids, b["text"].to_pylist()):
+            t = t or ""
+            title = " ".join(t.split()[:5])
+            aug = t + " x &amp; y &lt;z&gt; &quot;w&#39;s&quot;&nbsp;end"
+            htmls.append(f"<html><title>{title}</title>"
+                         f"<body>{aug}</body></html>")
+            urls.append(f"http://docs.example.com/{i:08d}")
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.string())})
+
+    if not (os.path.isdir(out) and os.listdir(out)):
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        write_warc(docs.map_batches(inject, batch_format="pyarrow"), out,
+                   compress=True)
+
+    cleaned = strip_html(read_warc(out))
+
+    def digest(b: pa.Table) -> pa.Table:
+        ids = [int(u.rsplit("/", 1)[1]) for u in b["url"].to_pylist()]
+        md5 = [_h.md5(s.encode()).hexdigest()
+               for s in b["clean_text"].to_pylist()]
+        return pa.table({"doc_id": pa.array(np.asarray(ids, np.int64)),
+                         "clean_md5": pa.array(md5, pa.string())})
+
+    return cleaned.map_batches(digest, batch_format="pyarrow")
+
+
 def q_json_field_agg(sf_dir: str):
     """Parse the events' JSON ``props`` sidecar, extract the numeric
     ``k`` field, aggregate (count, sum, 6-dp mean) per event_type —
@@ -4085,6 +4131,7 @@ QUERIES = {
     "bm25_pagerank_blend": q_bm25_pagerank_blend,
     "personalized_pagerank": q_personalized_pagerank,
     "remove_dup_spans": q_remove_dup_spans,
+    "warc_roundtrip": q_warc_roundtrip,
     "url_canonicalize": q_url_canonicalize,
     "domain_stats": q_domain_stats,
     "prefix_search": q_prefix_search,
@@ -4116,6 +4163,7 @@ ORACLE_SQL = {
     "bm25_pagerank_blend": SQL_BM25_PAGERANK_BLEND,
     "personalized_pagerank": SQL_PERSONALIZED_PAGERANK,
     "remove_dup_spans": SQL_REMOVE_DUP_SPANS,
+    "warc_roundtrip": SQL_STRIP_HTML,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "domain_stats": SQL_DOMAIN_STATS,
     "prefix_search": SQL_PREFIX_SEARCH,
