@@ -4011,6 +4011,67 @@ def q_warc_roundtrip(sf_dir: str):
     return cleaned.map_batches(digest, batch_format="pyarrow")
 
 
+def q_curation_pipeline(sf_dir: str):
+    """The composed LLM-data curation flagship, end to end in ONE
+    streamed pipeline: quality gate (C4/Gopher heuristics) →
+    exact dedup (canonical doc per distinct content among survivors)
+    → training-window chunking (32-token windows, md5 digests). Each
+    stage is individually oracle-checked elsewhere; this entry pins
+    the COMPOSITION (filter semantics feed dedup feed chunker, one
+    keyed exchange for dedup + one for the canonical semijoin).
+    Output = chunk-level rows for surviving canonical docs."""
+    import ray.data as rd
+    from ..functions.dedup import exact_dedup
+    from ..functions.join import shuffle_hash_join
+    from ..functions.text import chunk_documents, heuristic_filter
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    gated = heuristic_filter(docs, min_tokens=40, max_tokens=100_000,
+                             min_mean_len=2.0, max_mean_len=10.0,
+                             min_stopword_ratio=0.0,
+                             max_dup_token_frac=0.55) \
+        .filter(expr="keep")
+    canon = exact_dedup(gated).map_batches(
+        lambda b: pa.table({"doc_id": b["canonical_id"].cast(pa.int64())}),
+        batch_format="pyarrow")
+    survivors = shuffle_hash_join(
+        gated.select_columns(["doc_id", "text"]), canon,
+        left_on="doc_id", num_parts=16)
+    return chunk_documents(survivors, max_tokens=32)
+
+
+SQL_CURATION_PIPELINE = f"""
+with t0 as (select doc_id, text, {SIMPLE_TOKS_SQL} as toks from documents),
+q as (select doc_id, len(toks) as n,
+        floor((case when len(toks) > 0
+              then list_aggregate(list_transform(toks, x -> len(x)),
+                                  'sum')::double / len(toks)
+              else 0.0 end) * 1000000 + 0.5) / 1000000 as mtl,
+        floor((case when len(toks) > 0
+              then 1.0 - len(list_distinct(toks))::double / len(toks)
+              else 0.0 end) * 1000000 + 0.5) / 1000000 as dup
+      from t0),
+kept as (select doc_id from q
+         where n >= 40 and n <= 100000 and mtl >= 2.0 and mtl <= 10.0
+           and dup <= 0.55),
+canon as (select min(t0.doc_id) as doc_id
+          from t0 join kept using (doc_id) group by md5(t0.text)),
+surv as (select t0.doc_id, t0.toks from t0 join canon using (doc_id)),
+nn2 as (select doc_id, toks, len(toks) as n from surv where len(toks) > 0),
+sw as (select doc_id, toks, n,
+        case when n > 32 then 32 * ((n - 32 + 31) // 32) else 0 end as slast
+      from nn2),
+w as (select doc_id, toks, n,
+        unnest(range(0, slast + 1, 32)) as s0
+      from sw)
+select doc_id,
+  (s0 / 32 + 1)::bigint as chunk_id,
+  (least(s0 + 32, n) - s0)::bigint as n_tokens,
+  md5(array_to_string(toks[s0 + 1:least(s0 + 32, n)], ' ')) as chunk_md5
+from w
+"""
+
+
 def q_json_field_agg(sf_dir: str):
     """Parse the events' JSON ``props`` sidecar, extract the numeric
     ``k`` field, aggregate (count, sum, 6-dp mean) per event_type —
@@ -4132,6 +4193,7 @@ QUERIES = {
     "personalized_pagerank": q_personalized_pagerank,
     "remove_dup_spans": q_remove_dup_spans,
     "warc_roundtrip": q_warc_roundtrip,
+    "curation_pipeline": q_curation_pipeline,
     "url_canonicalize": q_url_canonicalize,
     "domain_stats": q_domain_stats,
     "prefix_search": q_prefix_search,
@@ -4164,6 +4226,7 @@ ORACLE_SQL = {
     "personalized_pagerank": SQL_PERSONALIZED_PAGERANK,
     "remove_dup_spans": SQL_REMOVE_DUP_SPANS,
     "warc_roundtrip": SQL_STRIP_HTML,
+    "curation_pipeline": SQL_CURATION_PIPELINE,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "domain_stats": SQL_DOMAIN_STATS,
     "prefix_search": SQL_PREFIX_SEARCH,
