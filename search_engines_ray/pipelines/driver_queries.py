@@ -1468,6 +1468,68 @@ order by tf desc, doc_id asc limit 100
 """
 
 
+def q_rocchio_terms(sf_dir: str):
+    """Rocchio (1971) vector-space feedback over the BM25 top-5:
+    weight(t) = α·1[t∈q] + (β/k)·Σ_d tf(t,d)·ln(N/df) — the SMART-era
+    classic next to the Indri expansion; pure tf/df/ln arithmetic,
+    hence SQL-expressible."""
+    from .prf import rocchio_terms
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    initial = engine.search(" ".join(BM25_QUERY_TERMS), k=5)
+    ids = initial["external_id"].to_pylist()
+    scores = initial["score"].to_pylist()
+    internal = reader.internal_docids_for(ids).tolist()
+    best = rocchio_terms(reader, list(zip(internal, scores)),
+                         list(BM25_QUERY_TERMS), fb_docs=5, fb_terms=10,
+                         alpha=1.0, beta=0.75)
+    return pa.table({
+        "term": pa.array([t for t, _ in best], pa.string()),
+        "weight": pa.array(round6([w for _, w in best])),
+    })
+
+
+SQL_ROCCHIO_TERMS = f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+doclen as (select doc_id, count(*)::double as dl from tok group by doc_id),
+stats as (select
+  (select count(*) from documents)::double as n,
+  (select count(*) from doclen)::double as dc,
+  (select sum(dl) from doclen)::double as suml),
+tfs0 as (select doc_id, term, count(*)::double as tf from tok
+        where term in ({",".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+        group by doc_id, term),
+dfs0 as (select term, count(*)::double as df from tfs0 group by term),
+scored as (
+  select tfs0.doc_id,
+         sum(greatest(0.0, ln((stats.n - dfs0.df + 0.5)/(dfs0.df + 0.5)))
+             * (tfs0.tf / (tfs0.tf + 1.2*((1.0-0.75)
+                + 0.75*doclen.dl/(stats.suml/stats.dc))))) as raw
+  from tfs0 join dfs0 on tfs0.term = dfs0.term
+  join doclen on tfs0.doc_id = doclen.doc_id
+  cross join stats group by tfs0.doc_id),
+topd as (select doc_id from scored
+         order by raw desc, doc_id asc limit 5),
+cent as (select term, sum(cnt)::double as tf_sum from (
+           select tok.doc_id, tok.term, count(*)::double as cnt
+           from tok join topd using (doc_id)
+           group by tok.doc_id, tok.term) group by term),
+cdf as (select term, count(distinct doc_id)::double as df
+        from tok where term in (select term from cent) group by term),
+nfld as (select count(*)::double as n from doclen),
+w as (select cent.term,
+        (case when cent.term in
+              ({",".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+              then 1.0 else 0.0 end)
+        + (0.75 / 5) * cent.tf_sum * ln((select n from nfld) / cdf.df)
+          as weight
+      from cent join cdf using (term))
+select term, floor(weight*1000000 + 0.5)/1000000 as weight from w
+order by weight desc, term asc limit 10
+"""
+
+
 def q_sdm_wand_search(sf_dir: str):
     """Full-analyzer SDM — rows-only integration run; the oracle-checked
     twin is ``sdm_wand_search_simple`` (same driver code path, simple
@@ -4194,6 +4256,7 @@ QUERIES = {
     "remove_dup_spans": q_remove_dup_spans,
     "warc_roundtrip": q_warc_roundtrip,
     "curation_pipeline": q_curation_pipeline,
+    "rocchio_terms": q_rocchio_terms,
     "url_canonicalize": q_url_canonicalize,
     "domain_stats": q_domain_stats,
     "prefix_search": q_prefix_search,
@@ -4227,6 +4290,7 @@ ORACLE_SQL = {
     "remove_dup_spans": SQL_REMOVE_DUP_SPANS,
     "warc_roundtrip": SQL_STRIP_HTML,
     "curation_pipeline": SQL_CURATION_PIPELINE,
+    "rocchio_terms": SQL_ROCCHIO_TERMS,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "domain_stats": SQL_DOMAIN_STATS,
     "prefix_search": SQL_PREFIX_SEARCH,

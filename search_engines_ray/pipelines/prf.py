@@ -96,3 +96,54 @@ def prf_search(engine, query: str, fb_docs: int = 10, fb_terms: int = 10,
     # second element is the EXPANSION only — what the reference logs to
     # fbExpansionQueryFile (QryEval.java:202-205)
     return engine.search(new_q, k=k), expanded
+
+
+def rocchio_terms(reader: IndexReader, ranking: list[tuple[int, float]],
+                  query_terms: list[str], fb_docs: int = 10,
+                  fb_terms: int = 10, alpha: float = 1.0,
+                  beta: float = 0.75,
+                  field: str = "body") -> list[tuple[str, float]]:
+    """Rocchio (1971) vector-space feedback — the SMART-era classic the
+    Indri expansion above post-dates: the new query vector is
+    ``α·q + (β/|Dr|)·Σ_d d`` with documents as tf·idf vectors
+    (idf = ln(N/df), df over the whole corpus). Returns the top
+    ``fb_terms`` [(term, weight)] (weight desc, term asc) — feed them
+    to a ``#WSUM`` like the Indri path's ``#WAND``.
+
+    Same scale shape as ``expansion_terms``: |Dr| = fb_docs documents
+    per query, term vectors via one filtered forward scan, df/ctf via
+    one bucket-pruned metadata scan — driver-side by design."""
+    top = ranking[:fb_docs]
+    if not top:
+        return []
+    docids = [d for d, _ in top]
+    tvs = reader.term_vectors(docids, field)
+    # centroid term frequencies over the feedback set
+    cent: dict[str, float] = {}
+    for d in docids:
+        if d not in tvs:
+            continue
+        terms, _, _ = tvs[d]
+        for t in terms:
+            cent[t] = cent.get(t, 0.0) + 1.0
+    if not cent:
+        return []
+    # corpus df for idf, one metadata scan; N = doc_count of the field
+    meta = reader.postings_meta(sorted(cent), field)
+    df: dict[str, int] = {}
+    if meta is not None:
+        for t, d0 in zip(meta["term"].to_pylist(), meta["df"].to_pylist()):
+            df[t] = df.get(t, 0) + int(d0)
+    n = float(reader.doc_count(field))
+    k = float(len(docids))
+    q = set(query_terms)
+    scored = []
+    for t, tf_sum in cent.items():
+        d = df.get(t, 0)
+        if d <= 0:
+            continue
+        idf = math.log(n / d)
+        w = alpha * (1.0 if t in q else 0.0) + (beta / k) * tf_sum * idf
+        scored.append((t, w))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:fb_terms]

@@ -344,3 +344,22 @@ def test_prefix_expansion(toy_index):
     # cap respected
     assert len(toy_index.terms_with_prefix("", "body")) == 0
     assert len(toy_index.terms_with_prefix("q", "body", max_terms=1)) == 1
+
+
+def test_rocchio_terms(toy_index):
+    import math
+    from search_engines_ray.pipelines.prf import rocchio_terms
+    r = toy_index
+    d5 = r.internal_docid("http://t.example.com/5")   # "fox fox fox den"
+    best = rocchio_terms(r, [(d5, 1.0)], ["fox"], fb_docs=1, fb_terms=3,
+                         alpha=1.0, beta=0.5)
+    terms = dict(best)
+    n = float(r.doc_count("body"))
+    # fox: alpha (in query) + (0.5/1)*3*ln(n/df_fox)
+    df_fox = r.postings("fox", "body").df
+    assert math.isclose(terms["fox"],
+                        1.0 + 0.5 * 3 * math.log(n / df_fox))
+    # den: feedback-only term, alpha contributes 0
+    df_den = r.postings("den", "body").df
+    assert math.isclose(terms["den"], 0.5 * 1 * math.log(n / df_den))
+    assert best[0][0] == "fox"  # highest weight first
