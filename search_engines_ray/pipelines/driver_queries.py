@@ -3409,6 +3409,65 @@ from m
 """
 
 
+def q_search_with_snippets(sf_dir: str):
+    """The full SERP surface in one pipeline: BM25 top-10 for 'merge'
+    (index engine) + keyword-in-context snippet per hit. The hit set is
+    the SMALL side (k ids), so the snippet pass is a broadcast semijoin
+    against the streamed documents table — the fact table never
+    shuffles; scores re-join driver-side (k rows)."""
+    import ray.data as rd
+    from ..functions.join import broadcast_semijoin
+    from ..functions.text import kwic_snippets
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    res = engine.search("merge", k=10)
+    ids = _docid_of_external(res["external_id"].to_pylist())
+    score = dict(zip(ids.tolist(), round6(res["score"].to_pylist())))
+    small = rd.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    snip = kwic_snippets(broadcast_semijoin(docs, small, "doc_id"),
+                         term="merge", context_chars=40)
+
+    def attach(b: pa.Table) -> pa.Table:
+        s = [score[int(i)] for i in b["doc_id"].to_pylist()]
+        return b.append_column("score", pa.array(np.asarray(s)))
+
+    return snip.map_batches(attach, batch_format="pyarrow")
+
+
+SQL_SEARCH_WITH_SNIPPETS = f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+doclen as (select doc_id, count(*)::double as dl from tok group by doc_id),
+stats as (select
+  (select count(*) from documents)::double as n,
+  (select count(*) from doclen)::double as dc,
+  (select sum(dl) from doclen)::double as suml),
+tfs as (select doc_id, count(*)::double as tf from tok
+        where term = 'merge' group by doc_id),
+dfs as (select count(*)::double as df from tfs),
+scored as (
+  select tfs.doc_id,
+         greatest(0.0, ln((stats.n - dfs.df + 0.5)/(dfs.df + 0.5)))
+           * (tfs.tf / (tfs.tf + 1.2*((1.0-0.75)
+              + 0.75*doclen.dl/(stats.suml/stats.dc)))) as raw
+  from tfs cross join dfs
+  join doclen on tfs.doc_id = doclen.doc_id cross join stats),
+topd as (select doc_id, floor(raw*1000000 + 0.5)/1000000 as score
+         from scored order by raw desc, doc_id asc limit 10),
+m as (select d.doc_id, d.text, strpos(lower(d.text), 'merge') as p
+      from documents d join topd using (doc_id))
+select m.doc_id, p::bigint as first_pos,
+  ((len(lower(text)) - len(replace(lower(text), 'merge', '')))
+   / len('merge'))::bigint as n_matches,
+  substr(text, greatest(1, p - 40),
+         p + len('merge') + 40 - greatest(1, p - 40)) as snippet,
+  topd.score
+from m join topd using (doc_id)
+"""
+
+
 def q_distinctive_terms(sf_dir: str):
     """Top-5 distinctive terms per doc (tf desc, df asc, term asc) —
     integer-exact tf·idf-style doc profiling; one term-keyed exchange
@@ -4257,6 +4316,7 @@ QUERIES = {
     "warc_roundtrip": q_warc_roundtrip,
     "curation_pipeline": q_curation_pipeline,
     "rocchio_terms": q_rocchio_terms,
+    "search_with_snippets": q_search_with_snippets,
     "url_canonicalize": q_url_canonicalize,
     "domain_stats": q_domain_stats,
     "prefix_search": q_prefix_search,
@@ -4291,6 +4351,7 @@ ORACLE_SQL = {
     "warc_roundtrip": SQL_STRIP_HTML,
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "rocchio_terms": SQL_ROCCHIO_TERMS,
+    "search_with_snippets": SQL_SEARCH_WITH_SNIPPETS,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "domain_stats": SQL_DOMAIN_STATS,
     "prefix_search": SQL_PREFIX_SEARCH,
