@@ -795,3 +795,155 @@ def strip_html(ds, html_col: str = "html", out_col: str = "clean_text"):
         out = pa.table({c: b[c] for c in b.column_names})
         return out.append_column(out_col, pa.array(clean, pa.string()))
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def more_like_this(ds, query_doc_id: int, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = 10,
+                   num_parts: int = 128):
+    """→ Dataset (``id_col``, score): the k documents most similar to
+    ``query_doc_id`` by tf·idf cosine (idf = ln(N/df), N = docs with
+    ≥1 token; the query doc itself excluded; candidates = docs sharing
+    ≥1 term, standard MLT semantics), score desc / id asc, 6 dp.
+
+    Lucene's MoreLikeThis, distributed: pass 1 streams the corpus once
+    for N and the query doc's token vector (broadcast — one doc);
+    pass 2 is ``distinctive_terms``' exchange pair — (term, doc, tf)
+    rows term-keyed so each partition holds a term's complete df and
+    can emit per-doc PARTIAL (dot, norm²) sums (the combiner bounds
+    the second exchange at docs × partitions rows), then a doc-keyed
+    fold finishes both sums. The final top-k is a per-batch cut + one
+    driver merge over ≤ batches × k rows (the exact-ANN pattern)."""
+    import math
+    from zlib import crc32
+
+    from ..analysis.tokenizer import simple_tokenize
+
+    qid = int(query_doc_id)
+
+    def meta(b: pa.Table) -> pa.Table:
+        n = 0
+        qtext = None
+        for did, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            toks = simple_tokenize(t or "")
+            if toks:
+                n += 1
+            if int(did) == qid:
+                qtext = t or ""
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "qtext": pa.array([qtext], pa.string())})
+
+    parts_tbl = pa.concat_tables(list(ds.map_batches(
+        meta, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
+    n_docs = int(np.sum(parts_tbl["n"].to_numpy()))
+    qtexts = [x for x in parts_tbl["qtext"].to_pylist() if x is not None]
+    if not qtexts or n_docs == 0:
+        return ds.map_batches(
+            lambda b: pa.table({id_col: pa.array([], pa.int64()),
+                                "score": pa.array([], pa.float64())}),
+            batch_format="pyarrow")
+    qt, qc = np.unique(np.asarray(simple_tokenize(qtexts[0]),
+                                  dtype=object), return_counts=True)
+    tfq = dict(zip(qt.tolist(), qc.astype(np.int64).tolist()))
+
+    def tf_rows(b: pa.Table) -> pa.Table:
+        terms, docs, tfs = [], [], []
+        for did, text in zip(b[id_col].to_pylist(),
+                             b[text_col].to_pylist()):
+            toks = simple_tokenize(text or "")
+            if not toks:
+                continue
+            t, c = np.unique(np.asarray(toks, dtype=object),
+                             return_counts=True)
+            terms.append(t)
+            tfs.append(c)
+            docs.append(np.full(len(t), did, dtype=np.int64))
+        terms = np.concatenate(terms) if terms else np.empty(0, object)
+        parts = np.fromiter((crc32(t.encode()) % num_parts for t in terms),
+                            dtype=np.int32, count=len(terms))
+        return pa.table({
+            "part": pa.array(parts),
+            "term": pa.array(terms.tolist(), pa.string()),
+            id_col: pa.array(np.concatenate(docs) if docs
+                             else np.empty(0, np.int64)),
+            "tf": pa.array(np.concatenate(tfs).astype(np.int64) if tfs
+                           else np.empty(0, np.int64))})
+
+    def partials(g: pa.Table) -> pa.Table:
+        term = np.asarray(g["term"].to_pylist(), dtype=object)
+        if not len(term):
+            return pa.table({"part2": pa.array([], pa.int32()),
+                             id_col: pa.array([], pa.int64()),
+                             "dot": pa.array([], pa.float64()),
+                             "nsq": pa.array([], pa.float64())})
+        doc = g[id_col].to_numpy(zero_copy_only=False)
+        tf = g["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ut, inv = np.unique(term, return_inverse=True)
+        df = np.zeros(ut.size, np.int64)
+        np.add.at(df, inv, 1)
+        idf = np.log(n_docs / df.astype(np.float64))
+        wq = np.asarray([tfq.get(t, 0) for t in ut.tolist()], np.float64) \
+            * idf
+        wgt = tf * idf[inv]
+        contrib_dot = wgt * wq[inv]
+        contrib_nsq = wgt * wgt
+        ud, dinv = np.unique(doc, return_inverse=True)
+        sdot = np.zeros(ud.size, np.float64)
+        snsq = np.zeros(ud.size, np.float64)
+        np.add.at(sdot, dinv, contrib_dot)
+        np.add.at(snsq, dinv, contrib_nsq)
+        return pa.table({
+            "part2": pa.array((ud % np.int64(num_parts)).astype(np.int32)),
+            id_col: pa.array(ud),
+            "dot": pa.array(sdot),
+            "nsq": pa.array(snsq)})
+
+    def fold_doc(g: pa.Table) -> pa.Table:
+        doc = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(doc, kind="stable")
+        d, dt, ns = (doc[order], g["dot"].to_numpy()[order],
+                     g["nsq"].to_numpy()[order])
+        bound = np.concatenate(([True], d[1:] != d[:-1]))
+        first = np.flatnonzero(bound)
+        return pa.table({id_col: pa.array(d[first]),
+                         "dot": pa.array(np.add.reduceat(dt, first)),
+                         "nsq": pa.array(np.add.reduceat(ns, first))})
+
+    sums = ds.map_batches(tf_rows, batch_format="pyarrow") \
+        .groupby("part").map_groups(partials, batch_format="pyarrow") \
+        .groupby("part2").map_groups(fold_doc, batch_format="pyarrow") \
+        .materialize()
+
+    qrow = [b for b in sums.map_batches(
+        lambda b: b.filter(pa.compute.equal(b[id_col], qid)),
+        batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows]
+    if not qrow:
+        return sums.map_batches(
+            lambda b: pa.table({id_col: pa.array([], pa.int64()),
+                                "score": pa.array([], pa.float64())}),
+            batch_format="pyarrow")
+    nq = math.sqrt(float(qrow[0]["nsq"][0].as_py()))
+
+    def topk(b: pa.Table) -> pa.Table:
+        doc = b[id_col].to_numpy(zero_copy_only=False)
+        dt = b["dot"].to_numpy(zero_copy_only=False)
+        ns = b["nsq"].to_numpy(zero_copy_only=False)
+        keep = (doc != qid) & (dt > 0)
+        doc, dt, ns = doc[keep], dt[keep], ns[keep]
+        raw = dt / (np.sqrt(ns) * nq)
+        order = np.lexsort((doc, -raw))[:k]
+        return pa.table({id_col: pa.array(doc[order]),
+                         "raw": pa.array(raw[order])})
+
+    cand = pa.concat_tables(list(
+        sums.map_batches(topk, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
+    doc = cand[id_col].to_numpy(zero_copy_only=False)
+    raw = cand["raw"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc, -raw))[:k]
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        id_col: pa.array(doc[order]),
+        "score": pa.array(round6(raw[order]))}))

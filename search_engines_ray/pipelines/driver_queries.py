@@ -3468,6 +3468,41 @@ from m join topd using (doc_id)
 """
 
 
+def q_more_like_this(sf_dir: str):
+    """'More Like This' for doc 7: tf·idf cosine top-10 over the
+    corpus (Lucene MLT, distributed via the term-keyed df exchange +
+    doc-keyed fold with per-partition combiners)."""
+    import ray.data as rd
+    from ..functions.text import more_like_this
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return more_like_this(ds, query_doc_id=7, k=10)
+
+
+SQL_MORE_LIKE_THIS = f"""
+with t as (select doc_id, {SIMPLE_TOKS_SQL} as toks from documents),
+tok as (select doc_id, unnest(toks) as term from t),
+nn as (select count(*)::double as n from t where len(toks) > 0),
+tf as (select doc_id, term, count(*)::double as tf from tok
+       group by doc_id, term),
+df as (select term, count(*)::double as df from tf group by term),
+vec as (select tf.doc_id, tf.term,
+          tf.tf * ln((select n from nn) / df.df) as wgt
+        from tf join df using (term)),
+nrm as (select doc_id, sqrt(sum(wgt * wgt)) as nrm
+        from vec group by doc_id),
+qv as (select term, wgt as wq from vec where doc_id = 7),
+dt as (select vec.doc_id, sum(vec.wgt * qv.wq) as dt
+       from vec join qv using (term) group by vec.doc_id),
+s as (select dt.doc_id,
+        dt.dt / (nrm.nrm * (select nrm from nrm where doc_id = 7)) as raw
+      from dt join nrm using (doc_id)
+      where dt.doc_id <> 7 and dt.dt > 0)
+select doc_id, floor(raw*1000000 + 0.5)/1000000 as score from s
+order by raw desc, doc_id asc limit 10
+"""
+
+
 def q_distinctive_terms(sf_dir: str):
     """Top-5 distinctive terms per doc (tf desc, df asc, term asc) —
     integer-exact tf·idf-style doc profiling; one term-keyed exchange
@@ -4317,6 +4352,7 @@ QUERIES = {
     "curation_pipeline": q_curation_pipeline,
     "rocchio_terms": q_rocchio_terms,
     "search_with_snippets": q_search_with_snippets,
+    "more_like_this": q_more_like_this,
     "url_canonicalize": q_url_canonicalize,
     "domain_stats": q_domain_stats,
     "prefix_search": q_prefix_search,
@@ -4352,6 +4388,7 @@ ORACLE_SQL = {
     "curation_pipeline": SQL_CURATION_PIPELINE,
     "rocchio_terms": SQL_ROCCHIO_TERMS,
     "search_with_snippets": SQL_SEARCH_WITH_SNIPPETS,
+    "more_like_this": SQL_MORE_LIKE_THIS,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "domain_stats": SQL_DOMAIN_STATS,
     "prefix_search": SQL_PREFIX_SEARCH,

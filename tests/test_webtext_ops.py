@@ -450,3 +450,21 @@ def test_remove_dup_spans_within_doc(rd):
     assert out.loc[0, "n_removed"] == 6
     assert out.loc[0, "clean_md5"] == hashlib.md5(
         b"x1 y1 y2 z1").hexdigest()
+
+
+def test_more_like_this(rd):
+    from search_engines_ray.functions.text import more_like_this
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["apple banana cherry",
+                 "apple banana cherry",        # identical to doc 1
+                 "apple banana date",          # partial overlap
+                 "xylophone zebra"],           # disjoint
+    })
+    out = more_like_this(rd.from_arrow(t), query_doc_id=1, k=10) \
+        .to_pandas()
+    # identical doc scores 1.0 and ranks first; disjoint doc absent;
+    # the query doc itself excluded
+    assert list(out["doc_id"]) == [2, 3]
+    assert out.loc[0, "score"] == 1.0
+    assert 0 < out.loc[1, "score"] < 1.0
