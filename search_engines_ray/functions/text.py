@@ -947,3 +947,148 @@ def more_like_this(ds, query_doc_id: int, text_col: str = "text",
     return rd.from_arrow(pa.table({
         id_col: pa.array(doc[order]),
         "score": pa.array(round6(raw[order]))}))
+
+
+def pmi_collocations(ds, text_col: str = "text", k: int = 20,
+                     min_count: int = 5, num_parts: int = 64,
+                     max_broadcast_bytes: int = 256 << 20):
+    """→ Dataset (bigram, n, pmi): the corpus's top-``k`` collocations
+    by pointwise mutual information, ``pmi = ln(p(ab)/(p(a)p(b)))``
+    with unigram/bigram probabilities over their own occurrence
+    totals, restricted to bigrams with count ≥ ``min_count``
+    (pmi desc, bigram asc). The Church & Hanks (1990) association
+    measure behind every phrase-mining pipeline.
+
+    Shape: pass 1 hash-partitions pre-aggregated unigram partials,
+    keeps counts ≥ ``min_count`` (a bigram can never out-count its
+    rarer word, so this also prunes pass 2's candidates) and broadcasts
+    the surviving vocab ONCE, byte-guarded; pass 2 hash-partitions
+    bigram partials — a bigram lives in one partition, so each part
+    scores PMI locally against the broadcast vocab and cuts its own
+    top-k; the driver merges ≤ parts × k rows."""
+    import math
+    from collections import Counter
+    from zlib import crc32
+
+    import ray
+
+    from ..analysis.tokenizer import simple_tokenize
+    from ..util import proc_cached
+
+    def uni_partial(b: pa.Table) -> pa.Table:
+        c = Counter()
+        nbi = 0
+        for t in b[text_col].to_pylist():
+            toks = simple_tokenize(t or "")
+            c.update(toks)
+            nbi += max(0, len(toks) - 1)
+        words = list(c.keys())
+        parts = np.fromiter((crc32(w.encode()) % num_parts for w in words),
+                            dtype=np.int32, count=len(words))
+        return pa.table({
+            "part": pa.array(np.concatenate([parts,
+                                             np.array([-1], np.int32)])),
+            "w": pa.array(words + [""], pa.string()),
+            "n": pa.array(np.concatenate([
+                np.fromiter(c.values(), dtype=np.int64, count=len(c)),
+                np.array([nbi], np.int64)]))})
+
+    def uni_fold(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = g.to_pandas()
+        sent = df[df["part"] < 0]
+        if len(sent):
+            return pa.table({"w": pa.array(["\x00nbi"], pa.string()),
+                             "n": pa.array([int(sent["n"].sum())],
+                                           pa.int64())})
+        agg = df.groupby("w", sort=False)["n"].sum()
+        agg = agg[agg >= min_count]
+        return pa.table({"w": pa.array(agg.index.tolist(), pa.string()),
+                         "n": pa.array(agg.to_numpy(np.int64))})
+
+    uni_parts, nbytes = [], 0
+    n_bi_total = 0
+    for b in ds.map_batches(uni_partial, batch_format="pyarrow") \
+            .groupby("part").map_groups(uni_fold, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        ws = b["w"].to_pylist()
+        ns = b["n"].to_numpy(zero_copy_only=False)
+        for w, n in zip(ws, ns):
+            if w == "\x00nbi":
+                n_bi_total += int(n)
+                continue
+            nbytes += len(w) + 8
+            if nbytes > max_broadcast_bytes:
+                raise ValueError(
+                    f"min_count-pruned vocabulary exceeds the "
+                    f"{max_broadcast_bytes >> 20} MiB broadcast guard — "
+                    "raise min_count or join unigram counts by key "
+                    "instead of broadcasting")
+            uni_parts.append((w, int(n)))
+    uni = dict(uni_parts)
+    # N_uni = TOTAL token occurrences, not just the pruned vocab's —
+    # a dedicated count scan (the pruned table can't provide it)
+    tot = ds.map_batches(
+        lambda b: pa.table({"nu": pa.array([sum(
+            len(simple_tokenize(t or "")) for t in
+            b[text_col].to_pylist())], pa.int64())}),
+        batch_format="pyarrow").sum("nu")
+    n_uni_total = int(tot or 0)
+    ref = ray.put(uni)
+
+    def bi_partial(b: pa.Table) -> pa.Table:
+        vocab = proc_cached(("pmi_uni", ref.hex()), lambda: ray.get(ref))
+        c = Counter()
+        for t in b[text_col].to_pylist():
+            toks = simple_tokenize(t or "")
+            c.update(" ".join(p) for p in zip(toks, toks[1:])
+                     if p[0] in vocab and p[1] in vocab)
+        grams = list(c.keys())
+        parts = np.concatenate([
+            np.fromiter((crc32(g.encode()) % num_parts for g in grams),
+                        dtype=np.int32, count=len(grams)),
+            np.array([-1], np.int32)])
+        return pa.table({
+            "part": pa.array(parts),
+            "bigram": pa.array(grams + [""], pa.string()),
+            "n": pa.array(np.concatenate([
+                np.fromiter(c.values(), dtype=np.int64, count=len(c)),
+                np.array([0], np.int64)]))})
+
+    def bi_score(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        vocab = proc_cached(("pmi_uni", ref.hex()), lambda: ray.get(ref))
+        df = g.to_pandas()
+        df = df[df["part"] >= 0]
+        if df.empty:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "pmi": pa.array([], pa.float64())})
+        agg = df.groupby("bigram", sort=False)["n"].sum()
+        agg = agg[agg >= min_count]
+        rows = []
+        for gram, nab in agg.items():
+            a, bw = gram.split(" ", 1)
+            p_ab = nab / n_bi_total
+            p_a = vocab[a] / n_uni_total
+            p_b = vocab[bw] / n_uni_total
+            rows.append((gram, int(nab), math.log(p_ab / (p_a * p_b))))
+        rows.sort(key=lambda r: (-r[2], r[0]))
+        rows = rows[:k]
+        return pa.table({
+            "bigram": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array(np.asarray([r[1] for r in rows], np.int64)),
+            "pmi": pa.array(np.asarray([r[2] for r in rows]))})
+
+    cand = pa.concat_tables(list(
+        ds.map_batches(bi_partial, batch_format="pyarrow")
+        .groupby("part").map_groups(bi_score, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")))
+    pmi = cand["pmi"].to_numpy(zero_copy_only=False)
+    grams = np.asarray(cand["bigram"].to_pylist(), dtype=object)
+    order = np.lexsort((grams, -pmi))[:k]
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "bigram": pa.array(grams[order].tolist(), pa.string()),
+        "n": pa.array(cand["n"].to_numpy(zero_copy_only=False)[order]),
+        "pmi": pa.array(round6(pmi[order]))}))

@@ -3468,6 +3468,41 @@ from m join topd using (doc_id)
 """
 
 
+def q_pmi_collocations(sf_dir: str):
+    """Top-20 collocations by PMI (Church & Hanks 1990), bigram count
+    ≥ 5 — phrase mining over the corpus; probabilities over unigram /
+    bigram occurrence totals, ties broken bigram-asc."""
+    import ray.data as rd
+    from ..functions.text import pmi_collocations
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return pmi_collocations(ds, k=20, min_count=5)
+
+
+SQL_PMI_COLLOCATIONS = f"""
+with t as (select doc_id, {SIMPLE_TOKS_SQL} as toks from documents),
+tok as (select doc_id, unnest(toks) as w from t),
+uni as (select w, count(*)::bigint as n from tok group by w),
+nu as (select sum(n)::double as v from uni),
+bi as (select doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])) as g
+       from t where len(toks) >= 2),
+bic as (select g, count(*)::bigint as n from bi group by g),
+nb as (select sum(n)::double as v from bic),
+s as (select bic.g as bigram, bic.n,
+        ln((bic.n / (select v from nb))
+           / ((ua.n / (select v from nu)) * (ub.n / (select v from nu))))
+          as pmi
+      from bic
+      join uni ua on ua.w = string_split(bic.g, ' ')[1]
+      join uni ub on ub.w = string_split(bic.g, ' ')[2]
+      where bic.n >= 5)
+select bigram, n, floor(pmi*1000000 + 0.5)/1000000 as pmi from s
+order by pmi desc, bigram asc limit 20
+"""
+
+
 def q_more_like_this(sf_dir: str):
     """'More Like This' for doc 7: tf·idf cosine top-10 over the
     corpus (Lucene MLT, distributed via the term-keyed df exchange +
@@ -4353,6 +4388,7 @@ QUERIES = {
     "rocchio_terms": q_rocchio_terms,
     "search_with_snippets": q_search_with_snippets,
     "more_like_this": q_more_like_this,
+    "pmi_collocations": q_pmi_collocations,
     "url_canonicalize": q_url_canonicalize,
     "domain_stats": q_domain_stats,
     "prefix_search": q_prefix_search,
@@ -4389,6 +4425,7 @@ ORACLE_SQL = {
     "rocchio_terms": SQL_ROCCHIO_TERMS,
     "search_with_snippets": SQL_SEARCH_WITH_SNIPPETS,
     "more_like_this": SQL_MORE_LIKE_THIS,
+    "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "domain_stats": SQL_DOMAIN_STATS,
     "prefix_search": SQL_PREFIX_SEARCH,

@@ -468,3 +468,20 @@ def test_more_like_this(rd):
     assert list(out["doc_id"]) == [2, 3]
     assert out.loc[0, "score"] == 1.0
     assert 0 < out.loc[1, "score"] < 1.0
+
+
+def test_pmi_collocations(rd):
+    import math
+    from search_engines_ray.functions.text import pmi_collocations
+    # "strong tea" always together; "the" everywhere — low association
+    docs = ["strong tea the", "strong tea the", "strong tea the",
+            "the x1 the", "the x2 the"]
+    t = pa.table({"doc_id": list(range(5)), "text": docs})
+    out = pmi_collocations(rd.from_arrow(t), k=5, min_count=3).to_pandas()
+    assert out.loc[0, "bigram"] == "strong tea"
+    n_uni = sum(len(d.split()) for d in docs)
+    n_bi = sum(len(d.split()) - 1 for d in docs)
+    want = math.log((3 / n_bi) / ((3 / n_uni) * (3 / n_uni)))
+    assert abs(out.loc[0, "pmi"] - want) < 1e-6
+    # only bigrams with count >= 3 survive
+    assert (out["n"] >= 3).all()
