@@ -272,3 +272,67 @@ def lsh_ann_topk(ds, queries: np.ndarray, k: int = 10, planes: int = 12,
         return g.reset_index(drop=True)
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def sq8_quantize(m: np.ndarray):
+    """Symmetric int8 scalar quantization: per-vector scale =
+    max(|v|)/127, code = floor(v/scale + 0.5) (round-half-up — the
+    SQL-mirrorable rounding). Zero vectors get scale 0 and all-zero
+    codes. → (codes int64 (n,d), scales float64 (n,))."""
+    m = np.asarray(m, np.float64)
+    s = np.abs(m).max(axis=1) / 127.0
+    safe = np.where(s == 0.0, 1.0, s)
+    codes = np.floor(m / safe[:, None] + 0.5).astype(np.int64)
+    codes[s == 0.0] = 0
+    return codes, s
+
+
+def sq8_ann_topk(ds, queries: np.ndarray, k: int = 10,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+    """→ Dataset (query_id, vec_id, score): approximate dot-product
+    top-k over INT8 scalar-quantized vectors — score =
+    (Σ code_v·code_q) · scale_v · scale_q. The SQ8 memory tier every
+    vector store ships (4× smaller residency than float32, 8× than
+    float64; integer SIMD matmuls); recall loss is bounded by the
+    per-vector quantization step. The integer dot is EXACT and the two
+    scale multiplies are ordered identically on both sides, so the
+    whole approximate pipeline is still bit-reproducible — the SQL
+    oracle checks the quantized math itself, not a tolerance band.
+
+    Same stateless shape as ``ann_cosine_topk``: codes+scales of the
+    query side broadcast once; per-batch integer matmul + top-k cut;
+    per-query driver merge."""
+    q = np.asarray(queries, np.float64)
+    qc, qs = sq8_quantize(q)
+    q_ref = ray.put((qc, qs))
+
+    def score(b: pa.Table) -> pa.Table:
+        qc_l, qs_l = ray.get(q_ref)
+        m = _as_matrix(b[vec_col], np.float64)
+        vc, vs = sq8_quantize(m)
+        ids = b[id_col].to_numpy()
+        dots = vc @ qc_l.T                         # (n, q) int64 exact
+        sims = dots.astype(np.float64) * vs[:, None] * qs_l[None, :]
+        kk = min(k, sims.shape[0])
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            s = sims[:, qi]
+            top = np.argpartition(-s, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int32))
+            out_id.append(ids[top])
+            out_s.append(s[top])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_id)),
+            "score": pa.array(np.concatenate(out_s)),
+        })
+
+    partials = ds.map_batches(score, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", id_col], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return g.reset_index(drop=True)
+
+    return partials.groupby("query_id").map_groups(merge,
+                                                   batch_format="pandas")

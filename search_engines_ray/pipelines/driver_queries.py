@@ -3468,6 +3468,51 @@ from m join topd using (doc_id)
 """
 
 
+def q_sq8_ann_top10(sf_dir: str):
+    """INT8 scalar-quantized ANN (the SQ8 memory tier): approximate
+    dot-product top-10 for the first embedding as query. The integer
+    dot is exact and the scale multiplies are ordered identically on
+    both sides, so the oracle hash-checks the quantized math itself."""
+    import ray.data as rd
+    from ..functions.similarity import sq8_ann_topk
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qvec = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)[None, :]
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = sq8_ann_topk(ds, qvec, k=10).to_pandas()
+    out = out.sort_values(["score", "vec_id"], ascending=[False, True],
+                          kind="mergesort")
+    return pa.table({
+        "vec_id": pa.array(out["vec_id"].to_numpy(), pa.int64()),
+        "score": pa.array(round6(out["score"].to_numpy())),
+    })
+
+
+SQL_SQ8_ANN_TOP10 = """
+with e as (select vec_id, generate_subscripts(embedding, 1) as i,
+             unnest(embedding)::double as x
+           from embeddings),
+sc as (select vec_id, max(abs(x)) / 127 as s from e group by vec_id),
+qn as (select e.i, floor(e.x / sc.s + 0.5)::bigint as q
+       from e join sc using (vec_id)
+       where e.vec_id = (select min(vec_id) from embeddings)
+         and sc.s > 0),
+vq as (select e.vec_id, e.i,
+         case when sc.s > 0
+              then floor(e.x / sc.s + 0.5)::bigint else 0 end as q
+       from e join sc using (vec_id)),
+dots as (select vq.vec_id, sum(vq.q * qn.q)::bigint as dotq
+         from vq join qn using (i) group by vq.vec_id),
+s as (select dots.vec_id,
+        dots.dotq::double * sc.s
+          * (select s from sc
+             where vec_id = (select min(vec_id) from embeddings)) as raw
+      from dots join sc using (vec_id))
+select vec_id, floor(raw*1000000 + 0.5)/1000000 as score from s
+order by raw desc, vec_id asc limit 10
+"""
+
+
 def q_pmi_collocations(sf_dir: str):
     """Top-20 collocations by PMI (Church & Hanks 1990), bigram count
     ≥ 5 — phrase mining over the corpus; probabilities over unigram /
@@ -4389,6 +4434,7 @@ QUERIES = {
     "search_with_snippets": q_search_with_snippets,
     "more_like_this": q_more_like_this,
     "pmi_collocations": q_pmi_collocations,
+    "sq8_ann_top10": q_sq8_ann_top10,
     "url_canonicalize": q_url_canonicalize,
     "domain_stats": q_domain_stats,
     "prefix_search": q_prefix_search,
@@ -4426,6 +4472,7 @@ ORACLE_SQL = {
     "search_with_snippets": SQL_SEARCH_WITH_SNIPPETS,
     "more_like_this": SQL_MORE_LIKE_THIS,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
+    "sq8_ann_top10": SQL_SQ8_ANN_TOP10,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "domain_stats": SQL_DOMAIN_STATS,
     "prefix_search": SQL_PREFIX_SEARCH,

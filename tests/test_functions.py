@@ -548,3 +548,31 @@ def test_pair_ops_string_ids(ray_session):
                    (ngram_jaccard_pairs, dict(threshold=0.5))):
         out = fn(ds, **kw).to_pandas()
         assert ("doc-a", "doc-b") in set(zip(out["id_a"], out["id_b"])), fn
+
+
+def test_sq8_quantize_and_recall(ray_session):
+    import numpy as np
+    import ray.data as rd
+    import pyarrow as pa
+    from search_engines_ray.functions.similarity import (
+        ann_cosine_topk, sq8_ann_topk, sq8_quantize)
+
+    codes, scales = sq8_quantize(np.array([[1.0, -0.5, 0.25],
+                                           [0.0, 0.0, 0.0]]))
+    assert codes[0].tolist() == [127, -63, 32]   # round-half-up
+    assert scales[0] == 1.0 / 127.0
+    assert scales[1] == 0.0 and codes[1].tolist() == [0, 0, 0]
+
+    rng = np.random.RandomState(3)
+    m = rng.randn(200, 16)
+    t = pa.table({"vec_id": list(range(200)),
+                  "embedding": [r.tolist() for r in m]})
+    q = m[5][None, :]
+    exact = ann_cosine_topk(rd.from_arrow(t), q, k=10,
+                            dtype=np.float64).to_pandas()
+    approx = sq8_ann_topk(rd.from_arrow(t), q, k=10).to_pandas()
+    # int8 quantization keeps high top-10 overlap on random gaussians
+    overlap = len(set(exact["vec_id"]) & set(approx["vec_id"]))
+    assert overlap >= 8
+    assert approx.sort_values("score", ascending=False,
+                              ignore_index=True).loc[0, "vec_id"] == 5
