@@ -152,6 +152,7 @@ def merge_indexes(index_a: str, index_b: str, out_dir: str) -> dict:
         "merge_salts": salts_a + int(sb.get("merge_salts", 4)),
         "docid_partitions": pids_a + (len(sb["pid_offsets"]) - 1),
         "analyzer": sa.get("analyzer"),
+        "positions": bool(sa.get("positions", True)),
         "pid_offsets": list(sa["pid_offsets"])
         + [int(o) + n_a for o in sb["pid_offsets"][1:]],
         "merged_from": [os.path.abspath(index_a), os.path.abspath(index_b)],
@@ -291,11 +292,16 @@ def compact_index(index_dir: str, out_dir: str,
                 keep = np.flatnonzero(dels[probe] != docids)
                 if keep.size == 0:
                     continue
-                seg_len = tfs[keep].astype(np.int64)
-                out_start = np.concatenate(([0], np.cumsum(seg_len)[:-1]))
-                idx = (np.repeat(pos_bounds[keep] - out_start, seg_len)
-                       + np.arange(int(seg_len.sum())))
-                pos = pos[idx]
+                if pos.size:
+                    seg_len = tfs[keep].astype(np.int64)
+                    out_start = np.concatenate(
+                        ([0], np.cumsum(seg_len)[:-1]))
+                    idx = (np.repeat(pos_bounds[keep] - out_start,
+                                     seg_len)
+                           + np.arange(int(seg_len.sum())))
+                    pos = pos[idx]
+                # (empty pos = store_positions=False index: nothing to
+                # gather, re-encode emits empty blobs)
                 docids = docids[keep] - below[keep]   # dense renumber
                 tfs = tfs[keep]
                 pos_bounds = np.concatenate(

@@ -4308,6 +4308,26 @@ from w
 """
 
 
+def q_jsonl_roundtrip(sf_dir: str):
+    """LLM-corpus interchange: documents serialize to gzipped JSONL
+    (byte-reproducible writer), read back with column pruning (only
+    the 3 asked-for fields parse out of each object) — values must
+    survive the hop exactly."""
+    import ray.data as rd
+    from ..io.jsonl import read_jsonl, write_jsonl
+    tag = hashlib.md5(f"{sf_dir}|jsonl".encode()).hexdigest()[:8]
+    out = os.path.join("/tmp/se_ray_jsonl", tag)
+    if not (os.path.isdir(out) and os.listdir(out)):
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+        write_jsonl(docs, out, compress=True)
+    return read_jsonl(out, columns=["doc_id", "lang", "n_chars"]) \
+        .map_batches(lambda b: b.drop_columns(["_bad_lines"]),
+                     batch_format="pyarrow")
+
+
+SQL_JSONL_ROUNDTRIP = "select doc_id, lang, n_chars from documents"
+
+
 def q_json_field_agg(sf_dir: str):
     """Parse the events' JSON ``props`` sidecar, extract the numeric
     ``k`` field, aggregate (count, sum, 6-dp mean) per event_type —
@@ -4435,6 +4455,7 @@ QUERIES = {
     "more_like_this": q_more_like_this,
     "pmi_collocations": q_pmi_collocations,
     "sq8_ann_top10": q_sq8_ann_top10,
+    "jsonl_roundtrip": q_jsonl_roundtrip,
     "url_canonicalize": q_url_canonicalize,
     "domain_stats": q_domain_stats,
     "prefix_search": q_prefix_search,
@@ -4473,6 +4494,7 @@ ORACLE_SQL = {
     "more_like_this": SQL_MORE_LIKE_THIS,
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "sq8_ann_top10": SQL_SQ8_ANN_TOP10,
+    "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "domain_stats": SQL_DOMAIN_STATS,
     "prefix_search": SQL_PREFIX_SEARCH,

@@ -248,3 +248,46 @@ def test_purge_equals_fresh_build(deletable_index, tmp_path, ray_session):
         assert ep["external_id"].to_pylist() == ef["external_id"].to_pylist()
         assert np.allclose(ep["score"].to_numpy(), ef["score"].to_numpy(),
                            rtol=0, atol=1e-12)
+
+
+def test_positionless_lifecycle(tmp_path, ray_session):
+    """store_positions=False through the WHOLE segment lifecycle:
+    half builds → merge → tombstone → compact purge — BM25 equal to a
+    fresh positionless build over the survivors."""
+    import numpy as np
+    import ray.data as rd
+    from search_engines_ray.index import (
+        IndexBuildConfig, IndexReader, build_index, compact_index,
+        delete_docs, merge_indexes)
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import BM25Model
+
+    pages = _toy_pages()
+    cfg = dict(fields={"body": "text"}, num_buckets=4,
+               docid_partitions=2, merge_salts=2, store_positions=False)
+
+    def build(d, df, token):
+        build_index(rd.from_pandas(df.reset_index(drop=True)), d,
+                    IndexBuildConfig(**cfg), input_token=token,
+                    resume=False)
+        return d
+
+    a = build(str(tmp_path / "a"), pages.iloc[[0, 1, 2, 3, 7]], "a")
+    b = build(str(tmp_path / "b"), pages.iloc[4:7], "b")
+    m = str(tmp_path / "m")
+    merge_indexes(a, b, m)
+    gone = ["http://t.example.com/5"]
+    delete_docs(m, gone)
+    out = str(tmp_path / "purged")
+    compact_index(m, out, merge_salts=2, num_parts=4)
+
+    fresh = build(str(tmp_path / "fresh"),
+                  pages[~pages["url"].isin(gone)], "fresh")
+    p, f = IndexReader(out), IndexReader(fresh)
+    assert p.stats["positions"] is False
+    assert p.n_docs == f.n_docs
+    ep = QueryEngine(p, BM25Model()).search("quick fox lazy", k=10)
+    ef = QueryEngine(f, BM25Model()).search("quick fox lazy", k=10)
+    assert ep["external_id"].to_pylist() == ef["external_id"].to_pylist()
+    assert np.allclose(ep["score"].to_numpy(), ef["score"].to_numpy(),
+                       rtol=0, atol=1e-12)
