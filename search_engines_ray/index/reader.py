@@ -364,6 +364,45 @@ class IndexReader:
                     & (pc.field("term") < hi)))
         return sorted(set(t["term"].to_pylist()))[:max_terms]
 
+    def terms_within_distance(self, term: str, field: str,
+                              max_distance: int = 2,
+                              max_terms: int = 64) -> list[str]:
+        """Indexed terms of ``field`` within ``max_distance`` unit-cost
+        edits of ``term``, ordered (distance asc, term asc), capped at
+        ``max_terms`` (Lucene FuzzyQuery caps its rewrite at
+        maxExpansions=50 the same way). Bucket hashing cannot prune an
+        edit ball, and unlike a prefix there is no byte-range filter
+        either (an edit at position 0 changes the first byte), so this
+        is a full scan of the ``term`` column only (columnar prune +
+        dictionary pages make it metadata-sized); the DP kernel runs
+        only on terms surviving the |len| band."""
+        if not term or max_distance < 0:
+            return []
+        from ..functions.text import _levenshtein
+        base = os.path.join(self.index_dir, POSTINGS_DIR)
+        paths: list[str] = []
+        if os.path.isdir(base):
+            for d in sorted(os.listdir(base)):
+                full = os.path.join(base, d)
+                if d.startswith("bucket=") and os.path.isdir(full):
+                    paths.extend(os.path.join(full, f)
+                                 for f in sorted(os.listdir(full))
+                                 if f.endswith(".parquet"))
+        if not paths:
+            return []
+        t = pads.dataset(paths, format="parquet").to_table(
+            columns=["term"], filter=pc.field("field") == field)
+        vocab = pc.unique(t["term"]).to_pylist()
+        hits = []
+        for v in vocab:
+            if abs(len(v) - len(term)) > max_distance:
+                continue
+            d = _levenshtein(term, v)
+            if d <= max_distance:
+                hits.append((d, v))
+        hits.sort()
+        return [v for _, v in hits[:max_terms]]
+
     def postings_meta(self, terms: list[str], field: str):
         """Run-level metadata WITHOUT decoding (or even reading) posting
         blobs: per (term, salt-run) df, ctf, min_docid, max_tf. This is

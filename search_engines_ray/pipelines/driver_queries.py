@@ -1279,6 +1279,9 @@ SQL_STRUCTURED_BATCH_DISTRIBUTED = "\nunion all\n".join(
 SQL_NEAR_SEARCH = _bm25_derived_sql(
     [("near", "fast", "sort", 2), ("term", "merge")], 100)
 
+SQL_PHRASE_SEARCH = _bm25_derived_sql(
+    [("near1", "dup", "line"), ("term", "sort")], 100)
+
 SQL_WINDOW_SEARCH = _bm25_derived_sql(
     [("window", "fast", "sort", 8), ("term", "merge")], 100)
 
@@ -1465,6 +1468,56 @@ syntf as (select doc_id, count(*)::double as tf from tok
           where term in (select term from vocab) group by doc_id)
 select doc_id, floor(tf*1000000 + 0.5)/1000000 as score from syntf
 order by tf desc, doc_id asc limit 100
+"""
+
+
+def q_phrase_search(sf_dir: str):
+    """Quoted-phrase retrieval (Lucene PhraseQuery sugar): ``"dup
+    line"`` parses to #NEAR/1 adjacency, scored under BM25 #SUM next
+    to a plain term — same derived-leaf SQL transcription as the
+    structured batch (adjacency tf == greedy tf for two distinct
+    terms: a position can be adjacent to at most one match)."""
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model())
+    res = engine.search('#sum("dup line" sort)', k=100)
+    return _ranked_to_table(res)
+
+
+# SQL_PHRASE_SEARCH defined below _bm25_derived_sql
+
+
+def q_fuzzy_search(sf_dir: str):
+    """Fuzzy retrieval (Lucene FuzzyQuery syntax ``term~d``): each
+    marked term rewrites to a #SYN of indexed vocabulary terms within
+    edit distance d (unit-cost Levenshtein, expansion capped at 64 by
+    (distance, term) order), ranked boolean — the oracle mirrors the
+    edit ball with DuckDB's own ``levenshtein`` (identical unit-cost
+    definition)."""
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, RankedBooleanModel())
+    res = engine.search("#or(mirge~1 fst~2)", k=100)
+    return _ranked_to_table(res)
+
+
+SQL_FUZZY_SEARCH = f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+v1 as (select term from (
+         select distinct term, levenshtein(term, 'mirge') as d from tok)
+       where d <= 1 order by d, term limit 64),
+v2 as (select term from (
+         select distinct term, levenshtein(term, 'fst') as d from tok)
+       where d <= 2 order by d, term limit 64),
+tf1 as (select doc_id, count(*)::double as tf from tok
+        where term in (select term from v1) group by doc_id),
+tf2 as (select doc_id, count(*)::double as tf from tok
+        where term in (select term from v2) group by doc_id),
+scored as (
+  select coalesce(a.doc_id, b.doc_id) as doc_id,
+         greatest(coalesce(a.tf, 0.0), coalesce(b.tf, 0.0)) as raw
+  from tf1 a full outer join tf2 b on a.doc_id = b.doc_id)
+select doc_id, floor(raw*1000000 + 0.5)/1000000 as score from scored
+order by raw desc, doc_id asc limit 100
 """
 
 
@@ -4459,6 +4512,8 @@ QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "domain_stats": q_domain_stats,
     "prefix_search": q_prefix_search,
+    "fuzzy_search": q_fuzzy_search,
+    "phrase_search": q_phrase_search,
     # rows-only (full-analyzer token chains — oracle-checked via their
     # simple-analyzer twins above — plus sketches/LSH float paths)
     "sdm_wand_search": q_sdm_wand_search,
@@ -4498,6 +4553,8 @@ ORACLE_SQL = {
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "domain_stats": SQL_DOMAIN_STATS,
     "prefix_search": SQL_PREFIX_SEARCH,
+    "fuzzy_search": SQL_FUZZY_SEARCH,
+    "phrase_search": SQL_PHRASE_SEARCH,
     "repetition_stats": SQL_REPETITION_STATS,
     "heuristic_filter": SQL_HEURISTIC_FILTER,
     "pii_scrub": SQL_PII_SCRUB,

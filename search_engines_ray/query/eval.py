@@ -455,16 +455,24 @@ class QueryEngine:
         raise ValueError(f"unknown Sop #{op}")
 
     def _expand_prefixes(self, node: PlanNode) -> PlanNode:
-        """Rewrite wildcard TermNodes (``fa*``, parser-marked) into a
-        ``#SYN`` of the matching indexed terms — Lucene's PrefixQuery →
-        term-disjunction rewrite. Zero matches keeps the starred term,
-        which fetches as an empty posting list; one match collapses to
-        the plain term. Expansion hits the vocabulary metadata only
-        (``reader.terms_with_prefix``)."""
+        """Rewrite wildcard TermNodes (``fa*`` prefix / ``fat~1`` fuzzy,
+        parser-marked) into a ``#SYN`` of the matching indexed terms —
+        Lucene's PrefixQuery/FuzzyQuery → term-disjunction rewrite.
+        Zero matches keeps the marked term, which fetches as an empty
+        posting list; one match collapses to the plain term. Expansion
+        hits the vocabulary metadata only (``reader.terms_with_prefix``
+        / ``reader.terms_within_distance``)."""
         if isinstance(node, TermNode):
+            terms = None
             if node.term.endswith("*") and len(node.term) > 1:
                 terms = self.reader.terms_with_prefix(node.term[:-1],
                                                       node.field)
+            elif (len(node.term) > 2 and node.term[-2] == "~"
+                    and node.term[-1] in "012"):
+                terms = self.reader.terms_within_distance(
+                    node.term[:-2], node.field,
+                    max_distance=int(node.term[-1]))
+            if terms is not None:
                 if not terms:
                     return node
                 if len(terms) == 1:

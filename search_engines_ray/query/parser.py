@@ -34,7 +34,8 @@ class QueryParseError(ValueError):
 
 
 def _lex(query: str) -> list[str]:
-    return query.replace("(", " ( ").replace(")", " ) ").split()
+    return (query.replace("(", " ( ").replace(")", " ) ")
+            .replace('"', ' " ').split())
 
 
 def _is_weight(tok: str) -> bool:
@@ -75,7 +76,30 @@ class QueryParser:
         tok = toks[i]
         if tok.startswith("#"):
             return self._parse_op(toks, i)
+        if tok == '"':
+            return self._parse_phrase(toks, i)
         return self._make_terms(tok), i + 1
+
+    def _parse_phrase(self, toks: list[str], i: int):
+        """``"exact phrase"`` → ``#NEAR/1`` over the analyzed terms —
+        Lucene PhraseQuery sugar (slop 0 == adjacency == #NEAR/1).
+        Wildcard/fuzzy markers are literal inside a phrase; stopwords
+        drop out exactly as they do in any multi-term token, and a
+        phrase that analyzes to one term collapses to it in the
+        optimizer pass."""
+        j = i + 1
+        words: list[str] = []
+        while j < len(toks) and toks[j] != '"':
+            if toks[j].startswith("#") or toks[j] in ("(", ")"):
+                raise QueryParseError(
+                    f"operators not allowed inside a phrase: {toks[j]!r}")
+            words.append(toks[j])
+            j += 1
+        if j >= len(toks):
+            raise QueryParseError("unclosed phrase quote")
+        terms = [t for w in words
+                 for t in self._make_terms(w, no_marker=True)]
+        return IopNode(op="near", dist=1, args=terms), j + 1
 
     def _parse_op(self, toks: list[str], i: int):
         name = toks[i][1:].lower()
@@ -126,7 +150,7 @@ class QueryParser:
                            weights=weights if weighted else None)
         return node, i
 
-    def _make_terms(self, tok: str):
+    def _make_terms(self, tok: str, no_marker: bool = False):
         """token → 0..k TermNodes (QryParser createTerms semantics).
 
         A trailing ``*`` marks a PREFIX (wildcard) term: the base goes
@@ -134,19 +158,30 @@ class QueryParser:
         re-attached to the last produced term — the engine expands it
         against the indexed vocabulary at plan time
         (``QueryEngine._expand_prefixes``). Lucene's analogue is the
-        ``PrefixQuery`` rewrite to a term disjunction."""
+        ``PrefixQuery`` rewrite to a term disjunction.
+
+        A trailing ``~`` / ``~1`` / ``~2`` marks a FUZZY term (Lucene
+        ``FuzzyQuery`` syntax, default max edit distance 2): the marker
+        re-attaches the same way and the engine expands it to a #SYN
+        of vocabulary terms within edit distance."""
         field = self.default_field
         if "." in tok:
             base, suffix = tok.rsplit(".", 1)
             if suffix.lower() in KNOWN_FIELDS and base:
                 tok, field = base, suffix.lower()
-        prefix = tok.endswith("*") and len(tok) > 1
-        if prefix:
-            tok = tok[:-1]
+        marker = ""
+        if no_marker:
+            pass
+        elif tok.endswith("*") and len(tok) > 1:
+            marker, tok = "*", tok[:-1]
+        elif len(tok) > 1 and tok[-1] == "~":
+            marker, tok = "~2", tok[:-1]
+        elif (len(tok) > 2 and tok[-2] == "~" and tok[-1] in "012"):
+            marker, tok = "~" + tok[-1], tok[:-2]
         terms = self.analyzer.analyze_query_token(tok)
-        if prefix and terms:
+        if marker and terms:
             return ([TermNode(term=t, field=field) for t in terms[:-1]]
-                    + [TermNode(term=terms[-1] + "*", field=field)])
+                    + [TermNode(term=terms[-1] + marker, field=field)])
         return [TermNode(term=t, field=field) for t in terms]
 
     # ---- optimizer (QryParser.java:224-261) ----

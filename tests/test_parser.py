@@ -105,3 +105,42 @@ def test_sdm_generator(p):
     assert sdm_query("single") == "single"
     fq = sdm_query("a b c", full=True)
     assert "#near/1( a c )" in fq
+
+
+def test_phrase_sugar(p):
+    # quoted phrase = #NEAR/1 over the analyzed terms
+    plan = p.parse('"apple pie"')
+    assert isinstance(plan, IopNode) and plan.op == "near" and plan.dist == 1
+    assert [t.term for t in plan.args] == ["apple", "pie"]
+    # stopwords drop inside a phrase like in any multi-term token
+    plan = p.parse('"apple of pie"')
+    assert [t.term for t in plan.args] == ["apple", "pie"]
+    # one surviving term collapses via the optimizer
+    plan = p.parse('"the apple"')
+    assert isinstance(plan, TermNode) and plan.term == "apple"
+    # all-stopword phrase optimizes away
+    assert p.parse('"of the"') is None
+    # composes under a model default op with implicit #SCORE
+    plan = p.parse('"apple pie" cake', default_op="#sum")
+    assert isinstance(plan, SopNode) and plan.op == "sum"
+    assert isinstance(plan.args[0], ScoreNode)
+    assert isinstance(plan.args[0].child, IopNode)
+    # markers are literal inside phrases: no wildcard expansion marker
+    plan = p.parse('"apple* pie"')
+    assert [t.term for t in plan.args] == ["apple", "pie"]
+
+
+def test_phrase_errors(p):
+    with pytest.raises(QueryParseError):
+        p.parse('"apple pie')            # unclosed quote
+    with pytest.raises(QueryParseError):
+        p.parse('"apple #near/1(a b)"')  # operator inside phrase
+
+
+def test_fuzzy_marker(p):
+    plan = p.parse("apple~1")
+    assert isinstance(plan, TermNode) and plan.term == "apple~1"
+    plan = p.parse("apple~")             # bare ~ = Lucene default d=2
+    assert plan.term == "apple~2"
+    plan = p.parse("apple~2.title")
+    assert plan.term == "apple~2" and plan.field == "title"

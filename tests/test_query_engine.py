@@ -346,6 +346,56 @@ def test_prefix_expansion(toy_index):
     assert len(toy_index.terms_with_prefix("q", "body", max_terms=1)) == 1
 
 
+def test_fuzzy_expansion(toy_index):
+    """``term~d`` (Lucene FuzzyQuery syntax) expands to a #SYN of
+    vocabulary terms within unit-cost edit distance d, ordered
+    (distance, term), capped."""
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import RankedBooleanModel
+    eng = QueryEngine(toy_index, RankedBooleanModel())
+    # distance ordering: the exact term sorts before its 1-edit ball
+    hits = toy_index.terms_within_distance("fox", "body", 1)
+    assert hits[0] == "fox"
+    # a misspelling scores identically to the term it corrects to
+    # (fax: 1 edit from fox, >2 from everything else in the toy vocab)
+    a = eng.search("fax~1", k=10)
+    b = eng.search("fox", k=10)
+    assert a["external_id"].to_pylist() == b["external_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+    # bare ~ means distance 2 (Lucene default)
+    c = eng.search("fax~", k=10)
+    d2 = toy_index.terms_within_distance("fax", "body", 2)
+    e = eng.search("#syn(" + " ".join(d2) + ")", k=10)
+    assert c["external_id"].to_pylist() == e["external_id"].to_pylist()
+    # zero matches: no hits, no crash
+    assert eng.search("zzzzzzzq~1", k=10).num_rows == 0
+    # cap respected and deterministic under the (distance, term) order
+    assert len(toy_index.terms_within_distance("fox", "body", 2,
+                                               max_terms=1)) == 1
+    # marker composes with structured ops
+    f = eng.search("#or(fax~1 lazy)", k=10)
+    g = eng.search("#or(fox lazy)", k=10)
+    assert f["score"].to_pylist() == g["score"].to_pylist()
+
+
+def test_phrase_query(toy_index):
+    """Quoted phrase == explicit #NEAR/1, including 3-term phrases and
+    composition under BM25 #SUM."""
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import BM25Model, RankedBooleanModel
+    eng = QueryEngine(toy_index, RankedBooleanModel())
+    a = eng.search('"quick brown fox"', k=10)
+    b = eng.search("#near/1(quick brown fox)", k=10)
+    assert a["external_id"].to_pylist() == b["external_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+    assert a.num_rows > 0
+    bm = QueryEngine(toy_index, BM25Model())
+    c = bm.search('#sum("quick brown" lazy)', k=10)
+    d = bm.search("#sum(#near/1(quick brown) lazy)", k=10)
+    assert c["external_id"].to_pylist() == d["external_id"].to_pylist()
+    assert c["score"].to_pylist() == d["score"].to_pylist()
+
+
 def test_rocchio_terms(toy_index):
     import math
     from search_engines_ray.pipelines.prf import rocchio_terms
