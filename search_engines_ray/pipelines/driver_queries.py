@@ -4381,6 +4381,38 @@ def q_jsonl_roundtrip(sf_dir: str):
 SQL_JSONL_ROUNDTRIP = "select doc_id, lang, n_chars from documents"
 
 
+def q_bm25_jsonl_top10(sf_dir: str):
+    """End-to-end source-format composition: documents → gzipped JSONL
+    dump → ``read_jsonl`` (pruned to the 3 build columns) → the SAME
+    tokenize/build plane → BM25 top-10. Must rank byte-identically to
+    the parquet-sourced ``index_bm25_top10`` (same oracle SQL): the
+    interchange hop may not perturb the index."""
+    import ray
+    import ray.data as rd
+    from ..io.jsonl import read_jsonl, write_jsonl
+    from .corpus import documents_to_pages_batch
+    tag = hashlib.md5(f"{sf_dir}|jsonl".encode()).hexdigest()[:8]
+    dump = os.path.join("/tmp/se_ray_jsonl", tag)
+    if not (os.path.isdir(dump) and os.listdir(dump)):
+        write_jsonl(rd.read_parquet(f"{sf_dir}/documents.parquet"),
+                    dump, compress=True)
+    path = os.path.join(_IDX_ROOT, f"{tag}_simple_jsonl")
+    os.makedirs(path, exist_ok=True)
+    pages = read_jsonl(dump, columns=["doc_id", "text", "lang"]) \
+        .map_batches(lambda b: b.drop_columns(["_bad_lines"]),
+                     batch_format="pyarrow") \
+        .map_batches(documents_to_pages_batch, batch_format="pyarrow")
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    cfg = IndexBuildConfig(num_buckets=16, docid_partitions=16,
+                           analyzer="simple", fields={"body": "text"},
+                           tokenize_concurrency=max(1, min(ncpu - 2, 8)))
+    build_index(pages, path, cfg, input_token=f"{sf_dir}|jsonl",
+                resume=True)
+    engine = QueryEngine(IndexReader(path), BM25Model(k1=1.2, b=0.75))
+    res = engine.search(" ".join(BM25_QUERY_TERMS), k=10)
+    return _ranked_to_table(res)
+
+
 def q_json_field_agg(sf_dir: str):
     """Parse the events' JSON ``props`` sidecar, extract the numeric
     ``k`` field, aggregate (count, sum, 6-dp mean) per event_type —
@@ -4509,6 +4541,7 @@ QUERIES = {
     "pmi_collocations": q_pmi_collocations,
     "sq8_ann_top10": q_sq8_ann_top10,
     "jsonl_roundtrip": q_jsonl_roundtrip,
+    "bm25_jsonl_top10": q_bm25_jsonl_top10,
     "url_canonicalize": q_url_canonicalize,
     "domain_stats": q_domain_stats,
     "prefix_search": q_prefix_search,
@@ -4550,6 +4583,7 @@ ORACLE_SQL = {
     "pmi_collocations": SQL_PMI_COLLOCATIONS,
     "sq8_ann_top10": SQL_SQ8_ANN_TOP10,
     "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
+    "bm25_jsonl_top10": SQL_INDEX_BM25_TOP10,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "domain_stats": SQL_DOMAIN_STATS,
     "prefix_search": SQL_PREFIX_SEARCH,
