@@ -1,5 +1,6 @@
 from .dedup import (
-    dup_span_stats, embedding_dedup, embedding_lsh_dedup, exact_dedup,
+    dedup_lines, dup_span_stats, embedding_dedup, embedding_lsh_dedup,
+    exact_dedup,
     minhash_candidate_pairs, minhash_lsh_dedup, ngram_jaccard,
     ngram_jaccard_pairs,
     simhash_dedup, simhash_pairs,
@@ -19,6 +20,7 @@ from .text import (
 )
 
 __all__ = [
+    "dedup_lines",
     "dup_span_stats",
     "embedding_dedup", "embedding_lsh_dedup", "exact_dedup",
     "minhash_candidate_pairs", "minhash_lsh_dedup", "ngram_jaccard",

@@ -166,6 +166,103 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         .groupby("part").map_groups(dedup_part, batch_format="pyarrow")
 
 
+def dedup_lines(ds, text_col: str = "text", id_col: str = "doc_id",
+                sep: str = "\n", num_parts: int | None = None,
+                max_broadcast_bytes: int = 256 << 20):
+    """C4-style corpus-global line dedup (Raffel et al. 2020 §2.2
+    'discard all but one of any three-sentence span' family, at line
+    grain): every DISTINCT line keeps only its first occurrence —
+    smallest (doc_id, line_no) — and every later copy is removed from
+    its document. → Dataset (id_col, text_col, n_removed), one row per
+    input doc, surviving lines rejoined by ``sep``.
+
+    Shape: two streaming passes over the input. Pass 1 ships only
+    (int32 part, 16-byte line digest, doc_id, line_no) through ONE
+    hash-partitioned exchange and reduces each digest group to its
+    non-first instances — the DROP list. Real web corpora drop a few
+    percent of line instances, so the drop list broadcasts
+    (byte-guarded gather, per-worker lookup dict built once) and pass 2
+    rewrites each doc map-side: the document text itself never enters
+    an exchange. A drop list over the guard raises with the bound — at
+    that duplication level, dedup the lines as a table (``exact_dedup``
+    on the exploded view) instead of rewriting in place."""
+    import ray
+
+    from ..util import proc_cached
+    from .join import _gather_small
+
+    parts = np.uint64(num_parts or _EXACT_PARTS)
+    shuffle_blocks = max(16, int(parts) // 8)
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        texts = b[text_col].to_pylist()
+        out_id, out_ln, dgs = [], [], []
+        for d, t in zip(ids, texts):
+            for ln, line in enumerate((t or "").split(sep)):
+                out_id.append(d)
+                out_ln.append(ln)
+                dgs.append(hashlib.md5(line.encode()).digest())
+        h64 = (np.frombuffer(b"".join(dgs), ">u8")[::2].astype(np.uint64)
+               if dgs else np.empty(0, np.uint64))
+        return pa.table({
+            "part": pa.array((h64 % parts).astype(np.int32)),
+            "digest": pa.array(dgs, pa.binary()),
+            id_col: pa.array(out_id, b.schema.field(id_col).type),
+            "line_no": pa.array(out_ln, pa.int32())})
+
+    def drops_part(g: pa.Table) -> pd.DataFrame:
+        dg = g["digest"].to_pylist()
+        if not dg:
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "line_no": pd.Series([], dtype=np.int32)})
+        arr = np.frombuffer(b"".join(dg), ">u8").reshape(-1, 2)
+        ids = g[id_col].to_pandas().to_numpy()
+        lns = g["line_no"].to_pandas().to_numpy()
+        order = np.lexsort((lns, ids, arr[:, 1], arr[:, 0]))
+        a = arr[order]
+        first = np.concatenate(([True], (a[1:] != a[:-1]).any(axis=1)))
+        drop = order[np.flatnonzero(~first)]
+        return pd.DataFrame({id_col: ids[drop],
+                             "line_no": lns[drop].astype(np.int32)})
+
+    drops = ds.map_batches(explode, batch_format="pyarrow") \
+        .repartition(shuffle_blocks) \
+        .groupby("part").map_groups(drops_part, batch_format="pyarrow")
+    dt = _gather_small(drops, [id_col, "line_no"], max_broadcast_bytes,
+                       what="line-dedup drop list")
+    ref = ray.put(dt)
+    cache_key = ("dedup_lines_drops", ref.hex())
+
+    def rewrite(b: pa.Table) -> pa.Table:
+        def build():
+            t = ray.get(ref)
+            m: dict = {}
+            for i, l in zip(t[id_col].to_pylist(),
+                            t["line_no"].to_pylist()):
+                m.setdefault(i, set()).add(l)
+            return m
+        dmap = proc_cached(cache_key, build)
+        ids = b[id_col].to_pylist()
+        texts = b[text_col].to_pylist()
+        out, nrm = [], []
+        for d, t in zip(ids, texts):
+            lines = (t or "").split(sep)
+            gone = dmap.get(d)
+            if gone:
+                kept = [l for i, l in enumerate(lines) if i not in gone]
+                nrm.append(len(lines) - len(kept))
+                out.append(sep.join(kept))
+            else:
+                nrm.append(0)
+                out.append(t or "")
+        return pa.table({id_col: b[id_col],
+                         text_col: pa.array(out, pa.string()),
+                         "n_removed": pa.array(nrm, pa.int64())})
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- minhash
 
 class MinHasher:

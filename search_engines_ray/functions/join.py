@@ -63,7 +63,21 @@ def _gather_small(small, columns=None, max_broadcast_bytes=256 << 20,
             if nbytes > max_broadcast_bytes:
                 raise over(nbytes)
             parts.append(b)
-        t = pa.concat_tables(parts)
+        if parts:
+            t = pa.concat_tables(parts)
+        else:
+            # zero-row small side: iter_batches yields nothing — build
+            # the empty table from the dataset schema (pandas-backed
+            # blocks report numpy dtypes; convert)
+            sch = proj.schema()
+            base = getattr(sch, "base_schema", None)
+            if isinstance(base, pa.Schema):
+                t = base.empty_table()
+            else:
+                t = pa.schema(
+                    [pa.field(n, ty if isinstance(ty, pa.DataType)
+                              else pa.from_numpy_dtype(ty))
+                     for n, ty in zip(sch.names, sch.types)]).empty_table()
     return t.combine_chunks()
 
 

@@ -4381,6 +4381,61 @@ def q_jsonl_roundtrip(sf_dir: str):
 SQL_JSONL_ROUNDTRIP = "select doc_id, lang, n_chars from documents"
 
 
+def q_line_dedup(sf_dir: str):
+    """C4-style global line dedup over a deterministic line view of the
+    corpus (8 space-tokens per line — the synthetic docs ship without
+    newlines, so the query constructs the line structure analytically
+    on BOTH sides): every distinct line survives only at its first
+    (doc_id, line_no); output is the per-doc cleaned-text md5 +
+    removed-line count."""
+    import ray.data as rd
+    from ..functions.dedup import dedup_lines
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def to_lines(b: pa.Table) -> pa.Table:
+        out = []
+        for t in b["text"].to_pylist():
+            toks = (t or "").split(" ")
+            out.append("\n".join(" ".join(toks[i:i + 8])
+                                 for i in range(0, len(toks), 8)))
+        return pa.table({"doc_id": b["doc_id"],
+                         "text": pa.array(out, pa.string())})
+
+    res = dedup_lines(docs.map_batches(to_lines, batch_format="pyarrow"))
+
+    def digest(b: pa.Table) -> pa.Table:
+        md5s = [hashlib.md5(t.encode()).hexdigest()
+                for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"],
+                         "clean_md5": pa.array(md5s, pa.string()),
+                         "n_removed": b["n_removed"]})
+
+    return res.map_batches(digest, batch_format="pyarrow")
+
+
+SQL_LINE_DEDUP = """
+with tok as (
+  select doc_id, unnest(string_split(text, ' ')) as w,
+         generate_subscripts(string_split(text, ' '), 1) as i
+  from documents),
+lines as (
+  select doc_id, (i - 1) // 8 as ln, string_agg(w, ' ' order by i) as line
+  from tok group by doc_id, (i - 1) // 8),
+ranked as (
+  select doc_id, ln, line,
+         row_number() over (partition by line order by doc_id, ln) as rn
+  from lines),
+kept as (select doc_id, ln, line from ranked where rn = 1),
+agg as (select doc_id, string_agg(line, chr(10) order by ln) as txt,
+               count(*) as n_kept from kept group by doc_id),
+tot as (select doc_id, count(*) as n_lines from lines group by doc_id)
+select t.doc_id, md5(coalesce(a.txt, '')) as clean_md5,
+       (t.n_lines - coalesce(a.n_kept, 0))::bigint as n_removed
+from tot t left join agg a using (doc_id)
+"""
+
+
 def q_bm25_jsonl_top10(sf_dir: str):
     """End-to-end source-format composition: documents → gzipped JSONL
     dump → ``read_jsonl`` (pruned to the 3 build columns) → the SAME
@@ -4542,6 +4597,7 @@ QUERIES = {
     "sq8_ann_top10": q_sq8_ann_top10,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "bm25_jsonl_top10": q_bm25_jsonl_top10,
+    "line_dedup": q_line_dedup,
     "url_canonicalize": q_url_canonicalize,
     "domain_stats": q_domain_stats,
     "prefix_search": q_prefix_search,
@@ -4584,6 +4640,7 @@ ORACLE_SQL = {
     "sq8_ann_top10": SQL_SQ8_ANN_TOP10,
     "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "bm25_jsonl_top10": SQL_INDEX_BM25_TOP10,
+    "line_dedup": SQL_LINE_DEDUP,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "domain_stats": SQL_DOMAIN_STATS,
     "prefix_search": SQL_PREFIX_SEARCH,

@@ -576,3 +576,31 @@ def test_sq8_quantize_and_recall(ray_session):
     assert overlap >= 8
     assert approx.sort_values("score", ascending=False,
                               ignore_index=True).loc[0, "vec_id"] == 5
+
+
+def test_dedup_lines(ray_session):
+    """C4-style global line dedup: first (doc_id, line_no) occurrence of
+    each distinct line survives, later copies are removed — across docs
+    AND within one doc."""
+    import ray.data as rd
+
+    from search_engines_ray.functions import dedup_lines
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["common header\nunique one\ncommon header",   # self-dup
+                 "common header\nunique two",                   # cross-dup
+                 "unique three",
+                 "common header"],                              # fully dup
+    })
+    out = dedup_lines(rd.from_pandas(docs)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["text"].tolist() == [
+        "common header\nunique one",   # kept first, dropped own copy
+        "unique two",
+        "unique three",
+        ""]                            # every line was seen earlier
+    assert out["n_removed"].tolist() == [1, 1, 0, 1]
+    # idempotent: a second pass removes nothing
+    again = dedup_lines(rd.from_pandas(out[["doc_id", "text"]])).to_pandas()
+    assert again["n_removed"].sum() == 0
