@@ -423,7 +423,7 @@ def q_index_bm25_top10(sf_dir: str):
 
 
 def _bm25_sql(terms: tuple[str, ...], k: int, raw: bool = False,
-              doc_filter: str = "") -> str:
+              doc_filter: str = "", k1: float = 1.2, b: float = 0.75) -> str:
     """Standalone DuckDB BM25 top-k SQL for a bag of words — the single
     template behind every BM25 oracle (single query, batch, rerankers).
     ``raw=True`` keeps the unrounded score (for consumers that re-rank
@@ -451,7 +451,7 @@ dfs as (select term, count(*)::double as df from tfs group by term),
 scored as (
   select tfs.doc_id,
          sum(greatest(0.0, ln((stats.n - dfs.df + 0.5)/(dfs.df + 0.5)))
-             * (tfs.tf / (tfs.tf + 1.2*((1.0-0.75) + 0.75*doclen.dl/(stats.suml/stats.dc)))))
+             * (tfs.tf / (tfs.tf + {k1}*((1.0-{b}) + {b}*doclen.dl/(stats.suml/stats.dc)))))
            as raw
   from tfs
   join dfs on tfs.term = dfs.term
@@ -464,6 +464,67 @@ scored as (
 
 
 SQL_INDEX_BM25_TOP10 = _bm25_sql(BM25_QUERY_TERMS, 10)
+
+
+def q_bm25_explain_top10(sf_dir: str):
+    """Lucene Explanation parity: per-term BM25 factor breakdown
+    (tf, df, idf, tf_weight, term_score) for the top-10 docs of the
+    standard 3-term query — ``QueryEngine.explain``."""
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    t = engine.explain(" ".join(BM25_QUERY_TERMS), k=10)
+    return pa.table({
+        "doc_id": pa.array(_docid_of_external(t["external_id"].to_pylist())),
+        "term": t["term"],
+        "tf": t["tf"],
+        "df": t["df"],
+        "idf": pa.array(round6(t["idf"].to_pylist())),
+        "tf_weight": pa.array(round6(t["tf_weight"].to_pylist())),
+        "term_score": pa.array(round6(t["term_score"].to_pylist())),
+    })
+
+
+def _bm25_explain_sql(terms: tuple[str, ...], k: int,
+                      k1: float = 1.2, b: float = 0.75) -> str:
+    """Per-term factor rows for the top-k docs of ``_bm25_sql`` — the
+    same CTE chain, un-summed."""
+    in_list = ",".join(f"'{t}'" for t in terms)
+    r6 = "floor({}*1000000 + 0.5)/1000000"
+    idf = "greatest(0.0, ln((stats.n - dfs.df + 0.5)/(dfs.df + 0.5)))"
+    tfw = (f"(tfs.tf / (tfs.tf + {k1}*((1.0-{b}) + "
+           f"{b}*doclen.dl/(stats.suml/stats.dc))))")
+    return f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+doclen as (select doc_id, count(*)::double as dl from tok group by doc_id),
+stats as (select
+  (select count(*) from documents)::double as n,
+  (select count(*) from doclen)::double as dc,
+  (select sum(dl) from doclen)::double as suml),
+tfs as (select doc_id, term, count(*)::double as tf from tok
+        where term in ({in_list}) group by doc_id, term),
+dfs as (select term, count(*)::double as df from tfs group by term),
+scored as (
+  select tfs.doc_id,
+         sum({idf} * {tfw}) as raw
+  from tfs join dfs on tfs.term = dfs.term
+  join doclen on tfs.doc_id = doclen.doc_id
+  cross join stats group by tfs.doc_id),
+topk as (select doc_id from scored order by raw desc, doc_id asc limit {k})
+select tfs.doc_id, tfs.term,
+       tfs.tf::bigint as tf, dfs.df::bigint as df,
+       {r6.format(idf)} as idf,
+       {r6.format(tfw)} as tf_weight,
+       {r6.format(f"({idf} * {tfw})")} as term_score
+from tfs join dfs on tfs.term = dfs.term
+join doclen on tfs.doc_id = doclen.doc_id
+cross join stats
+where tfs.doc_id in (select doc_id from topk)
+order by tfs.doc_id, tfs.term
+"""
+
+
+SQL_BM25_EXPLAIN_TOP10 = _bm25_explain_sql(BM25_QUERY_TERMS, 10)
 
 
 def q_index_bm25_maxscore_top10(sf_dir: str):
@@ -1887,6 +1948,86 @@ join idcg using (qid) join rr using (qid)
 
 
 SQL_EVAL_METRICS = _eval_metrics_sql()
+
+
+# (k1, b) hyper-parameter grid for the one-pass tuning sweep
+BM25_TUNE_GRID = ((0.9, 0.4), (1.2, 0.75), (2.0, 0.9))
+
+
+def q_bm25_grid_tune(sf_dir: str):
+    """Hyper-parameter tuning as a distributed job: one postings pass
+    scores EVERY (k1, b) grid point for the whole query batch
+    (``bm25_grid_search`` — grid points re-weight the same decoded tf /
+    doclen arrays inside each salt task), then MAP per grid point
+    against the deterministic synthetic qrels (doc relevant to query i
+    iff doc_id % 7 == i). → (k1_x100, b_x100, qid, ap), the sweep
+    leaderboard (MAP per grid point = mean of its qid rows)."""
+    from ..query.distributed import bm25_grid_search
+    from ..query.metrics import average_precision
+    reader = get_index(sf_dir, "simple")
+    ranked = bm25_grid_search(
+        reader.index_dir,
+        [(qid, " ".join(terms)) for qid, terms in BATCH_BM25_QUERIES],
+        list(BM25_TUNE_GRID), k=50)
+    n_docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).num_rows
+    rels = {qid: {str(d): 1 for d in range(n_docs) if d % 7 == qnum}
+            for qnum, (qid, _) in enumerate(BATCH_BM25_QUERIES, start=1)}
+    pdf = ranked.to_pandas()
+    pdf["doc_id"] = _docid_of_external(pdf["external_id"].tolist())
+    rows = []
+    for k1, b in BM25_TUNE_GRID:
+        for qid, _ in BATCH_BM25_QUERIES:
+            sub = pdf[(pdf["k1"] == k1) & (pdf["b"] == b)
+                      & (pdf["qid"] == qid)].sort_values("rank")
+            rows.append((int(round(k1 * 100)), int(round(b * 100)), qid,
+                         average_precision(
+                             [str(d) for d in sub["doc_id"]], rels[qid])))
+    return pa.table({
+        "k1_x100": pa.array([r[0] for r in rows], pa.int64()),
+        "b_x100": pa.array([r[1] for r in rows], pa.int64()),
+        "qid": pa.array([r[2] for r in rows], pa.string()),
+        "ap": pa.array(round6([r[3] for r in rows])),
+    })
+
+
+def _bm25_grid_tune_sql() -> str:
+    per = []
+    for k1, b in BM25_TUNE_GRID:
+        for qnum, (qid, terms) in enumerate(BATCH_BM25_QUERIES, start=1):
+            per.append(f"""
+select {int(round(k1 * 100))} as k1_x100, {int(round(b * 100))} as b_x100,
+       '{qid}' as qid, doc_id,
+       row_number() over (order by raw desc, doc_id asc) as rnk,
+       case when doc_id % 7 = {qnum} then 1 else 0 end as rel
+from ({_bm25_sql(terms, 50, raw=True, k1=k1, b=b)})""")
+    ranked = "\nunion all\n".join(f"select * from ({s}) g{i}"
+                                 for i, s in enumerate(per))
+    qrels = " union all ".join(
+        f"select '{qid}' as qid, count(*)::double as n_rel "
+        f"from documents where doc_id % 7 = {qnum}"
+        for qnum, (qid, _) in enumerate(BATCH_BM25_QUERIES, start=1))
+    return f"""
+with ranked as materialized ({ranked}),
+nrel as ({qrels}),
+hits as (
+  select k1_x100, b_x100, qid, rnk, rel,
+         count(*) filter (where rel > 0)
+           over (partition by k1_x100, b_x100, qid order by rnk) as cum_hits
+  from ranked),
+ap as (
+  select h.k1_x100, h.b_x100, h.qid,
+         coalesce(sum(h.cum_hits / h.rnk) filter (where h.rel > 0), 0.0)
+           / any_value(n.n_rel) as v
+  from hits h join nrel n using (qid)
+  group by h.k1_x100, h.b_x100, h.qid)
+select k1_x100::bigint as k1_x100, b_x100::bigint as b_x100, qid,
+       floor(v*1000000 + 0.5)/1000000 as ap
+from ap order by k1_x100, b_x100, qid
+"""
+
+
+SQL_BM25_GRID_TUNE = _bm25_grid_tune_sql()
 
 
 def q_minhash_dedup(sf_dir: str):
@@ -4598,6 +4739,8 @@ QUERIES = {
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "bm25_jsonl_top10": q_bm25_jsonl_top10,
     "line_dedup": q_line_dedup,
+    "bm25_explain_top10": q_bm25_explain_top10,
+    "bm25_grid_tune": q_bm25_grid_tune,
     "url_canonicalize": q_url_canonicalize,
     "domain_stats": q_domain_stats,
     "prefix_search": q_prefix_search,
@@ -4641,6 +4784,8 @@ ORACLE_SQL = {
     "jsonl_roundtrip": SQL_JSONL_ROUNDTRIP,
     "bm25_jsonl_top10": SQL_INDEX_BM25_TOP10,
     "line_dedup": SQL_LINE_DEDUP,
+    "bm25_explain_top10": SQL_BM25_EXPLAIN_TOP10,
+    "bm25_grid_tune": SQL_BM25_GRID_TUNE,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "domain_stats": SQL_DOMAIN_STATS,
     "prefix_search": SQL_PREFIX_SEARCH,

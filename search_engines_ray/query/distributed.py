@@ -351,6 +351,118 @@ def _global_dfs(index_dir: str, reader: IndexReader, terms: list[str],
             _global_term_stats(index_dir, reader, terms, field).items()}
 
 
+def bm25_grid_search(index_dir: str, queries: list[tuple[str, str]],
+                     grid: list[tuple[float, float]], k: int = 100,
+                     field: str = "body") -> pa.Table:
+    """BM25 (k1, b) hyper-parameter sweep in ONE pass over the postings:
+    parameter tuning re-reads nothing — each salt task decodes every
+    query term's (docids, tf) run once, then every grid point re-weights
+    the SAME arrays (idf and doclen are parameter-independent), so the
+    sweep costs one batch search plus G cheap vectorized re-weightings
+    instead of G full scans. Slots pack (grid × query) into the existing
+    ``gkey = slot<<44 | docid`` keys; the per-slot top-k cut stays exact
+    (disjoint salt docid ranges). → (k1, b, qid, external_id, rank,
+    score), reference ordering per (grid point, qid)."""
+    reader = IndexReader(index_dir)
+    an = analyzer_for_mode(reader.stats.get("analyzer", "lucene"))
+
+    qids = _check_unique_qids(queries)
+    qcode = {qid: i for i, qid in enumerate(qids)}
+    nq = len(qids)
+    term_queries: dict[str, list[tuple[int, int]]] = {}
+    for qid, q in queries:
+        terms: list[str] = []
+        for tok in q.split():
+            terms.extend(an.analyze_query_token(tok))
+        for t in set(terms):
+            term_queries.setdefault(t, []).append((qcode[qid], terms.count(t)))
+    empty = pa.table({"k1": pa.array([], pa.float64()),
+                      "b": pa.array([], pa.float64()),
+                      "qid": pa.array([], pa.string()),
+                      "external_id": pa.array([], pa.string()),
+                      "rank": pa.array([], pa.int32()),
+                      "score": pa.array([], pa.float64())})
+    if not term_queries or not grid:
+        return empty
+
+    buckets = sorted({term_bucket(t, reader.num_buckets) for t in term_queries})
+    base = os.path.join(index_dir, POSTINGS_DIR)
+    paths: list[str] = []
+    for bkt in buckets:
+        d = os.path.join(base, f"bucket={bkt}")
+        if os.path.isdir(d):
+            paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                         if f.endswith(".parquet"))
+    if not paths:
+        return empty
+
+    tq_ref = ray.put(term_queries)
+    df_ref = ray.put(_global_dfs(index_dir, reader, list(term_queries), field))
+    N = reader.n_docs
+    avglen = reader.avg_len(field)
+    pid_offsets = reader.pid_offsets
+    dl_token = reader.stats_token
+    terms_list = sorted(term_queries)
+    grid_t = tuple((float(g[0]), float(g[1])) for g in grid)
+
+    def score_salt(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+        from ..util import proc_cached
+        tq = ray.get(tq_ref)
+        global_df = ray.get(df_ref)
+        dlens = _ShardedDoclens(index_dir, field, pid_offsets, dl_token)
+        dset = proc_cached(("postings_dset", index_dir, dl_token,
+                            tuple(paths)),
+                           lambda: pads.dataset(paths, format="parquet"))
+        out: list[pa.Table] = []
+        for s in batch["salt"].to_pylist():
+            t = dset.to_table(
+                columns=["term", "docid_blob", "tf_blob"],
+                filter=(pc.field("term").isin(terms_list)
+                        & (pc.field("field") == field)
+                        & (pc.field("salt") == s)))
+            entries, any_zero_idf = [], False
+            for term, db, tb in zip(t["term"].to_pylist(),
+                                    t["docid_blob"].to_pylist(),
+                                    t["tf_blob"].to_pylist()):
+                docids, tfs, _ = decode_postings(db, tb, None)
+                df = global_df[term]
+                idf = max(0.0, np.log((N - df + 0.5) / (df + 0.5)))
+                any_zero_idf |= idf == 0.0
+                dl = dlens.get(docids).astype(np.float64)
+                tf = tfs.astype(np.float64)
+                for g, (k1, b) in enumerate(grid_t):
+                    sc = idf * (tf / (tf + k1 * ((1.0 - b) + b * dl / avglen)))
+                    for qc, mult in tq[term]:
+                        entries.append((g * nq + qc, docids,
+                                        sc if mult == 1 else sc * mult))
+            qc_a, docid, sums = _group_sum_entries(
+                entries, need_zero_candidates=any_zero_idf)
+            if qc_a.size:
+                keep = _topk_cut_sorted(qc_a, sums, k)
+                out.append(pa.table({
+                    "gkey": pa.array((qc_a[keep] << _DOC_BITS)
+                                     | docid[keep]),
+                    "score": pa.array(sums[keep])}))
+        return pa.concat_tables(out) if out else _partial_empty()
+
+    slot_labels = [f"{g}\x00{qid}" for g in range(len(grid_t))
+                   for qid in qids]
+    ranked = _emit_ranked(_run_salt_tasks(score_salt, reader),
+                          slot_labels, k, reader)
+    gi = [int(lbl.split("\x00", 1)[0]) for lbl in ranked["qid"].to_pylist()]
+    return pa.table({
+        "k1": pa.array([grid_t[i][0] for i in gi], pa.float64()),
+        "b": pa.array([grid_t[i][1] for i in gi], pa.float64()),
+        "qid": pa.array([lbl.split("\x00", 1)[1]
+                         for lbl in ranked["qid"].to_pylist()], pa.string()),
+        "external_id": ranked["external_id"],
+        "rank": ranked["rank"],
+        "score": ranked["score"],
+    })
+
+
 def indri_batch_search(index_dir: str, queries: list[tuple[str, str]],
                        model=None, k: int = 100,
                        field: str = "body") -> pa.Table:

@@ -526,6 +526,69 @@ class QueryEngine:
         return rank_results_candidates(docids, scores,
                                        self.reader.external_ids_for, k)
 
+    def explain(self, query: str, k: int = 10) -> pa.Table:
+        """Lucene ``Explanation``-style per-term BM25 score breakdown for
+        the query's top-k documents: one row per (doc, matching term)
+        with the factors of ``QrySopScore.java:90-120`` — tf, df,
+        idf = max(0, ln((N-df+.5)/(df+.5))), tf_weight = tf/(tf + k1*
+        ((1-b) + b*dl/avgdl)), term_score = idf*tf_weight. → Arrow
+        (external_id, term, field, tf, df, idf, tf_weight, term_score),
+        ordered by (external_id, term, field). BM25 bag-of-words /
+        #SUM-of-terms plans only — the factor decomposition is per-leaf."""
+        m = self.model
+        if not isinstance(m, BM25Model):
+            raise TypeError("explain() requires BM25Model")
+        top = self.search(query, k=k)
+        ext = top["external_id"].to_pylist()
+        cols = {"external_id": [], "term": [], "field": [],
+                "tf": [], "df": [], "idf": [], "tf_weight": [],
+                "term_score": []}
+        if ext:
+            ids = self.reader.internal_docids_for(ext)
+            plan = self._expand_prefixes(
+                self.parser.parse(query, m.default_op))
+            cache = self._fetch(plan)
+            self._build_dlut(cache)
+            N = self.reader.n_docs
+            for (term, field), inv in sorted(cache.items()):
+                if inv.docids.size == 0:
+                    continue
+                idf = max(0.0, np.log((N - inv.df + 0.5) / (inv.df + 0.5)))
+                pos = np.searchsorted(inv.docids, ids)
+                pc_ = np.minimum(pos, inv.docids.size - 1)
+                hit = inv.docids[pc_] == ids
+                if not hit.any():
+                    continue
+                tf = inv.tfs[pc_[hit]].astype(np.float64)
+                dl = self._dl(field, ids[hit])
+                tfw = tf / (tf + m.k1 * ((1.0 - m.b)
+                                         + m.b * dl / self.reader.avg_len(field)))
+                for j, e in zip(np.flatnonzero(hit), range(hit.sum())):
+                    cols["external_id"].append(ext[j])
+                    cols["term"].append(term)
+                    cols["field"].append(field)
+                    cols["tf"].append(int(tf[e]))
+                    cols["df"].append(int(inv.df))
+                    cols["idf"].append(idf)
+                    cols["tf_weight"].append(float(tfw[e]))
+                    cols["term_score"].append(idf * float(tfw[e]))
+        order = sorted(range(len(cols["term"])),
+                       key=lambda i: (cols["external_id"][i],
+                                      cols["term"][i], cols["field"][i]))
+        return pa.table({
+            "external_id": pa.array([cols["external_id"][i] for i in order],
+                                    pa.string()),
+            "term": pa.array([cols["term"][i] for i in order], pa.string()),
+            "field": pa.array([cols["field"][i] for i in order], pa.string()),
+            "tf": pa.array([cols["tf"][i] for i in order], pa.int64()),
+            "df": pa.array([cols["df"][i] for i in order], pa.int64()),
+            "idf": pa.array([cols["idf"][i] for i in order], pa.float64()),
+            "tf_weight": pa.array([cols["tf_weight"][i] for i in order],
+                                  pa.float64()),
+            "term_score": pa.array([cols["term_score"][i] for i in order],
+                                   pa.float64()),
+        })
+
     def run_queries(self, queries: list[tuple[str, str]], k: int = 100) -> pa.Table:
         tables = []
         for qid, q in queries:

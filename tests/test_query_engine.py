@@ -413,3 +413,55 @@ def test_rocchio_terms(toy_index):
     df_den = r.postings("den", "body").df
     assert math.isclose(terms["den"], 0.5 * 1 * math.log(n / df_den))
     assert best[0][0] == "fox"  # highest weight first
+
+
+# ------------------------------------------------------------ explain / tune
+
+def test_explain_decomposes_search_scores(docs_index):
+    """Lucene Explanation parity: per-doc sum of term_score rows equals
+    the search score, and each factor recomputes from (tf, df, doclen)."""
+    model = BM25Model()
+    engine = QueryEngine(docs_index, model)
+    q = "fast sort merge"
+    top = engine.search(q, k=10).to_pandas()
+    exp = engine.explain(q, k=10).to_pandas()
+    assert set(exp["external_id"]) == set(top["external_id"])
+    sums = exp.groupby("external_id")["term_score"].sum()
+    for _, row in top.iterrows():
+        np.testing.assert_allclose(sums[row["external_id"]], row["score"],
+                                   rtol=1e-12)
+    # factors multiply: term_score == idf * tf_weight, idf floored at 0
+    np.testing.assert_allclose(exp["term_score"],
+                               exp["idf"] * exp["tf_weight"], rtol=1e-12)
+    assert (exp["idf"] >= 0).all() and (exp["tf"] >= 1).all()
+    # deterministic ordering contract
+    keys = list(zip(exp["external_id"], exp["term"], exp["field"]))
+    assert keys == sorted(keys)
+
+
+def test_explain_requires_bm25(docs_index):
+    engine = QueryEngine(docs_index, IndriModel())
+    with pytest.raises(TypeError):
+        engine.explain("fast sort")
+
+
+def test_grid_search_matches_batch_search_per_point(docs_index):
+    """Each grid point of the one-pass sweep must equal a standalone
+    bm25_batch_search run with those (k1, b)."""
+    from search_engines_ray.query.distributed import (
+        bm25_batch_search, bm25_grid_search,
+    )
+    queries = [("1", "fast sort merge"), ("2", "hash join")]
+    grid = [(0.9, 0.4), (1.2, 0.75)]
+    swept = bm25_grid_search(docs_index.index_dir, queries, grid,
+                             k=25).to_pandas()
+    for k1, b in grid:
+        solo = bm25_batch_search(docs_index.index_dir, queries,
+                                 BM25Model(k1=k1, b=b), k=25).to_pandas()
+        sub = swept[(swept["k1"] == k1) & (swept["b"] == b)]
+        for qid, _ in queries:
+            s = sub[sub["qid"] == qid].sort_values("rank")
+            d = solo[solo["qid"] == qid].sort_values("rank")
+            assert list(s["external_id"]) == list(d["external_id"]), (k1, b, qid)
+            np.testing.assert_allclose(s["score"].to_numpy(),
+                                       d["score"].to_numpy(), rtol=1e-12)
