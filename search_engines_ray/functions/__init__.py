@@ -15,7 +15,7 @@ from .sample import hash_sample, stratified_sample, topk_per_group
 from .sketch import hyperloglog_distinct, value_quantiles
 from .similarity import ann_cosine_topk, ivf_ann_topk, lsh_ann_topk
 from .text import (
-    doc_fingerprint, heuristic_filter, language_id, pii_scrub,
+    best_passage, doc_fingerprint, heuristic_filter, language_id, pii_scrub,
     quality_scores, repetition_stats, token_stats, top_bigrams,
 )
 
@@ -35,6 +35,7 @@ __all__ = [
     "hyperloglog_distinct",
     "value_quantiles",
     "ann_cosine_topk", "ivf_ann_topk", "lsh_ann_topk",
+    "best_passage",
     "doc_fingerprint", "heuristic_filter", "language_id", "pii_scrub",
     "quality_scores", "repetition_stats", "token_stats", "top_bigrams",
 ]

@@ -354,6 +354,48 @@ def kwic_snippets(ds, term: str, text_col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def best_passage(ds, query_terms: list[str], window: int = 15,
+                 text_col: str = "text", id_col: str = "doc_id"):
+    """Multi-term best-passage snippet — the highlighting surface for a
+    ranked result page: for each doc, the ``window``-token span covering
+    the MOST DISTINCT query terms, canonically aligned so candidate
+    starts are the query-term hit positions themselves (any maximal
+    window can shift right to its first covered hit without losing
+    coverage); ties break to the smallest start. → Dataset (``id_col``,
+    start 1-based token pos, n_match distinct terms covered, snippet =
+    the window's tokens space-joined). Docs with no hit emit nothing.
+    Per-batch token kernel, no exchange — run it over the (small)
+    candidate set of a top-k search, not the whole corpus."""
+    qs = sorted(set(query_terms))
+
+    def fn(b: pa.Table) -> pa.Table:
+        out_id, out_s, out_c, out_snip = [], [], [], []
+        for d, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            toks = simple_tokenize(t or "")
+            if not toks:
+                continue
+            arr = np.asarray(toks, dtype=object)
+            hit = np.flatnonzero(np.isin(arr, qs))
+            if hit.size == 0:
+                continue
+            best_c, best_s = 0, -1
+            for p in hit:
+                in_win = hit[(hit >= p) & (hit < p + window)]
+                c = len({toks[i] for i in in_win})
+                if c > best_c:
+                    best_c, best_s = c, int(p)
+            out_id.append(d)
+            out_s.append(best_s + 1)
+            out_c.append(best_c)
+            out_snip.append(" ".join(toks[best_s:best_s + window]))
+        return pa.table({
+            id_col: pa.array(out_id, b.schema.field(id_col).type),
+            "start": pa.array(out_s, pa.int64()),
+            "n_match": pa.array(out_c, pa.int64()),
+            "snippet": pa.array(out_snip, pa.string())})
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def distinctive_terms(ds, text_col: str = "text", id_col: str = "doc_id",
                       k: int = 5, num_parts: int = 128):
     """→ Dataset (``id_col``, term, tf, df, rank 1..k): each doc's k

@@ -527,6 +527,58 @@ order by tfs.doc_id, tfs.term
 SQL_BM25_EXPLAIN_TOP10 = _bm25_explain_sql(BM25_QUERY_TERMS, 10)
 
 
+def q_search_snippets(sf_dir: str):
+    """Result-page highlighting: BM25 top-10 → pruned text read of just
+    those docs → ``best_passage`` (the 15-token window covering the most
+    distinct query terms, candidate starts = hit positions, ties to the
+    smallest start)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ..functions.text import best_passage
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    t = engine.search(" ".join(BM25_QUERY_TERMS), k=10)
+    ids = _docid_of_external(t["external_id"].to_pylist())
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"],
+                           filter=pc.field("doc_id").isin(ids.tolist()))
+    res = best_passage(docs, list(BM25_QUERY_TERMS), window=15) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(res["doc_id"].to_numpy(np.int64)),
+        "start_pos": pa.array(res["start"].to_numpy(np.int64)),
+        "n_match": pa.array(res["n_match"].to_numpy(np.int64)),
+        "snippet": pa.array(res["snippet"].tolist(), pa.string()),
+    })
+
+
+SQL_SEARCH_SNIPPETS = f"""
+with tok as ({POS_TOK_SQL}),
+topk as (select doc_id from ({_bm25_sql(BM25_QUERY_TERMS, 10, raw=True)})),
+hits as (
+  select doc_id, term, pos from tok
+  where term in ({",".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+    and doc_id in (select doc_id from topk)),
+cover as (
+  select s.doc_id, s.pos as s, count(distinct h.term) as c
+  from hits s join hits h on h.doc_id = s.doc_id
+       and h.pos >= s.pos and h.pos < s.pos + 15
+  group by s.doc_id, s.pos),
+best as (
+  select doc_id, s, c, row_number() over
+           (partition by doc_id order by c desc, s asc) as rn
+  from cover),
+snip as (
+  select b.doc_id, b.s, b.c,
+         string_agg(t.term, ' ' order by t.pos) as snippet
+  from best b join tok t on t.doc_id = b.doc_id
+       and t.pos >= b.s and t.pos < b.s + 15
+  where b.rn = 1 group by b.doc_id, b.s, b.c)
+select doc_id, s::bigint as start_pos, c::bigint as n_match, snippet
+from snip order by doc_id
+"""
+
+
 def q_index_bm25_maxscore_top10(sf_dir: str):
     """Same query + oracle as ``index_bm25_top10`` but scored through the
     MaxScore/block-max pruned path (query/maxscore.py) — the oracle match
@@ -4741,6 +4793,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "bm25_explain_top10": q_bm25_explain_top10,
     "bm25_grid_tune": q_bm25_grid_tune,
+    "search_snippets": q_search_snippets,
     "url_canonicalize": q_url_canonicalize,
     "domain_stats": q_domain_stats,
     "prefix_search": q_prefix_search,
@@ -4786,6 +4839,7 @@ ORACLE_SQL = {
     "line_dedup": SQL_LINE_DEDUP,
     "bm25_explain_top10": SQL_BM25_EXPLAIN_TOP10,
     "bm25_grid_tune": SQL_BM25_GRID_TUNE,
+    "search_snippets": SQL_SEARCH_SNIPPETS,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "domain_stats": SQL_DOMAIN_STATS,
     "prefix_search": SQL_PREFIX_SEARCH,

@@ -604,3 +604,31 @@ def test_dedup_lines(ray_session):
     # idempotent: a second pass removes nothing
     again = dedup_lines(rd.from_pandas(out[["doc_id", "text"]])).to_pandas()
     assert again["n_removed"].sum() == 0
+
+
+def test_best_passage(ray_session):
+    """Window covering the most distinct query terms wins; ties break to
+    the smallest start; starts align to hit positions (1-based)."""
+    import ray.data as rd
+
+    from search_engines_ray.functions.text import best_passage
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            # 'a ... b c' cluster at the end beats the lone 'a' up front
+            "a x x x x x x x x x x a b c",
+            # two equal 1-term windows -> earliest start wins
+            "x a x x x x x x x x x a x",
+            "no query terms here at all",
+        ],
+    })
+    out = best_passage(rd.from_pandas(docs), ["a", "b", "c"], window=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2]          # doc 3: no hits, no row
+    assert out.loc[0, "n_match"] == 3
+    assert out.loc[0, "start"] == 12                 # the 2nd 'a', 1-based
+    assert out.loc[0, "snippet"] == "a b c"          # window clipped at end
+    assert out.loc[1, "n_match"] == 1
+    assert out.loc[1, "start"] == 2                  # earliest hit
+    assert out.loc[1, "snippet"] == "a x x x"
