@@ -2002,6 +2002,153 @@ join idcg using (qid) join rr using (qid)
 SQL_EVAL_METRICS = _eval_metrics_sql()
 
 
+def _synthetic_qrels(n_docs: int, qnum: int) -> dict[str, int]:
+    """Graded judgments with an explicit judged-NONRELEVANT class (rel 0,
+    doc_id % 7 == qnum+3) alongside the relevant class (doc_id % 7 ==
+    qnum) — bpref needs judged nonrel; everything else is unjudged."""
+    rel = {str(d): 1 + (d % 2) for d in range(n_docs) if d % 7 == qnum}
+    rel.update({str(d): 0 for d in range(n_docs)
+                if d % 7 == (qnum + 3) % 7})
+    return rel
+
+
+def q_eval_trec_extended(sf_dir: str):
+    """trec_eval parity beyond eval_metrics: R-precision and bpref per
+    query, with judged-nonrelevant docs in the qrels (bpref is the
+    judgment-robust metric — unjudged docs are invisible to it)."""
+    from ..query.metrics import bpref, r_precision
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    n_docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).num_rows
+    rows = []
+    for qnum, (qid, terms) in enumerate(BATCH_BM25_QUERIES, start=1):
+        t = engine.search(" ".join(terms), k=50)
+        ranked = [str(d) for d in
+                  _docid_of_external(t["external_id"].to_pylist())]
+        rel = _synthetic_qrels(n_docs, qnum)
+        rows.append((qid, r_precision(ranked, rel), bpref(ranked, rel)))
+    return pa.table({
+        "qid": pa.array([r[0] for r in rows], pa.string()),
+        "r_prec": pa.array(round6([r[1] for r in rows])),
+        "bpref_score": pa.array(round6([r[2] for r in rows])),
+    })
+
+
+def q_eval_iprec11(sf_dir: str):
+    """trec_eval's 11-point interpolated precision-recall curve per
+    query — (qid, level_x10, iprec): max precision at any rank whose
+    recall clears the level, with the recall comparison integer-exact
+    (10·hits ≥ level·n_rel) on both sides."""
+    from ..query.metrics import interpolated_precision_11pt
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    n_docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).num_rows
+    out_q, out_l, out_p = [], [], []
+    for qnum, (qid, terms) in enumerate(BATCH_BM25_QUERIES, start=1):
+        t = engine.search(" ".join(terms), k=50)
+        ranked = [str(d) for d in
+                  _docid_of_external(t["external_id"].to_pylist())]
+        rel = {str(d): 1 for d in range(n_docs) if d % 7 == qnum}
+        for lvl, p in enumerate(interpolated_precision_11pt(ranked, rel)):
+            out_q.append(qid)
+            out_l.append(lvl)
+            out_p.append(p)
+    return pa.table({
+        "qid": pa.array(out_q, pa.string()),
+        "level_x10": pa.array(out_l, pa.int64()),
+        "iprec": pa.array(round6(out_p)),
+    })
+
+
+def _ranked_rel_sql() -> str:
+    """ranked-with-judgments CTE body shared by the extended-metric
+    oracles: the 3 BM25 rankings with rel = graded / 0-judged / NULL
+    unjudged."""
+    per_q = []
+    for qnum, (qid, terms) in enumerate(BATCH_BM25_QUERIES, start=1):
+        per_q.append(f"""
+select '{qid}' as qid, doc_id,
+       row_number() over (order by raw desc, doc_id asc) as rnk,
+       case when doc_id % 7 = {qnum} then 1 + (doc_id % 2)
+            when doc_id % 7 = {(qnum + 3) % 7} then 0
+            else null end as rel
+from ({_bm25_sql(terms, 50, raw=True)})""")
+    return "\nunion all\n".join(f"select * from ({s}) s{i}"
+                                for i, s in enumerate(per_q))
+
+
+def _eval_trec_extended_sql() -> str:
+    counts = " union all ".join(
+        f"select '{qid}' as qid, "
+        f"(select count(*) from documents where doc_id % 7 = {qnum})::bigint"
+        f" as n_rel, "
+        f"(select count(*) from documents "
+        f" where doc_id % 7 = {(qnum + 3) % 7})::bigint as n_nonrel"
+        for qnum, (qid, _) in enumerate(BATCH_BM25_QUERIES, start=1))
+    return f"""
+with ranked as materialized ({_ranked_rel_sql()}),
+counts as ({counts}),
+rp as (
+  select r.qid,
+         sum(case when r.rel > 0 and r.rnk <= c.n_rel then 1 else 0 end)
+           / c.n_rel::double as v
+  from ranked r join counts c using (qid) group by r.qid, c.n_rel),
+win as (
+  select qid, rnk, rel,
+         count(*) filter (where rel = 0) over
+           (partition by qid order by rnk
+            rows between unbounded preceding and 1 preceding) as nonrel_above
+  from ranked),
+bp as (
+  select w.qid,
+         sum(least(c.n_nonrel, c.n_rel)
+             - least(w.nonrel_above, c.n_rel))
+           filter (where w.rel > 0)::bigint
+           / (c.n_rel * least(c.n_nonrel, c.n_rel))::double as v
+  from win w join counts c using (qid)
+  group by w.qid, c.n_rel, c.n_nonrel)
+select rp.qid,
+       floor(rp.v*1000000 + 0.5)/1000000 as r_prec,
+       floor(coalesce(bp.v, 0.0)*1000000 + 0.5)/1000000 as bpref_score
+from rp join bp using (qid) order by qid
+"""
+
+
+def _eval_iprec11_sql() -> str:
+    counts = " union all ".join(
+        f"select '{qid}' as qid, "
+        f"(select count(*) from documents where doc_id % 7 = {qnum})::bigint"
+        f" as n_rel"
+        for qnum, (qid, _) in enumerate(BATCH_BM25_QUERIES, start=1))
+    return f"""
+with ranked as materialized ({_ranked_rel_sql()}),
+counts as ({counts}),
+hits as (
+  select qid, rnk,
+         count(*) filter (where rel > 0) over
+           (partition by qid order by rnk) as cum_hits
+  from ranked where rel > 0),
+levels as (select unnest(generate_series(0, 10)) as lvl),
+iprec as (
+  select c.qid, l.lvl,
+         coalesce(max(h.cum_hits / h.rnk::double)
+                  filter (where 10 * h.cum_hits >= l.lvl * c.n_rel),
+                  0.0) as v
+  from counts c cross join levels l
+  left join hits h on h.qid = c.qid
+  group by c.qid, l.lvl)
+select qid, lvl::bigint as level_x10,
+       floor(v*1000000 + 0.5)/1000000 as iprec
+from iprec order by qid, lvl
+"""
+
+
+SQL_EVAL_TREC_EXTENDED = _eval_trec_extended_sql()
+SQL_EVAL_IPREC11 = _eval_iprec11_sql()
+
+
 # (k1, b) hyper-parameter grid for the one-pass tuning sweep
 BM25_TUNE_GRID = ((0.9, 0.4), (1.2, 0.75), (2.0, 0.9))
 
@@ -4794,6 +4941,8 @@ QUERIES = {
     "bm25_explain_top10": q_bm25_explain_top10,
     "bm25_grid_tune": q_bm25_grid_tune,
     "search_snippets": q_search_snippets,
+    "eval_trec_extended": q_eval_trec_extended,
+    "eval_iprec11": q_eval_iprec11,
     "url_canonicalize": q_url_canonicalize,
     "domain_stats": q_domain_stats,
     "prefix_search": q_prefix_search,
@@ -4840,6 +4989,8 @@ ORACLE_SQL = {
     "bm25_explain_top10": SQL_BM25_EXPLAIN_TOP10,
     "bm25_grid_tune": SQL_BM25_GRID_TUNE,
     "search_snippets": SQL_SEARCH_SNIPPETS,
+    "eval_trec_extended": SQL_EVAL_TREC_EXTENDED,
+    "eval_iprec11": SQL_EVAL_IPREC11,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "domain_stats": SQL_DOMAIN_STATS,
     "prefix_search": SQL_PREFIX_SEARCH,

@@ -44,6 +44,60 @@ def ndcg_at_k(ranked: list[str], rel: dict[str, int], k: int) -> float:
     return dcg / idcg if idcg > 0 else 0.0
 
 
+def r_precision(ranked: list[str], rel: dict[str, int]) -> float:
+    """Precision at rank R, R = number of relevant docs (trec_eval
+    ``Rprec``)."""
+    n_rel = sum(1 for r in rel.values() if r > 0)
+    if n_rel == 0:
+        return 0.0
+    hits = sum(1 for d in ranked[:n_rel] if rel.get(d, 0) > 0)
+    return hits / n_rel
+
+
+def bpref(ranked: list[str], rel: dict[str, int]) -> float:
+    """trec_eval ``bpref``: judgment-robust preference metric —
+    1/R · Σ_{r rel retrieved} (1 − min(#judged-nonrel above r, R) /
+    min(N, R)), where R/N are the judged relevant/nonrelevant counts
+    and UNJUDGED docs in the ranking are skipped entirely (the whole
+    point of the metric)."""
+    R = sum(1 for r in rel.values() if r > 0)
+    N = sum(1 for d, r in rel.items() if r == 0)
+    if R == 0:
+        return 0.0
+    denom = min(N, R)
+    # integer numerator (Σ (denom − min(#nonrel-above, R))) so partial
+    # sums associate exactly and a SQL mirror can't drift
+    num, nonrel_above = 0, 0
+    for d in ranked:
+        if d not in rel:
+            continue                      # unjudged: invisible to bpref
+        if rel[d] > 0:
+            num += (denom - min(nonrel_above, R)) if denom else 1
+        else:
+            nonrel_above += 1
+    return num / (R * denom) if denom else num / R
+
+
+def interpolated_precision_11pt(ranked: list[str],
+                                rel: dict[str, int]) -> list[float]:
+    """trec_eval ``iprec_at_recall_0.00..1.00``: at each of the 11
+    recall levels, the MAX precision at any rank whose recall ≥ the
+    level (0.0 where unreachable)."""
+    n_rel = sum(1 for r in rel.values() if r > 0)
+    if n_rel == 0:
+        return [0.0] * 11
+    pr: list[tuple[int, float]] = []       # (hits at rank, precision)
+    hits = 0
+    for i, d in enumerate(ranked, 1):
+        if rel.get(d, 0) > 0:
+            hits += 1
+            pr.append((hits, hits / i))
+    # recall >= lvl/10  ⟺  10*hits >= lvl*n_rel — integer-exact, so the
+    # SQL mirror can't diverge at a recall boundary
+    return [max((p for h, p in pr if 10 * h >= lvl * n_rel), default=0.0)
+            for lvl in range(11)]
+
+
 def evaluate_run(run: dict[str, list[str]], qrels: dict[str, dict[str, int]],
                  ks: tuple[int, ...] = (5, 10, 100)) -> dict:
     """run: qid → ranked external ids; qrels: qid → {doc: rel}.

@@ -165,3 +165,38 @@ def test_metrics():
     out = evaluate_run({"1": ranked}, {"1": rel}, ks=(2,))
     assert out["n_queries"] == 1 and 0 < out["map"] <= 1
     assert evaluate_run({}, {})["n_queries"] == 0
+
+
+# ------------------------------------------------- extended trec_eval metrics
+
+def test_r_precision_hand_math():
+    from search_engines_ray.query.metrics import r_precision
+    rel = {"a": 1, "b": 2, "c": 1}            # R = 3
+    assert r_precision(["a", "x", "b", "c"], rel) == pytest.approx(2 / 3)
+    assert r_precision([], rel) == 0.0
+    assert r_precision(["x"], {}) == 0.0
+
+
+def test_bpref_hand_math():
+    """trec_eval bpref: unjudged docs are invisible; each relevant doc is
+    penalized by the judged-nonrel count above it, capped at R."""
+    from search_engines_ray.query.metrics import bpref
+    rel = {"r1": 1, "r2": 1, "n1": 0, "n2": 0}     # R = 2, N = 2, denom = 2
+    # ranking: n1, u (unjudged), r1, n2, r2
+    # r1: 1 nonrel above -> 1 - 1/2; r2: 2 above -> 1 - 2/2
+    assert bpref(["n1", "u", "r1", "n2", "r2"], rel) == pytest.approx(
+        ((1 - 1 / 2) + (1 - 2 / 2)) / 2)
+    # perfect ranking -> 1.0; no judged nonrel -> each rel counts 1
+    assert bpref(["r1", "r2", "n1", "n2"], rel) == pytest.approx(1.0)
+    assert bpref(["r1", "x", "r2"], {"r1": 1, "r2": 1}) == pytest.approx(1.0)
+
+
+def test_interpolated_precision_11pt_hand_math():
+    from search_engines_ray.query.metrics import interpolated_precision_11pt
+    rel = {"a": 1, "b": 1}                    # R = 2
+    # ranking: a (P=1 @ recall .5), x, b (P=2/3 @ recall 1.0)
+    got = interpolated_precision_11pt(["a", "x", "b"], rel)
+    assert got[:6] == [1.0] * 6               # levels 0.0-0.5 -> max P = 1
+    assert got[6:] == [pytest.approx(2 / 3)] * 5   # levels 0.6-1.0
+    assert interpolated_precision_11pt(["x"], rel) == [0.0] * 11
+    assert interpolated_precision_11pt(["a"], {}) == [0.0] * 11
