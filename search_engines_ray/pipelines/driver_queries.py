@@ -527,6 +527,54 @@ order by tfs.doc_id, tfs.term
 SQL_BM25_EXPLAIN_TOP10 = _bm25_explain_sql(BM25_QUERY_TERMS, 10)
 
 
+def q_bm25_champion_top10(sf_dir: str):
+    """Champion-list approximate top-k: candidates = union of each
+    term's global tf-top-50 postings, scored exactly (full tf,
+    corpus-wide df/doclens) — only candidate generation approximates."""
+    from ..query.distributed import bm25_champion_search
+    reader = get_index(sf_dir, "simple")
+    res = bm25_champion_search(
+        reader.index_dir, [("q", " ".join(BM25_QUERY_TERMS))], m=50, k=10)
+    return pa.table({
+        "doc_id": pa.array(_docid_of_external(
+            res["external_id"].to_pylist())),
+        "score": pa.array(round6(res["score"].to_pylist())),
+    })
+
+
+SQL_BM25_CHAMPION_TOP10 = f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+doclen as (select doc_id, count(*)::double as dl from tok group by doc_id),
+stats as (select
+  (select count(*) from documents)::double as n,
+  (select count(*) from doclen)::double as dc,
+  (select sum(dl) from doclen)::double as suml),
+tfs as (select doc_id, term, count(*)::double as tf from tok
+        where term in ({",".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+        group by doc_id, term),
+dfs as (select term, count(*)::double as df from tfs group by term),
+champ as (
+  select doc_id, term, row_number() over
+           (partition by term order by tf desc, doc_id asc) as rn
+  from tfs),
+cands as (select distinct doc_id from champ where rn <= 50),
+scored as (
+  select tfs.doc_id,
+         sum(greatest(0.0, ln((stats.n - dfs.df + 0.5)/(dfs.df + 0.5)))
+             * (tfs.tf / (tfs.tf + 1.2*((1.0-0.75)
+                + 0.75*doclen.dl/(stats.suml/stats.dc))))) as raw
+  from tfs
+  join dfs on tfs.term = dfs.term
+  join doclen on tfs.doc_id = doclen.doc_id
+  cross join stats
+  where tfs.doc_id in (select doc_id from cands)
+  group by tfs.doc_id)
+select doc_id, floor(raw*1000000 + 0.5)/1000000 as score
+from scored order by raw desc, doc_id asc limit 10
+"""
+
+
 def q_search_snippets(sf_dir: str):
     """Result-page highlighting: BM25 top-10 → pruned text read of just
     those docs → ``best_passage`` (the 15-token window covering the most
@@ -4942,6 +4990,7 @@ QUERIES = {
     "bm25_grid_tune": q_bm25_grid_tune,
     "search_snippets": q_search_snippets,
     "eval_trec_extended": q_eval_trec_extended,
+    "bm25_champion_top10": q_bm25_champion_top10,
     "eval_iprec11": q_eval_iprec11,
     "url_canonicalize": q_url_canonicalize,
     "domain_stats": q_domain_stats,
@@ -4990,6 +5039,7 @@ ORACLE_SQL = {
     "bm25_grid_tune": SQL_BM25_GRID_TUNE,
     "search_snippets": SQL_SEARCH_SNIPPETS,
     "eval_trec_extended": SQL_EVAL_TREC_EXTENDED,
+    "bm25_champion_top10": SQL_BM25_CHAMPION_TOP10,
     "eval_iprec11": SQL_EVAL_IPREC11,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "domain_stats": SQL_DOMAIN_STATS,

@@ -463,6 +463,176 @@ def bm25_grid_search(index_dir: str, queries: list[tuple[str, str]],
     })
 
 
+def bm25_champion_search(index_dir: str, queries: list[tuple[str, str]],
+                         m: int = 128, k: int = 100,
+                         field: str = "body") -> pa.Table:
+    """Champion-list approximate top-k (Manning IIR §7.1.3): candidates
+    are the union of each query term's GLOBAL top-``m`` postings by
+    (tf desc, docid asc); candidates then score EXACTLY (full tf of
+    every query term, corpus-wide df/doclens), so only the candidate-
+    generation step is approximate. Two salt-task rounds: phase A
+    returns each salt's local top-m (term, docid, tf) triples — the
+    global top-m per term is a subset of the locals' union, so the
+    driver merge is exact over ≤ salts × terms × m tiny rows; phase B
+    re-scans with the merged candidate set in the task closure and
+    masks each term's decoded postings to it. At the 10^12-doc design
+    point phase A's output is the CHAMPION SUBLIST you would persist
+    next to the index (it never changes between queries for fixed m) —
+    the second scan then prices like ``bm25_batch_search`` over lists
+    shrunk to ≤ m entries. → (qid, external_id, rank, score)."""
+    model = BM25Model()
+    reader = IndexReader(index_dir)
+    an = analyzer_for_mode(reader.stats.get("analyzer", "lucene"))
+
+    qids = _check_unique_qids(queries)
+    qcode = {qid: i for i, qid in enumerate(qids)}
+    term_queries: dict[str, list[tuple[int, int]]] = {}
+    for qid, q in queries:
+        terms: list[str] = []
+        for tok in q.split():
+            terms.extend(an.analyze_query_token(tok))
+        for t in set(terms):
+            term_queries.setdefault(t, []).append((qcode[qid], terms.count(t)))
+    if not term_queries:
+        return _empty()
+
+    buckets = sorted({term_bucket(t, reader.num_buckets) for t in term_queries})
+    base = os.path.join(index_dir, POSTINGS_DIR)
+    paths: list[str] = []
+    for bkt in buckets:
+        d = os.path.join(base, f"bucket={bkt}")
+        if os.path.isdir(d):
+            paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                         if f.endswith(".parquet"))
+    if not paths:
+        return _empty()
+
+    terms_list = sorted(term_queries)
+    N = reader.n_docs
+    avglen = reader.avg_len(field)
+    pid_offsets = reader.pid_offsets
+    dl_token = reader.stats_token
+    k1, b = model.k1, model.b
+
+    def _scan_salt(s: int, dset):
+        import pyarrow.compute as pc
+        return dset.to_table(
+            columns=["term", "docid_blob", "tf_blob"],
+            filter=(pc.field("term").isin(terms_list)
+                    & (pc.field("field") == field)
+                    & (pc.field("salt") == s)))
+
+    def _dset():
+        import pyarrow.dataset as pads
+        from ..util import proc_cached
+        return proc_cached(("postings_dset", index_dir, dl_token,
+                            tuple(paths)),
+                           lambda: pads.dataset(paths, format="parquet"))
+
+    # ---- phase A: per-salt local champions (tf desc, docid asc) ----
+    def local_champs(batch: pa.Table) -> pa.Table:
+        out: list[pa.Table] = []
+        for s in batch["salt"].to_pylist():
+            t = _scan_salt(s, _dset())
+            terms_o, docs_o, tfs_o = [], [], []
+            for term, db, tb in zip(t["term"].to_pylist(),
+                                    t["docid_blob"].to_pylist(),
+                                    t["tf_blob"].to_pylist()):
+                docids, tfs, _ = decode_postings(db, tb, None)
+                if docids.size > m:
+                    sel = np.lexsort((docids, -tfs))[:m]
+                    docids, tfs = docids[sel], tfs[sel]
+                terms_o.extend([term] * docids.size)
+                docs_o.append(docids)
+                tfs_o.append(tfs.astype(np.int64))
+            if terms_o:
+                out.append(pa.table({
+                    "term": pa.array(terms_o, pa.string()),
+                    "docid": pa.array(np.concatenate(docs_o)),
+                    "tf": pa.array(np.concatenate(tfs_o))}))
+        return (pa.concat_tables(out) if out else
+                pa.table({"term": pa.array([], pa.string()),
+                          "docid": pa.array([], pa.int64()),
+                          "tf": pa.array([], pa.int64())}))
+
+    locs = _run_salt_tasks_table(local_champs, reader)
+    cands: list[np.ndarray] = []
+    lt = locs["term"].to_pylist()
+    ld = locs["docid"].to_numpy() if locs.num_rows else np.empty(0, np.int64)
+    lf = locs["tf"].to_numpy() if locs.num_rows else np.empty(0, np.int64)
+    for term in terms_list:
+        mask = np.asarray([x == term for x in lt], bool)
+        d, f = ld[mask], lf[mask]
+        if d.size > m:
+            sel = np.lexsort((d, -f))[:m]
+            d = d[sel]
+        cands.append(d)
+    cand_set = np.unique(np.concatenate(cands)) if cands else \
+        np.empty(0, np.int64)
+
+    # ---- phase B: exact scoring of the candidate set ----
+    df_ref = ray.put(_global_dfs(index_dir, reader, terms_list, field))
+    tq_ref = ray.put(term_queries)
+    cand_ref = ray.put(cand_set)
+
+    def score_salt(batch: pa.Table) -> pa.Table:
+        tq = ray.get(tq_ref)
+        global_df = ray.get(df_ref)
+        allowed = ray.get(cand_ref)
+        if allowed.size == 0:
+            return _partial_empty()
+        dlens = _ShardedDoclens(index_dir, field, pid_offsets, dl_token)
+        out: list[pa.Table] = []
+        for s in batch["salt"].to_pylist():
+            t = _scan_salt(s, _dset())
+            entries, any_zero_idf = [], False
+            for term, db, tb in zip(t["term"].to_pylist(),
+                                    t["docid_blob"].to_pylist(),
+                                    t["tf_blob"].to_pylist()):
+                docids, tfs, _ = decode_postings(db, tb, None)
+                pos = np.searchsorted(allowed, docids)
+                pos = np.minimum(pos, allowed.size - 1)
+                keep = allowed[pos] == docids
+                docids, tfs = docids[keep], tfs[keep]
+                if docids.size == 0:
+                    continue
+                df = global_df[term]
+                idf = max(0.0, np.log((N - df + 0.5) / (df + 0.5)))
+                any_zero_idf |= idf == 0.0
+                dl = dlens.get(docids).astype(np.float64)
+                tf = tfs.astype(np.float64)
+                sc = idf * (tf / (tf + k1 * ((1.0 - b) + b * dl / avglen)))
+                for qc, mult in tq[term]:
+                    entries.append((qc, docids,
+                                    sc if mult == 1 else sc * mult))
+            qc_a, docid, sums = _group_sum_entries(
+                entries, need_zero_candidates=any_zero_idf)
+            if qc_a.size:
+                keep2 = _topk_cut_sorted(qc_a, sums, k)
+                out.append(pa.table({
+                    "gkey": pa.array((qc_a[keep2] << _DOC_BITS)
+                                     | docid[keep2]),
+                    "score": pa.array(sums[keep2])}))
+        return pa.concat_tables(out) if out else _partial_empty()
+
+    return _emit_ranked(_run_salt_tasks(score_salt, reader), qids, k, reader)
+
+
+def _run_salt_tasks_table(fn, reader: IndexReader) -> pa.Table:
+    """Like ``_run_salt_tasks`` but for arbitrary (non-gkey) schemas."""
+    n_salts = int(reader.stats.get("merge_salts", 4))
+    desc = ray.data.from_items([{"salt": s} for s in range(n_salts)],
+                               override_num_blocks=n_salts)
+    batches = [bt for bt in
+               desc.map_batches(fn, batch_format="pyarrow", batch_size=1)
+               .iter_batches(batch_size=None, batch_format="pyarrow")
+               if bt.num_rows]
+    return (pa.concat_tables(batches) if batches else
+            pa.table({"term": pa.array([], pa.string()),
+                      "docid": pa.array([], pa.int64()),
+                      "tf": pa.array([], pa.int64())}))
+
+
 def indri_batch_search(index_dir: str, queries: list[tuple[str, str]],
                        model=None, k: int = 100,
                        field: str = "body") -> pa.Table:

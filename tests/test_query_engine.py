@@ -465,3 +465,41 @@ def test_grid_search_matches_batch_search_per_point(docs_index):
             assert list(s["external_id"]) == list(d["external_id"]), (k1, b, qid)
             np.testing.assert_allclose(s["score"].to_numpy(),
                                        d["score"].to_numpy(), rtol=1e-12)
+
+
+def test_champion_search_exact_when_m_covers_df(docs_index):
+    """With m >= every term's df the candidate set is complete, so the
+    approximate path must equal the exact batch search."""
+    from search_engines_ray.query.distributed import (
+        bm25_batch_search, bm25_champion_search,
+    )
+    queries = [("1", "fast sort merge"), ("2", "hash join")]
+    exact = bm25_batch_search(docs_index.index_dir, queries,
+                              BM25Model(), k=25).to_pandas()
+    champ = bm25_champion_search(docs_index.index_dir, queries,
+                                 m=10**6, k=25).to_pandas()
+    for qid, _ in queries:
+        e = exact[exact["qid"] == qid].sort_values("rank")
+        c = champ[champ["qid"] == qid].sort_values("rank")
+        assert list(e["external_id"]) == list(c["external_id"]), qid
+        np.testing.assert_allclose(c["score"].to_numpy(),
+                                   e["score"].to_numpy(), rtol=1e-12)
+
+
+def test_champion_search_prunes_but_scores_exactly(docs_index):
+    """Small m: every returned doc's score must still equal the exact
+    engine's score for that doc (candidate generation is the only
+    approximation), and the result stays reference-ordered."""
+    from search_engines_ray.query.distributed import bm25_champion_search
+    engine = QueryEngine(docs_index, BM25Model())
+    q = "fast sort merge"
+    exact = engine.search(q, k=1000).to_pandas().set_index("external_id")
+    champ = bm25_champion_search(docs_index.index_dir, [("1", q)],
+                                 m=5, k=50).to_pandas()
+    assert 0 < len(champ) <= 50
+    for _, row in champ.iterrows():
+        np.testing.assert_allclose(row["score"],
+                                   exact.loc[row["external_id"], "score"],
+                                   rtol=1e-12)
+    s = champ["score"].to_numpy()
+    assert (np.diff(s) <= 1e-15).all()
