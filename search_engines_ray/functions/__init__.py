@@ -2,6 +2,7 @@ from .dedup import (
     dedup_lines, dup_span_stats, embedding_dedup, embedding_lsh_dedup,
     exact_dedup,
     minhash_candidate_pairs, minhash_lsh_dedup, ngram_jaccard,
+    select_canonical,
     ngram_jaccard_pairs,
     simhash_dedup, simhash_pairs,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "embedding_dedup", "embedding_lsh_dedup", "exact_dedup",
     "minhash_candidate_pairs", "minhash_lsh_dedup", "ngram_jaccard",
     "ngram_jaccard_pairs",
+    "select_canonical",
     "simhash_dedup", "simhash_pairs",
     "asof_join", "json_field_agg", "sessionize",
     "sliding_window_aggregate",

@@ -263,6 +263,45 @@ def dedup_lines(ds, text_col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(rewrite, batch_format="pyarrow")
 
 
+def select_canonical(clusters, scores, id_col: str = "doc_id",
+                     cluster_col: str = "canonical_id",
+                     score_col: str = "score"):
+    """Quality-aware canonical selection for near-dup clusters: instead
+    of keep-smallest-id, each cluster keeps its BEST-scoring member
+    (score desc, id asc on ties) — the "which copy survives" policy of
+    production curation pipelines (keep the longest / highest-quality
+    page of a mirror set). ``clusters`` is any (id, cluster) membership
+    table (e.g. ``simhash_dedup`` / ``minhash_lsh_dedup`` output);
+    ``scores`` maps id → quality. → Dataset (cluster_col, keep_id,
+    keep_score), one row per cluster. Shape: ONE tagged-union exchange
+    joins scores onto members (``shuffle_hash_join``), then a
+    cluster-keyed groupby reduces each partition with a vectorized
+    lexsort + segment-first pass (never a per-group Python apply);
+    nothing corpus-sized touches the driver."""
+    from .join import shuffle_hash_join
+
+    joined = shuffle_hash_join(clusters, scores, left_on=id_col)
+
+    def best(g: pa.Table) -> pd.DataFrame:
+        if g.num_rows == 0:
+            return pd.DataFrame({cluster_col: pd.Series([], np.int64),
+                                 "keep_id": pd.Series([], np.int64),
+                                 "keep_score": pd.Series([], np.float64)})
+        cl = g[cluster_col].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        sc = g[score_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sc, cl))
+        cs = cl[order]
+        first = np.flatnonzero(
+            np.concatenate(([True], cs[1:] != cs[:-1])))
+        pick = order[first]
+        return pd.DataFrame({cluster_col: cl[pick], "keep_id": ids[pick],
+                             "keep_score": sc[pick]})
+
+    return joined.groupby(cluster_col).map_groups(best,
+                                                  batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------- minhash
 
 class MinHasher:

@@ -2449,6 +2449,55 @@ from comp
 """
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-aware canonical selection: the simhash near-dup clusters
+    re-keyed to their LONGEST member (n_tokens desc, doc_id asc) — the
+    which-copy-survives policy, composed from simhash_dedup +
+    select_canonical over a token-count score table."""
+    import ray.data as rd
+    from ..functions.dedup import select_canonical, simhash_dedup
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    clusters = simhash_dedup(ds)
+
+    def ntok(b: pa.Table) -> pa.Table:
+        n = [len(simple_tokenize(t or "")) for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_tokens": pa.array(np.asarray(n, np.int64))})
+
+    scores = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"]) \
+        .map_batches(ntok, batch_format="pyarrow")
+    res = select_canonical(clusters, scores, score_col="n_tokens") \
+        .to_pandas().sort_values("canonical_id").reset_index(drop=True)
+    return pa.table({
+        "canonical_id": pa.array(res["canonical_id"].to_numpy(np.int64)),
+        "keep_id": pa.array(res["keep_id"].to_numpy(np.int64)),
+        "keep_n_tokens": pa.array(res["keep_score"].to_numpy(np.int64)),
+    })
+
+
+def _dedup_keep_best_sql() -> str:
+    return f"""
+with recursive edges as (
+  select id_a as a, id_b as b from ({SQL_SIMHASH_PAIRS.strip()})
+),{_CC_CTES},
+ntok as (select doc_id, len({SIMPLE_TOKS_SQL})::bigint as n
+         from documents),
+best as (
+  select c.canonical_id, c.doc_id, n.n,
+         row_number() over (partition by c.canonical_id
+                            order by n.n desc, c.doc_id asc) as rn
+  from comp c join ntok n using (doc_id))
+select canonical_id::bigint as canonical_id, doc_id::bigint as keep_id,
+       n::bigint as keep_n_tokens
+from best where rn = 1 order by canonical_id
+"""
+
+
+SQL_DEDUP_KEEP_BEST = _dedup_keep_best_sql()
+
+
 def q_minhash_candidate_pairs(sf_dir: str):
     """MinHash-LSH band-collision candidate pairs with collision counts
     — the banding stage without the estimate filter / union-find, so the
@@ -4991,6 +5040,7 @@ QUERIES = {
     "search_snippets": q_search_snippets,
     "eval_trec_extended": q_eval_trec_extended,
     "bm25_champion_top10": q_bm25_champion_top10,
+    "dedup_keep_best": q_dedup_keep_best,
     "eval_iprec11": q_eval_iprec11,
     "url_canonicalize": q_url_canonicalize,
     "domain_stats": q_domain_stats,
@@ -5040,6 +5090,7 @@ ORACLE_SQL = {
     "search_snippets": SQL_SEARCH_SNIPPETS,
     "eval_trec_extended": SQL_EVAL_TREC_EXTENDED,
     "bm25_champion_top10": SQL_BM25_CHAMPION_TOP10,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "eval_iprec11": SQL_EVAL_IPREC11,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "domain_stats": SQL_DOMAIN_STATS,

@@ -632,3 +632,26 @@ def test_best_passage(ray_session):
     assert out.loc[1, "n_match"] == 1
     assert out.loc[1, "start"] == 2                  # earliest hit
     assert out.loc[1, "snippet"] == "a x x x"
+
+
+def test_select_canonical(ray_session):
+    """Each cluster keeps its best-scoring member; score ties break to
+    the smallest id."""
+    import ray.data as rd
+
+    from search_engines_ray.functions.dedup import select_canonical
+
+    clusters = pd.DataFrame({
+        "doc_id": [1, 2, 3, 10, 11, 12],
+        "canonical_id": [1, 1, 1, 10, 10, 10],
+    })
+    scores = pd.DataFrame({
+        "doc_id": [1, 2, 3, 10, 11, 12, 99],       # 99: not clustered
+        "score": [5, 9, 9, 4, 4, 4, 100],
+    })
+    out = select_canonical(rd.from_pandas(clusters),
+                           rd.from_pandas(scores)) \
+        .to_pandas().sort_values("canonical_id").reset_index(drop=True)
+    assert out["canonical_id"].tolist() == [1, 10]
+    assert out["keep_id"].tolist() == [2, 10]       # 2 beats 3 on id tie
+    assert out["keep_score"].tolist() == [9, 4]
