@@ -2449,6 +2449,45 @@ from comp
 """
 
 
+def q_collapse_by_source(sf_dir: str):
+    """Field collapsing / host crowding: BM25 top-50 → at most 2 results
+    per `source` (walking the ranking in order), re-ranked top-10 — the
+    SERP diversity cap applied before any intent-aware reranker."""
+    from ..query.diversity import collapse_ranking
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    t = engine.search(" ".join(BM25_QUERY_TERMS), k=50)
+    ext = t["external_id"].to_pylist()
+    ids = _docid_of_external(ext)
+    meta = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"],
+                         filters=[("doc_id", "in", ids.tolist())])
+    src = dict(zip(meta["doc_id"].to_pylist(), meta["source"].to_pylist()))
+    group_of = {e: src.get(int(d)) for e, d in zip(ext, ids)}
+    ranked = list(zip(ext, t["score"].to_pylist()))
+    kept = collapse_ranking(ranked, group_of, max_per_group=2, k=10)
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(kept) + 1, dtype=np.int64)),
+        "doc_id": pa.array(_docid_of_external([e for e, _ in kept])),
+        "score": pa.array(round6([s for _, s in kept])),
+    })
+
+
+SQL_COLLAPSE_BY_SOURCE = f"""
+with top50 as (
+  select doc_id, raw,
+         row_number() over (order by raw desc, doc_id asc) as rnk
+  from ({_bm25_sql(BM25_QUERY_TERMS, 50, raw=True)})),
+src as (
+  select t.doc_id, t.raw, t.rnk,
+         row_number() over (partition by d.source order by t.rnk) as gn
+  from top50 t join documents d using (doc_id))
+select row_number() over (order by rnk) as rank, doc_id,
+       floor(raw*1000000 + 0.5)/1000000 as score
+from src where gn <= 2 order by rnk limit 10
+"""
+
+
 def q_dedup_keep_best(sf_dir: str):
     """Quality-aware canonical selection: the simhash near-dup clusters
     re-keyed to their LONGEST member (n_tokens desc, doc_id asc) — the
@@ -5041,6 +5080,7 @@ QUERIES = {
     "eval_trec_extended": q_eval_trec_extended,
     "bm25_champion_top10": q_bm25_champion_top10,
     "dedup_keep_best": q_dedup_keep_best,
+    "collapse_by_source": q_collapse_by_source,
     "eval_iprec11": q_eval_iprec11,
     "url_canonicalize": q_url_canonicalize,
     "domain_stats": q_domain_stats,
@@ -5091,6 +5131,7 @@ ORACLE_SQL = {
     "eval_trec_extended": SQL_EVAL_TREC_EXTENDED,
     "bm25_champion_top10": SQL_BM25_CHAMPION_TOP10,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+    "collapse_by_source": SQL_COLLAPSE_BY_SOURCE,
     "eval_iprec11": SQL_EVAL_IPREC11,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "domain_stats": SQL_DOMAIN_STATS,

@@ -147,3 +147,26 @@ def pm2(data: DiversityData, lam: float, max_result: int) -> list[tuple[str, flo
         if best_score == 0:
             break
     return out
+
+
+def collapse_ranking(ranked: list[tuple[str, float]],
+                     group_of: dict[str, str], max_per_group: int,
+                     k: int | None = None) -> list[tuple[str, float]]:
+    """Field collapsing / host crowding (the SERP diversity rule search
+    engines apply before any intent-aware reranker): walk the ranking in
+    order and keep at most ``max_per_group`` docs per group key (e.g.
+    host, source), dropping later same-group docs; truncate to ``k``.
+    Docs with no group mapping collapse into one shared null group.
+    Deterministic given the input order; scores pass through unchanged."""
+    seen: dict = {}
+    out = []
+    for doc, score in ranked:
+        g = group_of.get(doc)
+        n = seen.get(g, 0)
+        if n >= max_per_group:
+            continue
+        seen[g] = n + 1
+        out.append((doc, score))
+        if k is not None and len(out) >= k:
+            break
+    return out

@@ -80,3 +80,19 @@ def test_pm2_zero_break():
     out = pm2(d, lam=0.5, max_result=2)
     # second doc scores 0 -> included then loop breaks
     assert out[-1][1] == 0.0 or len(out) == 2
+
+
+def test_collapse_ranking_hand_math():
+    """At most d per group in rank order; unmapped docs share the null
+    group; truncation at k."""
+    from search_engines_ray.query.diversity import collapse_ranking
+    ranked = [("a1", 9.0), ("a2", 8.0), ("b1", 7.0), ("a3", 6.0),
+              ("b2", 5.0), ("c1", 4.0), ("u1", 3.0), ("u2", 2.0),
+              ("u3", 1.0)]
+    groups = {"a1": "A", "a2": "A", "a3": "A",
+              "b1": "B", "b2": "B", "c1": "C"}
+    got = collapse_ranking(ranked, groups, max_per_group=2)
+    assert [d for d, _ in got] == ["a1", "a2", "b1", "b2", "c1",
+                                   "u1", "u2"]          # a3/u3 crowded out
+    got_k = collapse_ranking(ranked, groups, max_per_group=2, k=3)
+    assert [d for d, _ in got_k] == ["a1", "a2", "b1"]
