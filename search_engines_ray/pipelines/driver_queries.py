@@ -3475,6 +3475,55 @@ def _quantiles_sql() -> str:
 SQL_VALUE_QUANTILES = _quantiles_sql()
 
 
+def q_quality_quantile_gate(sf_dir: str):
+    """Global-statistic-then-filter composition: the corpus median of
+    n_chars computes distributively (exact counting-histogram
+    quantile), broadcasts as a scalar threshold, and gates the stream —
+    per-lang survivor counts. The pattern behind 'drop the bottom X%
+    by quality' curation rules at 100 TB: no sort, no materialization,
+    one bounded-cardinality exchange for the quantile."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from ..functions.sketch import value_quantiles
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        return b.append_column("g", pa.array(["all"] * b.num_rows))
+
+    thr_tbl = value_quantiles(ds.map_batches(tag, batch_format="pyarrow"),
+                              value_col="n_chars", group_col="g",
+                              ps=(0.5,)).to_pandas()
+    thr = float(thr_tbl["value"].iloc[0])
+
+    def survivors(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        kept = b.filter(pc.greater_equal(b["n_chars"], thr))
+        langs, counts = np.unique(
+            np.asarray(kept["lang"].to_pylist(), object), return_counts=True)
+        return pa.table({"lang": pa.array(list(langs), pa.string()),
+                         "n_kept": pa.array(counts.astype(np.int64))})
+
+    return ds.map_batches(survivors, batch_format="pyarrow") \
+        .groupby("lang").aggregate(Sum("n_kept", alias_name="n_kept"))
+
+
+def _quality_quantile_gate_sql() -> str:
+    from ..functions.sketch import value_quantiles_sql
+    inner = value_quantiles_sql(
+        "(select 'all' as g, n_chars from documents) dq", "n_chars", "g",
+        ps=(0.5,))
+    return f"""
+with thr as (select value from ({inner}) where p = 0.5)
+select lang, count(*)::bigint as n_kept
+from documents cross join thr
+where n_chars >= thr.value group by lang
+"""
+
+
+SQL_QUALITY_QUANTILE_GATE = _quality_quantile_gate_sql()
+
+
 def q_semijoin_urgent_lineitem(sf_dir: str):
     """Zero-shuffle broadcast semijoin: the urgent order keys are
     gathered once and filter the lineitem fact stream inside
@@ -5081,6 +5130,7 @@ QUERIES = {
     "bm25_champion_top10": q_bm25_champion_top10,
     "dedup_keep_best": q_dedup_keep_best,
     "collapse_by_source": q_collapse_by_source,
+    "quality_quantile_gate": q_quality_quantile_gate,
     "eval_iprec11": q_eval_iprec11,
     "url_canonicalize": q_url_canonicalize,
     "domain_stats": q_domain_stats,
@@ -5132,6 +5182,7 @@ ORACLE_SQL = {
     "bm25_champion_top10": SQL_BM25_CHAMPION_TOP10,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "collapse_by_source": SQL_COLLAPSE_BY_SOURCE,
+    "quality_quantile_gate": SQL_QUALITY_QUANTILE_GATE,
     "eval_iprec11": SQL_EVAL_IPREC11,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "domain_stats": SQL_DOMAIN_STATS,
