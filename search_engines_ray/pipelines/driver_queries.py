@@ -98,6 +98,73 @@ def get_merged_index(sf_dir: str, mode: str) -> IndexReader:
     return IndexReader(path)
 
 
+def get_bigram_index(sf_dir: str) -> IndexReader:
+    """Index-time phrase acceleration (Lucene ShingleFilter / 'phrase
+    index' pattern): the corpus re-tokenizes to word-bigram tokens
+    (``w1 || '0' || w2`` — alnum-safe through the simple analyzer), so a
+    quoted two-word phrase becomes ONE term lookup instead of a
+    positional #NEAR/1 intersection — the classic trade of index bytes
+    for phrase-query latency at serving scale. Cached like get_index."""
+    tag = hashlib.md5(f"{sf_dir}|bigram".encode()).hexdigest()[:8]
+    path = os.path.join(_IDX_ROOT, f"{tag}_bigram")
+    os.makedirs(path, exist_ok=True)
+    import ray
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    cfg = IndexBuildConfig(num_buckets=16, docid_partitions=16,
+                           analyzer="simple", fields={"body": "text"},
+                           tokenize_concurrency=max(1, min(ncpu - 2, 8)))
+
+    def to_bigrams(b: pa.Table) -> pa.Table:
+        texts = []
+        for t in b["text"].to_pylist():
+            toks = simple_tokenize(t or "")
+            texts.append(" ".join(f"{x}0{y}"
+                                  for x, y in zip(toks, toks[1:])))
+        idx = b.schema.get_field_index("text")
+        return b.set_column(idx, "text", pa.array(texts, pa.string()))
+
+    build_index(pages_from_documents(sf_dir).map_batches(
+        to_bigrams, batch_format="pyarrow"), path, cfg,
+        input_token=f"{sf_dir}|bigram", resume=True)
+    return IndexReader(path)
+
+
+def q_phrase_index_top10(sf_dir: str):
+    """BM25 phrase search served from the bigram index: the phrase
+    'fast sort' is one term; tf = adjacency count, doclen = per-doc
+    bigram count (the bigram field's own statistics — distinct from the
+    derived-#NEAR/1 scoring, which keeps unigram field lengths)."""
+    reader = get_bigram_index(sf_dir)
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    res = engine.search("fast0sort", k=10)
+    return _ranked_to_table(res)
+
+
+SQL_PHRASE_INDEX_TOP10 = f"""
+with tok as ({POS_TOK_SQL}),
+big as (
+  select a.doc_id, a.term || '0' || b.term as term
+  from tok a join tok b on a.doc_id = b.doc_id and b.pos = a.pos + 1),
+doclen as (select doc_id, count(*)::double as dl from big group by doc_id),
+stats as (select
+  (select count(*) from documents)::double as n,
+  (select count(*) from doclen)::double as dc,
+  (select sum(dl) from doclen)::double as suml),
+tfv as (select doc_id, count(*)::double as tf from big
+        where term = 'fast0sort' group by doc_id),
+dfv as (select count(*)::double as df from tfv),
+scored as (
+  select tfv.doc_id,
+         greatest(0.0, ln((stats.n - dfv.df + 0.5)/(dfv.df + 0.5)))
+         * (tfv.tf / (tfv.tf + 1.2*((1.0-0.75)
+            + 0.75*doclen.dl/(stats.suml/stats.dc)))) as raw
+  from tfv join doclen using (doc_id)
+  cross join stats cross join dfv)
+select doc_id, floor(raw*1000000 + 0.5)/1000000 as score from scored
+order by raw desc, doc_id asc limit 10
+"""
+
+
 def q_bm25_merged_top10(sf_dir: str):
     """BM25 over a MERGED index (two parity-split segment builds folded
     by ``merge_indexes``) — same oracle as ``index_bm25_top10``: the
@@ -5131,6 +5198,7 @@ QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "collapse_by_source": q_collapse_by_source,
     "quality_quantile_gate": q_quality_quantile_gate,
+    "phrase_index_top10": q_phrase_index_top10,
     "eval_iprec11": q_eval_iprec11,
     "url_canonicalize": q_url_canonicalize,
     "domain_stats": q_domain_stats,
@@ -5183,6 +5251,7 @@ ORACLE_SQL = {
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "collapse_by_source": SQL_COLLAPSE_BY_SOURCE,
     "quality_quantile_gate": SQL_QUALITY_QUANTILE_GATE,
+    "phrase_index_top10": SQL_PHRASE_INDEX_TOP10,
     "eval_iprec11": SQL_EVAL_IPREC11,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "domain_stats": SQL_DOMAIN_STATS,
