@@ -800,6 +800,58 @@ order by raw desc, doc_id asc limit 10
 """
 
 
+def q_indri_explain_top10(sf_dir: str):
+    """Indri explain parity: one row per (top-10 doc, query term)
+    INCLUDING absent terms (their Dirichlet default score is part of the
+    geometric mean) — score == product of p^weight, verified by pytest;
+    here the factor rows themselves hash-match the un-multiplied SQL."""
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, IndriModel(mu=2500, lambda_=0.4))
+    t = engine.explain(" ".join(INDRI_QUERY_TERMS), k=10)
+    return pa.table({
+        "doc_id": pa.array(_docid_of_external(t["external_id"].to_pylist())),
+        "term": t["term"],
+        "tf": t["tf"],
+        "ctf": t["ctf"],
+        "p": pa.array(round6(t["p"].to_pylist())),
+        "weight": pa.array(round6(t["weight"].to_pylist())),
+    })
+
+
+SQL_INDRI_EXPLAIN_TOP10 = f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+doclen as (select doc_id, count(*)::double as dl from tok group by doc_id),
+suml as (select sum(dl)::double as v from doclen),
+qterms as (select * from (values ('dup'),('sort'),('merge')) t(term)),
+ctfs as (select term, count(*)::double as ctf from tok
+         where term in (select term from qterms) group by term),
+tfs as (select doc_id, term, count(*)::double as tf from tok
+        where term in (select term from qterms) group by doc_id, term),
+cands as (select distinct doc_id from tfs),
+cells as (
+  select c.doc_id, q.term,
+         coalesce(tfs.tf, 0.0) as tf, ctfs.ctf, doclen.dl
+  from cands c cross join qterms q
+  join ctfs on ctfs.term = q.term
+  join doclen on doclen.doc_id = c.doc_id
+  left join tfs on tfs.doc_id = c.doc_id and tfs.term = q.term),
+scored as (
+  select doc_id,
+         product(pow((1.0-0.4)*(tf + 2500.0*(ctf/suml.v))/(dl + 2500.0)
+                     + 0.4*(ctf/suml.v), 1.0/3.0)) as raw
+  from cells cross join suml group by doc_id),
+topk as (select doc_id from scored order by raw desc, doc_id asc limit 10)
+select c.doc_id, c.term, c.tf::bigint as tf, c.ctf::bigint as ctf,
+       floor(((1.0-0.4)*(c.tf + 2500.0*(c.ctf/suml.v))/(c.dl + 2500.0)
+              + 0.4*(c.ctf/suml.v))*1000000 + 0.5)/1000000 as p,
+       floor((1.0/3.0)*1000000 + 0.5)/1000000 as weight
+from cells c cross join suml
+where c.doc_id in (select doc_id from topk)
+order by c.doc_id, c.term
+"""
+
+
 def q_indri_batch_distributed(sf_dir: str):
     """Same query + oracle as ``index_indri_top10`` but scored through
     the distributed log-space Indri path (query/distributed.py) — the
@@ -5199,6 +5251,7 @@ QUERIES = {
     "collapse_by_source": q_collapse_by_source,
     "quality_quantile_gate": q_quality_quantile_gate,
     "phrase_index_top10": q_phrase_index_top10,
+    "indri_explain_top10": q_indri_explain_top10,
     "eval_iprec11": q_eval_iprec11,
     "url_canonicalize": q_url_canonicalize,
     "domain_stats": q_domain_stats,
@@ -5252,6 +5305,7 @@ ORACLE_SQL = {
     "collapse_by_source": SQL_COLLAPSE_BY_SOURCE,
     "quality_quantile_gate": SQL_QUALITY_QUANTILE_GATE,
     "phrase_index_top10": SQL_PHRASE_INDEX_TOP10,
+    "indri_explain_top10": SQL_INDRI_EXPLAIN_TOP10,
     "eval_iprec11": SQL_EVAL_IPREC11,
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "domain_stats": SQL_DOMAIN_STATS,

@@ -536,8 +536,10 @@ class QueryEngine:
         ordered by (external_id, term, field). BM25 bag-of-words /
         #SUM-of-terms plans only — the factor decomposition is per-leaf."""
         m = self.model
+        if isinstance(m, IndriModel):
+            return self._explain_indri(query, k)
         if not isinstance(m, BM25Model):
-            raise TypeError("explain() requires BM25Model")
+            raise TypeError("explain() requires BM25Model or IndriModel")
         top = self.search(query, k=k)
         ext = top["external_id"].to_pylist()
         cols = {"external_id": [], "term": [], "field": [],
@@ -587,6 +589,67 @@ class QueryEngine:
                                   pa.float64()),
             "term_score": pa.array([cols["term_score"][i] for i in order],
                                    pa.float64()),
+        })
+
+    def _explain_indri(self, query: str, k: int) -> pa.Table:
+        """Indri #AND explain: one row per (top-k doc, query term)
+        INCLUDING absent terms (their Dirichlet default score is part of
+        the geometric mean — ``QrySopAnd.java:86-107``). Columns
+        (external_id, term, field, tf, ctf, p, weight): the doc's search
+        score is exactly Π p^weight, weight = multiplicity / #leaf args.
+        Bag-of-words plans only — per-leaf decomposition."""
+        m = self.model
+        top = self.search(query, k=k)
+        ext = top["external_id"].to_pylist()
+        cols: dict = {c: [] for c in ("external_id", "term", "field",
+                                      "tf", "ctf", "p", "weight")}
+        if ext:
+            ids = self.reader.internal_docids_for(ext)
+            toks: list[str] = []
+            for tok in query.split():
+                toks.extend(self.parser.analyzer.analyze_query_token(tok))
+            plan = self._expand_prefixes(
+                self.parser.parse(query, m.default_op))
+            cache = self._fetch(plan)
+            self._build_dlut(cache)
+            n_args = len(toks) if toks else len(cache)
+            mu, lam = m.mu, m.lambda_
+            for (term, field), inv in sorted(cache.items()):
+                mle = inv.ctf / max(
+                    self.reader.sum_field_lengths(field), 1)
+                dl = self._dl(field, ids)
+                pos = np.searchsorted(inv.docids, ids) \
+                    if inv.docids.size else np.zeros(ids.size, np.int64)
+                pc_ = np.minimum(pos, max(inv.docids.size - 1, 0))
+                hit = (inv.docids.size > 0) & (
+                    inv.docids[pc_] == ids) if inv.docids.size else \
+                    np.zeros(ids.size, bool)
+                tf = np.where(hit, inv.tfs[pc_] if inv.tfs.size else 0,
+                              0).astype(np.float64)
+                p = (1.0 - lam) * (tf + mu * mle) / (dl + mu) + lam * mle
+                mult = toks.count(term) if toks else 1
+                for j in range(len(ext)):
+                    cols["external_id"].append(ext[j])
+                    cols["term"].append(term)
+                    cols["field"].append(field)
+                    cols["tf"].append(int(tf[j]))
+                    cols["ctf"].append(int(inv.ctf))
+                    cols["p"].append(float(p[j]))
+                    cols["weight"].append(mult / n_args)
+        order = sorted(range(len(cols["term"])),
+                       key=lambda i: (cols["external_id"][i],
+                                      cols["term"][i], cols["field"][i]))
+        return pa.table({
+            "external_id": pa.array([cols["external_id"][i] for i in order],
+                                    pa.string()),
+            "term": pa.array([cols["term"][i] for i in order], pa.string()),
+            "field": pa.array([cols["field"][i] for i in order],
+                              pa.string()),
+            "tf": pa.array([cols["tf"][i] for i in order], pa.int64()),
+            "ctf": pa.array([cols["ctf"][i] for i in order], pa.int64()),
+            "p": pa.array([cols["p"][i] for i in order], pa.float64()),
+            "weight": pa.array([cols["weight"][i] for i in order],
+                               pa.float64()),
         })
 
     def run_queries(self, queries: list[tuple[str, str]], k: int = 100) -> pa.Table:

@@ -439,8 +439,8 @@ def test_explain_decomposes_search_scores(docs_index):
     assert keys == sorted(keys)
 
 
-def test_explain_requires_bm25(docs_index):
-    engine = QueryEngine(docs_index, IndriModel())
+def test_explain_requires_scoring_model(docs_index):
+    engine = QueryEngine(docs_index, RankedBooleanModel())
     with pytest.raises(TypeError):
         engine.explain("fast sort")
 
@@ -530,3 +530,21 @@ def test_cached_searcher(docs_index, tmp_path):
     # different k / model params are distinct entries
     cs.search("fast sort", k=5)
     assert calls["n"] == 5
+
+
+def test_explain_indri_decomposes_search_scores(docs_index):
+    """Indri explain: the product of p^weight rows reproduces the search
+    score exactly, absent terms included with their default scores."""
+    engine = QueryEngine(docs_index, IndriModel(mu=2500, lambda_=0.4))
+    q = "fast sort merge"
+    top = engine.search(q, k=10).to_pandas()
+    exp = engine.explain(q, k=10).to_pandas()
+    assert set(exp["external_id"]) == set(top["external_id"])
+    # every (doc, term) pair present — absent terms carry tf == 0
+    assert (exp.groupby("external_id").size() == 3).all()
+    prod = exp.assign(f=exp["p"] ** exp["weight"]) \
+        .groupby("external_id")["f"].prod()
+    for _, row in top.iterrows():
+        np.testing.assert_allclose(prod[row["external_id"]], row["score"],
+                                   rtol=1e-9)
+    np.testing.assert_allclose(exp["weight"], 1 / 3, rtol=1e-12)
