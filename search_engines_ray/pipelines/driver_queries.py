@@ -1562,6 +1562,10 @@ SQL_NEAR_SEARCH = _bm25_derived_sql(
 SQL_PHRASE_SEARCH = _bm25_derived_sql(
     [("near1", "dup", "line"), ("term", "sort")], 100)
 
+# "fast sort"~2 == #near/2(fast sort): same greedy-pair CTE as near_search
+SQL_PHRASE_SLOP_SEARCH = _bm25_derived_sql(
+    [("near", "fast", "sort", 2), ("term", "merge")], 100)
+
 SQL_WINDOW_SEARCH = _bm25_derived_sql(
     [("window", "fast", "sort", 8), ("term", "merge")], 100)
 
@@ -1764,6 +1768,39 @@ def q_phrase_search(sf_dir: str):
 
 
 # SQL_PHRASE_SEARCH defined below _bm25_derived_sql
+
+
+def q_phrase_slop_search(sf_dir: str):
+    """Sloppy-phrase retrieval (Lucene ``"a b"~n`` syntax): the parser
+    relaxes the quoted phrase to #NEAR/n (in-order, gap ≤ n), so
+    ``"fast sort"~2 merge`` under BM25 #SUM is plan-identical to
+    ``#sum(#near/2(fast sort) merge)`` — oracle = the same greedy
+    recursive-CTE transcription as ``near_search``."""
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model())
+    res = engine.search('#sum("fast sort"~2 merge)', k=100)
+    return _ranked_to_table(res)
+
+
+# SQL_PHRASE_SLOP_SEARCH defined below _bm25_derived_sql
+
+
+def q_negation_search(sf_dir: str):
+    """Boolean MUST_NOT (Lucene ``-term`` syntax): ``dup line hash
+    -merge`` scores the positive bag under BM25 and removes every doc
+    whose body contains 'merge' BEFORE the top-k cut; corpus stats
+    stay corpus-wide (``QueryEngine.search`` negation clause — the
+    filtered-search semantics with an anti- instead of an allow-set)."""
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    res = engine.search(" ".join(BM25_QUERY_TERMS) + " -merge", k=100)
+    return _ranked_to_table(res)
+
+
+SQL_NEGATION_SEARCH = _bm25_sql(
+    BM25_QUERY_TERMS, 100,
+    doc_filter="tfs.doc_id not in (select doc_id from tok "
+               "where term = 'merge')")
 
 
 def q_fuzzy_search(sf_dir: str):
@@ -5258,6 +5295,8 @@ QUERIES = {
     "prefix_search": q_prefix_search,
     "fuzzy_search": q_fuzzy_search,
     "phrase_search": q_phrase_search,
+    "phrase_slop_search": q_phrase_slop_search,
+    "negation_search": q_negation_search,
     # rows-only (full-analyzer token chains — oracle-checked via their
     # simple-analyzer twins above — plus sketches/LSH float paths)
     "sdm_wand_search": q_sdm_wand_search,
@@ -5312,6 +5351,8 @@ ORACLE_SQL = {
     "prefix_search": SQL_PREFIX_SEARCH,
     "fuzzy_search": SQL_FUZZY_SEARCH,
     "phrase_search": SQL_PHRASE_SEARCH,
+    "phrase_slop_search": SQL_PHRASE_SLOP_SEARCH,
+    "negation_search": SQL_NEGATION_SEARCH,
     "repetition_stats": SQL_REPETITION_STATS,
     "heuristic_filter": SQL_HEURISTIC_FILTER,
     "pii_scrub": SQL_PII_SCRUB,

@@ -501,8 +501,17 @@ class QueryEngine:
         stay corpus-wide, matching the standard filtered-search
         semantics. The mask is candidate-sized, never O(n_docs); at
         cluster scale the allowed set lives as an attribute shard like
-        the doclens shards, not a driver list."""
-        plan = self.parser.parse(query, self.model.default_op)
+        the doclens shards, not a driver list.
+
+        Top-level ``-term`` tokens are Lucene MUST_NOT clauses
+        (``split_negations``): documents containing a negated term in
+        the default field are removed from the candidates before the
+        top-k cut; a query with only negative clauses matches nothing
+        (BooleanQuery semantics). Corpus stats stay corpus-wide."""
+        from .parser import split_negations
+        query, neg_tokens = split_negations(query)
+        plan = self.parser.parse(query, self.model.default_op) \
+            if query.strip() else None
         if plan is None:
             return _empty_results()
         plan = self._expand_prefixes(plan)
@@ -510,6 +519,17 @@ class QueryEngine:
         self._build_dlut(cache)
         scored = self._eval_sop(plan, cache)
         docids, scores = scored.docids, scored.scores
+        if neg_tokens:
+            field = self.parser.default_field
+            terms = [t for tok in neg_tokens
+                     for t in self.parser.analyzer.analyze_query_token(tok)]
+            got = self.reader.postings_many(terms, field, positions=False) \
+                if terms else {}
+            banned = _union([InvList.from_posting(p).docids
+                             for p in got.values() if p is not None])
+            if banned.size:
+                keep = ~np.isin(docids, banned)
+                docids, scores = docids[keep], scores[keep]
         dels = self.reader.deleted_docids()
         if dels.size:
             # tombstone mask (merge.delete_docs): sorted-probe, never

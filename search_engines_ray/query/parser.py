@@ -83,6 +83,10 @@ class QueryParser:
     def _parse_phrase(self, toks: list[str], i: int):
         """``"exact phrase"`` → ``#NEAR/1`` over the analyzed terms —
         Lucene PhraseQuery sugar (slop 0 == adjacency == #NEAR/1).
+        A trailing ``~n`` (Lucene sloppy-phrase syntax, ``"a b"~2``)
+        relaxes adjacency to ``#NEAR/max(1,n)`` — ordered with ≤ n
+        positions between consecutive terms, the in-order subset of
+        Lucene's slop semantics (slop ≥ 2 reordering is NOT emulated).
         Wildcard/fuzzy markers are literal inside a phrase; stopwords
         drop out exactly as they do in any multi-term token, and a
         phrase that analyzes to one term collapses to it in the
@@ -97,9 +101,14 @@ class QueryParser:
             j += 1
         if j >= len(toks):
             raise QueryParseError("unclosed phrase quote")
+        dist = 1
+        if (j + 1 < len(toks) and toks[j + 1].startswith("~")
+                and toks[j + 1][1:].isdigit()):
+            dist = max(1, int(toks[j + 1][1:]))
+            j += 1
         terms = [t for w in words
                  for t in self._make_terms(w, no_marker=True)]
-        return IopNode(op="near", dist=1, args=terms), j + 1
+        return IopNode(op="near", dist=dist, args=terms), j + 1
 
     def _parse_op(self, toks: list[str], i: int):
         name = toks[i][1:].lower()
@@ -244,6 +253,35 @@ class QueryParser:
                 a = ScoreNode(child=a)
             args.append(a)
         return SopNode(op=node.op, args=args, weights=node.weights)
+
+
+def split_negations(query: str) -> tuple[str, list[str]]:
+    """Split Lucene-style ``-term`` MUST_NOT tokens off a query's top
+    level (outside any ``#op(...)`` parens and outside quoted phrases)
+    → (positive query, raw negated tokens). ``BooleanQuery`` MUST_NOT
+    semantics: the engine evaluates the positive part and removes any
+    document matching a negated term; a pure-negative query matches
+    nothing. ``-`` inside parens is untouched (weights can be negative
+    -free here but operator args are the op's business), and
+    ``near-death`` at top level is a term, not a negation."""
+    depth = 0
+    in_phrase = False
+    pos_parts: list[str] = []
+    negs: list[str] = []
+    for tok in query.replace("(", " ( ").replace(")", " ) ") \
+                    .replace('"', ' " ').split():
+        if tok == '"':
+            in_phrase = not in_phrase
+        elif tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif (depth == 0 and not in_phrase and len(tok) > 1
+                and tok.startswith("-")):
+            negs.append(tok[1:])
+            continue
+        pos_parts.append(tok)
+    return " ".join(pos_parts), negs
 
 
 _DEFAULT_PARSER = QueryParser()

@@ -130,6 +130,37 @@ def test_phrase_sugar(p):
     assert [t.term for t in plan.args] == ["apple", "pie"]
 
 
+def test_phrase_slop(p):
+    # "a b"~n relaxes adjacency to #NEAR/n (in-order sloppy phrase)
+    plan = p.parse('"apple pie"~3')
+    assert isinstance(plan, IopNode) and plan.op == "near" and plan.dist == 3
+    assert [t.term for t in plan.args] == ["apple", "pie"]
+    # ~0 clamps to adjacency; a bare trailing ~n composes under ops
+    assert p.parse('"apple pie"~0').dist == 1
+    plan = p.parse('#sum("apple pie"~2 cake)')
+    assert plan.args[0].child.dist == 2
+    # non-numeric suffix after the quote is NOT slop (falls to terms)
+    plan = p.parse('"apple pie" cake', default_op="#sum")
+    assert len(plan.args) == 2
+
+
+def test_split_negations():
+    from search_engines_ray.query.parser import split_negations
+    pos, neg = split_negations("dup line -merge -hash")
+    assert pos.split() == ["dup", "line"] and neg == ["merge", "hash"]
+    # inside parens / phrases: untouched
+    pos, neg = split_negations('#wsum(-0.5 a 1.0 b)')
+    assert neg == [] and "-0.5" in pos
+    pos, neg = split_negations('"a -b" c')
+    assert neg == [] and "-b" in pos
+    # multi-term token at top level is a term, not a negation
+    pos, neg = split_negations("near-death exp")
+    assert neg == [] and "near-death" in pos
+    # pure-negative query: empty positive part
+    pos, neg = split_negations("-merge")
+    assert pos.strip() == "" and neg == ["merge"]
+
+
 def test_phrase_errors(p):
     with pytest.raises(QueryParseError):
         p.parse('"apple pie')            # unclosed quote

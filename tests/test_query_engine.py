@@ -396,6 +396,34 @@ def test_phrase_query(toy_index):
     assert c["score"].to_pylist() == d["score"].to_pylist()
 
 
+def test_phrase_slop_and_negation(toy_index):
+    """Sloppy phrase == explicit #NEAR/n; -term == anti-filter on the
+    candidates (Lucene MUST_NOT), pure-negative matches nothing."""
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import BM25Model
+    eng = QueryEngine(toy_index, BM25Model())
+    a = eng.search('#sum("quick fox"~2 lazy)', k=10)
+    b = eng.search("#sum(#near/2(quick fox) lazy)", k=10)
+    assert a["external_id"].to_pylist() == b["external_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+    # negation: the anti-set is removed, surviving scores unchanged
+    full = eng.search("quick lazy", k=10)
+    negd = eng.search("quick lazy -fox", k=10)
+    banned = {e for e in eng.search("fox", k=100)["external_id"].to_pylist()}
+    kept = [e for e in full["external_id"].to_pylist() if e not in banned]
+    assert negd["external_id"].to_pylist() == kept
+    sc = dict(zip(full["external_id"].to_pylist(),
+                  full["score"].to_pylist()))
+    assert all(sc[e] == s for e, s in
+               zip(negd["external_id"].to_pylist(),
+                   negd["score"].to_pylist()))
+    # pure-negative query matches nothing
+    assert eng.search("-quick", k=10).num_rows == 0
+    # negating an unindexed term is a no-op
+    same = eng.search("quick lazy -zzzzzzq", k=10)
+    assert same["external_id"].to_pylist() == full["external_id"].to_pylist()
+
+
 def test_rocchio_terms(toy_index):
     import math
     from search_engines_ray.pipelines.prf import rocchio_terms
