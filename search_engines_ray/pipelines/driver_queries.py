@@ -1803,6 +1803,24 @@ SQL_NEGATION_SEARCH = _bm25_sql(
                "where term = 'merge')")
 
 
+def q_synonym_search(sf_dir: str):
+    """Query-time thesaurus expansion (Lucene SynonymGraphFilter
+    analogue): ``fast merge`` with thesaurus {fast: [quick]} rewrites
+    the 'fast' leaf to ``#SYN(fast quick)`` before scoring, so the
+    plan is identical to ``#sum(#syn(fast quick) merge)`` under BM25 —
+    oracle = the derived-SYN leaf transcription (summed member tf,
+    union df)."""
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model())
+    res = engine.search("fast merge", k=100,
+                        synonyms={"fast": ["quick"]})
+    return _ranked_to_table(res)
+
+
+SQL_SYNONYM_SEARCH = _bm25_derived_sql(
+    [("syn", ("fast", "quick")), ("term", "merge")], 100)
+
+
 def q_fuzzy_search(sf_dir: str):
     """Fuzzy retrieval (Lucene FuzzyQuery syntax ``term~d``): each
     marked term rewrites to a #SYN of indexed vocabulary terms within
@@ -5297,6 +5315,7 @@ QUERIES = {
     "phrase_search": q_phrase_search,
     "phrase_slop_search": q_phrase_slop_search,
     "negation_search": q_negation_search,
+    "synonym_search": q_synonym_search,
     # rows-only (full-analyzer token chains — oracle-checked via their
     # simple-analyzer twins above — plus sketches/LSH float paths)
     "sdm_wand_search": q_sdm_wand_search,
@@ -5353,6 +5372,7 @@ ORACLE_SQL = {
     "phrase_search": SQL_PHRASE_SEARCH,
     "phrase_slop_search": SQL_PHRASE_SLOP_SEARCH,
     "negation_search": SQL_NEGATION_SEARCH,
+    "synonym_search": SQL_SYNONYM_SEARCH,
     "repetition_stats": SQL_REPETITION_STATS,
     "heuristic_filter": SQL_HEURISTIC_FILTER,
     "pii_scrub": SQL_PII_SCRUB,

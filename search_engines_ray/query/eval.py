@@ -491,7 +491,8 @@ class QueryEngine:
 
     # ---- public API ----
     def search(self, query: str, k: int = 100,
-               allowed: np.ndarray | None = None) -> pa.Table:
+               allowed: np.ndarray | None = None,
+               synonyms: dict | None = None) -> pa.Table:
         """→ Arrow table (external_id, score, rank), reference ordering:
         score desc, externalId asc, top-k, scores >= 0 only
         (ScoreList.java:87-126, QryEval.java:437,491).
@@ -514,6 +515,9 @@ class QueryEngine:
             if query.strip() else None
         if plan is None:
             return _empty_results()
+        if synonyms:
+            from .parser import expand_synonyms
+            plan = expand_synonyms(plan, synonyms, self.parser.analyzer)
         plan = self._expand_prefixes(plan)
         cache = self._fetch(plan)
         self._build_dlut(cache)

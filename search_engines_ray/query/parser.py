@@ -255,6 +255,50 @@ class QueryParser:
         return SopNode(op=node.op, args=args, weights=node.weights)
 
 
+def expand_synonyms(node: PlanNode, thesaurus: dict,
+                    analyzer: Analyzer | None = None) -> PlanNode:
+    """Query-time thesaurus expansion (Lucene SynonymGraphFilter /
+    Indri ``#syn`` rewrite): every TermNode whose term matches a
+    thesaurus key becomes ``#SYN(term alt1 alt2 ...)`` over the same
+    field. Keys and alternatives are passed through ``analyzer``'s
+    query-token analysis first, so a raw thesaurus ("Fast" →
+    ["Quick"]) matches the analyzed plan. #SYN is an Iop, so the
+    rewrite is legal anywhere a term is — under #SUM scoring leaves
+    and inside positional operators alike. Marked terms (``fa*`` /
+    ``fat~1``) never match a key; prefix/fuzzy expansion runs after."""
+    an = analyzer or Analyzer()
+    norm: dict[str, list[str]] = {}
+    for key, alts in thesaurus.items():
+        ks = an.analyze_query_token(key)
+        if len(ks) != 1:
+            continue
+        out = [t for a in alts for t in an.analyze_query_token(a)]
+        if out:
+            norm[ks[0]] = out
+
+    def walk(n: PlanNode) -> PlanNode:
+        if isinstance(n, TermNode):
+            alts = norm.get(n.term)
+            if not alts:
+                return n
+            seen, members = {n.term}, [TermNode(term=n.term, field=n.field)]
+            for a in alts:
+                if a not in seen:
+                    seen.add(a)
+                    members.append(TermNode(term=a, field=n.field))
+            return IopNode(op="syn", args=members) \
+                if len(members) > 1 else n
+        if isinstance(n, ScoreNode):
+            n.child = walk(n.child)
+            return n
+        if isinstance(n, (IopNode, SopNode)):
+            n.args = [walk(a) for a in n.args]
+            return n
+        return n
+
+    return walk(node)
+
+
 def split_negations(query: str) -> tuple[str, list[str]]:
     """Split Lucene-style ``-term`` MUST_NOT tokens off a query's top
     level (outside any ``#op(...)`` parens and outside quoted phrases)

@@ -424,6 +424,29 @@ def test_phrase_slop_and_negation(toy_index):
     assert same["external_id"].to_pylist() == full["external_id"].to_pylist()
 
 
+def test_synonym_expansion(toy_index):
+    """Thesaurus rewrite == explicit #SYN; raw (unanalyzed) thesaurus
+    entries normalize through the analyzer; unmatched keys are no-ops;
+    the rewrite composes inside positional operators."""
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import BM25Model, RankedBooleanModel
+    eng = QueryEngine(toy_index, BM25Model())
+    a = eng.search("fox lazy", k=10, synonyms={"Fox": ["Dog"]})
+    b = eng.search("#sum(#syn(fox dog) lazy)", k=10)
+    assert a["external_id"].to_pylist() == b["external_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+    # unmatched key: identical to the plain search
+    plain = eng.search("fox lazy", k=10)
+    c = eng.search("fox lazy", k=10, synonyms={"zebra": ["horse"]})
+    assert c["score"].to_pylist() == plain["score"].to_pylist()
+    # inside an Iop: #near/1(quick fox) with fox→dog == #near/1(quick #syn(fox dog))
+    rb = QueryEngine(toy_index, RankedBooleanModel())
+    d = rb.search("#near/1(quick fox)", k=10, synonyms={"fox": ["dog"]})
+    e = rb.search("#near/1(quick #syn(fox dog))", k=10)
+    assert d["external_id"].to_pylist() == e["external_id"].to_pylist()
+    assert d["score"].to_pylist() == e["score"].to_pylist()
+
+
 def test_rocchio_terms(toy_index):
     import math
     from search_engines_ray.pipelines.prf import rocchio_terms
