@@ -1803,6 +1803,36 @@ SQL_NEGATION_SEARCH = _bm25_sql(
                "where term = 'merge')")
 
 
+PERCOLATE_QUERIES = [("alert_fastsort", "fast sort"),
+                     ("alert_dup", "dup"),
+                     ("alert_pipeline", "merge hash line")]
+
+
+def q_percolate_matches(sf_dir: str):
+    """Percolator (reverse search, Elasticsearch percolate / Lucene
+    Monitor): three REGISTERED conjunctive queries stream-matched
+    against the documents table — broadcast-compiled query set, map-only
+    over the doc stream, counting-algorithm term dispatch
+    (functions/percolate.py). Output (qid, doc_id) per match."""
+    import ray.data as rd
+    from ..functions.percolate import percolate
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = percolate(ds, PERCOLATE_QUERIES).to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values(["qid", "doc_id"], ignore_index=True),
+        preserve_index=False)
+
+
+SQL_PERCOLATE_MATCHES = "\nunion all\n".join(
+    "select '{q}' as qid, doc_id from (select doc_id, {t} as toks "
+    "from documents) where {cond}".format(
+        q=qid, t=SIMPLE_TOKS_SQL,
+        cond=" and ".join(f"list_contains(toks, '{w}')"
+                          for w in qtext.split()))
+    for qid, qtext in PERCOLATE_QUERIES) + "\norder by qid, doc_id"
+
+
 def q_synonym_search(sf_dir: str):
     """Query-time thesaurus expansion (Lucene SynonymGraphFilter
     analogue): ``fast merge`` with thesaurus {fast: [quick]} rewrites
@@ -5316,6 +5346,7 @@ QUERIES = {
     "phrase_slop_search": q_phrase_slop_search,
     "negation_search": q_negation_search,
     "synonym_search": q_synonym_search,
+    "percolate_matches": q_percolate_matches,
     # rows-only (full-analyzer token chains — oracle-checked via their
     # simple-analyzer twins above — plus sketches/LSH float paths)
     "sdm_wand_search": q_sdm_wand_search,
@@ -5373,6 +5404,7 @@ ORACLE_SQL = {
     "phrase_slop_search": SQL_PHRASE_SLOP_SEARCH,
     "negation_search": SQL_NEGATION_SEARCH,
     "synonym_search": SQL_SYNONYM_SEARCH,
+    "percolate_matches": SQL_PERCOLATE_MATCHES,
     "repetition_stats": SQL_REPETITION_STATS,
     "heuristic_filter": SQL_HEURISTIC_FILTER,
     "pii_scrub": SQL_PII_SCRUB,

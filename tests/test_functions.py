@@ -655,3 +655,19 @@ def test_select_canonical(ray_session):
     assert out["canonical_id"].tolist() == [1, 10]
     assert out["keep_id"].tolist() == [2, 10]       # 2 beats 3 on id tie
     assert out["keep_score"].tolist() == [9, 4]
+
+
+def test_percolate(ray_session):
+    """Counting-algorithm percolator: conjunctive stored queries match
+    iff every analyzed term is present; empty/analyzed-away queries
+    match nothing; duplicate terms in a query count once."""
+    import ray.data as rd
+    from search_engines_ray.functions.percolate import percolate
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["fast sort merge", "fast fast fast", "sort", ""]}))
+    out = percolate(ds, [("a", "fast sort"), ("b", "fast"),
+                         ("c", "fast fast"), ("d", ""),
+                         ("e", "zebra sort")]).to_pandas()
+    got = sorted(map(tuple, out[["qid", "doc_id"]].values.tolist()))
+    assert got == [("a", 1), ("b", 1), ("b", 2), ("c", 1), ("c", 2)]
