@@ -1803,6 +1803,61 @@ SQL_NEGATION_SEARCH = _bm25_sql(
                "where term = 'merge')")
 
 
+def q_bm25f_top10(sf_dir: str):
+    """BM25F (Zaragoza & Robertson 2004): per-field length-normalized
+    tf pooled with field weights into ONE saturation, idf over the
+    UNION df — genuinely different math from the per-field #SUM of
+    ``bm25_multifield_top10`` (query/bm25f.py). Two-field index
+    (body=text, url=page url), non-uniform w_f and b_f."""
+    from ..query.bm25f import bm25f_search
+    reader = get_index(sf_dir, "simple",
+                       fields={"body": "text", "url": "url"})
+    res = bm25f_search(reader, ["dup", "00000007", "00000008"],
+                       weights={"body": 1.0, "url": 0.6},
+                       field_b={"body": 0.75, "url": 0.5},
+                       k1=1.2, k=10)
+    return _ranked_to_table(res)
+
+
+SQL_BM25F_TOP10 = f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+utok as (
+  select doc_id, unnest(list_filter(string_split_regex(
+    lower('http://docs.example.com/' || printf('%08d', doc_id)),
+    '[^a-z0-9]+'), x -> len(x) > 0)) as term from documents),
+n as (select count(*)::double as v from documents),
+bdl as (select doc_id, count(*)::double as dl from tok group by doc_id),
+bstats as (select (select count(*) from bdl)::double as dc,
+                  (select sum(dl) from bdl)::double as suml),
+udl as (select doc_id, count(*)::double as dl from utok group by doc_id),
+ustats as (select (select count(*) from udl)::double as dc,
+                  (select sum(dl) from udl)::double as suml),
+btf as (select doc_id, term, count(*)::double as tf from tok
+        where term in ('dup','00000007','00000008') group by doc_id, term),
+utf as (select doc_id, term, count(*)::double as tf from utok
+        where term in ('dup','00000007','00000008') group by doc_id, term),
+contrib as (
+  select btf.doc_id, btf.term,
+         1.0*btf.tf/((1.0-0.75) + 0.75*bdl.dl/(bstats.suml/bstats.dc)) as c
+  from btf join bdl using (doc_id) cross join bstats
+  union all
+  select utf.doc_id, utf.term,
+         0.6*utf.tf/((1.0-0.5) + 0.5*udl.dl/(ustats.suml/ustats.dc)) as c
+  from utf join udl using (doc_id) cross join ustats),
+tft as (select doc_id, term, sum(c) as tft from contrib group by doc_id, term),
+dfs as (select term, count(distinct doc_id)::double as df
+        from contrib group by term),
+scored as (
+  select tft.doc_id,
+         sum(greatest(0.0, ln((n.v - dfs.df + 0.5)/(dfs.df + 0.5)))
+             * (tft.tft / (1.2 + tft.tft))) as raw
+  from tft join dfs using (term) cross join n group by tft.doc_id)
+select doc_id, floor(raw*1000000 + 0.5)/1000000 as score from scored
+order by raw desc, doc_id asc limit 10
+"""
+
+
 PERCOLATE_QUERIES = [("alert_fastsort", "fast sort"),
                      ("alert_dup", "dup"),
                      ("alert_pipeline", "merge hash line")]
@@ -5347,6 +5402,7 @@ QUERIES = {
     "negation_search": q_negation_search,
     "synonym_search": q_synonym_search,
     "percolate_matches": q_percolate_matches,
+    "bm25f_top10": q_bm25f_top10,
     # rows-only (full-analyzer token chains — oracle-checked via their
     # simple-analyzer twins above — plus sketches/LSH float paths)
     "sdm_wand_search": q_sdm_wand_search,
@@ -5405,6 +5461,7 @@ ORACLE_SQL = {
     "negation_search": SQL_NEGATION_SEARCH,
     "synonym_search": SQL_SYNONYM_SEARCH,
     "percolate_matches": SQL_PERCOLATE_MATCHES,
+    "bm25f_top10": SQL_BM25F_TOP10,
     "repetition_stats": SQL_REPETITION_STATS,
     "heuristic_filter": SQL_HEURISTIC_FILTER,
     "pii_scrub": SQL_PII_SCRUB,

@@ -424,6 +424,30 @@ def test_phrase_slop_and_negation(toy_index):
     assert same["external_id"].to_pylist() == full["external_id"].to_pylist()
 
 
+def test_bm25f_single_field_reduces_to_bm25(toy_index):
+    """BM25F over one field with w=1 is algebraically plain BM25:
+    idf·(tf/B)/(k1 + tf/B) == idf·tf/(tf + k1·B). The engine's BM25
+    search is the independent implementation being matched."""
+    from search_engines_ray.query.bm25f import bm25f_search
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import BM25Model
+    eng = QueryEngine(toy_index, BM25Model(k1=1.2, b=0.75))
+    a = eng.search("quick fox lazy", k=10)
+    b = bm25f_search(toy_index, ["quick", "fox", "lazy"],
+                     weights={"body": 1.0}, field_b=0.75, k1=1.2, k=10)
+    assert a["external_id"].to_pylist() == b["external_id"].to_pylist()
+    import numpy as np
+    np.testing.assert_allclose(a["score"].to_numpy(),
+                               b["score"].to_numpy(), rtol=1e-12)
+    # doubling a field weight changes scores (weights are live)
+    c = bm25f_search(toy_index, ["quick", "fox", "lazy"],
+                     weights={"body": 2.0}, field_b=0.75, k1=1.2, k=10)
+    assert c["score"].to_pylist() != b["score"].to_pylist()
+    # unknown terms: empty result, no crash
+    d = bm25f_search(toy_index, ["zzzzzzq"], weights={"body": 1.0}, k=10)
+    assert d.num_rows == 0
+
+
 def test_synonym_expansion(toy_index):
     """Thesaurus rewrite == explicit #SYN; raw (unanalyzed) thesaurus
     entries normalize through the analyzer; unmatched keys are no-ops;
