@@ -64,6 +64,33 @@ def get_index(sf_dir: str, mode: str, fields: dict | None = None) -> IndexReader
     return IndexReader(path)
 
 
+def get_half_index_paths(sf_dir: str, mode: str) -> list[str]:
+    """Two half-corpus 'crawl segment' indexes (docs split by url-number
+    parity), cached on disk — the shared segment source for the
+    physical-merge (``get_merged_index``) and federated-search
+    (``q_bm25_federated_top10``) paths."""
+    tag = hashlib.md5(f"{sf_dir}|merged".encode()).hexdigest()[:8]
+    import ray
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    cfg = dict(num_buckets=16, docid_partitions=8, analyzer=mode,
+               fields={"body": "text"},
+               tokenize_concurrency=max(1, min(ncpu - 2, 8)))
+    halves = []
+    for parity in (0, 1):
+        def keep(b: pa.Table, parity=parity) -> pa.Table:
+            nums = np.array([int(u.rsplit("/", 1)[1])
+                             for u in b["url"].to_pylist()], np.int64)
+            return b.filter(pa.array(nums % 2 == parity))
+        hp = os.path.join(_IDX_ROOT, f"{tag}_{mode}_h{parity}")
+        build_index(
+            pages_from_documents(sf_dir).map_batches(
+                keep, batch_format="pyarrow"),
+            hp, IndexBuildConfig(**cfg),
+            input_token=f"{sf_dir}|h{parity}", resume=True)
+        halves.append(hp)
+    return halves
+
+
 def get_merged_index(sf_dir: str, mode: str) -> IndexReader:
     """Incremental-indexing path: build TWO half-corpus indexes (docs
     split by doc_id parity — two independent 'crawl segments'), then
@@ -76,24 +103,7 @@ def get_merged_index(sf_dir: str, mode: str) -> IndexReader:
     path = os.path.join(_IDX_ROOT, f"{tag}_{mode}_merged")
     if not os.path.exists(os.path.join(path, "stats.json")):
         shutil.rmtree(path, ignore_errors=True)  # no half-written appends
-        import ray
-        ncpu = int(ray.cluster_resources().get("CPU", 4))
-        cfg = dict(num_buckets=16, docid_partitions=8, analyzer=mode,
-                   fields={"body": "text"},
-                   tokenize_concurrency=max(1, min(ncpu - 2, 8)))
-        halves = []
-        for parity in (0, 1):
-            def keep(b: pa.Table, parity=parity) -> pa.Table:
-                nums = np.array([int(u.rsplit("/", 1)[1])
-                                 for u in b["url"].to_pylist()], np.int64)
-                return b.filter(pa.array(nums % 2 == parity))
-            hp = os.path.join(_IDX_ROOT, f"{tag}_{mode}_h{parity}")
-            build_index(
-                pages_from_documents(sf_dir).map_batches(
-                    keep, batch_format="pyarrow"),
-                hp, IndexBuildConfig(**cfg),
-                input_token=f"{sf_dir}|h{parity}", resume=True)
-            halves.append(hp)
+        halves = get_half_index_paths(sf_dir, mode)
         merge_indexes(halves[0], halves[1], path)
     return IndexReader(path)
 
@@ -1801,6 +1811,21 @@ SQL_NEGATION_SEARCH = _bm25_sql(
     BM25_QUERY_TERMS, 100,
     doc_filter="tfs.doc_id not in (select doc_id from tok "
                "where term = 'merge')")
+
+
+def q_bm25_federated_top10(sf_dir: str):
+    """Federated search (Lucene MultiReader): the standard 3-term BM25
+    query answered over TWO independently-built half-corpus segments
+    with NO physical merge — global N/df/avglen from a metadata-only
+    pre-pass, per-segment exact top-k, k·N-row driver merge
+    (query/federated.py). Oracle: the single-index BM25 SQL — rankings
+    must be merge-identical."""
+    from ..query.federated import FederatedEngine
+    readers = [IndexReader(p)
+               for p in get_half_index_paths(sf_dir, "simple")]
+    eng = FederatedEngine(readers, BM25Model(k1=1.2, b=0.75))
+    res = eng.search(" ".join(BM25_QUERY_TERMS), k=10)
+    return _ranked_to_table(res)
 
 
 def q_bm25f_top10(sf_dir: str):
@@ -5403,6 +5428,7 @@ QUERIES = {
     "synonym_search": q_synonym_search,
     "percolate_matches": q_percolate_matches,
     "bm25f_top10": q_bm25f_top10,
+    "bm25_federated_top10": q_bm25_federated_top10,
     # rows-only (full-analyzer token chains — oracle-checked via their
     # simple-analyzer twins above — plus sketches/LSH float paths)
     "sdm_wand_search": q_sdm_wand_search,
@@ -5462,6 +5488,7 @@ ORACLE_SQL = {
     "synonym_search": SQL_SYNONYM_SEARCH,
     "percolate_matches": SQL_PERCOLATE_MATCHES,
     "bm25f_top10": SQL_BM25F_TOP10,
+    "bm25_federated_top10": SQL_INDEX_BM25_TOP10,
     "repetition_stats": SQL_REPETITION_STATS,
     "heuristic_filter": SQL_HEURISTIC_FILTER,
     "pii_scrub": SQL_PII_SCRUB,

@@ -1,0 +1,195 @@
+"""Federated multi-segment search — Lucene ``MultiReader`` semantics:
+serve one query over N independently-built index segments WITHOUT a
+physical merge. Corpus statistics are GLOBAL (N = Σ n_docs; per-term
+df/ctf and per-field sum_len/doc_count are sums over segments —
+Lucene's ``TermStates``/``CollectionStatistics`` aggregation), while
+postings, doclens and external ids stay segment-local, so every
+document scores exactly as it would against the merged index
+(``merge_indexes``) and the global top-k is the ordered union of the
+per-segment top-k lists.
+
+Scale design: segments are the natural cluster unit (one crawl shard /
+time slice per segment). The stats pre-pass reads run-level postings
+METADATA only (``postings_meta`` — no blob decode), each segment then
+evaluates independently (the per-segment work ships to where the
+segment lives; here it runs driver-side like ``QueryEngine``), and the
+merge is k·N rows — no shuffle anywhere.
+
+v1 scope: plans over plain TERM leaves (any Sop combinator, BM25 /
+Indri / boolean models). Positional operators and wildcard/fuzzy
+markers raise — a derived list's df/ctf needs the two-phase evaluation
+``distributed.py`` does per salt (same pattern, segment-keyed), and
+vocabulary expansion must be over the union vocabulary.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..index.reader import IndexReader, Posting
+from .eval import QueryEngine
+from .models import RetrievalModel
+from .parser import QueryParser
+from .plan import IopNode, PlanNode, ScoreNode, SopNode, TermNode
+
+
+class _GlobalStatsView:
+    """Segment reader proxy: segment-local postings/doclens/ids, GLOBAL
+    corpus statistics. ``postings_many`` patches each Posting's df/ctf
+    with the cross-segment sums and synthesizes an EMPTY posting (with
+    global df/ctf) for terms this segment lacks — Indri's default score
+    needs the global ctf even where tf == 0 everywhere locally."""
+
+    def __init__(self, seg: IndexReader, n_docs: int, field_stats: dict,
+                 df_ctf: dict):
+        self._seg = seg
+        self._n_docs = n_docs
+        self._field_stats = field_stats      # field -> (doc_count, sum_len)
+        self._df_ctf = df_ctf                # (term, field) -> (df, ctf)
+
+    def __getattr__(self, name):
+        return getattr(self._seg, name)
+
+    @property
+    def n_docs(self) -> int:
+        return self._n_docs
+
+    @property
+    def fields(self) -> list[str]:
+        return list(self._field_stats)
+
+    def doc_count(self, field: str) -> int:
+        return self._field_stats[field][0]
+
+    def sum_field_lengths(self, field: str) -> int:
+        return self._field_stats[field][1]
+
+    def avg_len(self, field: str) -> float:
+        dc, sl = self._field_stats[field]
+        return sl / dc if dc else 0.0
+
+    def postings_many(self, terms, field, positions: bool = True):
+        got = self._seg.postings_many(terms, field, positions=positions)
+        out = {}
+        for t in terms:
+            g = self._df_ctf.get((t, field), (0, 0))
+            p = got.get(t)
+            if p is not None:
+                out[t] = replace(p, df=g[0], ctf=g[1])
+            elif g[0] > 0:
+                out[t] = Posting(
+                    term=t, field=field, df=g[0], ctf=g[1],
+                    docids=np.empty(0, np.int64),
+                    tfs=np.empty(0, np.int32),
+                    positions=np.empty(0, np.int32) if positions else None)
+        return out
+
+
+def _collect_plain_terms(node: PlanNode, default_ok: bool, acc: dict):
+    if isinstance(node, TermNode):
+        if node.term.endswith("*") or (
+                len(node.term) > 2 and node.term[-2] == "~"
+                and node.term[-1] in "012"):
+            raise NotImplementedError(
+                "federated v1: wildcard/fuzzy expansion needs the union "
+                f"vocabulary ({node.term!r})")
+        acc.setdefault(node.field, set()).add(node.term)
+    elif isinstance(node, IopNode):
+        if node.op != "score":
+            raise NotImplementedError(
+                "federated v1: positional/derived operators need "
+                f"two-phase global df/ctf (#{node.op})")
+    elif isinstance(node, ScoreNode):
+        child = node.child
+        if not isinstance(child, TermNode):
+            raise NotImplementedError(
+                "federated v1: #SCORE over derived lists unsupported")
+        _collect_plain_terms(child, default_ok, acc)
+    elif isinstance(node, SopNode):
+        for a in node.args:
+            _collect_plain_terms(a, default_ok, acc)
+
+
+class FederatedEngine:
+    """One-query-many-segments evaluator. ``readers`` are the
+    independently-built segments (external ids must be globally unique
+    — the build plane's url identity)."""
+
+    def __init__(self, readers: list[IndexReader], model: RetrievalModel,
+                 parser: QueryParser | None = None):
+        if not readers:
+            raise ValueError("need at least one segment")
+        self.readers = readers
+        self.model = model
+        if parser is None:
+            from ..analysis.tokenizer import analyzer_for_mode
+            parser = QueryParser(analyzer_for_mode(
+                readers[0].stats.get("analyzer", "lucene")))
+        self.parser = parser
+        self.n_docs = sum(r.n_docs for r in readers)
+        self.field_stats: dict = {}
+        for r in readers:
+            for f in r.fields:
+                dc, sl = self.field_stats.get(f, (0, 0))
+                self.field_stats[f] = (dc + r.doc_count(f),
+                                       sl + r.sum_field_lengths(f))
+        # persistent per-segment engines: global df/ctf are index (not
+        # query) properties, so the shared _df_ctf dict only grows and
+        # each engine's posting cache stays valid across queries
+        self._df_ctf: dict = {}
+        self._engines = []
+        for r in readers:
+            view = _GlobalStatsView(r, self.n_docs, self.field_stats,
+                                    self._df_ctf)
+            self._engines.append(QueryEngine(view, self.model, self.parser))
+
+    def _global_df_ctf(self, acc: dict) -> dict:
+        out: dict = {}
+        for field, terms in acc.items():
+            tl = sorted(terms)
+            for r in self.readers:
+                meta = r.postings_meta(tl, field)
+                if meta is None or meta.num_rows == 0:
+                    continue
+                for t, df, ctf in zip(meta["term"].to_pylist(),
+                                      meta["df"].to_pylist(),
+                                      meta["ctf"].to_pylist()):
+                    d, c = out.get((t, field), (0, 0))
+                    out[(t, field)] = (d + int(df), c + int(ctf))
+        return out
+
+    def search(self, query: str, k: int = 100) -> pa.Table:
+        """→ Arrow (external_id, score, rank) in reference order (score
+        desc, externalId asc): exactly the merged index's ranking —
+        each segment scores with global stats, cuts its own exact
+        top-k, and the driver merges N·k rows."""
+        plan = self.parser.parse(query, self.model.default_op)
+        if plan is None:
+            return pa.table({"external_id": pa.array([], pa.string()),
+                             "score": pa.array([], pa.float64()),
+                             "rank": pa.array([], pa.int32())})
+        acc: dict = {}
+        _collect_plain_terms(plan, True, acc)
+        missing = {f: {t for t in ts if (t, f) not in self._df_ctf}
+                   for f, ts in acc.items()}
+        missing = {f: ts for f, ts in missing.items() if ts}
+        if missing:
+            fresh = self._global_df_ctf(missing)
+            for f, ts in missing.items():       # absent terms pin (0, 0)
+                for t in ts:
+                    fresh.setdefault((t, f), (0, 0))
+            self._df_ctf.update(fresh)
+        parts = [eng.search(query, k=k) for eng in self._engines]
+        merged = pa.concat_tables(parts)
+        order = pc.sort_indices(merged, sort_keys=[
+            ("score", "descending"), ("external_id", "ascending")])
+        top = merged.take(order[:k])
+        return pa.table({
+            "external_id": top["external_id"],
+            "score": top["score"],
+            "rank": pa.array(np.arange(1, top.num_rows + 1, dtype=np.int32)),
+        })

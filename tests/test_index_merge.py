@@ -291,3 +291,44 @@ def test_positionless_lifecycle(tmp_path, ray_session):
     assert ep["external_id"].to_pylist() == ef["external_id"].to_pylist()
     assert np.allclose(ep["score"].to_numpy(), ef["score"].to_numpy(),
                        rtol=0, atol=1e-12)
+
+
+def test_federated_matches_full(merged_and_full):
+    """FederatedEngine over the two segments must rank identically to
+    the ONE-PASS full build (same global stats by addition) for BM25,
+    Indri and ranked boolean — the virtual (MultiReader) counterpart of
+    the physical-merge parity above. Also: engine reuse across queries
+    (the shared df/ctf cache) and the v1 positional/wildcard guards."""
+    import pytest as _pytest
+
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.federated import FederatedEngine
+    from search_engines_ray.query.models import (
+        BM25Model, IndriModel, RankedBooleanModel)
+
+    segs = [merged_and_full["a"], merged_and_full["b"]]
+    full = merged_and_full["full"]
+    queries = ["quick fox lazy", "#and(lazy cat)", "fox.title brown",
+               "#wsum(0.7 fox 0.3 cat)"]
+    for model in (BM25Model(k1=1.2, b=0.75), IndriModel(mu=2500, lambda_=0.4),
+                  RankedBooleanModel()):
+        fed = FederatedEngine(segs, model)
+        ref = QueryEngine(full, model)
+        for q in queries:
+            if model.default_op is None and " " in q and not q.startswith("#"):
+                continue
+            try:
+                want = ref.search(q, k=10)
+            except ValueError:
+                continue  # model/op mismatch (e.g. #wsum under BM25)
+            got = fed.search(q, k=10)
+            assert got["external_id"].to_pylist() == \
+                want["external_id"].to_pylist(), (type(model).__name__, q)
+            assert got["score"].to_pylist() == want["score"].to_pylist(), \
+                (type(model).__name__, q)
+    # v1 guards
+    fed = FederatedEngine(segs, BM25Model())
+    with _pytest.raises(NotImplementedError):
+        fed.search("#sum(#near/1(quick fox) lazy)", k=10)
+    with _pytest.raises(NotImplementedError):
+        fed.search("qui*", k=10)
