@@ -1828,6 +1828,20 @@ def q_bm25_federated_top10(sf_dir: str):
     return _ranked_to_table(res)
 
 
+def q_indri_federated_top10(sf_dir: str):
+    """Federated Indri over the same two segments: the hard case for
+    global stats — the default (tf=0) score needs the GLOBAL ctf even
+    in a segment that lacks the term entirely, which the proxy's
+    synthesized empty postings carry. Oracle: the single-index Indri
+    SQL."""
+    from ..query.federated import FederatedEngine
+    readers = [IndexReader(p)
+               for p in get_half_index_paths(sf_dir, "simple")]
+    eng = FederatedEngine(readers, IndriModel(mu=2500, lambda_=0.4))
+    res = eng.search(" ".join(INDRI_QUERY_TERMS), k=10)
+    return _ranked_to_table(res)
+
+
 def q_bm25f_top10(sf_dir: str):
     """BM25F (Zaragoza & Robertson 2004): per-field length-normalized
     tf pooled with field weights into ONE saturation, idf over the
@@ -1881,6 +1895,23 @@ scored as (
 select doc_id, floor(raw*1000000 + 0.5)/1000000 as score from scored
 order by raw desc, doc_id asc limit 10
 """
+
+
+def q_bm25f_distributed(sf_dir: str):
+    """BM25F at batch scale (distributed.bm25f_batch_search): phase A
+    counts the per-salt UNION df (disjoint salt ranges sum exactly),
+    phase B pools w_f·tf/B_f across fields per doc inside zero-shuffle
+    per-salt tasks. Same query/params as ``bm25f_top10`` — the oracle
+    match proves the distributed path is rank- and score-identical to
+    the driver-side scorer."""
+    from ..query.distributed import bm25f_batch_search
+    reader = get_index(sf_dir, "simple",
+                       fields={"body": "text", "url": "url"})
+    res = bm25f_batch_search(
+        reader.index_dir, [("q1", "dup 00000007 00000008")],
+        weights={"body": 1.0, "url": 0.6},
+        field_b={"body": 0.75, "url": 0.5}, k1=1.2, k=10)
+    return _ranked_to_table(res)
 
 
 PERCOLATE_QUERIES = [("alert_fastsort", "fast sort"),
@@ -5428,7 +5459,9 @@ QUERIES = {
     "synonym_search": q_synonym_search,
     "percolate_matches": q_percolate_matches,
     "bm25f_top10": q_bm25f_top10,
+    "bm25f_distributed": q_bm25f_distributed,
     "bm25_federated_top10": q_bm25_federated_top10,
+    "indri_federated_top10": q_indri_federated_top10,
     # rows-only (full-analyzer token chains — oracle-checked via their
     # simple-analyzer twins above — plus sketches/LSH float paths)
     "sdm_wand_search": q_sdm_wand_search,
@@ -5488,7 +5521,9 @@ ORACLE_SQL = {
     "synonym_search": SQL_SYNONYM_SEARCH,
     "percolate_matches": SQL_PERCOLATE_MATCHES,
     "bm25f_top10": SQL_BM25F_TOP10,
+    "bm25f_distributed": SQL_BM25F_TOP10,
     "bm25_federated_top10": SQL_INDEX_BM25_TOP10,
+    "indri_federated_top10": SQL_INDEX_INDRI_TOP10,
     "repetition_stats": SQL_REPETITION_STATS,
     "heuristic_filter": SQL_HEURISTIC_FILTER,
     "pii_scrub": SQL_PII_SCRUB,

@@ -351,6 +351,144 @@ def _global_dfs(index_dir: str, reader: IndexReader, terms: list[str],
             _global_term_stats(index_dir, reader, terms, field).items()}
 
 
+def bm25f_batch_search(index_dir: str, queries: list[tuple[str, str]],
+                       weights: dict[str, float],
+                       field_b: dict[str, float] | float = 0.75,
+                       k1: float = 1.2, k: int = 100) -> pa.Table:
+    """Distributed BM25F (query/bm25f.py math at batch scale): → (qid,
+    external_id, rank, score), reference ordering per qid.
+
+    Same zero-shuffle per-salt factorization as ``bm25_batch_search``,
+    with one extra wrinkle: BM25F's idf uses the UNION document
+    frequency (docs holding the term in ANY scored field), which no
+    per-field metadata sum can produce — so phase A runs one tiny task
+    per salt counting ``|∪_f docids(t, f, salt)|`` per term (salt
+    ranges are disjoint, so the global union df is the plain sum) and
+    phase B re-scans the same row-group-pruned postings (page-cache
+    warm from A) to pool ``w_f·tf/B_f`` across fields per doc and
+    score. Only (term, count) rows and the final per-salt top-k
+    candidates ever reach the driver."""
+    reader = IndexReader(index_dir)
+    an = analyzer_for_mode(reader.stats.get("analyzer", "lucene"))
+    fields = sorted(weights)
+    if not isinstance(field_b, dict):
+        field_b = {f: float(field_b) for f in fields}
+
+    qids = _check_unique_qids(queries)
+    qcode = {qid: i for i, qid in enumerate(qids)}
+    term_queries: dict[str, list[tuple[int, int]]] = {}
+    for qid, q in queries:
+        terms: list[str] = []
+        for tok in q.split():
+            terms.extend(an.analyze_query_token(tok))
+        for t in set(terms):
+            term_queries.setdefault(t, []).append((qcode[qid], terms.count(t)))
+    if not term_queries:
+        return _empty()
+    terms_list = sorted(term_queries)
+
+    paths = tuple(reader._bucket_paths(terms_list))
+    if not paths:
+        return _empty()
+    N = reader.n_docs
+    avglen = {f: reader.avg_len(f) for f in fields}
+    bvals = {f: field_b[f] for f in fields}
+    wvals = {f: float(weights[f]) for f in fields}
+    pid_offsets = reader.pid_offsets
+    dl_token = reader.stats_token
+
+    def scan_salt(dset, s: int):
+        """per-(term, field) decoded postings of one salt, both fields."""
+        import pyarrow.compute as pc
+        t = dset.to_table(
+            columns=["term", "field", "docid_blob", "tf_blob"],
+            filter=(pc.field("term").isin(terms_list)
+                    & pc.field("field").isin(fields)
+                    & (pc.field("salt") == int(s))))
+        for term, fld, db, tb in zip(t["term"].to_pylist(),
+                                     t["field"].to_pylist(),
+                                     t["docid_blob"].to_pylist(),
+                                     t["tf_blob"].to_pylist()):
+            docids, tfs, _ = decode_postings(db, tb, None)
+            yield term, fld, docids, tfs
+
+    def _dset():
+        import pyarrow.dataset as pads
+        from ..util import proc_cached
+        return proc_cached(("postings_dset", index_dir, dl_token, paths),
+                           lambda: pads.dataset(list(paths),
+                                                format="parquet"))
+
+    # ---- phase A: per-salt union-df partials (tiny rows up) ----
+    @ray.remote
+    def union_count_salt(s: int) -> pa.Table:
+        per_term: dict[str, list[np.ndarray]] = {}
+        for term, _, docids, _tfs in scan_salt(_dset(), s):
+            per_term.setdefault(term, []).append(docids)
+        ts = sorted(per_term)
+        return pa.table({
+            "term": pa.array(ts, pa.string()),
+            "cnt": pa.array([int(np.unique(np.concatenate(per_term[t])).size)
+                             if len(per_term[t]) > 1 else per_term[t][0].size
+                             for t in ts], pa.int64())})
+
+    n_salts = int(reader.stats.get("merge_salts", 4))
+    union_df: dict[str, int] = {}
+    for st in ray.get([union_count_salt.remote(s) for s in range(n_salts)]):
+        for t, c in zip(st["term"].to_pylist(), st["cnt"].to_pylist()):
+            union_df[t] = union_df.get(t, 0) + int(c)
+    df_ref = ray.put(union_df)
+    tq_ref = ray.put(term_queries)
+
+    # ---- phase B: pooled-tf scoring per salt ----
+    def score_salt(batch: pa.Table) -> pa.Table:
+        tq = ray.get(tq_ref)
+        gdf = ray.get(df_ref)
+        dlens = {f: _ShardedDoclens(index_dir, f, pid_offsets, dl_token)
+                 for f in fields}
+        dset = _dset()
+        out: list[pa.Table] = []
+        for s in batch["salt"].to_pylist():
+            contribs: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {}
+            for term, fld, docids, tfs in scan_salt(dset, s):
+                dl = dlens[fld].get(docids).astype(np.float64)
+                B = (1.0 - bvals[fld]) + bvals[fld] * dl / avglen[fld]
+                contribs.setdefault(term, []).append(
+                    (docids, wvals[fld] * tfs.astype(np.float64) / B))
+            entries, any_zero_idf = [], False
+            for term, parts in contribs.items():
+                if len(parts) == 1:
+                    docids, tft = parts[0]
+                else:   # pool w_f·tf/B_f across fields per doc
+                    dc = np.concatenate([p[0] for p in parts])
+                    cc = np.concatenate([p[1] for p in parts])
+                    order = np.argsort(dc, kind="stable")
+                    dc, cc = dc[order], cc[order]
+                    starts = np.flatnonzero(
+                        np.concatenate(([True], dc[1:] != dc[:-1])))
+                    docids = dc[starts]
+                    tft = np.add.reduceat(cc, starts)
+                df = gdf[term]
+                idf = max(0.0, np.log((N - df + 0.5) / (df + 0.5)))
+                any_zero_idf |= idf == 0.0
+                sc = idf * tft / (k1 + tft)
+                for qc, mult in tq[term]:
+                    entries.append((qc, docids,
+                                    sc if mult == 1 else sc * mult))
+            qc_a, docid, sums = _group_sum_entries(
+                entries, need_zero_candidates=any_zero_idf)
+            if qc_a.size:
+                keep = _topk_cut_sorted(qc_a, sums, k)
+                out.append(pa.table({
+                    "gkey": pa.array((qc_a[keep] << _DOC_BITS)
+                                     | docid[keep]),
+                    "score": pa.array(sums[keep])}))
+        return pa.concat_tables(out) if out else _partial_empty()
+
+    return _emit_ranked(_run_salt_tasks(score_salt, reader),
+                        qids, k, reader)
+
+
 def bm25_grid_search(index_dir: str, queries: list[tuple[str, str]],
                      grid: list[tuple[float, float]], k: int = 100,
                      field: str = "body") -> pa.Table:
