@@ -1944,6 +1944,24 @@ SQL_PERCOLATE_MATCHES = "\nunion all\n".join(
     for qid, qtext in PERCOLATE_QUERIES) + "\norder by qid, doc_id"
 
 
+def q_msm_search(sf_dir: str):
+    """Minimum-should-match (#MSM/n — Lucene BooleanQuery
+    setMinimumNumberShouldMatch): docs matching ≥ 2 of the 3 terms,
+    scored as BM25 #SUM over the matching terms; the oracle injects a
+    HAVING count(distinct term) ≥ 2 candidate filter into the shared
+    BM25 template."""
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    res = engine.search("#msm/2(dup line hash)", k=100)
+    return _ranked_to_table(res)
+
+
+SQL_MSM_SEARCH = _bm25_sql(
+    BM25_QUERY_TERMS, 100,
+    doc_filter="tfs.doc_id in (select doc_id from tfs "
+               "group by doc_id having count(distinct term) >= 2)")
+
+
 def q_synonym_search(sf_dir: str):
     """Query-time thesaurus expansion (Lucene SynonymGraphFilter
     analogue): ``fast merge`` with thesaurus {fast: [quick]} rewrites
@@ -5457,6 +5475,7 @@ QUERIES = {
     "phrase_slop_search": q_phrase_slop_search,
     "negation_search": q_negation_search,
     "synonym_search": q_synonym_search,
+    "msm_search": q_msm_search,
     "percolate_matches": q_percolate_matches,
     "bm25f_top10": q_bm25f_top10,
     "bm25f_distributed": q_bm25f_distributed,
@@ -5519,6 +5538,7 @@ ORACLE_SQL = {
     "phrase_slop_search": SQL_PHRASE_SLOP_SEARCH,
     "negation_search": SQL_NEGATION_SEARCH,
     "synonym_search": SQL_SYNONYM_SEARCH,
+    "msm_search": SQL_MSM_SEARCH,
     "percolate_matches": SQL_PERCOLATE_MATCHES,
     "bm25f_top10": SQL_BM25F_TOP10,
     "bm25f_distributed": SQL_BM25F_TOP10,

@@ -423,6 +423,34 @@ class QueryEngine:
                 s += a.scores_for(docids, m)
             return _Scored(docids, s)
 
+        if op == "msm":
+            # Lucene BooleanQuery.setMinimumNumberShouldMatch: keep docs
+            # matching >= n distinct args; score = the #SUM (BM25) / max
+            # (ranked boolean) over the MATCHING args only (absent args
+            # contribute 0 via scores_for). n clamps to the surviving
+            # arg count (stopword args drop in the optimizer pass, as
+            # analyzer-removed clauses do in Lucene). Indri has no
+            # natural msm semantics (every doc scores) — rejected.
+            if indri:
+                raise ValueError("IndriModel doesn't support #MSM")
+            n = max(1, min(node.dist, len(args)))
+            docids = _union([a.docids for a in args])
+            cnt = np.zeros(docids.size, dtype=np.int64)
+            for a in args:
+                cnt += np.isin(docids, a.docids, assume_unique=True)
+            docids = docids[cnt >= n]
+            if isinstance(m, UnrankedBooleanModel):
+                return _Scored(docids, np.ones(docids.size))
+            if isinstance(m, RankedBooleanModel):
+                s = args[0].scores_for(docids, m)
+                for a in args[1:]:
+                    s = np.maximum(s, a.scores_for(docids, m))
+                return _Scored(docids, s)
+            s = np.zeros(docids.size, dtype=np.float64)
+            for a in args:
+                s += a.scores_for(docids, m)
+            return _Scored(docids, s)
+
         if op in ("wsum", "wand"):
             if not indri:
                 raise ValueError(

@@ -156,7 +156,8 @@ class QueryParser:
             node = ScoreNode(child=args[0])
         else:
             node = SopNode(op=name, args=args,
-                           weights=weights if weighted else None)
+                           weights=weights if weighted else None,
+                           dist=dist)
         return node, i
 
     def _make_terms(self, tok: str, no_marker: bool = False):
@@ -222,7 +223,8 @@ class QueryParser:
         if isinstance(node, IopNode):
             return IopNode(op=node.op, args=kept, dist=node.dist)
         return SopNode(op=node.op, args=kept,
-                       weights=kept_w if weights is not None else None)
+                       weights=kept_w if weights is not None else None,
+                       dist=node.dist)
 
     # ---- well-forming (Qry.java:110-181) ----
     def _well_form(self, node: PlanNode) -> PlanNode:
@@ -252,7 +254,8 @@ class QueryParser:
             if is_iop(a):
                 a = ScoreNode(child=a)
             args.append(a)
-        return SopNode(op=node.op, args=args, weights=node.weights)
+        return SopNode(op=node.op, args=args, weights=node.weights,
+                       dist=node.dist)
 
 
 def expand_synonyms(node: PlanNode, thesaurus: dict,

@@ -45,10 +45,11 @@ class ScoreNode(PlanNode):
 
 @dataclass
 class SopNode(PlanNode):
-    """#AND / #OR / #SUM / #WSUM / #WAND over Sop args."""
+    """#AND / #OR / #SUM / #WSUM / #WAND / #MSM/n over Sop args."""
     op: str
     args: list = field(default_factory=list)
     weights: list | None = None   # for #wsum / #wand
+    dist: int = 1                 # for #msm/n: minimum matching args
 
     @property
     def sum_weight(self) -> float:
@@ -56,7 +57,7 @@ class SopNode(PlanNode):
 
 
 WEIGHTED_OPS = {"wsum", "wand"}
-SOP_OPS = {"and", "or", "sum", "wsum", "wand"}
+SOP_OPS = {"and", "or", "sum", "wsum", "wand", "msm"}
 IOP_OPS = {"syn", "near", "window"}
 
 
@@ -78,5 +79,6 @@ def plan_repr(node: PlanNode) -> str:
             parts = [f"{w:g} {plan_repr(a)}" for w, a in zip(node.weights, node.args)]
         else:
             parts = [plan_repr(a) for a in node.args]
-        return f"#{node.op}({' '.join(parts)})"
+        op = f"#{node.op}" + (f"/{node.dist}" if node.op == "msm" else "")
+        return f"{op}({' '.join(parts)})"
     raise TypeError(type(node))

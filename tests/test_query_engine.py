@@ -448,6 +448,40 @@ def test_bm25f_single_field_reduces_to_bm25(toy_index):
     assert d.num_rows == 0
 
 
+def test_msm_operator(toy_index):
+    """#MSM/n: n=1 == #SUM (BM25) / #OR (RB); n == arity == #AND
+    candidates; n clamps to surviving args; Indri rejects."""
+    import numpy as np
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import (
+        BM25Model, IndriModel, RankedBooleanModel)
+    bm = QueryEngine(toy_index, BM25Model())
+    a = bm.search("#msm/1(quick fox lazy)", k=10)
+    b = bm.search("#sum(quick fox lazy)", k=10)
+    assert a["external_id"].to_pylist() == b["external_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+    # n=2: strict subset of n=1 candidates, same scores where kept
+    c = bm.search("#msm/2(quick fox lazy)", k=10)
+    full = dict(zip(a["external_id"].to_pylist(), a["score"].to_pylist()))
+    assert set(c["external_id"].to_pylist()) < set(full)
+    assert all(full[e] == s for e, s in zip(c["external_id"].to_pylist(),
+                                            c["score"].to_pylist()))
+    # n == arity: same candidate SET as boolean #AND
+    rb = QueryEngine(toy_index, RankedBooleanModel())
+    d = bm.search("#msm/3(quick fox lazy)", k=10)
+    e = rb.search("#and(quick fox lazy)", k=10)
+    assert set(d["external_id"].to_pylist()) == set(e["external_id"].to_pylist())
+    # RB msm/1 == #OR; n over-arity clamps (stopword-dropped clause)
+    f = rb.search("#msm/1(quick fox)", k=10)
+    g = rb.search("#or(quick fox)", k=10)
+    assert f["score"].to_pylist() == g["score"].to_pylist()
+    h = rb.search("#msm/9(quick the of)", k=10)   # survives as 1 arg
+    assert h.num_rows > 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        QueryEngine(toy_index, IndriModel()).search("#msm/2(quick fox)", k=10)
+
+
 def test_synonym_expansion(toy_index):
     """Thesaurus rewrite == explicit #SYN; raw (unanalyzed) thesaurus
     entries normalize through the analyzer; unmatched keys are no-ops;
