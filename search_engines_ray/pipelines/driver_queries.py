@@ -1944,6 +1944,19 @@ SQL_PERCOLATE_MATCHES = "\nunion all\n".join(
     for qid, qtext in PERCOLATE_QUERIES) + "\norder by qid, doc_id"
 
 
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer training (Sennrich 2016) over the documents table:
+    one distributed word-histogram pass, driver merge loop on the
+    vocabulary-sized counts (the SentencePiece/HF trainer design) —
+    rows-only (the iterative merge loop is not SQL-expressible; the
+    histogram==stream equivalence is pytest-proven)."""
+    import ray.data as rd
+    from ..functions.bpe import bpe_train
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text"])
+    return bpe_train(ds, num_merges=30)
+
+
 def q_msm_search(sf_dir: str):
     """Minimum-should-match (#MSM/n — Lucene BooleanQuery
     setMinimumNumberShouldMatch): docs matching ≥ 2 of the 3 terms,
@@ -5482,7 +5495,9 @@ QUERIES = {
     "bm25_federated_top10": q_bm25_federated_top10,
     "indri_federated_top10": q_indri_federated_top10,
     # rows-only (full-analyzer token chains — oracle-checked via their
-    # simple-analyzer twins above — plus sketches/LSH float paths)
+    # simple-analyzer twins above — plus sketches/LSH float paths and
+    # iterative algorithms with pytest-reference oracles)
+    "bpe_merges": q_bpe_merges,
     "sdm_wand_search": q_sdm_wand_search,
     "prf_expansion": q_prf_expansion,
     "embedding_lsh_dedup": q_embedding_lsh_dedup,

@@ -671,3 +671,57 @@ def test_percolate(ray_session):
                          ("e", "zebra sort")]).to_pandas()
     got = sorted(map(tuple, out[["qid", "doc_id"]].values.tolist()))
     assert got == [("a", 1), ("b", 1), ("b", 2), ("c", 1), ("c", 2)]
+
+
+def test_bpe_train_matches_stream_reference(ray_session):
+    """Histogram-weighted BPE == BPE over the raw token stream (the
+    textbook Sennrich formulation) — validates that the one-pass word
+    histogram loses nothing. Independent naive reference counts pairs
+    per occurrence, not per word type."""
+    from collections import Counter
+
+    import ray.data as rd
+    from search_engines_ray.analysis.tokenizer import simple_tokenize
+    from search_engines_ray.functions.bpe import (
+        END, bpe_encode_counts, bpe_train)
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "the lazy dog sleeps all day the dog dreams",
+             "quick quick brown foxes jump, lazily dogged!",
+             "low lower lowest newer newest wide wider widest",
+             ""] * 3
+    ds = rd.from_items([{"doc_id": i, "text": t}
+                        for i, t in enumerate(texts)])
+
+    def naive(num):
+        corpus = [list(w) + [END] for t in texts for w in simple_tokenize(t)]
+        merges = []
+        for _ in range(num):
+            pairs = Counter()
+            for syms in corpus:
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += 1
+            if not pairs:
+                break
+            (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((a, b, c))
+            for syms in corpus:
+                i = 0
+                while i < len(syms) - 1:
+                    if syms[i] == a and syms[i + 1] == b:
+                        syms[i:i + 2] = [a + b]
+                    else:
+                        i += 1
+        return merges
+
+    got = bpe_train(ds, num_merges=25)
+    want = naive(25)
+    assert list(zip(got["left"].to_pylist(), got["right"].to_pylist(),
+                    got["freq"].to_pylist())) == want
+
+    # encode: more merges → fewer-or-equal subwords, floor = word count
+    m = list(zip(got["left"].to_pylist(), got["right"].to_pylist()))
+    c0 = bpe_encode_counts(ds, [], ).to_pandas().set_index("doc_id")
+    c25 = bpe_encode_counts(ds, m).to_pandas().set_index("doc_id")
+    assert (c25["bpe_tokens"] <= c0["bpe_tokens"]).all()
+    assert (c25.loc[4, "bpe_tokens"] == 0)  # empty doc
