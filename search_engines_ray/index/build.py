@@ -112,6 +112,12 @@ class IndexBuildConfig:
     analyzer: str = "lucene"       # "lucene" (full chain) | "lucene_nostem"
                                    # (STEMMER=NONE, reference toy index)
                                    # | "simple" (SQL-checkable)
+    attributes: dict | None = None  # doc-values plane (Lucene DocValues):
+    #   attr name -> source column on the pages table, stored as
+    #   ``attr_<name>`` columns of the forward parquet — candidate-set
+    #   fetch (reader.attributes_for) and pruned range/equality scans
+    #   (reader.docids_where) for sort-by-field / metadata-filtered
+    #   retrieval without touching the source table.
     lineage: bool = False          # per-PARTITION checkpointing: the
     #   forward stage at pid grain, the postings merge at (bucket, salt)
     #   grain — each partition writes its file atomically plus a lineage
@@ -135,6 +141,10 @@ class IndexBuildConfig:
         parts = [FORMAT_VERSION, sorted(self.fields.items()),
                  self.url_column, self.docid_partitions, self.analyzer,
                  self.dedup, input_token]
+        if self.attributes:
+            # appended only when set: configs without attributes keep
+            # their pre-doc-values fingerprints (no cache invalidation)
+            parts += [sorted(self.attributes.items())]
         if stage != FORWARD_DIR:
             # stats.json records num_buckets/merge_salts (the reader's
             # bucket-pruning contract), so docmeta + postings include them
@@ -216,6 +226,7 @@ class _ForwardGroupWriter:
         self.mode = cfg.analyzer
         self.url_col = cfg.url_column
         self.dedup = cfg.dedup
+        self.attributes = dict(cfg.attributes or {})
         self.fwd_path = fwd_path
         self.fp = fp
 
@@ -231,7 +242,7 @@ class _ForwardGroupWriter:
         g = g.sort_values(self.url_col, kind="mergesort").reset_index(drop=True)
         g["docid_local"] = np.arange(len(g), dtype=np.int64)
         g["external_id"] = g[self.url_col]
-        tbl = _Tokenize(self.fields, self.mode)(
+        tbl = _Tokenize(self.fields, self.mode, self.attributes)(
             pa.Table.from_pandas(g, preserve_index=False))
         dest = os.path.join(self.fwd_path, _fwd_file(pid))
         tmp = dest + ".tmp"
@@ -407,7 +418,8 @@ def _build_forward_lineage(pages: "ray.data.Dataset", fwd_path: str,
 
     url_col = cfg.url_column
     P = cfg.docid_partitions
-    cols = sorted({url_col, *cfg.fields.values()})
+    cols = sorted({url_col, *cfg.fields.values(),
+                   *(cfg.attributes or {}).values()})
     ds = pages.select_columns(cols)
 
     def add_pid(b: pa.Table) -> pa.Table:
@@ -450,11 +462,15 @@ def _get_analyzer(mode: str) -> Analyzer:
 
 class _Tokenize:
     """Tokenize stage (stateless task form): emits forward-index rows
-    (docid, external_id, pid, and per field: terms/positions/len)."""
+    (docid, external_id, pid, per field: terms/positions/len, and the
+    configured doc-value attribute columns passed through as
+    ``attr_<name>``)."""
 
-    def __init__(self, fields: dict, analyzer_mode: str = "lucene"):
+    def __init__(self, fields: dict, analyzer_mode: str = "lucene",
+                 attributes: dict | None = None):
         self.fields = fields
         self.mode = analyzer_mode
+        self.attributes = attributes or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -463,6 +479,8 @@ class _Tokenize:
             "external_id": batch["external_id"],
             "pid": batch["pid"],
         }
+        for aname, col in sorted(self.attributes.items()):
+            out[f"attr_{aname}"] = batch[col]
         analyze = _get_analyzer(self.mode).analyze
         for fname, col in self.fields.items():
             texts = batch[col].to_pylist()
@@ -690,7 +708,8 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
         # directory, so a crashed/invalidated stage must start clean
         shutil.rmtree(fwd_path, ignore_errors=True)
         url_col = cfg.url_column
-        cols = sorted({url_col, *cfg.fields.values()})
+        cols = sorted({url_col, *cfg.fields.values(),
+                       *(cfg.attributes or {}).values()})
         ds = pages.select_columns(cols)
 
         def add_pid(b: pa.Table) -> pa.Table:
@@ -726,7 +745,7 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
             return g
 
         ds = ds.groupby("pid").map_groups(assign_local, batch_format="pandas")
-        tokenize = _Tokenize(cfg.fields, cfg.analyzer)
+        tokenize = _Tokenize(cfg.fields, cfg.analyzer, cfg.attributes)
         ds = ds.map_batches(
             tokenize, batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size)
@@ -752,6 +771,7 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
                      "merge_salts": resolve_salts(0),
                      "docid_partitions": P, "analyzer": cfg.analyzer,
                      "positions": bool(cfg.store_positions),
+                     "attributes": sorted(cfg.attributes or {}),
                      "pid_offsets": [0] * (P + 1)}
             with open(os.path.join(index_dir, STATS_FILE), "w") as fh:
                 json.dump(stats, fh, indent=1)
@@ -806,6 +826,7 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
                  "merge_salts": resolve_salts(int(n_docs)),
                  "docid_partitions": P, "analyzer": cfg.analyzer,
                  "positions": bool(cfg.store_positions),
+                 "attributes": sorted(cfg.attributes or {}),
                  "pid_offsets": pid_offsets}
         with open(os.path.join(index_dir, STATS_FILE), "w") as fh:
             json.dump(stats, fh, indent=1)

@@ -243,6 +243,64 @@ class IndexReader:
         return {f: t[f"len_{f}"].to_numpy()[order][pos].astype(np.int32)
                 for f in fields}
 
+    # ---- doc values (build-time attribute columns; Lucene DocValues) ----
+    @property
+    def attributes(self) -> list[str]:
+        return list(self.stats.get("attributes", []))
+
+    def attributes_for(self, docids: np.ndarray,
+                       names: list[str]) -> dict[str, np.ndarray]:
+        """Attribute values aligned with ``docids`` — candidate-set
+        pruned forward scan, same shape as ``doclens_for``; the sort-by
+        -field / post-filter primitive. Never O(n_docs)."""
+        docids = np.asarray(docids, dtype=np.int64)
+        cols = [f"attr_{n}" for n in names]
+        missing = [n for n in names if n not in self.attributes]
+        if missing:
+            raise KeyError(f"attributes not in index: {missing} "
+                           f"(have {self.attributes})")
+        if docids.size == 0:
+            return {n: np.empty(0, object) for n in names}
+        pids, locals_ = self._split_docids(docids)
+        t = self._forward_dataset().to_table(
+            columns=["pid", "docid_local"] + cols,
+            filter=pc.field("pid").isin(np.unique(pids).tolist())
+                   & pc.field("docid_local").isin(np.unique(locals_).tolist()))
+        lut_ids = (self.pid_offsets[t["pid"].to_numpy()]
+                   + t["docid_local"].to_numpy())
+        order = np.argsort(lut_ids)
+        pos = np.searchsorted(lut_ids[order], docids)
+        return {n: t[f"attr_{n}"].to_numpy(zero_copy_only=False)[order][pos]
+                for n in names}
+
+    def docids_where(self, name: str, value=None, lo=None, hi=None
+                     ) -> np.ndarray:
+        """Sorted global docids whose attribute equals ``value`` or
+        falls in [lo, hi) — a column-pruned scan with the predicate
+        pushed to parquet row-group stats. The metadata-filter source
+        for ``QueryEngine.search(allowed=...)``; at cluster scale this
+        set stays sharded next to the doclens, the driver only sees it
+        for the final candidate intersection."""
+        if name not in self.attributes:
+            raise KeyError(f"attribute not in index: {name!r} "
+                           f"(have {self.attributes})")
+        f = pc.field(f"attr_{name}")
+        if value is not None:
+            flt = f == value
+        else:
+            flt = None
+            if lo is not None:
+                flt = f >= lo
+            if hi is not None:
+                flt = (f < hi) if flt is None else flt & (f < hi)
+            if flt is None:
+                raise ValueError("need value= or lo=/hi=")
+        t = self._forward_dataset().to_table(
+            columns=["pid", "docid_local"], filter=flt)
+        ids = (self.pid_offsets[t["pid"].to_numpy()]
+               + t["docid_local"].to_numpy())
+        return np.sort(ids)
+
     def external_ids_for(self, docids: np.ndarray) -> np.ndarray:
         """External ids aligned with ``docids`` via a filtered forward
         scan — candidate sets only (top-k × queries), never the corpus.

@@ -43,13 +43,16 @@ POS_TOK_SQL = (f"select doc_id, unnest({SIMPLE_TOKS_SQL}) as term, "
                f"generate_subscripts({SIMPLE_TOKS_SQL}, 1) as pos from documents")
 
 
-def get_index(sf_dir: str, mode: str, fields: dict | None = None) -> IndexReader:
+def get_index(sf_dir: str, mode: str, fields: dict | None = None,
+              attributes: dict | None = None) -> IndexReader:
     """Build (or resume) the index for one sf_dir + analyzer mode (+
-    optional field map, e.g. body+url); cached on disk so repeated
-    queries() calls are cheap."""
+    optional field map, e.g. body+url, and doc-values attributes);
+    cached on disk so repeated queries() calls are cheap."""
     fields = fields or {"body": "text"}
-    tag = hashlib.md5(
-        f"{sf_dir}|{sorted(fields.items())}".encode()).hexdigest()[:8]
+    key = f"{sf_dir}|{sorted(fields.items())}"
+    if attributes:
+        key += f"|attrs={sorted(attributes.items())}"
+    tag = hashlib.md5(key.encode()).hexdigest()[:8]
     path = os.path.join(_IDX_ROOT, f"{tag}_{mode}")
     os.makedirs(path, exist_ok=True)
     import ray
@@ -58,6 +61,7 @@ def get_index(sf_dir: str, mode: str, fields: dict | None = None) -> IndexReader
     ncpu = int(ray.cluster_resources().get("CPU", 4))
     cfg = IndexBuildConfig(num_buckets=16, docid_partitions=16,
                            analyzer=mode, fields=fields,
+                           attributes=attributes,
                            tokenize_concurrency=max(1, min(ncpu - 2, 8)))
     build_index(pages_from_documents(sf_dir), path, cfg,
                 input_token=sf_dir, resume=True)
@@ -1942,6 +1946,63 @@ SQL_PERCOLATE_MATCHES = "\nunion all\n".join(
         cond=" and ".join(f"list_contains(toks, '{w}')"
                           for w in qtext.split()))
     for qid, qtext in PERCOLATE_QUERIES) + "\norder by qid, doc_id"
+
+
+_TS_BASE_US = 1_500_000_000_000_000   # corpus.documents_to_pages_batch
+
+
+def _docvalues_index(sf_dir: str) -> IndexReader:
+    return get_index(sf_dir, "simple",
+                     attributes={"ts": "warc_ts", "lang": "lang"})
+
+
+def q_attr_range_bm25_top10(sf_dir: str):
+    """Doc-values RANGE-filtered retrieval ('recent pages only'): the
+    standard BM25 query restricted to docs whose crawl timestamp (a
+    build-time attribute column, Lucene DocValues analogue) lies in
+    [ts(10), ts(300)) — ``reader.docids_where`` pushes the range to
+    parquet row-group stats, the engine's allowed-set intersects
+    candidates. Stats stay corpus-wide. The oracle inverts the
+    deterministic doc_id→ts mapping."""
+    reader = _docvalues_index(sf_dir)
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    lo = pa.scalar(_TS_BASE_US + 10 * 1_000_000, pa.timestamp("us"))
+    hi = pa.scalar(_TS_BASE_US + 300 * 1_000_000, pa.timestamp("us"))
+    allowed = reader.docids_where("ts", lo=lo, hi=hi)
+    res = engine.search(" ".join(BM25_QUERY_TERMS), k=10, allowed=allowed)
+    return _ranked_to_table(res)
+
+
+SQL_ATTR_RANGE_BM25_TOP10 = _bm25_sql(
+    BM25_QUERY_TERMS, 10,
+    doc_filter="tfs.doc_id in (select doc_id from documents "
+               "where doc_id >= 10 and doc_id < 300)")
+
+
+def q_attr_sorted_search(sf_dir: str):
+    """Sort-by-field retrieval (Lucene Sort(SortField)): docs matching
+    'dup' ordered NEWEST-FIRST by the indexed crawl-timestamp doc-value
+    instead of relevance — ``QueryEngine.search_sorted`` fetches the
+    attribute for the match set only. → (doc_id, rank)."""
+    reader = _docvalues_index(sf_dir)
+    engine = QueryEngine(reader, BM25Model())
+    t = engine.search_sorted("dup", attr="ts", k=20, descending=True)
+    return pa.table({
+        "doc_id": pa.array(_docid_of_external(
+            t["external_id"].to_pylist())),
+        "rank": pa.array(t["rank"].to_numpy().astype("int64")),
+    })
+
+
+SQL_ATTR_SORTED_SEARCH = f"""
+with m as (
+  select doc_id from (select doc_id, {SIMPLE_TOKS_SQL} as toks
+                      from documents)
+  where list_contains(toks, 'dup'))
+select doc_id,
+       row_number() over (order by doc_id desc)::bigint as rank
+from m order by doc_id desc limit 20
+"""
 
 
 def q_bpe_merges(sf_dir: str):
@@ -5489,6 +5550,8 @@ QUERIES = {
     "negation_search": q_negation_search,
     "synonym_search": q_synonym_search,
     "msm_search": q_msm_search,
+    "attr_range_bm25_top10": q_attr_range_bm25_top10,
+    "attr_sorted_search": q_attr_sorted_search,
     "percolate_matches": q_percolate_matches,
     "bm25f_top10": q_bm25f_top10,
     "bm25f_distributed": q_bm25f_distributed,
@@ -5554,6 +5617,8 @@ ORACLE_SQL = {
     "negation_search": SQL_NEGATION_SEARCH,
     "synonym_search": SQL_SYNONYM_SEARCH,
     "msm_search": SQL_MSM_SEARCH,
+    "attr_range_bm25_top10": SQL_ATTR_RANGE_BM25_TOP10,
+    "attr_sorted_search": SQL_ATTR_SORTED_SEARCH,
     "percolate_matches": SQL_PERCOLATE_MATCHES,
     "bm25f_top10": SQL_BM25F_TOP10,
     "bm25f_distributed": SQL_BM25F_TOP10,

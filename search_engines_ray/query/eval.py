@@ -22,6 +22,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..index.reader import IndexReader, Posting
 from .models import (
@@ -577,6 +578,39 @@ class QueryEngine:
         # the interactive path must not allocate O(n_docs) driver memory
         return rank_results_candidates(docids, scores,
                                        self.reader.external_ids_for, k)
+
+    def search_sorted(self, query: str, attr: str, k: int = 100,
+                      descending: bool = True) -> pa.Table:
+        """Sort-by-field retrieval (Lucene ``Sort(SortField)``): the
+        query's MATCH SET ordered by a doc-values attribute instead of
+        relevance — (attr desc|asc, externalId asc), top-k. Attribute
+        values come from the index's doc-values plane
+        (``reader.attributes_for``), fetched for the candidate set
+        only. → Arrow (external_id, <attr>, rank)."""
+        plan = self.parser.parse(query, self.model.default_op)
+        if plan is None:
+            return pa.table({"external_id": pa.array([], pa.string()),
+                             attr: pa.array([]),
+                             "rank": pa.array([], pa.int32())})
+        plan = self._expand_prefixes(plan)
+        cache = self._fetch(plan)
+        self._build_dlut(cache)
+        docids = self._eval_sop(plan, cache).docids
+        dels = self.reader.deleted_docids()
+        if dels.size:
+            idx = np.searchsorted(dels, docids)
+            idx[idx == dels.size] = 0
+            docids = docids[dels[idx] != docids]
+        vals = self.reader.attributes_for(docids, [attr])[attr]
+        exts = self.reader.external_ids_for(docids)
+        t = pa.table({"external_id": pa.array(exts),
+                      attr: pa.array(vals)})
+        order = pc.sort_indices(t, sort_keys=[
+            (attr, "descending" if descending else "ascending"),
+            ("external_id", "ascending")])
+        top = t.take(order[:k])
+        return top.append_column(
+            "rank", pa.array(np.arange(1, top.num_rows + 1, dtype=np.int32)))
 
     def explain(self, query: str, k: int = 10) -> pa.Table:
         """Lucene ``Explanation``-style per-term BM25 score breakdown for

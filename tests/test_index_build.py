@@ -230,3 +230,73 @@ def test_positionless_index(tmp_path, toy_pages, ray_session):
 
     assert dir_bytes(str(tmp_path / "nopos")) < dir_bytes(
         str(tmp_path / "pos"))
+
+
+def test_docvalues_attributes(tmp_path, ray_session):
+    """Doc-values plane: attribute columns stored at build, candidate
+    -aligned fetch, pruned range/equality scans, sort-by-field search,
+    and loud errors for unknown attributes. Streaming and lineage
+    forward paths must store identical values."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from search_engines_ray.index import (
+        IndexBuildConfig, IndexReader, build_index)
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import BM25Model
+
+    rows = [{"url": f"http://a.example.com/{i:03d}",
+             "text": f"alpha beta {'dup ' if i % 2 else ''}gamma",
+             "stars": i * 10, "lang": "en" if i < 6 else "fr"}
+            for i in range(9)]
+    readers = {}
+    for name, lineage in (("s", False), ("l", True)):
+        d = str(tmp_path / name)
+        build_index(rd.from_items(rows), d,
+                    IndexBuildConfig(num_buckets=4, docid_partitions=4,
+                                     analyzer="simple", lineage=lineage,
+                                     attributes={"stars": "stars",
+                                                 "lang": "lang"}),
+                    input_token="dv", resume=False)
+        readers[name] = IndexReader(d)
+    r = readers["s"]
+    assert sorted(r.attributes) == ["lang", "stars"]
+    # aligned fetch across pid boundaries, arbitrary order
+    ids = np.array(sorted(r.internal_docid(f"http://a.example.com/{i:03d}")
+                          for i in (8, 0, 5)))
+    got = r.attributes_for(ids, ["stars", "lang"])
+    exts = r.external_ids_for(ids)
+    want = {u: (int(u[-3:]) * 10, "en" if int(u[-3:]) < 6 else "fr")
+            for u in exts}
+    assert [int(v) for v in got["stars"]] == [want[u][0] for u in exts]
+    assert list(got["lang"]) == [want[u][1] for u in exts]
+    # range / equality scans
+    mid = r.docids_where("stars", lo=20, hi=60)
+    assert sorted(int(s) for s in
+                  r.attributes_for(mid, ["stars"])["stars"]) == [20, 30, 40, 50]
+    fr = r.docids_where("lang", value="fr")
+    assert len(fr) == 3
+    # lineage path stores the same values (keyed by external id)
+    rl = readers["l"]
+    ids_l = np.arange(rl.n_docs)
+    by_ext = dict(zip(rl.external_ids_for(ids_l),
+                      rl.attributes_for(ids_l, ["stars"])["stars"]))
+    ids_s = np.arange(r.n_docs)
+    by_ext_s = dict(zip(r.external_ids_for(ids_s),
+                        r.attributes_for(ids_s, ["stars"])["stars"]))
+    assert {k: int(v) for k, v in by_ext.items()} == \
+           {k: int(v) for k, v in by_ext_s.items()}
+    # sort-by-field: 'dup' matches odd docs, stars desc == doc desc
+    eng = QueryEngine(r, BM25Model())
+    t = eng.search_sorted("dup", attr="stars", k=3, descending=True)
+    assert [int(u[-3:]) for u in t["external_id"].to_pylist()] == [7, 5, 3]
+    assert [int(s) for s in t["stars"].to_pylist()] == [70, 50, 30]
+    # unknown attribute: loud
+    with pytest.raises(KeyError):
+        r.attributes_for(ids, ["nope"])
+    with pytest.raises(KeyError):
+        r.docids_where("nope", value=1)
+    with pytest.raises(ValueError):
+        r.docids_where("stars")
