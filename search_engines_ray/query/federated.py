@@ -76,11 +76,13 @@ class _GlobalStatsView:
         got = self._seg.postings_many(terms, field, positions=positions)
         out = {}
         for t in terms:
-            g = self._df_ctf.get((t, field), (0, 0))
+            g = self._df_ctf.get((t, field))
             p = got.get(t)
             if p is not None:
-                out[t] = replace(p, df=g[0], ctf=g[1])
-            elif g[0] > 0:
+                # terms outside the pre-pass (e.g. a MUST_NOT clause,
+                # where only docids matter) keep their local stats
+                out[t] = replace(p, df=g[0], ctf=g[1]) if g else p
+            elif g and g[0] > 0:
                 out[t] = Posting(
                     term=t, field=field, df=g[0], ctf=g[1],
                     docids=np.empty(0, np.int64),
@@ -141,17 +143,23 @@ class FederatedEngine:
         # query) properties, so the shared _df_ctf dict only grows and
         # each engine's posting cache stays valid across queries
         self._df_ctf: dict = {}
+        self._presence: dict = {}        # (term, field) -> {segment idx}
+        self.last_skipped = 0            # routing introspection
         self._engines = []
         for r in readers:
             view = _GlobalStatsView(r, self.n_docs, self.field_stats,
                                     self._df_ctf)
             self._engines.append(QueryEngine(view, self.model, self.parser))
 
-    def _global_df_ctf(self, acc: dict) -> dict:
+    def _global_df_ctf(self, acc: dict) -> tuple[dict, dict]:
+        """→ (global (term, field) → (df, ctf) sums, (term, field) →
+        set of segment indexes holding the term) — one metadata-only
+        scan per (segment, field)."""
         out: dict = {}
+        presence: dict = {}
         for field, terms in acc.items():
             tl = sorted(terms)
-            for r in self.readers:
+            for i, r in enumerate(self.readers):
                 meta = r.postings_meta(tl, field)
                 if meta is None or meta.num_rows == 0:
                     continue
@@ -160,14 +168,20 @@ class FederatedEngine:
                                       meta["ctf"].to_pylist()):
                     d, c = out.get((t, field), (0, 0))
                     out[(t, field)] = (d + int(df), c + int(ctf))
-        return out
+                    presence.setdefault((t, field), set()).add(i)
+        return out, presence
 
     def search(self, query: str, k: int = 100) -> pa.Table:
         """→ Arrow (external_id, score, rank) in reference order (score
         desc, externalId asc): exactly the merged index's ranking —
         each segment scores with global stats, cuts its own exact
-        top-k, and the driver merges N·k rows."""
-        plan = self.parser.parse(query, self.model.default_op)
+        top-k, and the driver merges N·k rows. ``-term`` MUST_NOT
+        clauses apply per segment (docid filters need no global
+        stats); routing collects only the positive terms."""
+        from .parser import split_negations
+        positive, _negs = split_negations(query)
+        plan = self.parser.parse(positive, self.model.default_op) \
+            if positive.strip() else None
         if plan is None:
             return pa.table({"external_id": pa.array([], pa.string()),
                              "score": pa.array([], pa.float64()),
@@ -178,12 +192,31 @@ class FederatedEngine:
                    for f, ts in acc.items()}
         missing = {f: ts for f, ts in missing.items() if ts}
         if missing:
-            fresh = self._global_df_ctf(missing)
+            fresh, pres = self._global_df_ctf(missing)
             for f, ts in missing.items():       # absent terms pin (0, 0)
                 for t in ts:
                     fresh.setdefault((t, f), (0, 0))
             self._df_ctf.update(fresh)
-        parts = [eng.search(query, k=k) for eng in self._engines]
+            for key, segs in pres.items():
+                self._presence.setdefault(key, set()).update(segs)
+        # ---- segment routing (shard selection): a segment with ZERO
+        # local postings for every query term cannot contribute a
+        # candidate under BM25/boolean (candidates ⊆ posting unions) —
+        # skip it without shipping the query. EXACT, not Taily-style
+        # approximate. Indri never skips: its default (tf=0) score makes
+        # every segment's docs rankable.
+        keys = [(t, f) for f, ts in acc.items() for t in ts]
+        live = list(range(len(self._engines)))
+        from .models import IndriModel
+        if not isinstance(self.model, IndriModel):
+            live = [i for i in live
+                    if any(i in self._presence.get(key, ()) for key in keys)]
+        self.last_skipped = len(self._engines) - len(live)
+        parts = [self._engines[i].search(query, k=k) for i in live]
+        if not parts:
+            return pa.table({"external_id": pa.array([], pa.string()),
+                             "score": pa.array([], pa.float64()),
+                             "rank": pa.array([], pa.int32())})
         merged = pa.concat_tables(parts)
         order = pc.sort_indices(merged, sort_keys=[
             ("score", "descending"), ("external_id", "ascending")])

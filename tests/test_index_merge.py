@@ -332,3 +332,43 @@ def test_federated_matches_full(merged_and_full):
         fed.search("#sum(#near/1(quick fox) lazy)", k=10)
     with _pytest.raises(NotImplementedError):
         fed.search("qui*", k=10)
+
+
+def test_federated_segment_routing(merged_and_full):
+    """Shard selection: a segment with zero local postings for every
+    query term is skipped for BM25/boolean (exact — candidates are
+    posting subsets), never for Indri (default scores rank everywhere);
+    results stay identical to the unrouted full-index search."""
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.federated import FederatedEngine
+    from search_engines_ray.query.models import BM25Model, IndriModel
+
+    segs = [merged_and_full["a"], merged_and_full["b"]]
+    full = merged_and_full["full"]
+    # 'jumps' occurs only in segment a (url /1); segment b routes away
+    fed = FederatedEngine(segs, BM25Model())
+    got = fed.search("jumps", k=10)
+    assert fed.last_skipped == 1
+    want = QueryEngine(full, BM25Model()).search("jumps", k=10)
+    assert got["external_id"].to_pylist() == want["external_id"].to_pylist()
+    assert got["score"].to_pylist() == want["score"].to_pylist()
+    # both segments hold 'fox' (urls /1 and /5): nothing skipped
+    fed.search("fox", k=10)
+    assert fed.last_skipped == 0
+    # all terms unindexed: every segment routes away, empty result
+    assert fed.search("zzzzzzq", k=10).num_rows == 0
+    assert fed.last_skipped == 2
+    # Indri never skips — and matches the full index with routing off
+    fi = FederatedEngine(segs, IndriModel(mu=2500, lambda_=0.4))
+    gi = fi.search("jumps cat", k=10)
+    assert fi.last_skipped == 0
+    wi = QueryEngine(full, IndriModel(mu=2500, lambda_=0.4)).search(
+        "jumps cat", k=10)
+    assert gi["external_id"].to_pylist() == wi["external_id"].to_pylist()
+    assert gi["score"].to_pylist() == wi["score"].to_pylist()
+    # negation composes: per-segment MUST_NOT, routing on positives
+    fb = FederatedEngine(segs, BM25Model())
+    gn = fb.search("quick lazy -fox", k=10)
+    wn = QueryEngine(full, BM25Model()).search("quick lazy -fox", k=10)
+    assert gn["external_id"].to_pylist() == wn["external_id"].to_pylist()
+    assert gn["score"].to_pylist() == wn["score"].to_pylist()
