@@ -157,3 +157,44 @@ def stratified_sample(ds, strata_col: str, id_col: str = "doc_id",
     return ds.map_batches(partial, batch_format="pyarrow") \
         .repartition(1) \
         .map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def weighted_sample(ds, weight_col: str, k: int = 100,
+                    id_col: str = "doc_id"):
+    """Weighted sample WITHOUT replacement (Efraimidis & Spirakis 2006
+    A-Res): each row draws key = ln(u)/w with u = (md5₆₄(id)+1)/2⁶⁴ and
+    the k largest keys win — inclusion probability proportional to
+    weight, in one streaming pass. ln(u)/w orders identically to the
+    textbook u^(1/w) (monotone transform; ln u < 0) while staying
+    DuckDB-mirrorable without pow ulp drift.
+
+    Deterministic like ``hash_sample`` (the u permutation is pure
+    content arithmetic, auditable by SQL), and the same scale shape:
+    per-batch partial top-k → ≤ k rows per block merge on one block.
+    The canonical use: quality-weighted corpus subsampling, where w is
+    a quality score and the audit trail matters."""
+
+    def keys(b: pa.Table):
+        ids = b[id_col].to_pylist()
+        h = _id_hash64(ids)
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return np.asarray(ids, dtype=np.int64), np.log(u) / w
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids_np, key = keys(b)
+        order = np.lexsort((ids_np, -key))[:k]
+        return pa.table({id_col: pa.array(ids_np[order]),
+                         "key": pa.array(key[order])})
+
+    def final(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        key = b["key"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -key))[:k]
+        return pa.table({
+            id_col: pa.array(ids[order]),
+            "sample_rank": pa.array(np.arange(len(order), dtype=np.int64))})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(final, batch_format="pyarrow", batch_size=None)

@@ -2005,6 +2005,32 @@ from m order by doc_id desc limit 20
 """
 
 
+def q_weighted_sample(sf_dir: str):
+    """Weight-proportional sample without replacement (Efraimidis &
+    Spirakis A-Res, w = n_chars): ln(u)/w keys from the md5 id
+    permutation, top-50 — the auditable quality-weighted subsampling
+    op; the oracle recomputes the identical keys in SQL."""
+    import ray.data as rd
+    from ..functions.sample import weighted_sample
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    return weighted_sample(ds, weight_col="n_chars", k=50)
+
+
+SQL_WEIGHTED_SAMPLE = """
+with h as (select doc_id,
+  ((('0x' || substr(md5(doc_id::varchar), 1, 16))::ubigint)::double + 1.0)
+    / 18446744073709551616.0 as u,
+  n_chars::double as w from documents),
+r as (select doc_id,
+             row_number() over (order by ln(u)/w desc, doc_id) - 1
+               as sample_rank
+      from h)
+select doc_id, sample_rank::bigint as sample_rank
+from r where sample_rank < 50
+"""
+
+
 def q_bpe_merges(sf_dir: str):
     """BPE tokenizer training (Sennrich 2016) over the documents table:
     one distributed word-histogram pass, driver merge loop on the
@@ -5552,6 +5578,7 @@ QUERIES = {
     "msm_search": q_msm_search,
     "attr_range_bm25_top10": q_attr_range_bm25_top10,
     "attr_sorted_search": q_attr_sorted_search,
+    "weighted_sample": q_weighted_sample,
     "percolate_matches": q_percolate_matches,
     "bm25f_top10": q_bm25f_top10,
     "bm25f_distributed": q_bm25f_distributed,
@@ -5619,6 +5646,7 @@ ORACLE_SQL = {
     "msm_search": SQL_MSM_SEARCH,
     "attr_range_bm25_top10": SQL_ATTR_RANGE_BM25_TOP10,
     "attr_sorted_search": SQL_ATTR_SORTED_SEARCH,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "percolate_matches": SQL_PERCOLATE_MATCHES,
     "bm25f_top10": SQL_BM25F_TOP10,
     "bm25f_distributed": SQL_BM25F_TOP10,

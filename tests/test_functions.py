@@ -725,3 +725,29 @@ def test_bpe_train_matches_stream_reference(ray_session):
     c25 = bpe_encode_counts(ds, m).to_pandas().set_index("doc_id")
     assert (c25["bpe_tokens"] <= c0["bpe_tokens"]).all()
     assert (c25.loc[4, "bpe_tokens"] == 0)  # empty doc
+
+
+def test_weighted_sample(ray_session):
+    """A-Res keys: deterministic, weight-monotone inclusion (doubling
+    every weight changes nothing — keys scale uniformly), and an
+    all-rows k returns everything in key order."""
+    import numpy as np
+    import ray.data as rd
+    from search_engines_ray.functions.sample import weighted_sample
+    rows = [{"doc_id": i, "w": (i % 7) + 1} for i in range(200)]
+    ds = rd.from_items(rows)
+    a = weighted_sample(ds, "w", k=20).to_pandas()
+    b = weighted_sample(rd.from_items(rows), "w", k=20).to_pandas()
+    assert a.equals(b)
+    assert a["sample_rank"].tolist() == list(range(20))
+    # scale-invariance: key = ln(u)/w, so w -> 2w permutes nothing
+    rows2 = [{"doc_id": r["doc_id"], "w": r["w"] * 2} for r in rows]
+    c = weighted_sample(rd.from_items(rows2), "w", k=20).to_pandas()
+    assert c["doc_id"].tolist() == a["doc_id"].tolist()
+    # k >= n: every row appears exactly once
+    full = weighted_sample(rd.from_items(rows), "w", k=500).to_pandas()
+    assert sorted(full["doc_id"]) == list(range(200))
+    # heavier rows are sampled more often (statistical sanity: the
+    # mean weight of the top-20 beats the corpus mean)
+    wmap = {r["doc_id"]: r["w"] for r in rows}
+    assert np.mean([wmap[d] for d in a["doc_id"]]) > np.mean(list(wmap.values()))
