@@ -2005,6 +2005,59 @@ from m order by doc_id desc limit 20
 """
 
 
+def q_highlight_positions(sf_dir: str):
+    """Term-vector highlighter (Lucene FastVectorHighlighter pattern):
+    exact match POSITIONS of the query terms inside the BM25 top-5
+    docs, read from the INDEX's forward term vectors — no source-text
+    re-tokenization (the serving path often has no text at all).
+    → (doc_id, term, pos), (doc_id, pos)-ordered."""
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    top = engine.search(" ".join(BM25_QUERY_TERMS), k=5)
+    exts = top["external_id"].to_pylist()
+    ids = reader.internal_docids_for(exts)
+    tvs = reader.term_vectors(ids.tolist(), "body")
+    did_of = dict(zip(ids.tolist(), _docid_of_external(exts)))
+    qt = set(BM25_QUERY_TERMS)
+    # analyzer positions are 0-based; report 1-based like the oracle's
+    # generate_subscripts (and human-facing highlighters)
+    rows = [(did_of[gid], t, int(p) + 1)
+            for gid, (terms, poss, _l) in tvs.items()
+            for t, p in zip(terms, poss) if t in qt]
+    rows.sort()
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "term": pa.array([r[1] for r in rows], pa.string()),
+        "pos": pa.array([r[2] for r in rows], pa.int64())})
+
+
+SQL_HIGHLIGHT_POSITIONS = f"""
+with tok as ({POS_TOK_SQL}),
+doclen as (select doc_id, count(*)::double as dl from tok group by doc_id),
+stats as (select
+  (select count(*) from documents)::double as n,
+  (select count(*) from doclen)::double as dc,
+  (select sum(dl) from doclen)::double as suml),
+tfs as (select doc_id, term, count(*)::double as tf from tok
+        where term in ('dup','line','hash') group by doc_id, term),
+dfs as (select term, count(*)::double as df from tfs group by term),
+scored as (
+  select tfs.doc_id,
+         sum(greatest(0.0, ln((stats.n - dfs.df + 0.5)/(dfs.df + 0.5)))
+             * (tfs.tf / (tfs.tf + 1.2*((1.0-0.75)
+                + 0.75*doclen.dl/(stats.suml/stats.dc))))) as raw
+  from tfs join dfs on tfs.term = dfs.term
+  join doclen on tfs.doc_id = doclen.doc_id
+  cross join stats group by tfs.doc_id),
+topk as (select doc_id from scored order by raw desc, doc_id asc limit 5)
+select t.doc_id, t.term, t.pos::bigint as pos
+from tok t
+where t.term in ('dup','line','hash')
+  and t.doc_id in (select doc_id from topk)
+order by t.doc_id, t.pos
+"""
+
+
 def q_weighted_sample(sf_dir: str):
     """Weight-proportional sample without replacement (Efraimidis &
     Spirakis A-Res, w = n_chars): ln(u)/w keys from the md5 id
@@ -5579,6 +5632,7 @@ QUERIES = {
     "attr_range_bm25_top10": q_attr_range_bm25_top10,
     "attr_sorted_search": q_attr_sorted_search,
     "weighted_sample": q_weighted_sample,
+    "highlight_positions": q_highlight_positions,
     "percolate_matches": q_percolate_matches,
     "bm25f_top10": q_bm25f_top10,
     "bm25f_distributed": q_bm25f_distributed,
@@ -5647,6 +5701,7 @@ ORACLE_SQL = {
     "attr_range_bm25_top10": SQL_ATTR_RANGE_BM25_TOP10,
     "attr_sorted_search": SQL_ATTR_SORTED_SEARCH,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "highlight_positions": SQL_HIGHLIGHT_POSITIONS,
     "percolate_matches": SQL_PERCOLATE_MATCHES,
     "bm25f_top10": SQL_BM25F_TOP10,
     "bm25f_distributed": SQL_BM25F_TOP10,
