@@ -422,6 +422,33 @@ class IndexReader:
                     & (pc.field("term") < hi)))
         return sorted(set(t["term"].to_pylist()))[:max_terms]
 
+    def terms_with_substring(self, sub: str, field: str,
+                             max_terms: int = 64) -> list[str]:
+        """All indexed terms of ``field`` CONTAINING ``sub``, ascending,
+        capped at ``max_terms`` — the infix-wildcard (``*abc*``)
+        expansion. Unlike a prefix there is no byte-range to push down
+        (Lucene pays the same price: leading-wildcard terms enumerate
+        the whole term dictionary), so this scans the pruned ``term``
+        column and substring-matches vectorized in Arrow."""
+        if not sub:
+            return []
+        base = os.path.join(self.index_dir, POSTINGS_DIR)
+        paths: list[str] = []
+        if os.path.isdir(base):
+            for d in sorted(os.listdir(base)):
+                full = os.path.join(base, d)
+                if d.startswith("bucket=") and os.path.isdir(full):
+                    paths.extend(os.path.join(full, f)
+                                 for f in sorted(os.listdir(full))
+                                 if f.endswith(".parquet"))
+        if not paths:
+            return []
+        t = pads.dataset(paths, format="parquet").to_table(
+            columns=["term"],
+            filter=((pc.field("field") == field)
+                    & pc.match_substring(pc.field("term"), sub)))
+        return sorted(set(t["term"].to_pylist()))[:max_terms]
+
     def terms_within_distance(self, term: str, field: str,
                               max_distance: int = 2,
                               max_terms: int = 64) -> list[str]:

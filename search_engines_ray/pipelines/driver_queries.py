@@ -1769,6 +1769,30 @@ order by tf desc, doc_id asc limit 100
 """
 
 
+def q_infix_search(sf_dir: str):
+    """Infix wildcard retrieval (``*ash*`` — Lucene leading-wildcard):
+    rewrites to a #SYN of every indexed body term CONTAINING 'ash'
+    (full term-dictionary enumeration, the price Lucene pays too;
+    capped at 64 by term asc), ranked boolean. Oracle mirrors with a
+    LIKE '%ash%' vocab CTE."""
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, RankedBooleanModel())
+    res = engine.search("*ash*", k=100)
+    return _ranked_to_table(res)
+
+
+SQL_INFIX_SEARCH = f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+vocab as (select distinct term from tok where term like '%ash%'
+          order by term limit 64),
+syntf as (select doc_id, count(*)::double as tf from tok
+          where term in (select term from vocab) group by doc_id)
+select doc_id, floor(tf*1000000 + 0.5)/1000000 as score from syntf
+order by tf desc, doc_id asc limit 100
+"""
+
+
 def q_phrase_search(sf_dir: str):
     """Quoted-phrase retrieval (Lucene PhraseQuery sugar): ``"dup
     line"`` parses to #NEAR/1 adjacency, scored under BM25 #SUM next
@@ -5623,6 +5647,7 @@ QUERIES = {
     "url_canonicalize": q_url_canonicalize,
     "domain_stats": q_domain_stats,
     "prefix_search": q_prefix_search,
+    "infix_search": q_infix_search,
     "fuzzy_search": q_fuzzy_search,
     "phrase_search": q_phrase_search,
     "phrase_slop_search": q_phrase_slop_search,
@@ -5692,6 +5717,7 @@ ORACLE_SQL = {
     "url_canonicalize": SQL_URL_CANONICALIZE,
     "domain_stats": SQL_DOMAIN_STATS,
     "prefix_search": SQL_PREFIX_SEARCH,
+    "infix_search": SQL_INFIX_SEARCH,
     "fuzzy_search": SQL_FUZZY_SEARCH,
     "phrase_search": SQL_PHRASE_SEARCH,
     "phrase_slop_search": SQL_PHRASE_SLOP_SEARCH,

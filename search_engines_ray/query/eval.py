@@ -493,7 +493,11 @@ class QueryEngine:
         / ``reader.terms_within_distance``)."""
         if isinstance(node, TermNode):
             terms = None
-            if node.term.endswith("*") and len(node.term) > 1:
+            if (node.term.startswith("*") and node.term.endswith("*")
+                    and len(node.term) > 2):
+                terms = self.reader.terms_with_substring(node.term[1:-1],
+                                                         node.field)
+            elif node.term.endswith("*") and len(node.term) > 1:
                 terms = self.reader.terms_with_prefix(node.term[:-1],
                                                       node.field)
             elif (len(node.term) > 2 and node.term[-2] == "~"

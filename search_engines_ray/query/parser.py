@@ -180,8 +180,12 @@ class QueryParser:
             if suffix.lower() in KNOWN_FIELDS and base:
                 tok, field = base, suffix.lower()
         marker = ""
+        lead = ""
         if no_marker:
             pass
+        elif (tok.startswith("*") and tok.endswith("*") and len(tok) > 2):
+            # infix wildcard *abc*: both stars re-attach after analysis
+            marker, lead, tok = "*", "*", tok[1:-1]
         elif tok.endswith("*") and len(tok) > 1:
             marker, tok = "*", tok[:-1]
         elif len(tok) > 1 and tok[-1] == "~":
@@ -191,7 +195,7 @@ class QueryParser:
         terms = self.analyzer.analyze_query_token(tok)
         if marker and terms:
             return ([TermNode(term=t, field=field) for t in terms[:-1]]
-                    + [TermNode(term=terms[-1] + marker, field=field)])
+                    + [TermNode(term=lead + terms[-1] + marker, field=field)])
         return [TermNode(term=t, field=field) for t in terms]
 
     # ---- optimizer (QryParser.java:224-261) ----

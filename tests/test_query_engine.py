@@ -657,3 +657,26 @@ def test_explain_indri_decomposes_search_scores(docs_index):
         np.testing.assert_allclose(prod[row["external_id"]], row["score"],
                                    rtol=1e-9)
     np.testing.assert_allclose(exp["weight"], 1 / 3, rtol=1e-12)
+
+
+def test_infix_wildcard(toy_index):
+    """``*abc*`` rewrites to a #SYN of vocabulary terms containing the
+    base; parser keeps both stars through analysis; prefix/fuzzy
+    behavior unchanged."""
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import RankedBooleanModel
+    from search_engines_ray.query.parser import QueryParser
+    p = QueryParser()
+    plan = p.parse("*rown*")
+    assert plan.term == "*rown*"
+    assert sorted(toy_index.terms_with_substring("o", "body"))[:2]
+    eng = QueryEngine(toy_index, RankedBooleanModel())
+    a = eng.search("*rown*", k=10)           # matches 'brown'
+    b = eng.search("brown", k=10)
+    assert a["external_id"].to_pylist() == b["external_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+    # multi-match infix: every term containing 'o' unions
+    c = eng.search("*o*", k=10)
+    assert c.num_rows >= b.num_rows
+    # no match: empty, no crash
+    assert eng.search("*zzq*", k=10).num_rows == 0
