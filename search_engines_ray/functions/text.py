@@ -9,6 +9,7 @@ from __future__ import annotations
 import re
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from ..analysis.tokenizer import LUCENE_STOP_WORDS, simple_tokenize
@@ -1134,3 +1135,111 @@ def pmi_collocations(ds, text_col: str = "text", k: int = 20,
         "bigram": pa.array(grams[order].tolist(), pa.string()),
         "n": pa.array(cand["n"].to_numpy(zero_copy_only=False)[order]),
         "pmi": pa.array(round6(pmi[order]))}))
+
+
+def naive_bayes_train(ds, text_col: str = "text", label_col: str = "lang",
+                      num_parts: int = 64) -> dict:
+    """Multinomial Naive Bayes trainer (add-one smoothing) → a plain
+    model dict the predictor broadcasts. Distributed shape: ONE pass of
+    per-batch (label, term, count) Counter partials hash-partitioned by
+    term — the label×vocab count table (not the corpus) is all that
+    reaches the driver. Log-probabilities are quantized to the 1e-4
+    integer grid at TRAIN time (same trick as ``unigram_lm_surprisal``)
+    so prediction sums are associative and SQL-mirrorable."""
+    from collections import Counter
+    from zlib import crc32
+
+    def partial(b: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()         # (label, term) -> tf
+        docs: Counter = Counter()        # label -> n_docs
+        for lab, t in zip(b[label_col].to_pylist(), b[text_col].to_pylist()):
+            docs[lab] += 1
+            for w in simple_tokenize(t or ""):
+                cnt[(lab, w)] += 1
+        keys = list(cnt.keys())
+        parts = np.fromiter((crc32(t.encode()) % num_parts for _, t in keys),
+                            dtype=np.int32, count=len(keys))
+        # doc-count rows ride the same exchange as term "" (no real
+        # term is empty after tokenization)
+        return pa.table({
+            "part": pa.array(np.concatenate(
+                [parts, np.full(len(docs), -1, np.int32)])),
+            "label": pa.array([k[0] for k in keys] + list(docs),
+                              pa.string()),
+            "term": pa.array([k[1] for k in keys] + [""] * len(docs),
+                             pa.string()),
+            "c": pa.array(np.concatenate(
+                [np.fromiter(cnt.values(), np.int64, count=len(cnt)),
+                 np.fromiter(docs.values(), np.int64, count=len(docs))]))})
+
+    def sum_part(g: pa.Table):
+        df = g.to_pandas()
+        if df.empty:
+            return pd.DataFrame({"label": pd.Series([], dtype=object),
+                                 "term": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype=np.int64)})
+        s = df.groupby(["label", "term"], sort=False)["c"].sum().reset_index()
+        return s
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(max(8, num_parts // 8)) \
+        .groupby("part").map_groups(sum_part, batch_format="pyarrow") \
+        .to_pandas()
+    doc_rows = agg[agg["term"] == ""]
+    tok_rows = agg[agg["term"] != ""]
+    n_docs = {lab: int(c) for lab, c in
+              zip(doc_rows["label"], doc_rows["c"])}
+    n_train = sum(n_docs.values())
+    labels = sorted(n_docs)
+    n_tok = tok_rows.groupby("label")["c"].sum().to_dict()
+    v_size = tok_rows["term"].nunique()
+
+    def ilog(x: float) -> int:
+        return int(np.floor(np.log(x) * 1e4 + 0.5))
+
+    prior = {lab: ilog(n_docs[lab] / n_train) for lab in labels}
+    # per (label, term) smoothed log-prob + per-label unseen fallback
+    lp: dict = {}
+    for lab, term, c in zip(tok_rows["label"], tok_rows["term"],
+                            tok_rows["c"]):
+        lp[(lab, term)] = ilog((int(c) + 1) / (int(n_tok[lab]) + v_size))
+    unseen = {lab: ilog(1.0 / (int(n_tok.get(lab, 0)) + v_size))
+              for lab in labels}
+    return {"labels": labels, "prior": prior, "lp": lp, "unseen": unseen}
+
+
+def naive_bayes_predict(ds, model: dict, text_col: str = "text",
+                        id_col: str = "doc_id"):
+    """→ Dataset (``id_col``, pred): argmax label under the trained NB
+    model (ties → label asc); docs with no tokens are omitted. The
+    model broadcasts once via ``ray.put`` and is read through the
+    process cache — a stateless scoring map, the standard
+    model-inference stage shape."""
+    import ray
+
+    from ..util import proc_cached
+    ref = ray.put(model)
+
+    def score(b: pa.Table) -> pa.Table:
+        m = proc_cached(("nb_model", ref.hex()), lambda: ray.get(ref))
+        labels, prior, lp, unseen = (m["labels"], m["prior"], m["lp"],
+                                     m["unseen"])
+        ids, preds = [], []
+        for did, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            toks = simple_tokenize(t or "")
+            if not toks:
+                continue
+            best, best_s = None, None
+            for lab in labels:
+                s = prior[lab]
+                u = unseen[lab]
+                for w in toks:
+                    s += lp.get((lab, w), u)
+                if best_s is None or s > best_s:
+                    best, best_s = lab, s
+            ids.append(did)
+            preds.append(best)
+        return pa.table({id_col: pa.array(np.asarray(ids, np.int64)),
+                         "pred": pa.array(preds, pa.string())})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -2082,6 +2082,66 @@ order by t.doc_id, t.pos
 """
 
 
+def q_nb_lang_predict(sf_dir: str):
+    """Multinomial Naive Bayes language classifier: TRAIN distributed
+    on docs with doc_id % 5 != 0 (label×vocab count exchange — the
+    corpus never reaches the driver), PREDICT the held-out 20% with a
+    broadcast model in a stateless map. Log-probs on the 1e-4 integer
+    grid make the argmax (ties → lang asc) SQL-reproducible."""
+    import ray.data as rd
+    from ..functions.text import naive_bayes_predict, naive_bayes_train
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+
+    def split(train: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy()
+            keep = (ids % 5 != 0) if train else (ids % 5 == 0)
+            return b.filter(pa.array(keep))
+        return fn
+
+    model = naive_bayes_train(
+        ds.map_batches(split(True), batch_format="pyarrow"))
+    pred = naive_bayes_predict(
+        ds.map_batches(split(False), batch_format="pyarrow"), model)
+    out = pred.to_pandas().sort_values("doc_id", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_NB_LANG_PREDICT = f"""
+with train as (select * from documents where doc_id % 5 <> 0),
+test as (select * from documents where doc_id % 5 = 0),
+ttok as (select lang, unnest({SIMPLE_TOKS_SQL}) as term from train),
+ct as (select lang, term, count(*)::bigint as c from ttok group by 1, 2),
+nl as (select lang, count(*)::bigint as ntok from ttok group by 1),
+v as (select count(distinct term)::bigint as v from ttok),
+cl as (select lang, count(*)::bigint as n from train group by 1),
+ntr as (select count(*)::bigint as n from train),
+prior as (select cl.lang,
+                 floor(ln(cl.n::double / ntr.n) * 10000 + 0.5)::bigint as p
+          from cl cross join ntr),
+tetok as (select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from test),
+tf as (select doc_id, term, count(*)::bigint as tf from tetok group by 1, 2),
+sc as (
+  select tf.doc_id, l.lang,
+         min(prior.p)
+         + sum(tf.tf * floor(ln((coalesce(ct.c, 0) + 1)::double
+                                / (nl.ntok + v.v)) * 10000 + 0.5)::bigint)
+           as s
+  from tf cross join (select distinct lang from train) l
+  join nl on nl.lang = l.lang
+  left join ct on ct.lang = l.lang and ct.term = tf.term
+  join prior on prior.lang = l.lang
+  cross join v
+  group by tf.doc_id, l.lang),
+ranked as (select doc_id, lang as pred,
+                  row_number() over (partition by doc_id
+                                     order by s desc, lang asc) as rn
+           from sc)
+select doc_id, pred from ranked where rn = 1 order by doc_id
+"""
+
+
 def q_weighted_sample(sf_dir: str):
     """Weight-proportional sample without replacement (Efraimidis &
     Spirakis A-Res, w = n_chars): ln(u)/w keys from the md5 id
@@ -5658,6 +5718,7 @@ QUERIES = {
     "attr_sorted_search": q_attr_sorted_search,
     "weighted_sample": q_weighted_sample,
     "highlight_positions": q_highlight_positions,
+    "nb_lang_predict": q_nb_lang_predict,
     "percolate_matches": q_percolate_matches,
     "bm25f_top10": q_bm25f_top10,
     "bm25f_distributed": q_bm25f_distributed,
@@ -5728,6 +5789,7 @@ ORACLE_SQL = {
     "attr_sorted_search": SQL_ATTR_SORTED_SEARCH,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "highlight_positions": SQL_HIGHLIGHT_POSITIONS,
+    "nb_lang_predict": SQL_NB_LANG_PREDICT,
     "percolate_matches": SQL_PERCOLATE_MATCHES,
     "bm25f_top10": SQL_BM25F_TOP10,
     "bm25f_distributed": SQL_BM25F_TOP10,

@@ -751,3 +751,31 @@ def test_weighted_sample(ray_session):
     # mean weight of the top-20 beats the corpus mean)
     wmap = {r["doc_id"]: r["w"] for r in rows}
     assert np.mean([wmap[d] for d in a["doc_id"]]) > np.mean(list(wmap.values()))
+
+
+def test_naive_bayes(ray_session):
+    """NB train/predict: separable synthetic labels classify perfectly;
+    unseen tokens fall back to the smoothed floor; empty docs omitted;
+    integer-grid log-probs make repeat runs identical."""
+    import ray.data as rd
+    from search_engines_ray.functions.text import (
+        naive_bayes_predict, naive_bayes_train)
+    train = [{"doc_id": i, "text": "le chat est la", "lang": "fr"}
+             for i in range(10)] + \
+            [{"doc_id": 10 + i, "text": "the cat is here", "lang": "en"}
+             for i in range(10)]
+    m = naive_bayes_train(rd.from_items(train))
+    assert m["labels"] == ["en", "fr"]
+    test = [{"doc_id": 0, "text": "the cat"},
+            {"doc_id": 1, "text": "le chat"},
+            {"doc_id": 2, "text": "zzz unseen tokens"},
+            {"doc_id": 3, "text": ""}]
+    out = naive_bayes_predict(rd.from_items(test), m).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert out["doc_id"].tolist() == [0, 1, 2]   # empty doc omitted
+    assert out["pred"].tolist()[:2] == ["en", "fr"]
+    # all-unseen doc: same fallback in both classes -> prior+tie rule
+    # decides deterministically (both priors equal -> label asc = 'en')
+    assert out["pred"].tolist()[2] == "en"
+    m2 = naive_bayes_train(rd.from_items(train))
+    assert m2 == m
