@@ -2082,6 +2082,24 @@ order by t.doc_id, t.pos
 """
 
 
+def q_search_after_page2(sf_dir: str):
+    """Deep pagination (Lucene searchAfter): page 2 of the standard
+    BM25 query — page 1's last (score, externalId) becomes the cursor,
+    `search_after` returns the strictly-after next 10; the oracle is
+    the same ranking with OFFSET 10."""
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    q = " ".join(BM25_QUERY_TERMS)
+    page1 = engine.search(q, k=10)
+    cursor = (page1["score"][-1].as_py(), page1["external_id"][-1].as_py())
+    page2 = engine.search_after(q, cursor, k=10)
+    return _ranked_to_table(page2)
+
+
+SQL_SEARCH_AFTER_PAGE2 = _bm25_sql(BM25_QUERY_TERMS, 10).replace(
+    "limit 10", "limit 10 offset 10")
+
+
 def q_nb_lang_predict(sf_dir: str):
     """Multinomial Naive Bayes language classifier: TRAIN distributed
     on docs with doc_id % 5 != 0 (label×vocab count exchange — the
@@ -5719,6 +5737,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "highlight_positions": q_highlight_positions,
     "nb_lang_predict": q_nb_lang_predict,
+    "search_after_page2": q_search_after_page2,
     "percolate_matches": q_percolate_matches,
     "bm25f_top10": q_bm25f_top10,
     "bm25f_distributed": q_bm25f_distributed,
@@ -5790,6 +5809,7 @@ ORACLE_SQL = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "highlight_positions": SQL_HIGHLIGHT_POSITIONS,
     "nb_lang_predict": SQL_NB_LANG_PREDICT,
+    "search_after_page2": SQL_SEARCH_AFTER_PAGE2,
     "percolate_matches": SQL_PERCOLATE_MATCHES,
     "bm25f_top10": SQL_BM25F_TOP10,
     "bm25f_distributed": SQL_BM25F_TOP10,

@@ -583,6 +583,46 @@ class QueryEngine:
         return rank_results_candidates(docids, scores,
                                        self.reader.external_ids_for, k)
 
+    def search_after(self, query: str, after: tuple, k: int = 100,
+                     allowed: np.ndarray | None = None,
+                     synonyms: dict | None = None) -> pa.Table:
+        """Deep pagination (Lucene ``searchAfter``): the next k results
+        STRICTLY after the cursor ``after = (score, external_id)`` —
+        the last hit of the previous page — under the reference order
+        (score desc, externalId asc). The cursor filter runs on the
+        candidate set before the top-k cut, so page N costs the same
+        as page 1 instead of k·N; external ids are fetched only for
+        the cursor-score tie group."""
+        s_after, e_after = float(after[0]), str(after[1])
+        plan = self.parser.parse(query, self.model.default_op)
+        if plan is None:
+            return _empty_results()
+        if synonyms:
+            from .parser import expand_synonyms
+            plan = expand_synonyms(plan, synonyms, self.parser.analyzer)
+        plan = self._expand_prefixes(plan)
+        cache = self._fetch(plan)
+        self._build_dlut(cache)
+        scored = self._eval_sop(plan, cache)
+        docids, scores = scored.docids, scored.scores
+        dels = self.reader.deleted_docids()
+        if dels.size:
+            idx = np.searchsorted(dels, docids)
+            idx[idx == dels.size] = 0
+            keep = dels[idx] != docids
+            docids, scores = docids[keep], scores[keep]
+        if allowed is not None:
+            keep = np.isin(docids, allowed)
+            docids, scores = docids[keep], scores[keep]
+        below = scores < s_after
+        tie = np.flatnonzero(scores == s_after)
+        if tie.size:
+            exts = self.reader.external_ids_for(docids[tie])
+            below[tie[exts > e_after]] = True
+        docids, scores = docids[below], scores[below]
+        return rank_results_candidates(docids, scores,
+                                       self.reader.external_ids_for, k)
+
     def search_sorted(self, query: str, attr: str, k: int = 100,
                       descending: bool = True) -> pa.Table:
         """Sort-by-field retrieval (Lucene ``Sort(SortField)``): the

@@ -680,3 +680,29 @@ def test_infix_wildcard(toy_index):
     assert c.num_rows >= b.num_rows
     # no match: empty, no crash
     assert eng.search("*zzq*", k=10).num_rows == 0
+
+
+def test_search_after_pagination(docs_index):
+    """search_after(cursor of page N's last hit) == rows of page N+1 in
+    the k=3·page search, across score ties; an exhausted cursor returns
+    empty."""
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import BM25Model, RankedBooleanModel
+    for model in (BM25Model(), RankedBooleanModel()):
+        eng = QueryEngine(docs_index, model)
+        q = "fast sort" if model.default_op else "#or(fast sort)"
+        full = eng.search(q, k=30)
+        pages = [full.slice(i, 10) for i in range(0, 30, 10)]
+        cur = None
+        for want in pages:
+            got = eng.search(q, k=10) if cur is None \
+                else eng.search_after(q, cur, k=10)
+            assert got["external_id"].to_pylist() == \
+                want["external_id"].to_pylist(), type(model).__name__
+            assert got["score"].to_pylist() == want["score"].to_pylist()
+            cur = (got["score"][-1].as_py(), got["external_id"][-1].as_py())
+    # beyond the last result: empty page
+    eng = QueryEngine(docs_index, BM25Model())
+    allr = eng.search("fast sort", k=10**6)
+    last = (allr["score"][-1].as_py(), allr["external_id"][-1].as_py())
+    assert eng.search_after("fast sort", last, k=10).num_rows == 0
