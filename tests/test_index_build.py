@@ -300,3 +300,43 @@ def test_docvalues_attributes(tmp_path, ray_session):
         r.docids_where("nope", value=1)
     with pytest.raises(ValueError):
         r.docids_where("stars")
+
+
+def test_index_verify(toy_index, tmp_path, ray_session):
+    """cmd_verify: a healthy index passes every invariant; corrupting a
+    postings run's df metadata is detected."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from search_engines_ray.index import IndexReader
+    from search_engines_ray.index.inspect import cmd_verify
+
+    out = cmd_verify(toy_index)
+    assert out["ok"], out
+    assert out["postings"]["bad_runs"] == 0
+    # corrupt a copy: bump one run's df
+    dst = str(tmp_path / "corrupt")
+    shutil.copytree(toy_index.index_dir, dst)
+    pdir = os.path.join(dst, "postings")
+    target = None
+    for d in sorted(os.listdir(pdir)):
+        full = os.path.join(pdir, d)
+        if os.path.isdir(full):
+            for f in sorted(os.listdir(full)):
+                if f.endswith(".parquet"):
+                    target = os.path.join(full, f)
+                    break
+        if target:
+            break
+    t = pq.read_table(target)
+    df_col = t["df"].to_pylist()
+    df_col[0] += 1
+    import pyarrow as pa
+    t = t.set_column(t.schema.get_field_index("df"), "df",
+                     pa.array(df_col, t.schema.field("df").type))
+    pq.write_table(t, target)
+    bad = cmd_verify(IndexReader(dst))
+    assert not bad["ok"]
+    assert bad["postings"]["bad_runs"] >= 1
