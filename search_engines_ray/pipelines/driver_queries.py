@@ -1925,6 +1925,20 @@ order by raw desc, doc_id asc limit 10
 """
 
 
+def q_msm_distributed(sf_dir: str):
+    """#MSM/2 at batch scale: per-salt clause-indicator bincount over
+    the same key set as the score sum (docs live in one salt, so local
+    clause counts are exact), cnt ≥ n mask before the top-k cut. Same
+    query/oracle as ``msm_search`` — the distributed path must be
+    rank- and score-identical to the engine."""
+    from ..query.distributed import bm25_msm_batch_search
+    reader = get_index(sf_dir, "simple")
+    res = bm25_msm_batch_search(
+        reader.index_dir, [("q1", "dup line hash", 2)],
+        BM25Model(k1=1.2, b=0.75), k=100)
+    return _ranked_to_table(res)
+
+
 def q_bm25f_distributed(sf_dir: str):
     """BM25F at batch scale (distributed.bm25f_batch_search): phase A
     counts the per-salt UNION df (disjoint salt ranges sum exactly),
@@ -5741,6 +5755,7 @@ QUERIES = {
     "percolate_matches": q_percolate_matches,
     "bm25f_top10": q_bm25f_top10,
     "bm25f_distributed": q_bm25f_distributed,
+    "msm_distributed": q_msm_distributed,
     "bm25_federated_top10": q_bm25_federated_top10,
     "indri_federated_top10": q_indri_federated_top10,
     # rows-only (full-analyzer token chains — oracle-checked via their
@@ -5813,6 +5828,7 @@ ORACLE_SQL = {
     "percolate_matches": SQL_PERCOLATE_MATCHES,
     "bm25f_top10": SQL_BM25F_TOP10,
     "bm25f_distributed": SQL_BM25F_TOP10,
+    "msm_distributed": SQL_MSM_SEARCH,
     "bm25_federated_top10": SQL_INDEX_BM25_TOP10,
     "indri_federated_top10": SQL_INDEX_INDRI_TOP10,
     "repetition_stats": SQL_REPETITION_STATS,

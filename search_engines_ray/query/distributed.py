@@ -351,6 +351,104 @@ def _global_dfs(index_dir: str, reader: IndexReader, terms: list[str],
             _global_term_stats(index_dir, reader, terms, field).items()}
 
 
+def bm25_msm_batch_search(index_dir: str,
+                          queries: list[tuple[str, str, int]],
+                          model: BM25Model | None = None, k: int = 100,
+                          field: str = "body") -> pa.Table:
+    """Distributed #MSM/n (minimum-should-match) — ``queries`` =
+    [(qid, bag-of-words, n)]: BM25 #SUM restricted to docs matching
+    ≥ n clauses (repeated terms count per clause, like the engine).
+
+    Same zero-shuffle per-salt shape as ``bm25_batch_search`` plus a
+    SECOND bincount group-sum of clause-indicator entries over the
+    identical key set (``need_zero_candidates=True`` on both, so the
+    two groupings align element-wise); the cnt ≥ n mask applies before
+    the per-salt top-k cut. Docs live in exactly one salt, so local
+    clause counts are complete — the filter is exact with no extra
+    exchange."""
+    model = model or BM25Model()
+    reader = IndexReader(index_dir)
+    an = analyzer_for_mode(reader.stats.get("analyzer", "lucene"))
+
+    qids = _check_unique_qids([(q[0], q[1]) for q in queries])
+    qcode = {qid: i for i, qid in enumerate(qids)}
+    n_req = np.ones(len(qids), np.int64)
+    term_queries: dict[str, list[tuple[int, int]]] = {}
+    for qid, q, n in queries:
+        terms: list[str] = []
+        for tok in q.split():
+            terms.extend(an.analyze_query_token(tok))
+        n_req[qcode[qid]] = max(1, min(int(n), len(terms))) if terms else 1
+        for t in set(terms):
+            term_queries.setdefault(t, []).append((qcode[qid], terms.count(t)))
+    if not term_queries:
+        return _empty()
+    terms_list = sorted(term_queries)
+    paths = tuple(reader._bucket_paths(terms_list))
+    if not paths:
+        return _empty()
+
+    tq_ref = ray.put(term_queries)
+    df_ref = ray.put(_global_dfs(index_dir, reader, terms_list, field))
+    N = reader.n_docs
+    avglen = reader.avg_len(field)
+    pid_offsets = reader.pid_offsets
+    dl_token = reader.stats_token
+    k1, b = model.k1, model.b
+    nreq_ref = ray.put(n_req)
+
+    def score_salt(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+        from ..util import proc_cached
+        tq = ray.get(tq_ref)
+        global_df = ray.get(df_ref)
+        nreq = ray.get(nreq_ref)
+        dlens = _ShardedDoclens(index_dir, field, pid_offsets, dl_token)
+        dset = proc_cached(("postings_dset", index_dir, dl_token,
+                            tuple(paths)),
+                           lambda: pads.dataset(paths, format="parquet"))
+        out: list[pa.Table] = []
+        for s in batch["salt"].to_pylist():
+            t = dset.to_table(
+                columns=["term", "docid_blob", "tf_blob"],
+                filter=(pc.field("term").isin(terms_list)
+                        & (pc.field("field") == field)
+                        & (pc.field("salt") == s)))
+            sc_entries, cnt_entries = [], []
+            for term, db, tb in zip(t["term"].to_pylist(),
+                                    t["docid_blob"].to_pylist(),
+                                    t["tf_blob"].to_pylist()):
+                docids, tfs, _ = decode_postings(db, tb, None)
+                df = global_df[term]
+                idf = max(0.0, np.log((N - df + 0.5) / (df + 0.5)))
+                dl = dlens.get(docids).astype(np.float64)
+                tf = tfs.astype(np.float64)
+                sc = idf * (tf / (tf + k1 * ((1.0 - b) + b * dl / avglen)))
+                ones = np.ones(docids.size, np.float64)
+                for qc, mult in tq[term]:
+                    sc_entries.append((qc, docids,
+                                       sc if mult == 1 else sc * mult))
+                    cnt_entries.append((qc, docids,
+                                        ones if mult == 1 else ones * mult))
+            qc_a, docid, sums = _group_sum_entries(
+                sc_entries, need_zero_candidates=True)
+            _qc2, _d2, cnts = _group_sum_entries(
+                cnt_entries, need_zero_candidates=True)
+            ok = cnts >= nreq[qc_a]
+            qc_a, docid, sums = qc_a[ok], docid[ok], sums[ok]
+            if qc_a.size:
+                keep = _topk_cut_sorted(qc_a, sums, k)
+                out.append(pa.table({
+                    "gkey": pa.array((qc_a[keep] << _DOC_BITS)
+                                     | docid[keep]),
+                    "score": pa.array(sums[keep])}))
+        return pa.concat_tables(out) if out else _partial_empty()
+
+    return _emit_ranked(_run_salt_tasks(score_salt, reader),
+                        qids, k, reader)
+
+
 def bm25f_batch_search(index_dir: str, queries: list[tuple[str, str]],
                        weights: dict[str, float],
                        field_b: dict[str, float] | float = 0.75,

@@ -706,3 +706,23 @@ def test_search_after_pagination(docs_index):
     allr = eng.search("fast sort", k=10**6)
     last = (allr["score"][-1].as_py(), allr["external_id"][-1].as_py())
     assert eng.search_after("fast sort", last, k=10).num_rows == 0
+
+
+def test_distributed_msm_matches_driver_path(docs_index):
+    """Per-salt clause-count filtered BM25 must be rank- and score-
+    identical to the engine's #MSM across n values and repeated terms."""
+    from search_engines_ray.query.distributed import bm25_msm_batch_search
+    model = BM25Model()
+    engine = QueryEngine(docs_index, model)
+    queries = [("1", "fast sort merge", 2),
+               ("2", "fast sort merge", 3),
+               ("3", "dup dup line", 2),
+               ("4", "hash join", 1),
+               ("5", "fast sort", 9)]          # n clamps to arity
+    dist = bm25_msm_batch_search(docs_index.index_dir, queries, model,
+                                 k=50).to_pandas()
+    for qid, q, n in queries:
+        drv = engine.search(f"#msm/{n}({q})", k=50).to_pandas()
+        sub = dist[dist["qid"] == qid].reset_index(drop=True)
+        assert list(sub["external_id"]) == list(drv["external_id"]), qid
+        np.testing.assert_allclose(sub["score"], drv["score"], rtol=1e-12)
