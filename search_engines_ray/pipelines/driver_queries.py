@@ -2652,6 +2652,88 @@ join idcg using (qid) join rr using (qid)
 SQL_EVAL_METRICS = _eval_metrics_sql()
 
 
+def q_sig_test(sf_dir: str):
+    """Paired t significance test between two BM25 parameterizations
+    (k1=1.2,b=0.75 vs k1=2.0,b=0.3) on per-query AP over the batch
+    queries and the synthetic qrels — the standard two-run comparison
+    trec_eval users hand to a t-test; pure arithmetic, SQL-mirrored."""
+    from ..query.metrics import average_precision, paired_ttest
+    reader = get_index(sf_dir, "simple")
+    n_docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).num_rows
+    aps = {}
+    for tag, (k1, b) in (("a", (1.2, 0.75)), ("b", (2.0, 0.3))):
+        engine = QueryEngine(reader, BM25Model(k1=k1, b=b))
+        vals = []
+        for qnum, (qid, terms) in enumerate(BATCH_BM25_QUERIES, start=1):
+            t = engine.search(" ".join(terms), k=50)
+            ranked = [str(d) for d in
+                      _docid_of_external(t["external_id"].to_pylist())]
+            rel = {str(d): 1 + (d % 2) for d in range(n_docs)
+                   if d % 7 == qnum}
+            vals.append(average_precision(ranked, rel))
+        aps[tag] = vals
+    r = paired_ttest(aps["a"], aps["b"])
+    return pa.table({
+        "n": pa.array([r["n"]], pa.int64()),
+        "mean_a": pa.array(round6([r["mean_a"]])),
+        "mean_b": pa.array(round6([r["mean_b"]])),
+        "mean_diff": pa.array(round6([r["mean_diff"]])),
+        "t_stat": pa.array(round6([r["t_stat"]])),
+    })
+
+
+def _sig_test_sql() -> str:
+    def ranked_union(k1: float, b: float, run: str) -> str:
+        per_q = []
+        for qnum, (qid, terms) in enumerate(BATCH_BM25_QUERIES, start=1):
+            per_q.append(f"""
+select '{run}' as run, '{qid}' as qid, doc_id,
+       row_number() over (order by raw desc, doc_id asc) as rnk,
+       case when doc_id % 7 = {qnum} then 1 + (doc_id % 2) else 0 end as rel
+from ({_bm25_sql(terms, 50, raw=True, k1=k1, b=b)})""")
+        return "\nunion all\n".join(f"select * from ({s}) {run}{i}"
+                                    for i, s in enumerate(per_q))
+    qrels = " union all ".join(
+        f"select '{qid}' as qid, count(*)::double as n_rel "
+        f"from documents where doc_id % 7 = {qnum} group by 1"
+        for qnum, (qid, _) in enumerate(BATCH_BM25_QUERIES, start=1))
+    return f"""
+with ranked as materialized (
+  {ranked_union(1.2, 0.75, 'a')}
+union all
+  {ranked_union(2.0, 0.3, 'b')}),
+nrel as materialized ({qrels}),
+hits as (
+  select run, qid, rnk, rel,
+         count(*) filter (where rel > 0)
+           over (partition by run, qid order by rnk) as cum_hits
+  from ranked),
+ap as (
+  select h.run, h.qid,
+         coalesce(sum(h.cum_hits / h.rnk) filter (where h.rel > 0), 0.0)
+           / any_value(n.n_rel) as v
+  from hits h join nrel n using (qid) group by h.run, h.qid),
+pairs as (
+  select a.qid, a.v as va, b.v as vb, a.v - b.v as d
+  from (select * from ap where run = 'a') a
+  join (select * from ap where run = 'b') b using (qid)),
+agg as (
+  select count(*)::bigint as n, avg(va) as ma, avg(vb) as mb,
+         avg(d) as md, stddev_samp(d) as sd from pairs)
+select n,
+       floor(ma*1000000 + 0.5)/1000000 as mean_a,
+       floor(mb*1000000 + 0.5)/1000000 as mean_b,
+       floor(md*1000000 + 0.5)/1000000 as mean_diff,
+       floor((case when sd > 0 then md / (sd / sqrt(n)) else 0.0 end)
+             *1000000 + 0.5)/1000000 as t_stat
+from agg
+"""
+
+
+SQL_SIG_TEST = _sig_test_sql()
+
+
 def _synthetic_qrels(n_docs: int, qnum: int) -> dict[str, int]:
     """Graded judgments with an explicit judged-NONRELEVANT class (rel 0,
     doc_id % 7 == qnum+3) alongside the relevant class (doc_id % 7 ==
@@ -5752,6 +5834,7 @@ QUERIES = {
     "highlight_positions": q_highlight_positions,
     "nb_lang_predict": q_nb_lang_predict,
     "search_after_page2": q_search_after_page2,
+    "sig_test": q_sig_test,
     "percolate_matches": q_percolate_matches,
     "bm25f_top10": q_bm25f_top10,
     "bm25f_distributed": q_bm25f_distributed,
@@ -5825,6 +5908,7 @@ ORACLE_SQL = {
     "highlight_positions": SQL_HIGHLIGHT_POSITIONS,
     "nb_lang_predict": SQL_NB_LANG_PREDICT,
     "search_after_page2": SQL_SEARCH_AFTER_PAGE2,
+    "sig_test": SQL_SIG_TEST,
     "percolate_matches": SQL_PERCOLATE_MATCHES,
     "bm25f_top10": SQL_BM25F_TOP10,
     "bm25f_distributed": SQL_BM25F_TOP10,

@@ -115,3 +115,25 @@ def evaluate_run(run: dict[str, list[str]], qrels: dict[str, dict[str, int]],
         out[f"ndcg@{k}"] = sum(ndcg_at_k(run[q], qrels[q], k)
                                for q in qids) / len(qids)
     return out
+
+
+def paired_ttest(per_query_a: list[float],
+                 per_query_b: list[float]) -> dict:
+    """Paired Student's t over per-query metric values (the standard IR
+    significance test between two runs — Smucker et al. CIKM'07 found
+    it agrees with the randomization test in practice). → dict with n,
+    mean_a, mean_b, mean_diff and the t statistic (df = n−1);
+    ``t = mean(d) / (sd(d)/√n)`` with the n−1 sample sd. A zero sd
+    (identical runs) reports t = 0 by convention."""
+    import numpy as np
+    a = np.asarray(per_query_a, dtype=np.float64)
+    b = np.asarray(per_query_b, dtype=np.float64)
+    if a.size != b.size or a.size < 2:
+        raise ValueError("need >= 2 paired observations")
+    d = a - b
+    n = d.size
+    sd = float(np.std(d, ddof=1))
+    t = float(d.mean() / (sd / np.sqrt(n))) if sd > 0 else 0.0
+    return {"n": int(n), "mean_a": float(a.mean()),
+            "mean_b": float(b.mean()), "mean_diff": float(d.mean()),
+            "t_stat": t, "df": int(n - 1)}

@@ -779,3 +779,21 @@ def test_naive_bayes(ray_session):
     assert out["pred"].tolist()[2] == "en"
     m2 = naive_bayes_train(rd.from_items(train))
     assert m2 == m
+
+
+def test_paired_ttest():
+    """Hand-checked t statistic; identical runs give t=0; short input
+    rejected."""
+    import numpy as np
+    import pytest
+    from search_engines_ray.query.metrics import paired_ttest
+    a, b = [0.5, 0.7, 0.9], [0.4, 0.5, 0.6]
+    r = paired_ttest(a, b)
+    d = np.array(a) - np.array(b)
+    want = d.mean() / (d.std(ddof=1) / np.sqrt(3))
+    assert r["t_stat"] == pytest.approx(want)
+    assert r["n"] == 3 and r["df"] == 2
+    same = paired_ttest([0.3, 0.4], [0.3, 0.4])
+    assert same["t_stat"] == 0.0 and same["mean_diff"] == 0.0
+    with pytest.raises(ValueError):
+        paired_ttest([0.1], [0.2])
