@@ -445,3 +445,108 @@ def anchor_text(links, target_col: str = "dst",
 
     return links.map_batches(key, batch_format="pyarrow") \
         .groupby("part").map_groups(fold, batch_format="pandas")
+
+
+def hits(edges, nodes, iters: int = 2, scale: int = 10 ** 9,
+         num_parts: int | None = None):
+    """Kleinberg HITS (hubs & authorities, JACM '99) in int64
+    fixed-point → Dataset (node, hub_u, auth_u) after ``iters``
+    synchronous iterations (auth half-step then hub half-step each).
+
+    Arithmetic is DIVISION-ONLY integer math so distributed partial
+    sums associate exactly and no int64 multiply can overflow: each
+    half-step sums the opposite score over the edge set, then
+    normalizes by ``v // max(1, max(v) // scale)`` — the max-normalized
+    value stays ~``scale`` without ever forming ``v*scale`` (whose
+    ``max_indegree × scale²`` product overflows at web scale). Start
+    state: every hub = ``scale``.
+
+    Scale shape mirrors ``pagerank``: per half-step ONE
+    ``shuffle_hash_join`` keys the (tiny) score table onto the edge
+    list and ONE hash-partitioned groupby sums contributions per
+    target; per-node zero rows ride the same exchange (left-join
+    folded in); the scalar max is an aggregate over the node-sized
+    score table."""
+    import pyarrow as pa
+
+    from .join import shuffle_hash_join
+
+    n = nodes.count()
+    if n == 0:
+        return nodes.map_batches(
+            lambda b: pa.table({"node": pa.array([], pa.int64()),
+                                "hub_u": pa.array([], pa.int64()),
+                                "auth_u": pa.array([], pa.int64())}),
+            batch_format="pyarrow")
+    P = int(num_parts or max(8, min(4096, n // _PR_NODES_PER_PART)))
+    shuffle_blocks = max(4, P // 8)
+
+    def const_scores(v: int):
+        def fn(b: pa.Table) -> pa.Table:
+            nd = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"node": pa.array(nd),
+                             "v": pa.array(np.full(nd.size, v, np.int64))})
+        return fn
+
+    def zero_rows(b: pa.Table) -> pa.Table:
+        nd = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"part": pa.array((nd % P).astype(np.int32)),
+                         "node": pa.array(nd),
+                         "c": pa.array(np.zeros(nd.size, np.int64))})
+
+    def fold_sum(g: pa.Table) -> pa.Table:
+        nd = g["node"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(nd, kind="stable")
+        nds, cs = nd[order], c[order]
+        first = np.flatnonzero(np.concatenate(([True],
+                                               nds[1:] != nds[:-1])))
+        return pa.table({"node": pa.array(nds[first]),
+                         "v": pa.array(np.add.reduceat(cs, first))})
+
+    def half_step(scores, key_col: str, sum_col: str):
+        """new score(x) = Σ over edges of the opposite score: auth(v) =
+        Σ_{u→v} hub(u) (key src, sum to dst) and vice versa."""
+        keyed = scores.map_batches(
+            lambda b, kc=key_col: pa.table({kc: b["node"], "v": b["v"]}),
+            batch_format="pyarrow")
+        joined = shuffle_hash_join(edges, keyed, left_on=key_col,
+                                   num_parts=P)
+
+        def contrib(b: pa.Table, sc=sum_col) -> pa.Table:
+            tgt = b[sc].to_numpy(zero_copy_only=False).astype(np.int64)
+            v = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"part": pa.array((tgt % P).astype(np.int32)),
+                             "node": pa.array(tgt),
+                             "c": pa.array(v)})
+
+        raw = joined.map_batches(contrib, batch_format="pyarrow") \
+            .union(nodes.map_batches(zero_rows, batch_format="pyarrow")) \
+            .repartition(shuffle_blocks) \
+            .groupby("part").map_groups(fold_sum, batch_format="pyarrow") \
+            .materialize()
+        m = int(raw.max("v") or 0)
+        d = max(1, m // scale)
+
+        def norm(b: pa.Table) -> pa.Table:
+            v = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"node": b["node"], "v": pa.array(v // d)})
+
+        return raw.map_batches(norm, batch_format="pyarrow").materialize()
+
+    hubs = nodes.map_batches(const_scores(int(scale)),
+                             batch_format="pyarrow").materialize()
+    auths = None
+    for _ in range(int(iters)):
+        auths = half_step(hubs, "src", "dst")
+        hubs = half_step(auths, "dst", "src")
+
+    # node-keyed merge of the two score tables — distributed like every
+    # other exchange here (the driver never holds the node table)
+    hub_t = hubs.map_batches(
+        lambda b: pa.table({"node": b["node"], "hub_u": b["v"]}),
+        batch_format="pyarrow")
+    auth_t = auths.map_batches(
+        lambda b: pa.table({"node": b["node"], "auth_u": b["v"]}),
+        batch_format="pyarrow")
+    return shuffle_hash_join(hub_t, auth_t, left_on="node", num_parts=P)

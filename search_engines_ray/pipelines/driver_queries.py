@@ -5276,6 +5276,54 @@ select node, od as outdeg, ru as rank_u from r3
 """
 
 
+_HITS_SCALE = 10 ** 9
+
+
+def q_hits(sf_dir: str):
+    """Kleinberg HITS (2 iterations) over the synthetic link graph —
+    division-only int64 fixed-point (normalize by v // max(1, max//S))
+    so distributed sums associate exactly and the unrolled-CTE oracle
+    hash-matches bit for bit; the hubs/authorities companion to the
+    PageRank prior."""
+    from ..functions.graph import hits
+    edges, nodes, _ = _pr_graph(sf_dir)
+    out = hits(edges, nodes, iters=2,
+               scale=_HITS_SCALE).to_pandas().sort_values(
+        "node", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _hits_half_sql(prev: str, raw: str, out: str, key: str,
+                   tgt: str) -> str:
+    """One HITS half-step: sum ``prev`` over edges keyed ``key``→``tgt``
+    then divide by the max-derived divisor."""
+    return f""",
+{raw} as (select d.doc_id as node, coalesce(s.v, 0)::bigint as v
+  from documents d left join (
+    select e.{tgt} as t, sum(p.v)::bigint as v
+    from e join {prev} p on p.node = e.{key} group by e.{tgt}) s
+  on s.t = d.doc_id),
+{out} as (select node,
+  v // greatest(1, (select max(v) from {raw}) // {_HITS_SCALE}) as v
+  from {raw})"""
+
+
+SQL_HITS = f"""
+with nn as (select count(*)::bigint as n from documents),
+e as (select d.doc_id as src,
+        (d.doc_id * 131 + k.k * 7919) % (select n from nn) as dst
+      from documents d cross join (values (1), (2), (3)) k(k)
+      where d.doc_id % 7 <> 0 and k.k <= d.doc_id % 3 + 1),
+h0 as (select doc_id as node, {_HITS_SCALE}::bigint as v from documents)
+{_hits_half_sql('h0', 'a1r', 'a1', 'src', 'dst')}
+{_hits_half_sql('a1', 'h1r', 'h1', 'dst', 'src')}
+{_hits_half_sql('h1', 'a2r', 'a2', 'src', 'dst')}
+{_hits_half_sql('a2', 'h2r', 'h2', 'dst', 'src')}
+select h2.node, h2.v as hub_u, a2.v as auth_u
+from h2 join a2 using (node) order by node
+"""
+
+
 def q_bm25_pagerank_blend(sf_dir: str):
     """Static-prior blended ranking: BM25 candidates re-scored as
     ``raw + rank_u / 1e12`` with the integer fixed-point PageRank of
@@ -5794,6 +5842,7 @@ QUERIES = {
     "strip_html": q_strip_html,
     "decontaminate": q_decontaminate,
     "pagerank": q_pagerank,
+    "hits": q_hits,
     "bm25_pagerank_blend": q_bm25_pagerank_blend,
     "personalized_pagerank": q_personalized_pagerank,
     "remove_dup_spans": q_remove_dup_spans,
@@ -5868,6 +5917,7 @@ ORACLE_SQL = {
     "strip_html": SQL_STRIP_HTML,
     "decontaminate": SQL_DECONTAMINATE,
     "pagerank": SQL_PAGERANK,
+    "hits": SQL_HITS,
     "bm25_pagerank_blend": SQL_BM25_PAGERANK_BLEND,
     "personalized_pagerank": SQL_PERSONALIZED_PAGERANK,
     "remove_dup_spans": SQL_REMOVE_DUP_SPANS,

@@ -178,3 +178,28 @@ def test_personalized_pagerank(ray_session):
     assert got[4] == 0
     # seeds hold teleport mass even without in-links into them
     assert got[0] > 0 and got[3] > 0
+
+
+def test_hits_star_graph(ray_session):
+    """Hand-checkable HITS: a star u0 → {1,2,3} makes u0 the max hub
+    and the leaves equal max authorities; reverse edges flip the roles;
+    determinism across runs."""
+    import ray.data as rd
+    from search_engines_ray.functions.graph import hits
+    nodes = rd.from_items([{"node": i} for i in range(4)])
+    star = rd.from_items([{"src": 0, "dst": d} for d in (1, 2, 3)])
+    out = hits(star, nodes, iters=2).to_pandas() \
+        .sort_values("node", ignore_index=True)
+    assert out["hub_u"][0] == out["hub_u"].max() > 0
+    assert out["auth_u"][0] == 0
+    assert (out["auth_u"][1:] == out["auth_u"].max()).all()
+    # reversed: leaves are hubs, the center the only authority
+    rev = rd.from_items([{"src": s, "dst": 0} for s in (1, 2, 3)])
+    out2 = hits(rev, nodes, iters=2).to_pandas() \
+        .sort_values("node", ignore_index=True)
+    assert out2["auth_u"][0] == out2["auth_u"].max() > 0
+    assert out2["hub_u"][0] == 0
+    # deterministic
+    out3 = hits(star, nodes, iters=2).to_pandas() \
+        .sort_values("node", ignore_index=True)
+    assert out3.equals(out)
