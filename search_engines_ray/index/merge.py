@@ -401,3 +401,56 @@ def delete_docs(index_dir: str, external_ids) -> int:
     with open(path, "w") as f:
         json.dump({"docids": merged}, f)
     return len(merged)
+
+
+def upsert_docs(index_dir: str, pages, out_dir: str, cfg,
+                input_token: str | None = None) -> dict:
+    """Update-by-key (url) — the Lucene ``updateDocument`` lifecycle
+    composed from this module's segment primitives, never retokenizing
+    the main corpus:
+
+    1. build a fresh segment index over ``pages`` (the incremental
+       crawl batch; a ``ray.data.Dataset`` in the pages shape),
+    2. ``merge_indexes`` it into ``index_dir``'s docid space at
+       ``out_dir`` (metadata-only fold),
+    3. tombstone, in the merged index, the MAIN-index version of every
+       url the segment carries (plus any tombstones the main index
+       already had — ``merge_indexes`` does not copy the sidecar, and
+       main docids are preserved verbatim by the merge, so both sets
+       transfer as-is).
+
+    Search over ``out_dir`` therefore sees "latest version wins":
+    updated urls score from the segment's postings only, brand-new
+    urls appear, untouched docs are unaffected. Statistics stay
+    as-built (old + new versions both counted) until the next
+    ``compact_index``, which physically purges the stale versions —
+    exactly Lucene's update = delete + add with deletes-until-merge
+    freshness.
+
+    Scale shape: the only non-metadata work is indexing the segment
+    (∝ batch size, not corpus) and resolving the segment's url set to
+    main docids (``internal_docids_for`` — a column-pruned filtered
+    scan of the main forward plane, never O(n_docs) driver memory).
+    The url list itself is driver-held: it is the incremental batch's
+    key set, assumed ≪ corpus; for a batch approaching corpus scale,
+    rebuild instead of upserting. Returns the merged stats dict."""
+    import pyarrow.dataset as pads
+
+    from .build import build_index
+    from .reader import IndexReader
+
+    seg_dir = out_dir.rstrip("/") + ".seg"
+    build_index(pages, seg_dir, cfg,
+                input_token=input_token or seg_dir, resume=True)
+    stats = merge_indexes(index_dir, seg_dir, out_dir)
+
+    seg_urls = pads.dataset(
+        os.path.join(seg_dir, FORWARD_DIR), format="parquet") \
+        .to_table(columns=["external_id"])["external_id"].to_pylist()
+    main = IndexReader(index_dir)
+    ids = main.internal_docids_for(seg_urls)
+    stale = {int(i) for i in np.asarray(ids) if int(i) >= 0}
+    stale |= {int(d) for d in main.deleted_docids()}
+    with open(os.path.join(out_dir, DELETES_FILE), "w") as f:
+        json.dump({"docids": sorted(stale)}, f)
+    return stats

@@ -5750,6 +5750,242 @@ from events group by event_type
 """
 
 
+def q_tfidf_classic_top10(sf_dir: str):
+    """Lucene ClassicSimilarity (TF-IDF vector-space) ranking — the
+    pre-BM25 Lucene default the reference's 4.3 backend shipped:
+    per-term ``sqrt(tf) * (1 + ln(N/(df+1)))^2 / sqrt(dl)``, summed
+    over the standard 3-term query (``models.TFIDFModel``)."""
+    from ..query.models import TFIDFModel
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, TFIDFModel())
+    res = engine.search(" ".join(BM25_QUERY_TERMS), k=10)
+    return _ranked_to_table(res)
+
+
+SQL_TFIDF_CLASSIC_TOP10 = f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+doclen as (select doc_id, count(*)::double as dl from tok group by doc_id),
+stats as (select (select count(*) from documents)::double as n),
+tfs as (select doc_id, term, count(*)::double as tf from tok
+        where term in ({",".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+        group by doc_id, term),
+dfs as (select term, count(*)::double as df from tfs group by term),
+scored as (
+  select tfs.doc_id,
+         sum(sqrt(tfs.tf) * pow(1.0 + ln(stats.n / (dfs.df + 1.0)), 2)
+             / sqrt(greatest(doclen.dl, 1.0))) as raw
+  from tfs join dfs on tfs.term = dfs.term
+  join doclen on tfs.doc_id = doclen.doc_id
+  cross join stats group by tfs.doc_id)
+select doc_id, floor(raw*1000000 + 0.5)/1000000 as score
+from scored order by raw desc, doc_id asc limit 10
+"""
+
+
+def q_time_decay_top10(sf_dir: str):
+    """Recency-boosted retrieval (Elasticsearch ``function_score``
+    exponential decay / Solr ``recip(ms(NOW,date))``): BM25 top-100
+    rescore window, each candidate's raw score multiplied by
+    ``2^(-age_s / half_life)`` where age comes from the ``ts``
+    crawl-timestamp doc-value in the index's attribute plane
+    (``reader.attributes_for`` — candidate-set pruned, never
+    O(n_docs)) and NOW is the deterministic crawl end
+    (base + n_docs seconds). Window semantics match Elasticsearch
+    rescore: docs outside the lexical top-100 cannot enter."""
+    reader = _docvalues_index(sf_dir)
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    res = engine.search(" ".join(BM25_QUERY_TERMS), k=100)
+    exts = res["external_id"].to_pylist()
+    if not exts:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    docids = np.asarray(reader.internal_docids_for(exts), np.int64)
+    ts = reader.attributes_for(docids, ["ts"])["ts"]
+    ts_us = np.asarray(ts).astype("datetime64[us]").astype(np.int64)
+    now_us = _TS_BASE_US + reader.n_docs * 1_000_000
+    age_s = (now_us - ts_us) / 1e6
+    raw = res["score"].to_numpy() * np.power(2.0, -age_s / 256.0)
+    ids = _docid_of_external(exts)
+    order = np.lexsort((ids, -raw))[:10]
+    return pa.table({"doc_id": pa.array(ids[order]),
+                     "score": pa.array(round6(raw[order]))})
+
+
+# the deterministic ts mapping (corpus.documents_to_pages_batch:
+# ts_us = base + doc_id*1e6) makes age_s = n_docs - doc_id in SQL
+SQL_TIME_DECAY_TOP10 = f"""
+with bm as (select doc_id, raw from (
+  {_bm25_sql(BM25_QUERY_TERMS, 100, raw=True)}
+)),
+n as (select count(*)::double as nn from documents),
+blended as (
+  select doc_id, bm.raw * pow(2.0, -((n.nn - doc_id) / 256.0)) as raw
+  from bm, n)
+select doc_id, floor(raw*1000000 + 0.5)/1000000 as score
+from blended order by raw desc, doc_id asc limit 10
+"""
+
+
+def q_rrf_fusion_top10(sf_dir: str):
+    """Hybrid retrieval: BM25 top-50 over ``documents`` fused with
+    embedding-cosine top-50 over ``embeddings`` (query vector =
+    vec_id 0's embedding, as in ``ann_cosine_top10``) by Reciprocal
+    Rank Fusion, ``Σ 1/(60 + rank)`` (``query.fusion.rrf_fuse``).
+    Cosine scores are 6-dp rounded BEFORE ranking on both sides so
+    rank assignment is reduction-order independent; BM25 ranks come
+    from the raw engine ordering (score desc, externalId asc) exactly
+    as every BM25 oracle's."""
+    import ray.data as rd
+    from ..functions.similarity import ann_cosine_topk
+    from ..query.fusion import rrf_fuse
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    lex = engine.search(" ".join(BM25_QUERY_TERMS), k=50)
+    lex_ids = _docid_of_external(lex["external_id"].to_pylist())
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qvec = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)[None, :]
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ann = ann_cosine_topk(ds, qvec, k=50, dtype=np.float64).to_pandas()
+    ann["r6"] = np.floor(ann["score"].to_numpy() * 1e6 + 0.5) / 1e6
+    ann = ann.sort_values(["r6", "vec_id"], ascending=[False, True],
+                          kind="mergesort")
+    fused = rrf_fuse([lex_ids, ann["vec_id"].to_numpy()], k0=60.0, k=10)
+    return pa.table({"doc_id": fused["doc_id"],
+                     "score": pa.array(round6(fused["score"].to_numpy()))})
+
+
+SQL_RRF_FUSION_TOP10 = f"""
+with bm as (
+  select doc_id, row_number() over (order by raw desc, doc_id asc) as r
+  from ( {_bm25_sql(BM25_QUERY_TERMS, 50, raw=True)} )),
+q as (select embedding::DOUBLE[] as qv from embeddings where vec_id = 0),
+csim as (
+  select vec_id as doc_id,
+         floor(list_cosine_similarity(embedding::DOUBLE[], q.qv)*1000000
+               + 0.5)/1000000 as c6
+  from embeddings, q),
+ann as (
+  select doc_id, row_number() over (order by c6 desc, doc_id asc) as r
+  from csim order by c6 desc, doc_id asc limit 50),
+fused as (
+  select coalesce(bm.doc_id, ann.doc_id) as doc_id,
+         coalesce(1.0/(60.0 + bm.r), 0) + coalesce(1.0/(60.0 + ann.r), 0)
+           as raw
+  from bm full outer join ann on bm.doc_id = ann.doc_id)
+select doc_id, floor(raw*1000000 + 0.5)/1000000 as score
+from fused order by raw desc, doc_id asc limit 10
+"""
+
+
+def _get_upserted_index(sf_dir: str) -> IndexReader:
+    """Update-by-url lifecycle (``merge.upsert_docs``): every
+    ``doc_id % 7 == 0`` doc gets a refreshed text (three appended
+    ``freshness`` tokens), every ``doc_id % 11 == 3`` doc spawns a
+    brand-new page (id + 10M, ``brand new page`` prefix); the segment
+    indexes alone, folds into the main index by metadata merge, and
+    the stale main versions tombstone."""
+    import shutil
+    from ..index.merge import upsert_docs
+    from .corpus import doc_url, documents_to_pages_batch
+    tag = hashlib.md5(f"{sf_dir}|upsert".encode()).hexdigest()[:8]
+    path = os.path.join(_IDX_ROOT, f"{tag}_simple_upserted")
+    if not os.path.exists(os.path.join(path, "deletes.json")):
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(path + ".seg", ignore_errors=True)
+        main = get_index(sf_dir, "simple")
+        import ray
+        import ray.data as rd
+
+        def upd_fn(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_pylist()
+            texts = b["text"].to_pylist()
+            langs = b["lang"].to_pylist()
+            out_ids, out_txt, out_lang = [], [], []
+            for i, t, lg in zip(ids, texts, langs):
+                if i % 7 == 0:
+                    out_ids.append(i)
+                    out_txt.append((t or "") + " freshness freshness"
+                                   " freshness")
+                    out_lang.append(lg)
+                if i % 11 == 3:
+                    out_ids.append(i + 10_000_000)
+                    out_txt.append("brand new page " + (t or ""))
+                    out_lang.append(lg)
+            return documents_to_pages_batch(pa.table({
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "text": pa.array(out_txt, pa.string()),
+                "lang": pa.array(out_lang, pa.string())}))
+
+        seg = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "lang"]) \
+            .map_batches(upd_fn, batch_format="pyarrow")
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        cfg = IndexBuildConfig(num_buckets=16, docid_partitions=4,
+                               analyzer="simple", fields={"body": "text"},
+                               tokenize_concurrency=max(1, min(ncpu - 2, 8)))
+        upsert_docs(main.index_dir, seg, path, cfg,
+                    input_token=f"{sf_dir}|upseg")
+    return IndexReader(path)
+
+
+def q_bm25_upsert_top10(sf_dir: str):
+    """BM25 over the UPSERTED index — latest-version-wins: updated urls
+    score from the segment postings only (stale main versions are
+    tombstoned), new urls appear, stats stay as-built across old+new
+    versions (deletes-until-merge freshness, like
+    ``bm25_deleted_top10``)."""
+    reader = _get_upserted_index(sf_dir)
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    res = engine.search(" ".join(BM25_QUERY_TERMS), k=10)
+    return _ranked_to_table(res)
+
+
+# corpus as the merged index sees it: every original row, plus the
+# segment (updated versions at id+20M — an oracle-internal alias that
+# maps back to the original id, since the url is unchanged — and new
+# docs at id+10M, their real external id). Stale originals are
+# tombstone-filtered AFTER scoring; stats/df stay as-built over the
+# union, mirroring deletes-until-merge.
+SQL_BM25_UPSERT_TOP10 = f"""
+with udocs as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 20000000, text || ' freshness freshness freshness'
+  from documents where doc_id % 7 = 0
+  union all
+  select doc_id + 10000000, 'brand new page ' || text
+  from documents where doc_id % 11 = 3),
+tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from udocs),
+doclen as (select doc_id, count(*)::double as dl from tok group by doc_id),
+stats as (select
+  (select count(*) from udocs)::double as n,
+  (select count(*) from doclen)::double as dc,
+  (select sum(dl) from doclen)::double as suml),
+tfs as (select doc_id, term, count(*)::double as tf from tok
+        where term in ({",".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+        group by doc_id, term),
+dfs as (select term, count(*)::double as df from tfs group by term),
+scored as (
+  select case when tfs.doc_id >= 20000000 then tfs.doc_id - 20000000
+              else tfs.doc_id end as doc_id,
+         sum(greatest(0.0, ln((stats.n - dfs.df + 0.5)/(dfs.df + 0.5)))
+             * (tfs.tf / (tfs.tf + 1.2*((1.0-0.75)
+                + 0.75*doclen.dl/(stats.suml/stats.dc))))) as raw
+  from tfs
+  join dfs on tfs.term = dfs.term
+  join doclen on tfs.doc_id = doclen.doc_id
+  cross join stats
+  where not (tfs.doc_id % 7 = 0 and tfs.doc_id < 10000000)
+  group by 1)
+select doc_id, floor(raw*1000000 + 0.5)/1000000 as score
+from scored order by raw desc, doc_id asc limit 10
+"""
+
+
 QUERIES = {
     # oracle-checked
     "doc_token_counts": q_doc_token_counts,
@@ -5858,6 +6094,10 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "bm25_explain_top10": q_bm25_explain_top10,
     "bm25_grid_tune": q_bm25_grid_tune,
+    "tfidf_classic_top10": q_tfidf_classic_top10,
+    "time_decay_top10": q_time_decay_top10,
+    "rrf_fusion_top10": q_rrf_fusion_top10,
+    "bm25_upsert_top10": q_bm25_upsert_top10,
     "search_snippets": q_search_snippets,
     "eval_trec_extended": q_eval_trec_extended,
     "bm25_champion_top10": q_bm25_champion_top10,
@@ -5992,6 +6232,10 @@ ORACLE_SQL = {
     "bm25_inlink_top10": SQL_BM25_INLINK_TOP10,
     "bm25_deleted_top10": SQL_BM25_DELETED_TOP10,
     "bm25_purged_top10": SQL_BM25_PURGED_TOP10,
+    "tfidf_classic_top10": SQL_TFIDF_CLASSIC_TOP10,
+    "time_decay_top10": SQL_TIME_DECAY_TOP10,
+    "rrf_fusion_top10": SQL_RRF_FUSION_TOP10,
+    "bm25_upsert_top10": SQL_BM25_UPSERT_TOP10,
     "bm25_positionless_top10": SQL_INDEX_BM25_TOP10,
     "bm25_multifield_top10": SQL_BM25_MULTIFIELD_TOP10,
     "index_indri_top10": SQL_INDEX_INDRI_TOP10,

@@ -46,6 +46,18 @@ class IndriModel(RetrievalModel):
     default_op: str = "#and"
 
 
+@dataclass
+class TFIDFModel(RetrievalModel):
+    """Lucene ClassicSimilarity (the pre-BM25 default the reference's
+    Lucene 4.3 backend shipped): per-term score =
+    ``sqrt(tf) * idf^2 / sqrt(dl)`` with ``idf = 1 + ln(N / (df + 1))``,
+    summed over query terms (#SUM). queryNorm is a per-query constant
+    (rank-invariant) and coord is omitted, as in BooleanQuery with
+    coord disabled (Lucene >= 6 default) — both choices keep rankings
+    well-defined without changing relative order for a fixed query."""
+    default_op: str = "#sum"
+
+
 def model_from_params(params: dict) -> RetrievalModel:
     """Parameter-file dispatch, mirroring ``initializeRetrievalModel``
     (QryEval.java:248-301). Keys as in the reference param files:
@@ -63,6 +75,8 @@ def model_from_params(params: dict) -> RetrievalModel:
     if algo == "indri":
         return IndriModel(mu=float(params.get("Indri:mu", 2500)),
                           lambda_=float(params.get("Indri:lambda", 0.4)))
+    if algo == "tfidf":
+        return TFIDFModel()
     raise ValueError(f"unknown retrievalAlgorithm: {algo}")
 
 

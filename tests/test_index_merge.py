@@ -399,3 +399,67 @@ def test_federated_early_termination(merged_and_full):
     # its kth beats the other's UB the second never runs
     fed.search("fox", k=1, early_stop=True)
     assert fed.last_early_stopped in (0, 1)   # exactness is the hard bar
+
+
+def test_upsert_then_compact_equals_rebuild(tmp_path, ray_session):
+    """upsert_docs (update=delete+add, deletes-until-merge) followed by
+    compact_index must equal a fresh one-pass build over the effective
+    'latest version wins' corpus — the full incremental-update
+    lifecycle, statistics refreshed, not just masked."""
+    import ray.data as rd
+    from search_engines_ray.index import (
+        IndexBuildConfig, IndexReader, build_index, compact_index)
+    from search_engines_ray.index.merge import upsert_docs
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import BM25Model, IndriModel
+
+    pages = _toy_pages().iloc[:7]   # unique urls
+    cfg = dict(fields={"body": "text", "title": "title"},
+               num_buckets=4, docid_partitions=2, merge_salts=2,
+               tokenize_concurrency=2)
+    main = str(tmp_path / "main")
+    build_index(rd.from_pandas(pages), main, IndexBuildConfig(**cfg),
+                input_token="main", resume=False)
+
+    # segment: doc 2 updated in place, doc 9 brand-new
+    seg = pd.DataFrame(
+        [("http://t.example.com/2", "a quick brown dog sat on the fox",
+          "brown dog"),
+         ("http://t.example.com/9", "fresh fox news about lazy cats",
+          "fresh news")],
+        columns=["url", "text", "title"])
+    up = str(tmp_path / "up")
+    upsert_docs(main, rd.from_pandas(seg), up, IndexBuildConfig(**cfg),
+                input_token="seg")
+
+    # tombstone masking: the OLD doc-2 text's unique term is invisible,
+    # the new version and the new doc are live
+    u = IndexReader(up)
+    assert u.deleted_docids().size == 1
+    eng = QueryEngine(u, BM25Model())
+    assert "http://t.example.com/9" in \
+        eng.search("fresh", k=5)["external_id"].to_pylist()
+    got = eng.search("mat", k=5)["external_id"].to_pylist()
+    assert got == []    # 'mat' only existed in the stale doc-2 version
+
+    # compact → equals a fresh build over the effective corpus
+    comp = str(tmp_path / "comp")
+    compact_index(up, comp, merge_salts=2, num_parts=4)
+    eff = pd.concat([pages[pages["url"] != "http://t.example.com/2"], seg],
+                    ignore_index=True)
+    fresh = str(tmp_path / "fresh")
+    build_index(rd.from_pandas(eff), fresh, IndexBuildConfig(**cfg),
+                input_token="fresh", resume=False)
+    c, f = IndexReader(comp), IndexReader(fresh)
+    assert c.n_docs == f.n_docs
+    for fld in f.fields:
+        assert c.doc_count(fld) == f.doc_count(fld)
+        assert c.sum_field_lengths(fld) == f.sum_field_lengths(fld)
+    for term in ("quick", "fox", "lazy", "cat", "fresh", "mat"):
+        assert _by_ext(c, term) == _by_ext(f, term), term
+    for model in (BM25Model(), IndriModel(mu=1000, lambda_=0.3)):
+        ec = QueryEngine(c, model).search("quick fox lazy", k=10)
+        ef = QueryEngine(f, model).search("quick fox lazy", k=10)
+        assert ec["external_id"].to_pylist() == ef["external_id"].to_pylist()
+        assert np.allclose(ec["score"].to_numpy(), ef["score"].to_numpy(),
+                           rtol=0, atol=1e-12)
