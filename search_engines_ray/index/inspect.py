@@ -225,3 +225,37 @@ def main(argv: list[str]) -> int:
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1:]))
+
+
+def attribute_histogram(index_dir: str, attr: str = "ts",
+                        bucket_us: int = 60_000_000):
+    """Elasticsearch ``date_histogram`` over the index's doc-values
+    plane: fixed-width buckets of a timestamp attribute → doc counts.
+    One column-pruned distributed pass over the forward table (ONLY
+    ``attr_<name>`` leaves storage), per-batch ``np.unique`` partials,
+    then a bucket-keyed groupby of the tiny partial table — the
+    pre-aggregate-then-shuffle shape, never rows. → Arrow
+    (bucket, n_docs) sorted by bucket; bucket = ts_us // bucket_us."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .build import FORWARD_DIR
+
+    col = f"attr_{attr}"
+    ds = rd.read_parquet(os.path.join(index_dir, FORWARD_DIR),
+                         columns=[col])
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b[col].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        uniq, cnt = np.unique(us // bucket_us, return_counts=True)
+        return pa.table({"bucket": pa.array(uniq, pa.int64()),
+                         "n_docs": pa.array(cnt.astype(np.int64))})
+
+    t = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").sum("n_docs").to_pandas()
+    t = t.sort_values("bucket", ignore_index=True)
+    return pa.table({"bucket": pa.array(t["bucket"].to_numpy(), pa.int64()),
+                     "n_docs": pa.array(t["sum(n_docs)"].to_numpy()
+                                        .astype(np.int64))})

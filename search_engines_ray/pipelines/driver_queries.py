@@ -5880,6 +5880,141 @@ from fused order by raw desc, doc_id asc limit 10
 """
 
 
+def q_span_first_search(sf_dir: str):
+    """Lucene SpanFirstQuery: ``#FIRST/10(dup)`` keeps only the 'dup'
+    occurrences among a doc's first 10 token positions — a derived Iop
+    (df/ctf recomputed from survivors) scored under BM25 #SUM next to
+    a plain term, so lead-paragraph matches rank while deep-body ones
+    drop out of the derived leaf entirely."""
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    res = engine.search("#sum(#first/10(dup) line)", k=10)
+    return _ranked_to_table(res)
+
+
+# engine positions are 0-based (pos < 10) — POS_TOK_SQL's
+# generate_subscripts is 1-based, hence pos <= 10
+SQL_SPAN_FIRST_SEARCH = f"""
+with tok as ({POS_TOK_SQL}),
+doclen as (select doc_id, count(*)::double as dl from tok group by doc_id),
+stats as (select
+  (select count(*) from documents)::double as n,
+  (select count(*) from doclen)::double as dc,
+  (select sum(dl) from doclen)::double as suml),
+ftf as (select doc_id, count(*)::double as tf from tok
+        where term = 'dup' and pos <= 10 group by doc_id),
+fdf as (select count(*)::double as df from ftf),
+ltf as (select doc_id, count(*)::double as tf from tok
+        where term = 'line' group by doc_id),
+ldf as (select count(*)::double as df from ltf),
+fsc as (
+  select ftf.doc_id,
+         greatest(0.0, ln((stats.n - fdf.df + 0.5)/(fdf.df + 0.5)))
+         * (ftf.tf / (ftf.tf + 1.2*((1.0-0.75)
+            + 0.75*doclen.dl/(stats.suml/stats.dc)))) as s
+  from ftf join doclen using (doc_id) cross join stats cross join fdf),
+lsc as (
+  select ltf.doc_id,
+         greatest(0.0, ln((stats.n - ldf.df + 0.5)/(ldf.df + 0.5)))
+         * (ltf.tf / (ltf.tf + 1.2*((1.0-0.75)
+            + 0.75*doclen.dl/(stats.suml/stats.dc)))) as s
+  from ltf join doclen using (doc_id) cross join stats cross join ldf),
+scored as (
+  select coalesce(f.doc_id, l.doc_id) as doc_id,
+         coalesce(f.s, 0.0) + coalesce(l.s, 0.0) as raw
+  from fsc f full outer join lsc l on f.doc_id = l.doc_id)
+select doc_id, floor(raw*1000000 + 0.5)/1000000 as score from scored
+order by raw desc, doc_id asc limit 10
+"""
+
+
+def q_dismax_search(sf_dir: str):
+    """Lucene DisjunctionMaxQuery: ``#DISMAX/30(#sum(dup line)
+    #sum(hash sort))`` scores each doc max(clause scores) + 0.30 × the
+    rest — the best-fields combiner (Solr defType=dismax), here over
+    two BM25 #SUM clauses."""
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    res = engine.search("#dismax/30(#sum(dup line) #sum(hash sort))", k=10)
+    return _ranked_to_table(res)
+
+
+# two raw BM25 clause scores (no top-k cut inside: k = corpus bound),
+# dismax-combined with tie 0.30
+SQL_DISMAX_SEARCH = f"""
+with a as (select doc_id, raw from (
+  {_bm25_sql(("dup", "line"), 1000000000, raw=True)}
+)),
+b as (select doc_id, raw from (
+  {_bm25_sql(("hash", "sort"), 1000000000, raw=True)}
+)),
+scored as (
+  select coalesce(a.doc_id, b.doc_id) as doc_id,
+         greatest(coalesce(a.raw, 0.0), coalesce(b.raw, 0.0))
+         + 0.30 * (coalesce(a.raw, 0.0) + coalesce(b.raw, 0.0)
+                   - greatest(coalesce(a.raw, 0.0), coalesce(b.raw, 0.0)))
+           as raw
+  from a full outer join b on a.doc_id = b.doc_id)
+select doc_id, floor(raw*1000000 + 0.5)/1000000 as score from scored
+order by raw desc, doc_id asc limit 10
+"""
+
+
+def q_ann_filtered_top10(sf_dir: str):
+    """Pre-filtered vector search (Elasticsearch knn ``filter`` /
+    Qdrant payload filter): exact cosine top-10 restricted to
+    ``label = 1`` vectors. The predicate pushes to the parquet READ
+    (row-group stats prune), so the ANN kernel never materializes an
+    excluded vector; the query vector (vec_id 0, as in
+    ``ann_cosine_top10``) is independent of the filter."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+    from ..functions.similarity import ann_cosine_topk
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qvec = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)[None, :]
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filter=pc_.field("label") == 1)
+    out = ann_cosine_topk(ds, qvec, k=10, dtype=np.float64).to_pandas()
+    out = out.sort_values(["score", "vec_id"], ascending=[False, True],
+                          kind="mergesort")
+    return pa.table({
+        "vec_id": pa.array(out["vec_id"].to_numpy(), pa.int64()),
+        "score": pa.array(round6(out["score"].to_numpy())),
+    })
+
+
+SQL_ANN_FILTERED_TOP10 = """
+with q as (select embedding::DOUBLE[] as qv from embeddings where vec_id = 0)
+select vec_id,
+       floor(list_cosine_similarity(embedding::DOUBLE[], q.qv)*1000000 + 0.5)/1000000
+         as score
+from embeddings, q
+where label = 1
+order by list_cosine_similarity(embedding::DOUBLE[], q.qv) desc, vec_id asc
+limit 10
+"""
+
+
+def q_date_histogram(sf_dir: str):
+    """Elasticsearch ``date_histogram``: minute-bucket doc counts of
+    the crawl timestamp doc-value, one column-pruned distributed pass
+    over the forward plane with per-batch partials
+    (``inspect.attribute_histogram``)."""
+    from ..index.inspect import attribute_histogram
+    reader = _docvalues_index(sf_dir)
+    return attribute_histogram(reader.index_dir, "ts",
+                               bucket_us=60_000_000)
+
+
+# the deterministic doc_id→ts map: ts_us = base + doc_id*1e6
+SQL_DATE_HISTOGRAM = f"""
+select (({_TS_BASE_US} + doc_id*1000000) // 60000000)::bigint as bucket,
+       count(*)::bigint as n_docs
+from documents group by 1 order by 1
+"""
+
+
 def _get_upserted_index(sf_dir: str) -> IndexReader:
     """Update-by-url lifecycle (``merge.upsert_docs``): every
     ``doc_id % 7 == 0`` doc gets a refreshed text (three appended
@@ -6098,6 +6233,10 @@ QUERIES = {
     "time_decay_top10": q_time_decay_top10,
     "rrf_fusion_top10": q_rrf_fusion_top10,
     "bm25_upsert_top10": q_bm25_upsert_top10,
+    "span_first_search": q_span_first_search,
+    "dismax_search": q_dismax_search,
+    "ann_filtered_top10": q_ann_filtered_top10,
+    "date_histogram": q_date_histogram,
     "search_snippets": q_search_snippets,
     "eval_trec_extended": q_eval_trec_extended,
     "bm25_champion_top10": q_bm25_champion_top10,
@@ -6236,6 +6375,10 @@ ORACLE_SQL = {
     "time_decay_top10": SQL_TIME_DECAY_TOP10,
     "rrf_fusion_top10": SQL_RRF_FUSION_TOP10,
     "bm25_upsert_top10": SQL_BM25_UPSERT_TOP10,
+    "span_first_search": SQL_SPAN_FIRST_SEARCH,
+    "dismax_search": SQL_DISMAX_SEARCH,
+    "ann_filtered_top10": SQL_ANN_FILTERED_TOP10,
+    "date_histogram": SQL_DATE_HISTOGRAM,
     "bm25_positionless_top10": SQL_INDEX_BM25_TOP10,
     "bm25_multifield_top10": SQL_BM25_MULTIFIELD_TOP10,
     "index_indri_top10": SQL_INDEX_INDRI_TOP10,

@@ -111,6 +111,26 @@ def _syn(args: list[InvList], field: str) -> InvList:
                    int(starts.size), int(doc_s.size), field)
 
 
+def _first(a: InvList, field: str, n: int) -> InvList:
+    """#FIRST/n (Lucene SpanFirstQuery with end = n): keep occurrences
+    among the first ``n`` token positions of the field — span end
+    p+1 <= n for 0-based position p, i.e. ``pos < n``. A derived Iop
+    like #NEAR: df/ctf recomputed from the survivors. Vectorized:
+    one boolean mask + one run-length regroup, no per-doc loop."""
+    keep = a.positions < n
+    if not keep.any():
+        return InvList.empty(field)
+    doc_rep = np.repeat(a.docids, a.tfs)[keep]
+    pos = a.positions[keep]
+    new = np.empty(doc_rep.size, dtype=bool)
+    new[0] = True
+    new[1:] = doc_rep[1:] != doc_rep[:-1]
+    starts = np.flatnonzero(new)
+    tfs = np.diff(np.append(starts, doc_rep.size)).astype(np.int32)
+    return InvList(doc_rep[starts], tfs, pos.astype(np.int32),
+                   int(starts.size), int(doc_rep.size), field)
+
+
 def _near_positions(lists: list, n: int) -> list[int]:
     """Left→right pairwise two-pointer match (QryIopNear.java:80-128):
     keep right position r when an unconsumed left l satisfies
@@ -245,6 +265,8 @@ def eval_iop_tree(node, cache: dict) -> InvList:
     field = node.field_name
     if node.op == "syn":
         return _syn(args, field)
+    if node.op == "first":
+        return _first(args[0], field, node.dist)
     if any(a.df == 0 for a in args):
         return InvList.empty(field)
     return _positional(args, field, node.dist, node.op)
@@ -433,6 +455,21 @@ class QueryEngine:
             for a in args:
                 s += a.scores_for(docids, m)
             return _Scored(docids, s)
+
+        if op == "dismax":
+            # Lucene DisjunctionMaxQuery: score = max over clauses +
+            # tie * (sum of the others); tie rides in node.dist as an
+            # integer PERCENT (#DISMAX/30 → 0.30) — the /n slot is the
+            # parser's only numeric channel, same trick as #MSM/n.
+            # Additive models only: max-of-scores needs a common scale.
+            if not bm25:
+                raise ValueError(
+                    f"{type(m).__name__} doesn't support #DISMAX")
+            tie = node.dist / 100.0
+            docids = _union([a.docids for a in args])
+            mat = np.stack([a.scores_for(docids, m) for a in args])
+            mx = mat.max(axis=0)
+            return _Scored(docids, mx + tie * (mat.sum(axis=0) - mx))
 
         if op == "msm":
             # Lucene BooleanQuery.setMinimumNumberShouldMatch: keep docs

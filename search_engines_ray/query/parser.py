@@ -149,6 +149,10 @@ class QueryParser:
                 if weighted:
                     weights.append(w)
         if name in IOP_OPS:
+            if name == "first" and len(args) != 1:
+                raise QueryParseError(
+                    "#first/n takes exactly one arg (Lucene SpanFirstQuery "
+                    "wraps a single span)")
             node = IopNode(op=name, args=args, dist=dist)
         elif name == "score":
             if len(args) != 1:
@@ -222,7 +226,10 @@ class QueryParser:
                 kept_w.append(weights[idx])
         if not kept:
             return None
-        if len(kept) == 1:
+        if len(kept) == 1 and not (isinstance(node, IopNode)
+                                   and node.op == "first"):
+            # single-arg collapse — except #first/n, whose single-arg
+            # wrapper IS the operator (a position filter, not a combiner)
             return kept[0]
         if isinstance(node, IopNode):
             return IopNode(op=node.op, args=kept, dist=node.dist)

@@ -26,8 +26,8 @@ class TermNode(PlanNode):
 
 @dataclass
 class IopNode(PlanNode):
-    """#SYN / #NEAR/n / #WINDOW/n over Iop args (all same field)."""
-    op: str                       # "syn" | "near" | "window"
+    """#SYN / #NEAR/n / #WINDOW/n / #FIRST/n over Iop args (same field)."""
+    op: str                       # "syn" | "near" | "window" | "first"
     args: list = field(default_factory=list)
     dist: int = 1
 
@@ -45,11 +45,13 @@ class ScoreNode(PlanNode):
 
 @dataclass
 class SopNode(PlanNode):
-    """#AND / #OR / #SUM / #WSUM / #WAND / #MSM/n over Sop args."""
+    """#AND / #OR / #SUM / #WSUM / #WAND / #MSM/n / #DISMAX/t over Sop
+    args."""
     op: str
     args: list = field(default_factory=list)
     weights: list | None = None   # for #wsum / #wand
-    dist: int = 1                 # for #msm/n: minimum matching args
+    dist: int = 1                 # #msm/n: min matching args;
+    #                               #dismax/t: tie-breaker in PERCENT
 
     @property
     def sum_weight(self) -> float:
@@ -57,8 +59,8 @@ class SopNode(PlanNode):
 
 
 WEIGHTED_OPS = {"wsum", "wand"}
-SOP_OPS = {"and", "or", "sum", "wsum", "wand", "msm"}
-IOP_OPS = {"syn", "near", "window"}
+SOP_OPS = {"and", "or", "sum", "wsum", "wand", "msm", "dismax"}
+IOP_OPS = {"syn", "near", "window", "first"}
 
 
 def is_iop(node: PlanNode) -> bool:
@@ -70,7 +72,9 @@ def plan_repr(node: PlanNode) -> str:
     if isinstance(node, TermNode):
         return node.term if node.field == "body" else f"{node.term}.{node.field}"
     if isinstance(node, IopNode):
-        op = f"#{node.op}" + (f"/{node.dist}" if node.op in ("near", "window") else "")
+        op = f"#{node.op}" + (f"/{node.dist}"
+                              if node.op in ("near", "window", "first")
+                              else "")
         return f"{op}({' '.join(plan_repr(a) for a in node.args)})"
     if isinstance(node, ScoreNode):
         return f"#score({plan_repr(node.child)})"

@@ -726,3 +726,48 @@ def test_distributed_msm_matches_driver_path(docs_index):
         sub = dist[dist["qid"] == qid].reset_index(drop=True)
         assert list(sub["external_id"]) == list(drv["external_id"]), qid
         np.testing.assert_allclose(sub["score"], drv["score"], rtol=1e-12)
+
+
+def test_span_first_filters_positions(toy_index):
+    """#FIRST/n keeps only occurrences within the first n token
+    positions (0-based pos < n, Lucene SpanFirstQuery end<=n); df/ctf
+    derive from the survivors."""
+    from search_engines_ray.query.eval import QueryEngine, eval_iop_tree
+    from search_engines_ray.query.models import RankedBooleanModel
+    eng = QueryEngine(toy_index, RankedBooleanModel())
+    # doc 5 body = "fox fox fox den": 'fox' at 0,1,2 → #FIRST/2 keeps 2
+    plan = eng.parser.parse("#first/2(fox)", None)
+    inv = eval_iop_tree(plan, eng._fetch(plan))
+    by_ext = dict(zip(toy_index.external_ids()[inv.docids], inv.tfs))
+    assert by_ext["http://t.example.com/5"] == 2
+    # doc 1 body = "the quick brown fox ...": 'fox' at pos 3 → dropped
+    assert "http://t.example.com/1" not in by_ext
+    # /4 admits it (pos 3 < 4)
+    plan4 = eng.parser.parse("#first/4(fox)", None)
+    inv4 = eval_iop_tree(plan4, eng._fetch(plan4))
+    assert "http://t.example.com/1" in \
+        set(toy_index.external_ids()[inv4.docids])
+    assert inv.df == int(inv.docids.size) and inv.ctf == int(inv.tfs.sum())
+
+
+def test_dismax_is_max_plus_tie(toy_index):
+    """#DISMAX/t == max(clause scores) + t/100 * sum(others), checked
+    against the two clauses scored separately."""
+    import numpy as np
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import BM25Model, IndriModel
+    eng = QueryEngine(toy_index, BM25Model())
+    a = eng.search("#sum(quick fox)", k=100).to_pandas()
+    b = eng.search("#sum(lazy cat)", k=100).to_pandas()
+    dm = eng.search("#dismax/40(#sum(quick fox) #sum(lazy cat))",
+                    k=100).to_pandas()
+    sa = dict(zip(a["external_id"], a["score"]))
+    sb = dict(zip(b["external_id"], b["score"]))
+    for e, got in zip(dm["external_id"], dm["score"]):
+        x, y = sa.get(e, 0.0), sb.get(e, 0.0)
+        want = max(x, y) + 0.40 * (x + y - max(x, y))
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        QueryEngine(toy_index, IndriModel()).search(
+            "#dismax/40(#and(quick) #and(fox))", k=5)
