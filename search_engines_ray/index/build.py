@@ -118,6 +118,13 @@ class IndexBuildConfig:
     #   fetch (reader.attributes_for) and pruned range/equality scans
     #   (reader.docids_where) for sort-by-field / metadata-filtered
     #   retrieval without touching the source table.
+    index_synonyms: dict | None = None  # index-time synonym injection
+    #   (Lucene SynonymFilter with posIncrement=0): analyzed term →
+    #   list of extra terms indexed at the SAME position. Field length
+    #   and the position stream stay unchanged (synonyms add tf/df,
+    #   not length), so doclen-normalized scores treat them exactly as
+    #   Lucene does. Applied AFTER the analyzer chain, so keys must be
+    #   analyzed forms.
     lineage: bool = False          # per-PARTITION checkpointing: the
     #   forward stage at pid grain, the postings merge at (bucket, salt)
     #   grain — each partition writes its file atomically plus a lineage
@@ -145,6 +152,9 @@ class IndexBuildConfig:
             # appended only when set: configs without attributes keep
             # their pre-doc-values fingerprints (no cache invalidation)
             parts += [sorted(self.attributes.items())]
+        if self.index_synonyms:
+            parts += [sorted((k, sorted(v))
+                             for k, v in self.index_synonyms.items())]
         if stage != FORWARD_DIR:
             # stats.json records num_buckets/merge_salts (the reader's
             # bucket-pruning contract), so docmeta + postings include them
@@ -227,6 +237,7 @@ class _ForwardGroupWriter:
         self.url_col = cfg.url_column
         self.dedup = cfg.dedup
         self.attributes = dict(cfg.attributes or {})
+        self.synonyms = dict(cfg.index_synonyms or {})
         self.fwd_path = fwd_path
         self.fp = fp
 
@@ -242,7 +253,8 @@ class _ForwardGroupWriter:
         g = g.sort_values(self.url_col, kind="mergesort").reset_index(drop=True)
         g["docid_local"] = np.arange(len(g), dtype=np.int64)
         g["external_id"] = g[self.url_col]
-        tbl = _Tokenize(self.fields, self.mode, self.attributes)(
+        tbl = _Tokenize(self.fields, self.mode, self.attributes,
+                        self.synonyms)(
             pa.Table.from_pandas(g, preserve_index=False))
         dest = os.path.join(self.fwd_path, _fwd_file(pid))
         tmp = dest + ".tmp"
@@ -467,10 +479,12 @@ class _Tokenize:
     ``attr_<name>``)."""
 
     def __init__(self, fields: dict, analyzer_mode: str = "lucene",
-                 attributes: dict | None = None):
+                 attributes: dict | None = None,
+                 synonyms: dict | None = None):
         self.fields = fields
         self.mode = analyzer_mode
         self.attributes = attributes or {}
+        self.synonyms = synonyms or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -487,6 +501,20 @@ class _Tokenize:
             terms_col, pos_col, len_col = [], [], np.empty(n, dtype=np.int32)
             for i, txt in enumerate(texts):
                 terms, pos, flen = analyze(txt or "")
+                if self.synonyms:
+                    # SynonymFilter posIncrement=0: emit extras at the
+                    # SAME position, in stream order so per-term
+                    # position lists stay ascending (delta-encode
+                    # contract); flen unchanged — synonyms add tf, not
+                    # length
+                    t2, p2 = [], []
+                    for t, p in zip(terms, pos):
+                        t2.append(t)
+                        p2.append(p)
+                        for s in self.synonyms.get(t, ()):
+                            t2.append(s)
+                            p2.append(p)
+                    terms, pos = t2, p2
                 terms_col.append(terms)
                 pos_col.append(pos)
                 len_col[i] = flen
@@ -745,7 +773,8 @@ def build_index(pages: "ray.data.Dataset", index_dir: str,
             return g
 
         ds = ds.groupby("pid").map_groups(assign_local, batch_format="pandas")
-        tokenize = _Tokenize(cfg.fields, cfg.analyzer, cfg.attributes)
+        tokenize = _Tokenize(cfg.fields, cfg.analyzer, cfg.attributes,
+                             cfg.index_synonyms)
         ds = ds.map_batches(
             tokenize, batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size)

@@ -5762,13 +5762,17 @@ def q_tfidf_classic_top10(sf_dir: str):
     return _ranked_to_table(res)
 
 
-SQL_TFIDF_CLASSIC_TOP10 = f"""
+def _tfidf_sql(terms: tuple[str, ...], k: int) -> str:
+    """DuckDB ClassicSimilarity top-k — the TF-IDF twin of
+    ``_bm25_sql`` (single query and batch oracles)."""
+    in_list = ",".join(f"'{t}'" for t in terms)
+    return f"""
 with tok as (
   select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
 doclen as (select doc_id, count(*)::double as dl from tok group by doc_id),
 stats as (select (select count(*) from documents)::double as n),
 tfs as (select doc_id, term, count(*)::double as tf from tok
-        where term in ({",".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+        where term in ({in_list})
         group by doc_id, term),
 dfs as (select term, count(*)::double as df from tfs group by term),
 scored as (
@@ -5779,8 +5783,31 @@ scored as (
   join doclen on tfs.doc_id = doclen.doc_id
   cross join stats group by tfs.doc_id)
 select doc_id, floor(raw*1000000 + 0.5)/1000000 as score
-from scored order by raw desc, doc_id asc limit 10
+from scored order by raw desc, doc_id asc limit {k}
 """
+
+
+SQL_TFIDF_CLASSIC_TOP10 = _tfidf_sql(BM25_QUERY_TERMS, 10)
+
+
+def q_tfidf_batch_distributed(sf_dir: str):
+    """The multi-query DISTRIBUTED path under ClassicSimilarity — the
+    same per-salt zero-shuffle machinery as ``bm25_batch_distributed``
+    with the TF-IDF kernel (``bm25_batch_search(model=TFIDFModel())``),
+    against a per-query UNION ALL of the single-query TF-IDF oracle."""
+    from ..query.distributed import bm25_batch_search
+    from ..query.models import TFIDFModel
+    reader = get_index(sf_dir, "simple")
+    res = bm25_batch_search(
+        reader.index_dir,
+        [(qid, " ".join(terms)) for qid, terms in BATCH_BM25_QUERIES],
+        TFIDFModel(), k=10)
+    ids = _docid_of_external(res["external_id"].to_pylist())
+    return pa.table({
+        "qid": res["qid"],
+        "doc_id": pa.array(ids),
+        "score": pa.array(round6(res["score"].to_pylist())),
+    })
 
 
 def q_time_decay_top10(sf_dir: str):
@@ -5810,6 +5837,11 @@ def q_time_decay_top10(sf_dir: str):
     order = np.lexsort((ids, -raw))[:10]
     return pa.table({"doc_id": pa.array(ids[order]),
                      "score": pa.array(round6(raw[order]))})
+
+
+SQL_TFIDF_BATCH_DISTRIBUTED = "\nunion all\n".join(
+    f"select '{qid}' as qid, * from ({_tfidf_sql(terms, 10)})"
+    for qid, terms in BATCH_BM25_QUERIES)
 
 
 # the deterministic ts mapping (corpus.documents_to_pages_batch:
@@ -6012,6 +6044,59 @@ SQL_DATE_HISTOGRAM = f"""
 select (({_TS_BASE_US} + doc_id*1000000) // 60000000)::bigint as bucket,
        count(*)::bigint as n_docs
 from documents group by 1 order by 1
+"""
+
+
+def q_index_synonym_search(sf_dir: str):
+    """INDEX-TIME synonyms (Lucene SynonymFilter, posIncrement=0; the
+    build-plane twin of the query-time ``synonym_search``): the index
+    is built with ``index_synonyms={'dup': ['duplicate']}``, so every
+    'dup' occurrence also indexes 'duplicate' at the same position —
+    field length unchanged, tf/df grow. A plain ``duplicate line``
+    BM25 query then reaches the 'dup' docs with no query rewrite."""
+    tag = hashlib.md5(f"{sf_dir}|idxsyn".encode()).hexdigest()[:8]
+    path = os.path.join(_IDX_ROOT, f"{tag}_simple_idxsyn")
+    import ray
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    build_index(pages_from_documents(sf_dir), path,
+                IndexBuildConfig(
+                    num_buckets=16, docid_partitions=16,
+                    analyzer="simple", fields={"body": "text"},
+                    index_synonyms={"dup": ["duplicate"]},
+                    tokenize_concurrency=max(1, min(ncpu - 2, 8))),
+                input_token=f"{sf_dir}|idxsyn", resume=True)
+    engine = QueryEngine(IndexReader(path), BM25Model(k1=1.2, b=0.75))
+    res = engine.search("duplicate line", k=10)
+    return _ranked_to_table(res)
+
+
+# token stream with the synonym injected at the same positions; doclen
+# and corpus stats stay on the PLAIN stream (field length unchanged)
+SQL_INDEX_SYNONYM_SEARCH = f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+stok as (
+  select doc_id, term from tok
+  union all
+  select doc_id, 'duplicate' as term from tok where term = 'dup'),
+doclen as (select doc_id, count(*)::double as dl from tok group by doc_id),
+stats as (select
+  (select count(*) from documents)::double as n,
+  (select count(*) from doclen)::double as dc,
+  (select sum(dl) from doclen)::double as suml),
+tfs as (select doc_id, term, count(*)::double as tf from stok
+        where term in ('duplicate','line') group by doc_id, term),
+dfs as (select term, count(*)::double as df from tfs group by term),
+scored as (
+  select tfs.doc_id,
+         sum(greatest(0.0, ln((stats.n - dfs.df + 0.5)/(dfs.df + 0.5)))
+             * (tfs.tf / (tfs.tf + 1.2*((1.0-0.75)
+                + 0.75*doclen.dl/(stats.suml/stats.dc))))) as raw
+  from tfs join dfs on tfs.term = dfs.term
+  join doclen on tfs.doc_id = doclen.doc_id
+  cross join stats group by tfs.doc_id)
+select doc_id, floor(raw*1000000 + 0.5)/1000000 as score
+from scored order by raw desc, doc_id asc limit 10
 """
 
 
@@ -6230,6 +6315,7 @@ QUERIES = {
     "bm25_explain_top10": q_bm25_explain_top10,
     "bm25_grid_tune": q_bm25_grid_tune,
     "tfidf_classic_top10": q_tfidf_classic_top10,
+    "tfidf_batch_distributed": q_tfidf_batch_distributed,
     "time_decay_top10": q_time_decay_top10,
     "rrf_fusion_top10": q_rrf_fusion_top10,
     "bm25_upsert_top10": q_bm25_upsert_top10,
@@ -6237,6 +6323,7 @@ QUERIES = {
     "dismax_search": q_dismax_search,
     "ann_filtered_top10": q_ann_filtered_top10,
     "date_histogram": q_date_histogram,
+    "index_synonym_search": q_index_synonym_search,
     "search_snippets": q_search_snippets,
     "eval_trec_extended": q_eval_trec_extended,
     "bm25_champion_top10": q_bm25_champion_top10,
@@ -6372,6 +6459,7 @@ ORACLE_SQL = {
     "bm25_deleted_top10": SQL_BM25_DELETED_TOP10,
     "bm25_purged_top10": SQL_BM25_PURGED_TOP10,
     "tfidf_classic_top10": SQL_TFIDF_CLASSIC_TOP10,
+    "tfidf_batch_distributed": SQL_TFIDF_BATCH_DISTRIBUTED,
     "time_decay_top10": SQL_TIME_DECAY_TOP10,
     "rrf_fusion_top10": SQL_RRF_FUSION_TOP10,
     "bm25_upsert_top10": SQL_BM25_UPSERT_TOP10,
@@ -6379,6 +6467,7 @@ ORACLE_SQL = {
     "dismax_search": SQL_DISMAX_SEARCH,
     "ann_filtered_top10": SQL_ANN_FILTERED_TOP10,
     "date_histogram": SQL_DATE_HISTOGRAM,
+    "index_synonym_search": SQL_INDEX_SYNONYM_SEARCH,
     "bm25_positionless_top10": SQL_INDEX_BM25_TOP10,
     "bm25_multifield_top10": SQL_BM25_MULTIFIELD_TOP10,
     "index_indri_top10": SQL_INDEX_INDRI_TOP10,

@@ -205,11 +205,16 @@ def _emit_ranked(cands: pa.Table, qids: list[str], k: int,
 
 
 def bm25_batch_search(index_dir: str, queries: list[tuple[str, str]],
-                      model: BM25Model | None = None, k: int = 100,
+                      model=None, k: int = 100,
                       field: str = "body") -> pa.Table:
-    """Score a BM25 bag-of-words query batch; → (qid, external_id, rank,
-    score), reference ordering per qid."""
+    """Score a bag-of-words query batch — BM25 by default, or Lucene
+    ClassicSimilarity when ``model`` is a ``TFIDFModel`` (same per-salt
+    zero-shuffle plumbing, different per-term kernel; classic idf is
+    strictly positive so the zero-idf candidate path never triggers);
+    → (qid, external_id, rank, score), reference ordering per qid."""
+    from .models import TFIDFModel
     model = model or BM25Model()
+    classic = isinstance(model, TFIDFModel)
     reader = IndexReader(index_dir)
     an = analyzer_for_mode(reader.stats.get("analyzer", "lucene"))
 
@@ -247,7 +252,7 @@ def bm25_batch_search(index_dir: str, queries: list[tuple[str, str]],
     avglen = reader.avg_len(field)
     pid_offsets = reader.pid_offsets
     dl_token = reader.stats_token
-    k1, b = model.k1, model.b
+    k1, b = (0.0, 0.0) if classic else (model.k1, model.b)
     terms_list = sorted(term_queries)
 
     # ---- per-salt scoring, ZERO shuffle (r2→r3 redesign): salt is the
@@ -284,11 +289,17 @@ def bm25_batch_search(index_dir: str, queries: list[tuple[str, str]],
                                     t["tf_blob"].to_pylist()):
                 docids, tfs, _ = decode_postings(db, tb, None)
                 df = global_df[term]
-                idf = max(0.0, np.log((N - df + 0.5) / (df + 0.5)))
-                any_zero_idf |= idf == 0.0
                 dl = dlens.get(docids).astype(np.float64)
                 tf = tfs.astype(np.float64)
-                sc = idf * (tf / (tf + k1 * ((1.0 - b) + b * dl / avglen)))
+                if classic:
+                    idf = 1.0 + np.log(N / (df + 1.0))
+                    sc = (np.sqrt(tf) * (idf * idf)
+                          / np.sqrt(np.maximum(dl, 1.0)))
+                else:
+                    idf = max(0.0, np.log((N - df + 0.5) / (df + 0.5)))
+                    any_zero_idf |= idf == 0.0
+                    sc = idf * (tf / (tf + k1 * ((1.0 - b)
+                                                 + b * dl / avglen)))
                 for qc, mult in tq[term]:
                     entries.append((qc, docids,
                                     sc if mult == 1 else sc * mult))

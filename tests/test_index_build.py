@@ -340,3 +340,49 @@ def test_index_verify(toy_index, tmp_path, ray_session):
     bad = cmd_verify(IndexReader(dst))
     assert not bad["ok"]
     assert bad["postings"]["bad_runs"] >= 1
+
+
+def test_index_time_synonyms(tmp_path, ray_session):
+    """index_synonyms injects analyzed-form synonyms at the SAME
+    position (Lucene SynonymFilter posIncrement=0): tf/df grow, field
+    length does not, and positional operators see the synonym exactly
+    where the source term sits."""
+    import pandas as pd
+    import ray.data as rd
+    from search_engines_ray.index import (
+        IndexBuildConfig, IndexReader, build_index)
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import RankedBooleanModel
+
+    pages = pd.DataFrame(
+        [("http://s.example.com/1", "quick brown fox"),
+         ("http://s.example.com/2", "rapid brown fox"),
+         ("http://s.example.com/3", "brown quick fox quick")],
+        columns=["url", "text"])
+    base = dict(fields={"body": "text"}, num_buckets=4,
+                docid_partitions=2, merge_salts=2, analyzer="simple",
+                tokenize_concurrency=2)
+    plain_d, syn_d = str(tmp_path / "plain"), str(tmp_path / "syn")
+    build_index(rd.from_pandas(pages), plain_d, IndexBuildConfig(**base),
+                input_token="p", resume=False)
+    build_index(rd.from_pandas(pages), syn_d,
+                IndexBuildConfig(**base,
+                                 index_synonyms={"quick": ["rapid"]}),
+                input_token="s", resume=False)
+    plain, syn = IndexReader(plain_d), IndexReader(syn_d)
+
+    # field lengths unchanged (synonyms add tf, not length)
+    assert syn.sum_field_lengths("body") == plain.sum_field_lengths("body")
+    # 'rapid' postings: docs 1 and 3 join doc 2; tf counts occurrences
+    p = syn.postings("rapid", "body")
+    exts = syn.external_ids()[p.docids]
+    by_ext = dict(zip(exts, p.tfs))
+    assert by_ext == {"http://s.example.com/1": 1,
+                      "http://s.example.com/2": 1,
+                      "http://s.example.com/3": 2}
+    assert p.df == 3 and p.ctf == 4
+    # positional: 'rapid brown' adjacency holds where 'quick brown' was
+    eng = QueryEngine(syn, RankedBooleanModel())
+    got = set(eng.search("#near/1(rapid brown)",
+                         k=10)["external_id"].to_pylist())
+    assert got == {"http://s.example.com/1", "http://s.example.com/2"}
