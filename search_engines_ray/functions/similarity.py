@@ -336,3 +336,48 @@ def sq8_ann_topk(ds, queries: np.ndarray, k: int = 10,
 
     return partials.groupby("query_id").map_groups(merge,
                                                    batch_format="pandas")
+
+
+def label_centroids(ds, vec_col: str = "embedding",
+                    label_col: str = "label") -> pa.Table:
+    """→ Arrow (label, dim, mean) sorted by (label, dim 1-based):
+    per-label element-wise centroid of an embedding column — the
+    cluster-statistics op behind k-means init audits / per-class
+    embedding drift checks. Each component is quantized to the 1e-6
+    integer grid BEFORE summing (floor(v*1e6+0.5), matching the SQL
+    oracle literally), so partial sums associate exactly under any
+    batch order; per-batch partials are (label, dim, int-sum, n) rows
+    — labels × dims per batch, never vectors — folded by one tiny
+    groupby."""
+    def partial(b: pa.Table) -> pa.Table:
+        m = np.floor(_as_matrix(b[vec_col], np.float64) * 1e6 + 0.5) \
+            .astype(np.int64)
+        labels = np.asarray(b[label_col].to_numpy(zero_copy_only=False),
+                            np.int64)
+        uniq = np.unique(labels)
+        d = m.shape[1]
+        out_l, out_dim, out_s, out_n = [], [], [], []
+        for lb in uniq:
+            rows = m[labels == lb]
+            out_l.append(np.full(d, lb, np.int64))
+            out_dim.append(np.arange(1, d + 1, dtype=np.int64))
+            out_s.append(rows.sum(axis=0))
+            out_n.append(np.full(d, rows.shape[0], np.int64))
+        return pa.table({
+            "key": pa.array((np.concatenate(out_l) << 20)
+                            | np.concatenate(out_dim)),
+            "s": pa.array(np.concatenate(out_s)),
+            "n": pa.array(np.concatenate(out_n))})
+
+    t = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("key").sum(["s", "n"]).to_pandas()
+    key = t["key"].to_numpy(np.int64)
+    s = t["sum(s)"].to_numpy(np.int64)
+    n = t["sum(n)"].to_numpy(np.int64)
+    order = np.argsort(key)
+    key, s, n = key[order], s[order], n[order]
+    mean = np.floor((s / (n * 1e6)) * 1e6 + 0.5) / 1e6
+    return pa.table({
+        "label": pa.array(key >> 20),
+        "dim": pa.array(key & ((1 << 20) - 1)),
+        "mean": pa.array(mean, pa.float64())})

@@ -1243,3 +1243,100 @@ def naive_bayes_predict(ds, model: dict, text_col: str = "text",
                          "pred": pa.array(preds, pa.string())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_lm_perplexity(ds, text_col: str = "text",
+                         id_col: str = "doc_id", num_parts: int = 64):
+    """→ Dataset (``id_col``, n_bigrams, bits): CCNet-style LM quality
+    scoring one order up from ``unigram_lm_surprisal`` — mean per-BIGRAM
+    surprisal in bits under a corpus-fit Laplace-smoothed bigram LM,
+    ``p(w2|w1) = (c(w1,w2)+1) / (c(w1,·)+V)`` (the doc's log2 bigram
+    perplexity; the CCNet filter buckets on exactly this number).
+    Per-bigram surprisal is quantized to the integer 1e-4-bit grid
+    BEFORE summing (associative partial sums, oracle-exact despite libm
+    vs numpy log2 ulp differences — same trick as the unigram op).
+
+    Shape: ONE keyed exchange of (kind, key, count) partials — the
+    bigram/unigram LM table, not the corpus, reaches the driver
+    (context counts c(w1,·) and the vocabulary size V both derive from
+    it driver-side), is quantized once, and ships via ``ray.put``
+    through the process cache; scoring is a stateless map. At web
+    scale cap the table to the top-B bigrams (everything else smooths
+    to c=0); here the corpus-fit table IS the LM, matching the SQL
+    oracle exactly. Docs with < 2 tokens are omitted."""
+    from collections import Counter
+    from zlib import crc32
+    import ray
+
+    from ..analysis.tokenizer import simple_tokenize
+    from ..util import proc_cached
+
+    # separator must be a SPACE, not "\x00": pandas' string hashtable
+    # (the groupby in sum_part) treats object strings as C strings and
+    # collapses keys at an embedded NUL; simple_tokenize terms are
+    # [a-z0-9]+ so a space can never occur inside a token
+    SEP = " "
+
+    def partial(b: pa.Table) -> pa.Table:
+        bc: Counter = Counter()
+        uni: Counter = Counter()
+        for t in b[text_col].to_pylist():
+            toks = simple_tokenize(t or "")
+            uni.update(toks)
+            bc.update(f"{a}{SEP}{z}" for a, z in zip(toks, toks[1:]))
+        keys = list(uni.keys()) + list(bc.keys())
+        kinds = np.concatenate([np.zeros(len(uni), np.int8),
+                                np.ones(len(bc), np.int8)])
+        cnts = np.fromiter((*uni.values(), *bc.values()), np.int64,
+                           count=len(keys))
+        parts = np.fromiter((crc32(k.encode()) % num_parts for k in keys),
+                            dtype=np.int32, count=len(keys))
+        return pa.table({"part": pa.array(parts),
+                         "kind": pa.array(kinds),
+                         "key": pa.array(keys, pa.string()),
+                         "c": pa.array(cnts)})
+
+    def sum_part(g: pa.Table):
+        import pandas as pd
+        df = g.to_pandas()
+        if df.empty:
+            return pd.DataFrame({"kind": pd.Series([], dtype=np.int8),
+                                 "key": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype=np.int64)})
+        s = df.groupby(["kind", "key"], sort=False)["c"].sum().reset_index()
+        return s
+
+    lm = ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(max(8, num_parts // 8)) \
+        .groupby("part").map_groups(sum_part, batch_format="pyarrow") \
+        .to_pandas()
+    v_size = int((lm["kind"] == 0).sum())          # |vocab|
+    big = lm[lm["kind"] == 1]
+    keys = big["key"].to_numpy()
+    c12 = big["c"].to_numpy(np.int64)
+    w1 = np.asarray([k.split(SEP, 1)[0] for k in keys], dtype=object)
+    import pandas as pd
+    c1 = pd.Series(c12).groupby(pd.Series(w1), sort=False).sum()
+    c1_of = c1.reindex(w1).to_numpy(np.int64)      # context count per bigram
+    q = np.floor(-np.log2((c12 + 1.0) / (c1_of + float(v_size)))
+                 * 1e4 + 0.5).astype(np.int64)
+    ref = ray.put(dict(zip(keys, q)))
+
+    def score(b: pa.Table) -> pa.Table:
+        lut = proc_cached(("bigram_lm", ref.hex()), lambda: ray.get(ref))
+        ids, nbs, bits = [], [], []
+        for did, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            toks = simple_tokenize(t or "")
+            if len(toks) < 2:
+                continue
+            total = sum(lut[f"{a}{SEP}{z}"]
+                        for a, z in zip(toks, toks[1:]))
+            nb = len(toks) - 1
+            ids.append(did)
+            nbs.append(nb)
+            bits.append(total / (nb * 1e4))
+        return pa.table({id_col: pa.array(np.asarray(ids, np.int64)),
+                         "n_bigrams": pa.array(np.asarray(nbs, np.int64)),
+                         "bits": pa.array(round6(bits))})
+
+    return ds.map_batches(score, batch_format="pyarrow")

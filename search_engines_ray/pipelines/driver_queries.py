@@ -6100,6 +6100,64 @@ from scored order by raw desc, doc_id asc limit 10
 """
 
 
+def q_bigram_perplexity(sf_dir: str):
+    """CCNet-style quality filter one LM order up: per-doc mean
+    per-bigram surprisal (log2 bigram perplexity) under a corpus-fit
+    Laplace bigram LM, integer-grid quantized per bigram
+    (``text.bigram_lm_perplexity``)."""
+    import ray.data as rd
+    from ..functions.text import bigram_lm_perplexity
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = bigram_lm_perplexity(ds).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SQL_BIGRAM_PERPLEXITY = f"""
+with tok as ({POS_TOK_SQL}),
+big as (
+  select a.doc_id, a.term as w1, b.term as w2
+  from tok a join tok b on a.doc_id = b.doc_id and b.pos = a.pos + 1),
+bc as (select w1, w2, count(*)::bigint as c from big group by w1, w2),
+c1 as (select w1, sum(c)::bigint as c from bc group by w1),
+v as (select count(distinct term)::double as v from tok),
+lp as (select bc.w1, bc.w2,
+       floor(-log2((bc.c + 1.0)/(c1.c + v.v)) * 10000 + 0.5)::bigint as q
+       from bc join c1 using (w1) cross join v),
+doc as (select big.doc_id, sum(lp.q)::bigint as total,
+               count(*)::bigint as nb
+        from big join lp on big.w1 = lp.w1 and big.w2 = lp.w2
+        group by big.doc_id)
+select doc_id, nb as n_bigrams,
+       floor((total/(nb*10000.0))*1000000 + 0.5)/1000000 as bits
+from doc order by doc_id
+"""
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label element-wise embedding centroids (cluster statistics):
+    1e-6 integer-grid quantized components, per-batch (label, dim)
+    partial sums, one tiny groupby (``similarity.label_centroids``)."""
+    import ray.data as rd
+    from ..functions.similarity import label_centroids
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding", "label"])
+    return label_centroids(ds)
+
+
+SQL_LABEL_CENTROIDS = """
+with ex as (
+  select label::bigint as label, unnest(embedding)::double as v,
+         generate_subscripts(embedding, 1)::bigint as dim
+  from embeddings)
+select label, dim,
+       floor((sum(floor(v*1000000 + 0.5)::bigint) / (count(*)*1000000.0))
+             *1000000 + 0.5)/1000000 as mean
+from ex group by label, dim order by label, dim
+"""
+
+
 def _get_upserted_index(sf_dir: str) -> IndexReader:
     """Update-by-url lifecycle (``merge.upsert_docs``): every
     ``doc_id % 7 == 0`` doc gets a refreshed text (three appended
@@ -6324,6 +6382,8 @@ QUERIES = {
     "ann_filtered_top10": q_ann_filtered_top10,
     "date_histogram": q_date_histogram,
     "index_synonym_search": q_index_synonym_search,
+    "bigram_perplexity": q_bigram_perplexity,
+    "label_centroids": q_label_centroids,
     "search_snippets": q_search_snippets,
     "eval_trec_extended": q_eval_trec_extended,
     "bm25_champion_top10": q_bm25_champion_top10,
@@ -6468,6 +6528,8 @@ ORACLE_SQL = {
     "ann_filtered_top10": SQL_ANN_FILTERED_TOP10,
     "date_histogram": SQL_DATE_HISTOGRAM,
     "index_synonym_search": SQL_INDEX_SYNONYM_SEARCH,
+    "bigram_perplexity": SQL_BIGRAM_PERPLEXITY,
+    "label_centroids": SQL_LABEL_CENTROIDS,
     "bm25_positionless_top10": SQL_INDEX_BM25_TOP10,
     "bm25_multifield_top10": SQL_BM25_MULTIFIELD_TOP10,
     "index_indri_top10": SQL_INDEX_INDRI_TOP10,
