@@ -6158,6 +6158,69 @@ from ex group by label, dim order by label, dim
 """
 
 
+def q_dense_prf_top10(sf_dir: str):
+    """Dense pseudo-relevance feedback (Rocchio in embedding space —
+    the ANN twin of the Indri PRF pipeline): round 1 retrieves the
+    cosine top-10 for the vec-0 query, the feedback vector is their
+    element-wise mean on the 1e-6 integer grid (associative, mirrored
+    literally in SQL), round 2 re-searches with it. Both rounds are
+    the broadcast-query distributed kernel; only 10 ids + one vector
+    cross the driver between rounds."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+    from ..functions.similarity import ann_cosine_topk
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    qvec = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)[None, :]
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    r1 = ann_cosine_topk(ds, qvec, k=10, dtype=np.float64).to_pandas()
+    r1["c6"] = np.floor(r1["score"].to_numpy() * 1e6 + 0.5) / 1e6
+    r1 = r1.sort_values(["c6", "vec_id"], ascending=[False, True],
+                        kind="mergesort").head(10)
+    sel = sorted(int(i) for i in r1["vec_id"])
+    # feedback centroid: pruned read of the 10 vectors, integer-grid mean
+    fb = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=pc_.field("vec_id").isin(sel))
+    m = np.asarray(fb["embedding"].to_pylist(), dtype=np.float64)
+    q1 = (np.floor(m * 1e6 + 0.5).astype(np.int64).sum(axis=0)
+          / (len(sel) * 1e6))[None, :]
+    r2 = ann_cosine_topk(ds, q1, k=10, dtype=np.float64).to_pandas()
+    r2 = r2.sort_values(["score", "vec_id"], ascending=[False, True],
+                        kind="mergesort")
+    return pa.table({
+        "vec_id": pa.array(r2["vec_id"].to_numpy(), pa.int64()),
+        "score": pa.array(round6(r2["score"].to_numpy())),
+    })
+
+
+SQL_DENSE_PRF_TOP10 = """
+with q0 as (select embedding::DOUBLE[] as qv from embeddings where vec_id = 0),
+c1 as (
+  select vec_id,
+         floor(list_cosine_similarity(embedding::DOUBLE[], q0.qv)*1000000
+               + 0.5)/1000000 as c6
+  from embeddings, q0),
+sel as (select vec_id from c1 order by c6 desc, vec_id asc limit 10),
+ex as (
+  select generate_subscripts(e.embedding, 1) as dim,
+         unnest(e.embedding)::double as v
+  from embeddings e join sel using (vec_id)),
+q1 as (
+  select list(s order by dim) as qv from (
+    select dim, sum(floor(v*1000000 + 0.5)::bigint) / 10000000.0 as s
+    from ex group by dim))
+select vec_id,
+       floor(list_cosine_similarity(embedding::DOUBLE[], q1.qv)*1000000
+             + 0.5)/1000000 as score
+from embeddings, q1
+order by list_cosine_similarity(embedding::DOUBLE[], q1.qv) desc,
+         vec_id asc
+limit 10
+"""
+
+
 def _get_upserted_index(sf_dir: str) -> IndexReader:
     """Update-by-url lifecycle (``merge.upsert_docs``): every
     ``doc_id % 7 == 0`` doc gets a refreshed text (three appended
@@ -6384,6 +6447,7 @@ QUERIES = {
     "index_synonym_search": q_index_synonym_search,
     "bigram_perplexity": q_bigram_perplexity,
     "label_centroids": q_label_centroids,
+    "dense_prf_top10": q_dense_prf_top10,
     "search_snippets": q_search_snippets,
     "eval_trec_extended": q_eval_trec_extended,
     "bm25_champion_top10": q_bm25_champion_top10,
@@ -6530,6 +6594,7 @@ ORACLE_SQL = {
     "index_synonym_search": SQL_INDEX_SYNONYM_SEARCH,
     "bigram_perplexity": SQL_BIGRAM_PERPLEXITY,
     "label_centroids": SQL_LABEL_CENTROIDS,
+    "dense_prf_top10": SQL_DENSE_PRF_TOP10,
     "bm25_positionless_top10": SQL_INDEX_BM25_TOP10,
     "bm25_multifield_top10": SQL_BM25_MULTIFIELD_TOP10,
     "index_indri_top10": SQL_INDEX_INDRI_TOP10,
