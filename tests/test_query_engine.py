@@ -771,3 +771,16 @@ def test_dismax_is_max_plus_tie(toy_index):
     with _pytest.raises(ValueError):
         QueryEngine(toy_index, IndriModel()).search(
             "#dismax/40(#and(quick) #and(fox))", k=5)
+
+
+def test_distributed_span_first_matches_driver(docs_index):
+    """#FIRST/n flows through the distributed structured path's per-salt
+    eval_iop_tree kernels unchanged (position filters are docid-local)."""
+    from search_engines_ray.query.distributed import (
+        bm25_structured_batch_search)
+    q = "#sum(#first/5(fast) sort)"
+    drv = QueryEngine(docs_index, BM25Model()).search(q, k=30).to_pandas()
+    dist = bm25_structured_batch_search(
+        docs_index.index_dir, [("1", q)], BM25Model(), k=30).to_pandas()
+    assert list(dist["external_id"]) == list(drv["external_id"])
+    np.testing.assert_allclose(dist["score"], drv["score"], rtol=1e-12)
