@@ -454,3 +454,59 @@ def upsert_docs(index_dir: str, pages, out_dir: str, cfg,
     with open(os.path.join(out_dir, DELETES_FILE), "w") as f:
         json.dump({"docids": sorted(stale)}, f)
     return stats
+
+
+def update_attributes(index_dir: str, out_dir: str, name: str,
+                      values: dict) -> int:
+    """Lucene ``updateDocValues``: rewrite ONE doc-values column of the
+    forward plane by external id, touching nothing else — the
+    spam-score / crawl-freshness refresh that must not cost a reindex
+    (the reference's LeToR reads exactly such a per-doc 'score'
+    attribute, ``FeatureVector.java:207``).
+
+    ``values`` maps external_id → new value; absent docs keep their
+    old value. The mapping is the update batch (≪ corpus) and ships
+    once via task closure; the forward plane streams through ONE
+    column-rewrite ``map_batches`` (all other columns pass through
+    zero-copy), the postings plane and stats are hard-linked /
+    copied verbatim — no postings byte moves. Returns the number of
+    docs whose value changed. The doc-values column must exist
+    (create columns at build time via ``IndexBuildConfig.attributes``)."""
+    import shutil
+
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, STATS_FILE)) as f:
+        stats = json.load(f)
+    if name not in stats.get("attributes", []):
+        raise KeyError(f"attribute not in index: {name!r} "
+                       f"(have {stats.get('attributes', [])})")
+    col = f"attr_{name}"
+    os.makedirs(out_dir, exist_ok=True)
+
+    def rewrite(b: pa.Table) -> pa.Table:
+        ext = b["external_id"].to_pylist()
+        old = b[col].to_pylist()
+        new = [values.get(e, o) for e, o in zip(ext, old)]
+        i = b.schema.get_field_index(col)
+        return b.set_column(i, col, pa.array(new, b.schema.field(i).type))
+
+    rd.read_parquet(os.path.join(index_dir, FORWARD_DIR)) \
+        .map_batches(rewrite, batch_format="pyarrow") \
+        .write_parquet(os.path.join(out_dir, FORWARD_DIR))
+
+    # postings + sidecars verbatim (postings bytes never move)
+    post_src = os.path.join(index_dir, POSTINGS_DIR)
+    post_dst = os.path.join(out_dir, POSTINGS_DIR)
+    if not os.path.exists(post_dst):
+        shutil.copytree(post_src, post_dst)
+    shutil.copy(os.path.join(index_dir, STATS_FILE),
+                os.path.join(out_dir, STATS_FILE))
+    dels = os.path.join(index_dir, DELETES_FILE)
+    if os.path.exists(dels):
+        shutil.copy(dels, os.path.join(out_dir, DELETES_FILE))
+    # changed count = update-batch keys that resolve to a live doc
+    from .reader import IndexReader
+    r = IndexReader(index_dir)
+    ids = r.internal_docids_for(sorted(values))
+    return int(sum(1 for i in np.asarray(ids) if int(i) >= 0))

@@ -6221,6 +6221,91 @@ limit 10
 """
 
 
+def q_rbo_runs(sf_dir: str):
+    """Rank-biased overlap (Webber et al. TOIS'10) between two BM25
+    parameterizations' top-10 (k1=1.2 vs k1=2.0) — the top-weighted
+    run-diff metric; → per-depth (d, overlap, contrib) rows whose sum
+    is RBO@10 (``metrics.rank_biased_overlap``)."""
+    reader = get_index(sf_dir, "simple")
+    q = " ".join(BM25_QUERY_TERMS)
+    a = QueryEngine(reader, BM25Model(k1=1.2, b=0.75)) \
+        .search(q, k=10)["external_id"].to_pylist()
+    b = QueryEngine(reader, BM25Model(k1=2.0, b=0.75)) \
+        .search(q, k=10)["external_id"].to_pylist()
+    p, rows = 0.9, []
+    sa: set = set()
+    sb: set = set()
+    for d in range(1, 11):
+        if d <= len(a):
+            sa.add(a[d - 1])
+        if d <= len(b):
+            sb.add(b[d - 1])
+        c = len(sa & sb)
+        rows.append((d, c, (1.0 - p) * p ** (d - 1) * c / d))
+    return pa.table({
+        "d": pa.array([r[0] for r in rows], pa.int64()),
+        "overlap": pa.array([r[1] for r in rows], pa.int64()),
+        "contrib": pa.array(round6([r[2] for r in rows])),
+    })
+
+
+SQL_RBO_RUNS = f"""
+with a as (
+  select doc_id, row_number() over (order by raw desc, doc_id asc) as r
+  from ( {_bm25_sql(BM25_QUERY_TERMS, 10, raw=True)} )),
+b as (
+  select doc_id, row_number() over (order by raw desc, doc_id asc) as r
+  from ( {_bm25_sql(BM25_QUERY_TERMS, 10, raw=True, k1=2.0)} )),
+depths as (select unnest(range(1, 11))::bigint as d),
+ov as (
+  select depths.d,
+         (select count(*) from a join b using (doc_id)
+          where a.r <= depths.d and b.r <= depths.d)::bigint as overlap
+  from depths)
+select d, overlap,
+       floor(((1.0-0.9) * pow(0.9, d-1) * overlap / d)*1000000 + 0.5)
+         /1000000 as contrib
+from ov order by d
+"""
+
+
+def q_attr_update_range_top10(sf_dir: str):
+    """Updatable doc-values (Lucene updateDocValues —
+    ``merge.update_attributes``): every ``doc_id % 10 == 0`` doc's
+    crawl-ts doc-value is bumped far into the future WITHOUT reindex
+    (forward-plane column rewrite, postings bytes untouched); the
+    [ts(10), ts(300)) range query then excludes the bumped docs while
+    corpus stats stay as-built."""
+    import datetime
+    import shutil
+    from ..index.merge import update_attributes
+    from .corpus import doc_url
+    src = _docvalues_index(sf_dir)
+    tag = hashlib.md5(f"{sf_dir}|attrupd".encode()).hexdigest()[:8]
+    path = os.path.join(_IDX_ROOT, f"{tag}_simple_attrupd")
+    if not os.path.exists(os.path.join(path, "stats.json")):
+        shutil.rmtree(path, ignore_errors=True)
+        n = src.n_docs
+        epoch = datetime.datetime(1970, 1, 1)
+        vals = {doc_url(i): epoch + datetime.timedelta(
+                    microseconds=_TS_BASE_US + (i + 10_000_000) * 1_000_000)
+                for i in range(0, n, 10)}
+        update_attributes(src.index_dir, path, "ts", vals)
+    reader = IndexReader(path)
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    lo = pa.scalar(_TS_BASE_US + 10 * 1_000_000, pa.timestamp("us"))
+    hi = pa.scalar(_TS_BASE_US + 300 * 1_000_000, pa.timestamp("us"))
+    allowed = reader.docids_where("ts", lo=lo, hi=hi)
+    res = engine.search(" ".join(BM25_QUERY_TERMS), k=10, allowed=allowed)
+    return _ranked_to_table(res)
+
+
+SQL_ATTR_UPDATE_RANGE_TOP10 = _bm25_sql(
+    BM25_QUERY_TERMS, 10,
+    doc_filter="tfs.doc_id in (select doc_id from documents "
+               "where doc_id >= 10 and doc_id < 300 and doc_id % 10 <> 0)")
+
+
 def _get_upserted_index(sf_dir: str) -> IndexReader:
     """Update-by-url lifecycle (``merge.upsert_docs``): every
     ``doc_id % 7 == 0`` doc gets a refreshed text (three appended
@@ -6448,6 +6533,8 @@ QUERIES = {
     "bigram_perplexity": q_bigram_perplexity,
     "label_centroids": q_label_centroids,
     "dense_prf_top10": q_dense_prf_top10,
+    "rbo_runs": q_rbo_runs,
+    "attr_update_range_top10": q_attr_update_range_top10,
     "search_snippets": q_search_snippets,
     "eval_trec_extended": q_eval_trec_extended,
     "bm25_champion_top10": q_bm25_champion_top10,
@@ -6595,6 +6682,8 @@ ORACLE_SQL = {
     "bigram_perplexity": SQL_BIGRAM_PERPLEXITY,
     "label_centroids": SQL_LABEL_CENTROIDS,
     "dense_prf_top10": SQL_DENSE_PRF_TOP10,
+    "rbo_runs": SQL_RBO_RUNS,
+    "attr_update_range_top10": SQL_ATTR_UPDATE_RANGE_TOP10,
     "bm25_positionless_top10": SQL_INDEX_BM25_TOP10,
     "bm25_multifield_top10": SQL_BM25_MULTIFIELD_TOP10,
     "index_indri_top10": SQL_INDEX_INDRI_TOP10,

@@ -137,3 +137,21 @@ def paired_ttest(per_query_a: list[float],
     return {"n": int(n), "mean_a": float(a.mean()),
             "mean_b": float(b.mean()), "mean_diff": float(d.mean()),
             "t_stat": t, "df": int(n - 1)}
+
+
+def rank_biased_overlap(a: list[str], b: list[str], p: float = 0.9,
+                        k: int = 10) -> float:
+    """Truncated rank-biased overlap RBO@k (Webber/Moffat/Zobel, TOIS'10
+    eq. 4 without the extrapolation term): ``Σ_{d=1..k} (1-p)·p^(d-1)·
+    |A_d ∩ B_d| / d`` — the standard top-weighted similarity between
+    two rankings (run diffing, A/B comparison of ranker changes)."""
+    out = 0.0
+    sa: set = set()
+    sb: set = set()
+    for d in range(1, k + 1):
+        if d <= len(a):
+            sa.add(a[d - 1])
+        if d <= len(b):
+            sb.add(b[d - 1])
+        out += (1.0 - p) * p ** (d - 1) * len(sa & sb) / d
+    return out

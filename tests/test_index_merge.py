@@ -463,3 +463,42 @@ def test_upsert_then_compact_equals_rebuild(tmp_path, ray_session):
         assert ec["external_id"].to_pylist() == ef["external_id"].to_pylist()
         assert np.allclose(ec["score"].to_numpy(), ef["score"].to_numpy(),
                            rtol=0, atol=1e-12)
+
+
+def test_update_attributes_rewrites_one_column(tmp_path, ray_session):
+    """update_attributes bumps only the named doc-value for the listed
+    external ids; other docs, other attributes, postings and stats are
+    byte-identical."""
+    import ray.data as rd
+    from search_engines_ray.index import (
+        IndexBuildConfig, IndexReader, build_index)
+    from search_engines_ray.index.merge import update_attributes
+
+    pages = _toy_pages().iloc[:7].copy()
+    pages["rank_hint"] = np.arange(7, dtype=np.int64)
+    pages["spam"] = np.int64(0)
+    src = str(tmp_path / "src")
+    build_index(rd.from_pandas(pages), src,
+                IndexBuildConfig(fields={"body": "text"}, num_buckets=4,
+                                 docid_partitions=2, merge_salts=2,
+                                 attributes={"hint": "rank_hint",
+                                             "spam": "spam"},
+                                 tokenize_concurrency=2),
+                input_token="src", resume=False)
+    out = str(tmp_path / "upd")
+    n = update_attributes(src, out, "spam",
+                          {"http://t.example.com/2": 9,
+                           "http://t.example.com/5": 9,
+                           "http://t.example.com/404": 9})  # unknown: ignored
+    assert n == 2
+    s, u = IndexReader(src), IndexReader(out)
+    docids = u.internal_docids_for([f"http://t.example.com/{i}"
+                                    for i in range(1, 8)])
+    got = u.attributes_for(np.asarray(docids), ["spam", "hint"])
+    assert [int(x) for x in got["spam"]] == [0, 9, 0, 0, 9, 0, 0]
+    # untouched attribute and postings identical
+    assert [int(x) for x in got["hint"]] == \
+        [int(x) for x in s.attributes_for(np.asarray(docids), ["hint"])["hint"]]
+    for term in ("quick", "fox"):
+        assert _by_ext(u, term) == _by_ext(s, term)
+    assert u.n_docs == s.n_docs
