@@ -381,3 +381,63 @@ def label_centroids(ds, vec_col: str = "embedding",
         "label": pa.array(key >> 20),
         "dim": pa.array(key & ((1 << 20) - 1)),
         "mean": pa.array(mean, pa.float64())})
+
+
+def maxsim_topk(ds, queries: np.ndarray, k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                doc_col: str = "doc_id") -> pa.Table:
+    """ColBERT-style late interaction: documents are BAGS of vectors
+    (``doc_col`` groups rows), score(doc) = Σ_q max_{v∈doc} cos(q, v)
+    over the query's vector bag. → Arrow (doc_id, score) top-k, score
+    desc then doc_id asc.
+
+    Shape: one broadcast of the query matrix; per batch a single
+    matmul emits (doc, q)-max PARTIALS (a batch may hold only part of
+    a doc's bag — maxima fold associatively across batches), then one
+    packed-key groupby of the tiny partial table, a driver-side sum of
+    per-query maxima 6-dp-quantized so the final Σ is order-independent
+    (oracle contract), and the top-k cut. Vectors never co-locate: max
+    is the only cross-row op and it merges by key."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(q)
+    nq = q.shape[0]
+
+    def partial(b: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        m = _normalize(_as_matrix(b[vec_col], np.float64))
+        docs = np.asarray(b[doc_col].to_numpy(zero_copy_only=False),
+                          np.int64)
+        sims = m @ qm.T                              # (n, nq)
+        order = np.argsort(docs, kind="mergesort")
+        d_s, s_s = docs[order], sims[order]
+        new = np.empty(d_s.size, dtype=bool)
+        if d_s.size:
+            new[0] = True
+            new[1:] = d_s[1:] != d_s[:-1]
+        starts = np.flatnonzero(new)
+        mx = np.maximum.reduceat(s_s, starts, axis=0)  # (n_docs, nq)
+        uniq = d_s[starts]
+        key = (np.repeat(uniq, nq) * np.int64(nq)
+               + np.tile(np.arange(nq, dtype=np.int64), uniq.size))
+        return pa.table({"key": pa.array(key),
+                         "mx": pa.array(mx.reshape(-1))})
+
+    t = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("key").max("mx").to_pandas()
+    key = t["key"].to_numpy(np.int64)
+    # per-(doc, q) maxima quantized to 1e-6 INTEGERS before the Σ so the
+    # per-doc sum is order-independent (the oracle's sum order is not)
+    mx6 = np.floor(t["max(mx)"].to_numpy(np.float64) * 1e6 + 0.5) \
+        .astype(np.int64)
+    doc = key // nq
+    import pandas as pd
+    score = pd.Series(mx6).groupby(pd.Series(doc)).sum()
+    out = score.reset_index()
+    out.columns = ["doc_id", "s6"]
+    out = out.sort_values(["s6", "doc_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+        "score": pa.array(out["s6"].to_numpy(np.int64) / 1e6,
+                          pa.float64()),
+    })

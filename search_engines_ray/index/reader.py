@@ -449,6 +449,32 @@ class IndexReader:
                     & pc.match_substring(pc.field("term"), sub)))
         return sorted(set(t["term"].to_pylist()))[:max_terms]
 
+    def terms_with_suffix(self, suffix: str, field: str,
+                          max_terms: int = 64) -> list[str]:
+        """All indexed terms of ``field`` ENDING with ``suffix``,
+        ascending, capped — the ``*abc`` leading-wildcard expansion.
+        Same cost shape as the infix scan (no byte range to push down;
+        Lucene enumerates the term dictionary likewise): pruned
+        ``term`` column + vectorized Arrow ends-with."""
+        if not suffix:
+            return []
+        base = os.path.join(self.index_dir, POSTINGS_DIR)
+        paths: list[str] = []
+        if os.path.isdir(base):
+            for d in sorted(os.listdir(base)):
+                full = os.path.join(base, d)
+                if d.startswith("bucket=") and os.path.isdir(full):
+                    paths.extend(os.path.join(full, f)
+                                 for f in sorted(os.listdir(full))
+                                 if f.endswith(".parquet"))
+        if not paths:
+            return []
+        t = pads.dataset(paths, format="parquet").to_table(
+            columns=["term"],
+            filter=((pc.field("field") == field)
+                    & pc.ends_with(pc.field("term"), suffix)))
+        return sorted(set(t["term"].to_pylist()))[:max_terms]
+
     def terms_within_distance(self, term: str, field: str,
                               max_distance: int = 2,
                               max_terms: int = 64) -> list[str]:

@@ -1793,6 +1793,29 @@ order by tf desc, doc_id asc limit 100
 """
 
 
+def q_suffix_search(sf_dir: str):
+    """Suffix wildcard retrieval (``*ow`` — Lucene leading-wildcard
+    ends-with): rewrites to a #SYN of every indexed body term ENDING
+    with 'ow' (vectorized Arrow ends-with over the pruned term column,
+    capped at 64 by term asc), ranked boolean; LIKE '%ow' vocab CTE."""
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, RankedBooleanModel())
+    res = engine.search("*ow", k=100)
+    return _ranked_to_table(res)
+
+
+SQL_SUFFIX_SEARCH = f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+vocab as (select distinct term from tok where term like '%ow'
+          order by term limit 64),
+syntf as (select doc_id, count(*)::double as tf from tok
+          where term in (select term from vocab) group by doc_id)
+select doc_id, floor(tf*1000000 + 0.5)/1000000 as score from syntf
+order by tf desc, doc_id asc limit 100
+"""
+
+
 def q_phrase_search(sf_dir: str):
     """Quoted-phrase retrieval (Lucene PhraseQuery sugar): ``"dup
     line"`` parses to #NEAR/1 adjacency, scored under BM25 #SUM next
@@ -6306,6 +6329,43 @@ SQL_ATTR_UPDATE_RANGE_TOP10 = _bm25_sql(
                "where doc_id >= 10 and doc_id < 300 and doc_id % 10 <> 0)")
 
 
+def q_maxsim_top10(sf_dir: str):
+    """ColBERT-style late interaction over multi-vector documents:
+    pseudo-docs bag 5 consecutive vectors (``vec_id // 5``), the query
+    bag is doc 0's vectors, score(doc) = Σ_q max_v cos(q, v)
+    (``similarity.maxsim_topk`` — per-batch (doc, q)-max partials,
+    associative max merge, integer-grid Σ)."""
+    import ray.data as rd
+    from ..functions.similarity import maxsim_topk
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    qm = np.asarray(t["embedding"][:5].to_pylist(), dtype=np.float64)
+
+    def add_doc(b: pa.Table) -> pa.Table:
+        vid = b["vec_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("doc_id",
+                               pa.array((vid // 5).astype(np.int64)))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]) \
+        .map_batches(add_doc, batch_format="pyarrow")
+    return maxsim_topk(ds, qm, k=10)
+
+
+SQL_MAXSIM_TOP10 = """
+with q as (select vec_id as qi, embedding::DOUBLE[] as qv
+           from embeddings where vec_id < 5),
+sims as (
+  select e.vec_id // 5 as doc_id, q.qi,
+         max(list_cosine_similarity(e.embedding::DOUBLE[], q.qv)) as mx
+  from embeddings e, q group by 1, 2),
+agg as (select doc_id, sum(floor(mx*1000000 + 0.5)::bigint) as s6
+        from sims group by doc_id)
+select doc_id, s6/1000000.0 as score
+from agg order by s6 desc, doc_id asc limit 10
+"""
+
+
 def _get_upserted_index(sf_dir: str) -> IndexReader:
     """Update-by-url lifecycle (``merge.upsert_docs``): every
     ``doc_id % 7 == 0`` doc gets a refreshed text (three appended
@@ -6535,6 +6595,8 @@ QUERIES = {
     "dense_prf_top10": q_dense_prf_top10,
     "rbo_runs": q_rbo_runs,
     "attr_update_range_top10": q_attr_update_range_top10,
+    "maxsim_top10": q_maxsim_top10,
+    "suffix_search": q_suffix_search,
     "search_snippets": q_search_snippets,
     "eval_trec_extended": q_eval_trec_extended,
     "bm25_champion_top10": q_bm25_champion_top10,
@@ -6684,6 +6746,8 @@ ORACLE_SQL = {
     "dense_prf_top10": SQL_DENSE_PRF_TOP10,
     "rbo_runs": SQL_RBO_RUNS,
     "attr_update_range_top10": SQL_ATTR_UPDATE_RANGE_TOP10,
+    "maxsim_top10": SQL_MAXSIM_TOP10,
+    "suffix_search": SQL_SUFFIX_SEARCH,
     "bm25_positionless_top10": SQL_INDEX_BM25_TOP10,
     "bm25_multifield_top10": SQL_BM25_MULTIFIELD_TOP10,
     "index_indri_top10": SQL_INDEX_INDRI_TOP10,

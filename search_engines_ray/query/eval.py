@@ -544,6 +544,9 @@ class QueryEngine:
                     and len(node.term) > 2):
                 terms = self.reader.terms_with_substring(node.term[1:-1],
                                                          node.field)
+            elif node.term.startswith("*") and len(node.term) > 1:
+                terms = self.reader.terms_with_suffix(node.term[1:],
+                                                      node.field)
             elif node.term.endswith("*") and len(node.term) > 1:
                 terms = self.reader.terms_with_prefix(node.term[:-1],
                                                       node.field)

@@ -190,6 +190,9 @@ class QueryParser:
         elif (tok.startswith("*") and tok.endswith("*") and len(tok) > 2):
             # infix wildcard *abc*: both stars re-attach after analysis
             marker, lead, tok = "*", "*", tok[1:-1]
+        elif tok.startswith("*") and len(tok) > 1:
+            # suffix wildcard *abc (Lucene leading-wildcard, ends-with)
+            lead, tok = "*", tok[1:]
         elif tok.endswith("*") and len(tok) > 1:
             marker, tok = "*", tok[:-1]
         elif len(tok) > 1 and tok[-1] == "~":
@@ -197,7 +200,7 @@ class QueryParser:
         elif (len(tok) > 2 and tok[-2] == "~" and tok[-1] in "012"):
             marker, tok = "~" + tok[-1], tok[:-2]
         terms = self.analyzer.analyze_query_token(tok)
-        if marker and terms:
+        if (marker or lead) and terms:
             return ([TermNode(term=t, field=field) for t in terms[:-1]]
                     + [TermNode(term=lead + terms[-1] + marker, field=field)])
         return [TermNode(term=t, field=field) for t in terms]
