@@ -510,3 +510,110 @@ def update_attributes(index_dir: str, out_dir: str, name: str,
     r = IndexReader(index_dir)
     ids = r.internal_docids_for(sorted(values))
     return int(sum(1 for i in np.asarray(ids) if int(i) >= 0))
+
+
+def merge_indexes_many(index_dirs: list[str], out_dir: str) -> dict:
+    """N-way single-pass segment merge: fold ANY number of built
+    indexes into one docid space, writing each input's planes exactly
+    ONCE. Repeated binary ``merge_indexes`` folds rewrite the first
+    segment's bytes k−1 times (LSM write amplification); the N-way form
+    is what a daily 100-TB crawl pipeline folds its shard builds with.
+
+    Per input i the metadata surgery generalizes the binary case:
+    ``pid += Σ_{j<i} pids_j``, ``salt += Σ_{j<i} salts_j``, docids
+    rebase by ``Σ_{j<i} n_docs_j`` (min_docid column + each docid
+    blob's leading absolute varint); df/ctf stay per-run. Stats
+    recompute by addition, so rankings equal a one-pass build over the
+    concatenated corpus — the same equivalence the binary merge tests
+    prove. Inputs must share num_buckets/analyzer/positions/fields;
+    the cross-segment url-dedup caveat of ``merge_indexes`` applies."""
+    import ray.data as rd
+
+    if len(index_dirs) < 2:
+        raise ValueError("merge_indexes_many needs >= 2 inputs")
+    stats_list = []
+    for d in index_dirs:
+        with open(os.path.join(d, STATS_FILE)) as f:
+            stats_list.append(json.load(f))
+    s0 = stats_list[0]
+    for d, s in zip(index_dirs[1:], stats_list[1:]):
+        for key in ("num_buckets", "analyzer", "positions"):
+            if s0.get(key, True) != s.get(key, True):
+                raise ValueError(
+                    f"cannot merge {d}: {key} differs "
+                    f"({s0.get(key)!r} vs {s.get(key)!r})")
+        if sorted(s0["fields"]) != sorted(s["fields"]):
+            raise ValueError(f"cannot merge {d}: field sets differ")
+    os.makedirs(out_dir, exist_ok=True)
+    fwd_out = os.path.join(out_dir, FORWARD_DIR)
+    post_out = os.path.join(out_dir, POSTINGS_DIR)
+
+    doc_base = pid_base = salt_base = 0
+    pid_offsets = [0]
+    fields = {f: {"doc_count": 0, "sum_len": 0} for f in s0["fields"]}
+    for d, s in zip(index_dirs, stats_list):
+        n_i = int(s["n_docs"])
+        pids_i = len(s["pid_offsets"]) - 1
+        salts_i = int(s.get("merge_salts", 4))
+
+        def shift_fwd(b: pa.Table, pid_base=pid_base) -> pa.Table:
+            if pid_base == 0:
+                return b
+            pid = b["pid"].to_numpy(zero_copy_only=False) \
+                + np.int32(pid_base)
+            return b.set_column(b.schema.get_field_index("pid"), "pid",
+                                pa.array(pid.astype(np.int32)))
+
+        rd.read_parquet(os.path.join(d, FORWARD_DIR)) \
+            .map_batches(shift_fwd, batch_format="pyarrow") \
+            .write_parquet(fwd_out)
+
+        def rebase(b: pa.Table, doc_base=doc_base,
+                   salt_base=salt_base) -> pa.Table:
+            if salt_base or doc_base:
+                salt = b["salt"].to_numpy(zero_copy_only=False) \
+                    + np.int32(salt_base)
+                mind = b["min_docid"].to_numpy(zero_copy_only=False) \
+                    + np.int64(doc_base)
+                blobs = [_rebase_blob(x, doc_base)
+                         for x in b["docid_blob"].to_pylist()]
+                b = b.set_column(b.schema.get_field_index("salt"), "salt",
+                                 pa.array(salt.astype(np.int32)))
+                b = b.set_column(b.schema.get_field_index("min_docid"),
+                                 "min_docid", pa.array(mind))
+                b = b.set_column(b.schema.get_field_index("docid_blob"),
+                                 "docid_blob", pa.array(blobs, pa.binary()))
+            i = b.schema.get_field_index("bucket")
+            return b.set_column(i, "bucket", b["bucket"].cast(pa.int32()))
+
+        rd.read_parquet(os.path.join(d, POSTINGS_DIR)) \
+            .map_batches(rebase, batch_format="pyarrow") \
+            .write_parquet(post_out, partition_cols=["bucket"])
+
+        pid_offsets += [int(o) + doc_base for o in s["pid_offsets"][1:]]
+        for f in fields:
+            fields[f]["doc_count"] += s["fields"][f]["doc_count"]
+            fields[f]["sum_len"] += s["fields"][f]["sum_len"]
+        doc_base += n_i
+        pid_base += pids_i
+        salt_base += salts_i
+
+    stats = {
+        "version": s0.get("version", 1),
+        "n_docs": doc_base,
+        "fields": fields,
+        "num_buckets": s0["num_buckets"],
+        "merge_salts": salt_base,
+        "docid_partitions": pid_base,
+        "analyzer": s0.get("analyzer"),
+        "positions": bool(s0.get("positions", True)),
+        "pid_offsets": pid_offsets,
+        "merged_from": [os.path.abspath(d) for d in index_dirs],
+    }
+    if any("attributes" in s for s in stats_list):
+        attrs = stats_list[0].get("attributes", [])
+        if all(s.get("attributes", []) == attrs for s in stats_list):
+            stats["attributes"] = attrs
+    with open(os.path.join(out_dir, STATS_FILE), "w") as f:
+        json.dump(stats, f)
+    return stats

@@ -502,3 +502,46 @@ def test_update_attributes_rewrites_one_column(tmp_path, ray_session):
     for term in ("quick", "fox"):
         assert _by_ext(u, term) == _by_ext(s, term)
     assert u.n_docs == s.n_docs
+
+
+def test_three_way_merge_equals_full(tmp_path, ray_session):
+    """merge_indexes_many folds 3 segment builds in one pass; stats,
+    postings and BM25/Indri rankings equal a one-pass full build."""
+    import ray.data as rd
+    from search_engines_ray.index import (
+        IndexBuildConfig, IndexReader, build_index)
+    from search_engines_ray.index.merge import merge_indexes_many
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import BM25Model, IndriModel
+
+    pages = _toy_pages().iloc[:7]     # unique urls
+    cfg = dict(fields={"body": "text", "title": "title"},
+               num_buckets=4, docid_partitions=2, merge_salts=2,
+               tokenize_concurrency=2)
+    dirs = []
+    for i, sl in enumerate((pages.iloc[:3], pages.iloc[3:5],
+                            pages.iloc[5:])):
+        d = str(tmp_path / f"seg{i}")
+        build_index(rd.from_pandas(sl.reset_index(drop=True)), d,
+                    IndexBuildConfig(**cfg), input_token=f"s{i}",
+                    resume=False)
+        dirs.append(d)
+    full = str(tmp_path / "full")
+    build_index(rd.from_pandas(pages.reset_index(drop=True)), full,
+                IndexBuildConfig(**cfg), input_token="full", resume=False)
+    out = str(tmp_path / "m3")
+    stats = merge_indexes_many(dirs, out)
+    m, f = IndexReader(out), IndexReader(full)
+    assert m.n_docs == f.n_docs
+    assert stats["merge_salts"] == 6 and stats["docid_partitions"] == 6
+    for fld in f.fields:
+        assert m.doc_count(fld) == f.doc_count(fld)
+        assert m.sum_field_lengths(fld) == f.sum_field_lengths(fld)
+    for term in ("quick", "fox", "lazy", "cat"):
+        assert _by_ext(m, term) == _by_ext(f, term), term
+    for model in (BM25Model(), IndriModel(mu=1000, lambda_=0.3)):
+        em = QueryEngine(m, model).search("quick fox lazy", k=10)
+        ef = QueryEngine(f, model).search("quick fox lazy", k=10)
+        assert em["external_id"].to_pylist() == ef["external_id"].to_pylist()
+        assert np.allclose(em["score"].to_numpy(), ef["score"].to_numpy(),
+                           rtol=0, atol=1e-12)
