@@ -210,6 +210,40 @@ def q_bm25_compacted_top10(sf_dir: str):
     return _ranked_to_table(res)
 
 
+def q_bm25_merged3_top10(sf_dir: str):
+    """BM25 over a 3-way SINGLE-PASS merged index
+    (``merge_indexes_many`` over three url-residue segment builds) —
+    same oracle as ``index_bm25_top10``: the N-way fold must be
+    ranking-invisible exactly like the binary one."""
+    import shutil
+    from ..index.merge import merge_indexes_many
+    tag = hashlib.md5(f"{sf_dir}|merged3".encode()).hexdigest()[:8]
+    path = os.path.join(_IDX_ROOT, f"{tag}_simple_merged3")
+    if not os.path.exists(os.path.join(path, "stats.json")):
+        shutil.rmtree(path, ignore_errors=True)
+        import ray
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        cfg = dict(num_buckets=16, docid_partitions=8, analyzer="simple",
+                   fields={"body": "text"},
+                   tokenize_concurrency=max(1, min(ncpu - 2, 8)))
+        dirs = []
+        for res in range(3):
+            def keep(b: pa.Table, res=res) -> pa.Table:
+                nums = np.array([int(u.rsplit("/", 1)[1])
+                                 for u in b["url"].to_pylist()], np.int64)
+                return b.filter(pa.array(nums % 3 == res))
+            d = os.path.join(_IDX_ROOT, f"{tag}_simple_m3s{res}")
+            build_index(pages_from_documents(sf_dir).map_batches(
+                keep, batch_format="pyarrow"), d,
+                IndexBuildConfig(**cfg),
+                input_token=f"{sf_dir}|m3s{res}", resume=True)
+            dirs.append(d)
+        merge_indexes_many(dirs, path)
+    engine = QueryEngine(IndexReader(path), BM25Model(k1=1.2, b=0.75))
+    res = engine.search(" ".join(BM25_QUERY_TERMS), k=10)
+    return _ranked_to_table(res)
+
+
 def q_bm25_inlink_top10(sf_dir: str):
     """Anchor-text ('inlink') field, end to end: the deterministic link
     graph's anchors (first two tokens of the linking doc) aggregate per
@@ -6553,6 +6587,7 @@ QUERIES = {
     "facet_counts": q_facet_counts,
     "bm25_filtered_top10": q_bm25_filtered_top10,
     "bm25_merged_top10": q_bm25_merged_top10,
+    "bm25_merged3_top10": q_bm25_merged3_top10,
     "bm25_compacted_top10": q_bm25_compacted_top10,
     "bm25_inlink_top10": q_bm25_inlink_top10,
     "bm25_deleted_top10": q_bm25_deleted_top10,
@@ -6727,6 +6762,7 @@ ORACLE_SQL = {
     "index_bm25_top10": SQL_INDEX_BM25_TOP10,
     "index_bm25_maxscore_top10": SQL_INDEX_BM25_TOP10,
     "bm25_merged_top10": SQL_INDEX_BM25_TOP10,
+    "bm25_merged3_top10": SQL_INDEX_BM25_TOP10,
     "bm25_compacted_top10": SQL_INDEX_BM25_TOP10,
     "bm25_inlink_top10": SQL_BM25_INLINK_TOP10,
     "bm25_deleted_top10": SQL_BM25_DELETED_TOP10,
