@@ -331,3 +331,62 @@ def json_field_agg(ds, field: str = "k", json_col: str = "props",
     return ds.map_batches(partial, batch_format="pyarrow") \
         .repartition(1) \
         .map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def event_transitions(ds, ts_col: str = "ts", user_col: str = "user_id",
+                      type_col: str = "event_type",
+                      id_col: str = "event_id") -> pa.Table:
+    """Per-user event-type transition counts (the first-order Markov
+    matrix of the clickstream): each user's events in (ts, event_id)
+    order yield consecutive (from_type → to_type) pairs, counted
+    globally. → Arrow (from_type, to_type, n) sorted by (from, to).
+
+    One shuffle keyed by ``user % parts`` co-locates each user's
+    stream; inside a partition ALL users' pairs fall out of one
+    lexsort + adjacency mask (no per-user Python), and only the
+    per-partition (from, to, count) partials — at most |types|² rows
+    each — leave the task. The driver folds the tiny partials."""
+    n_rows = ds.count()
+    parts = _auto_parts(n_rows)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        users = b[user_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array((users % parts).astype(np.int32)),
+            user_col: pa.array(users.astype(np.int64)),
+            "t": pa.array(_epoch_us(b[ts_col])),
+            "eid": pa.array(b[id_col].to_numpy(zero_copy_only=False)
+                            .astype(np.int64)),
+            type_col: b[type_col]})
+
+    def pairs(g: pa.Table) -> pd.DataFrame:
+        users = g[user_col].to_numpy(zero_copy_only=False)
+        if len(users) == 0:
+            return pd.DataFrame({"from_type": pd.Series([], dtype=object),
+                                 "to_type": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        t = g["t"].to_numpy(zero_copy_only=False)
+        eid = g["eid"].to_numpy(zero_copy_only=False)
+        types = np.asarray(g[type_col].to_pylist(), dtype=object)
+        order = np.lexsort((eid, t, users))
+        u, ty = users[order], types[order]
+        same = u[1:] == u[:-1]
+        df = pd.DataFrame({"from_type": ty[:-1][same],
+                           "to_type": ty[1:][same]})
+        out = df.groupby(["from_type", "to_type"], sort=False) \
+            .size().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    partials = ds.map_batches(keyed, batch_format="pyarrow") \
+        .groupby("part").map_groups(pairs, batch_format="pyarrow") \
+        .to_pandas()
+    if partials.empty:
+        return pa.table({"from_type": pa.array([], pa.string()),
+                         "to_type": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    agg = partials.groupby(["from_type", "to_type"], sort=True)["n"] \
+        .sum().reset_index()
+    return pa.table({"from_type": pa.array(agg["from_type"], pa.string()),
+                     "to_type": pa.array(agg["to_type"], pa.string()),
+                     "n": pa.array(agg["n"].to_numpy(np.int64))})

@@ -5782,6 +5782,32 @@ def q_bm25_jsonl_top10(sf_dir: str):
     return _ranked_to_table(res)
 
 
+def q_event_transitions(sf_dir: str):
+    """Clickstream first-order Markov matrix: per-user (ts, event_id)-
+    ordered consecutive event-type pairs, counted globally
+    (``events.event_transitions`` — user-keyed shuffle, one lexsort +
+    adjacency mask per partition, |types|²-row partials)."""
+    import ray.data as rd
+    from ..functions.events import event_transitions
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    return event_transitions(ds)
+
+
+SQL_EVENT_TRANSITIONS = """
+with ordered as (
+  select user_id, event_type,
+         lead(event_type) over (partition by user_id
+                                order by ts, event_id) as next_type
+  from events)
+select event_type as from_type, next_type as to_type,
+       count(*)::bigint as n
+from ordered where next_type is not null
+group by 1, 2 order by 1, 2
+"""
+
+
 def q_json_field_agg(sf_dir: str):
     """Parse the events' JSON ``props`` sidecar, extract the numeric
     ``k`` field, aggregate (count, sum, 6-dp mean) per event_type —
@@ -6632,6 +6658,7 @@ QUERIES = {
     "attr_update_range_top10": q_attr_update_range_top10,
     "maxsim_top10": q_maxsim_top10,
     "suffix_search": q_suffix_search,
+    "event_transitions": q_event_transitions,
     "search_snippets": q_search_snippets,
     "eval_trec_extended": q_eval_trec_extended,
     "bm25_champion_top10": q_bm25_champion_top10,
@@ -6784,6 +6811,7 @@ ORACLE_SQL = {
     "attr_update_range_top10": SQL_ATTR_UPDATE_RANGE_TOP10,
     "maxsim_top10": SQL_MAXSIM_TOP10,
     "suffix_search": SQL_SUFFIX_SEARCH,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
     "bm25_positionless_top10": SQL_INDEX_BM25_TOP10,
     "bm25_multifield_top10": SQL_BM25_MULTIFIELD_TOP10,
     "index_indri_top10": SQL_INDEX_INDRI_TOP10,
