@@ -259,3 +259,33 @@ def attribute_histogram(index_dir: str, attr: str = "ts",
     return pa.table({"bucket": pa.array(t["bucket"].to_numpy(), pa.int64()),
                      "n_docs": pa.array(t["sum(n_docs)"].to_numpy()
                                         .astype(np.int64))})
+
+
+def attribute_value_counts(index_dir: str, attr: str):
+    """Elasticsearch ``terms`` aggregation over a doc-values column:
+    value → doc count, computed like ``attribute_histogram`` — one
+    column-pruned pass over the forward plane, per-batch ``np.unique``
+    partials, one groupby of the tiny partial table. → Arrow
+    (value, n_docs) sorted by value asc."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .build import FORWARD_DIR
+
+    col = f"attr_{attr}"
+    ds = rd.read_parquet(os.path.join(index_dir, FORWARD_DIR),
+                         columns=[col])
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals = np.asarray(b[col].to_pylist(), dtype=object)
+        uniq, cnt = np.unique(vals, return_counts=True)
+        return pa.table({"value": pa.array(uniq.tolist(), pa.string()),
+                         "n_docs": pa.array(cnt.astype(np.int64))})
+
+    t = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("value").sum("n_docs").to_pandas()
+    t = t.sort_values("value", ignore_index=True)
+    return pa.table({"value": pa.array(t["value"], pa.string()),
+                     "n_docs": pa.array(t["sum(n_docs)"].to_numpy()
+                                        .astype(np.int64))})

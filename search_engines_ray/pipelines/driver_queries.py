@@ -6122,6 +6122,21 @@ def q_date_histogram(sf_dir: str):
                                bucket_us=60_000_000)
 
 
+def q_attr_terms_agg(sf_dir: str):
+    """Elasticsearch ``terms`` aggregation over the ``lang`` doc-value
+    (``inspect.attribute_value_counts``): value → doc count, one
+    column-pruned pass over the forward plane."""
+    from ..index.inspect import attribute_value_counts
+    reader = _docvalues_index(sf_dir)
+    return attribute_value_counts(reader.index_dir, "lang")
+
+
+SQL_ATTR_TERMS_AGG = """
+select lang as value, count(*)::bigint as n_docs
+from documents group by lang order by lang
+"""
+
+
 # the deterministic doc_id→ts map: ts_us = base + doc_id*1e6
 SQL_DATE_HISTOGRAM = f"""
 select (({_TS_BASE_US} + doc_id*1000000) // 60000000)::bigint as bucket,
@@ -6659,6 +6674,7 @@ QUERIES = {
     "maxsim_top10": q_maxsim_top10,
     "suffix_search": q_suffix_search,
     "event_transitions": q_event_transitions,
+    "attr_terms_agg": q_attr_terms_agg,
     "search_snippets": q_search_snippets,
     "eval_trec_extended": q_eval_trec_extended,
     "bm25_champion_top10": q_bm25_champion_top10,
@@ -6812,6 +6828,7 @@ ORACLE_SQL = {
     "maxsim_top10": SQL_MAXSIM_TOP10,
     "suffix_search": SQL_SUFFIX_SEARCH,
     "event_transitions": SQL_EVENT_TRANSITIONS,
+    "attr_terms_agg": SQL_ATTR_TERMS_AGG,
     "bm25_positionless_top10": SQL_INDEX_BM25_TOP10,
     "bm25_multifield_top10": SQL_BM25_MULTIFIELD_TOP10,
     "index_indri_top10": SQL_INDEX_INDRI_TOP10,
