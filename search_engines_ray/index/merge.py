@@ -617,3 +617,57 @@ def merge_indexes_many(index_dirs: list[str], out_dir: str) -> dict:
     with open(os.path.join(out_dir, STATS_FILE), "w") as f:
         json.dump(stats, f)
     return stats
+
+
+def snapshot_index(index_dir: str, tar_path: str) -> dict:
+    """Ship-a-segment: pack a built index into one tar archive
+    (Elasticsearch snapshot / Lucene replication analogue — move an
+    immutable segment between clusters or into cold storage). Members
+    are added in SORTED path order with zeroed mtimes/uid/gid, so the
+    SAME index bytes always produce the SAME archive bytes
+    (deduplicating snapshot stores rely on that). Returns
+    {files, bytes}. Uncompressed tar: parquet pages are already
+    compressed; a gzip layer would only burn CPU at 100-TB scale."""
+    import tarfile
+
+    names = []
+    for root, dirs, files in os.walk(index_dir):
+        dirs.sort()
+        for f in sorted(files):
+            names.append(os.path.join(root, f))
+    total = 0
+    with tarfile.open(tar_path, "w") as tf:
+        for p in names:
+            arc = os.path.relpath(p, index_dir)
+            ti = tf.gettarinfo(p, arcname=arc)
+            ti.mtime = 0
+            ti.uid = ti.gid = 0
+            ti.uname = ti.gname = ""
+            with open(p, "rb") as fh:
+                tf.addfile(ti, fh)
+            total += ti.size
+    return {"files": len(names), "bytes": total}
+
+
+def restore_index(tar_path: str, out_dir: str, verify: bool = True) -> dict:
+    """Unpack a ``snapshot_index`` archive into ``out_dir`` and (by
+    default) run the full integrity verifier over the restored index —
+    stats↔docmeta re-aggregation, per-run postings invariants and the
+    cross-plane Σctf check (``inspect.verify_index``) — so a truncated
+    or bit-rotted archive is caught at restore time, not at query
+    time. Returns the verifier's checks dict (or {} when skipped)."""
+    import tarfile
+
+    os.makedirs(out_dir, exist_ok=True)
+    with tarfile.open(tar_path, "r") as tf:
+        tf.extractall(out_dir, filter="data")
+    if not verify:
+        return {}
+    from .inspect import cmd_verify
+    from .reader import IndexReader
+    checks = cmd_verify(IndexReader(out_dir))
+    if not checks.get("ok"):
+        bad = {k: v for k, v in checks.items()
+               if isinstance(v, dict) and not v.get("ok")}
+        raise RuntimeError(f"restored index failed verification: {bad}")
+    return checks

@@ -545,3 +545,40 @@ def test_three_way_merge_equals_full(tmp_path, ray_session):
         assert em["external_id"].to_pylist() == ef["external_id"].to_pylist()
         assert np.allclose(em["score"].to_numpy(), ef["score"].to_numpy(),
                            rtol=0, atol=1e-12)
+
+
+def test_snapshot_restore_roundtrip(toy_index, tmp_path):
+    """snapshot → restore reproduces a query-identical, verifier-green
+    index; the archive is byte-deterministic for identical inputs."""
+    import hashlib as _hl
+    from search_engines_ray.index import IndexReader
+    from search_engines_ray.index.merge import restore_index, snapshot_index
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import BM25Model
+
+    tar1 = str(tmp_path / "a.tar")
+    tar2 = str(tmp_path / "b.tar")
+    info = snapshot_index(toy_index.index_dir, tar1)
+    snapshot_index(toy_index.index_dir, tar2)
+    assert info["files"] > 0 and info["bytes"] > 0
+    h1 = _hl.md5(open(tar1, "rb").read()).hexdigest()
+    h2 = _hl.md5(open(tar2, "rb").read()).hexdigest()
+    assert h1 == h2                       # deterministic archive bytes
+
+    out = str(tmp_path / "restored")
+    checks = restore_index(tar1, out)
+    assert checks["ok"]
+    a = QueryEngine(toy_index, BM25Model()).search("quick fox", k=10)
+    b = QueryEngine(IndexReader(out), BM25Model()).search("quick fox", k=10)
+    assert a["external_id"].to_pylist() == b["external_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+
+    # a truncated archive must fail verification loudly
+    import tarfile
+    raw = open(tar1, "rb").read()
+    trunc = str(tmp_path / "trunc.tar")
+    open(trunc, "wb").write(raw[: len(raw) * 2 // 3])
+    bad_out = str(tmp_path / "bad")
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        restore_index(trunc, bad_out)
