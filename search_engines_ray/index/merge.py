@@ -671,3 +671,25 @@ def restore_index(tar_path: str, out_dir: str, verify: bool = True) -> dict:
                if isinstance(v, dict) and not v.get("ok")}
         raise RuntimeError(f"restored index failed verification: {bad}")
     return checks
+
+
+def point_alias(alias_path: str, index_dir: str) -> str:
+    """Atomic serving-alias flip (Elasticsearch alias swap / Solr
+    collection alias): ``alias_path`` becomes a symlink to
+    ``index_dir``, replaced atomically (symlink-to-temp + rename), so
+    a reader opening the alias sees either the old or the new index —
+    never a partial state. Zero-downtime reindex: build the new index
+    beside the old, verify it, flip, delete the old at leisure.
+    Readers opened through the alias resolve the target at open time;
+    the serving cache keys on the resolved stats mtime + tombstone
+    state, so a flip invalidates cached results implicitly. Returns
+    the resolved target."""
+    target = os.path.abspath(index_dir)
+    if not os.path.exists(os.path.join(target, STATS_FILE)):
+        raise FileNotFoundError(f"not a built index: {target}")
+    tmp = alias_path + ".tmp_alias"
+    if os.path.lexists(tmp):
+        os.unlink(tmp)
+    os.symlink(target, tmp)
+    os.replace(tmp, alias_path)
+    return target

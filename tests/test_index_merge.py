@@ -582,3 +582,34 @@ def test_snapshot_restore_roundtrip(toy_index, tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception):
         restore_index(trunc, bad_out)
+
+
+def test_alias_flip_is_atomic(toy_index, tmp_path, ray_session):
+    """point_alias swaps the serving target atomically; a reader opened
+    through the alias serves the flipped-to index."""
+    import ray.data as rd
+    from search_engines_ray.index import (
+        IndexBuildConfig, IndexReader, build_index)
+    from search_engines_ray.index.merge import point_alias
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import BM25Model
+
+    other = str(tmp_path / "other")
+    pages = _toy_pages().iloc[:3]
+    build_index(rd.from_pandas(pages.reset_index(drop=True)), other,
+                IndexBuildConfig(fields={"body": "text", "title": "title"},
+                                 num_buckets=4, docid_partitions=2,
+                                 merge_salts=2, tokenize_concurrency=2),
+                input_token="other", resume=False)
+    alias = str(tmp_path / "serving")
+    point_alias(alias, toy_index.index_dir)
+    assert IndexReader(alias).n_docs == toy_index.n_docs
+    point_alias(alias, other)                      # the flip
+    r2 = IndexReader(alias)
+    assert r2.n_docs == 3
+    got = QueryEngine(r2, BM25Model()).search("quick", k=10)
+    assert got.num_rows > 0
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        point_alias(alias, str(tmp_path / "nope"))
+    assert IndexReader(alias).n_docs == 3          # failed flip: unchanged
