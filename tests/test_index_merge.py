@@ -613,3 +613,55 @@ def test_alias_flip_is_atomic(toy_index, tmp_path, ray_session):
     with _pytest.raises(FileNotFoundError):
         point_alias(alias, str(tmp_path / "nope"))
     assert IndexReader(alias).n_docs == 3          # failed flip: unchanged
+
+
+def test_full_lifecycle_compose(tmp_path, ray_session):
+    """Day-in-the-life composition: build → upsert a crawl batch →
+    compact (purge stale) → snapshot → restore (verified) → alias flip
+    → search. The final ranking equals a fresh build over the
+    effective corpus — every lifecycle piece composes."""
+    import ray.data as rd
+    from search_engines_ray.index import (
+        IndexBuildConfig, IndexReader, build_index, compact_index)
+    from search_engines_ray.index.merge import (
+        point_alias, restore_index, snapshot_index, upsert_docs)
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import BM25Model
+
+    pages = _toy_pages().iloc[:7]
+    cfg = dict(fields={"body": "text", "title": "title"},
+               num_buckets=4, docid_partitions=2, merge_salts=2,
+               tokenize_concurrency=2)
+    main = str(tmp_path / "main")
+    build_index(rd.from_pandas(pages), main, IndexBuildConfig(**cfg),
+                input_token="main", resume=False)
+    seg = pd.DataFrame(
+        [("http://t.example.com/3", "updated dogs chase the quick fox",
+          "updated"),
+         ("http://t.example.com/9", "new page on lazy foxes", "new")],
+        columns=["url", "text", "title"])
+    up = str(tmp_path / "up")
+    upsert_docs(main, rd.from_pandas(seg), up, IndexBuildConfig(**cfg),
+                input_token="seg")
+    comp = str(tmp_path / "comp")
+    compact_index(up, comp, merge_salts=2, num_parts=4)
+    tar = str(tmp_path / "seg.tar")
+    snapshot_index(comp, tar)
+    restored = str(tmp_path / "restored")
+    checks = restore_index(tar, restored)
+    assert checks["ok"]
+    alias = str(tmp_path / "serving")
+    point_alias(alias, restored)
+
+    eff = pd.concat([pages[pages["url"] != "http://t.example.com/3"], seg],
+                    ignore_index=True)
+    fresh = str(tmp_path / "fresh")
+    build_index(rd.from_pandas(eff), fresh, IndexBuildConfig(**cfg),
+                input_token="fresh", resume=False)
+    ea = QueryEngine(IndexReader(alias), BM25Model()).search(
+        "quick fox lazy", k=10)
+    ef = QueryEngine(IndexReader(fresh), BM25Model()).search(
+        "quick fox lazy", k=10)
+    assert ea["external_id"].to_pylist() == ef["external_id"].to_pylist()
+    assert np.allclose(ea["score"].to_numpy(), ef["score"].to_numpy(),
+                       rtol=0, atol=1e-12)
