@@ -20,24 +20,50 @@ from ..analysis.tokenizer import simple_tokenize
 
 
 def compile_queries(queries: list[tuple[str, str]]):
-    """[(qid, 'term term ...')] → (qids, needed[], term→[(slot, n_req)])
-    Each stored query is a conjunction (Lucene BooleanQuery MUST) of
-    analyzed terms; a query whose tokens all analyze away matches
-    nothing (slot dropped). Duplicate terms inside one query count
-    once."""
+    """[(qid, 'term term ... "a phrase" ...')] → (qids, needed[],
+    term→[slots], phrases[]). Each stored query is a conjunction
+    (Lucene BooleanQuery MUST) of analyzed terms; QUOTED segments add
+    a phrase (adjacency) constraint — Elasticsearch percolator
+    match_phrase clauses. The counting prefilter treats phrase tokens
+    as plain required terms (necessary condition), the positional
+    verify runs only on counting survivors — the classic two-stage
+    percolator. A query whose tokens all analyze away matches nothing
+    (slot dropped). Duplicate terms inside one query count once."""
     qids: list[str] = []
     needed: list[int] = []
     term2q: dict[str, list[int]] = {}
+    phrases: list[list[tuple[str, ...]]] = []
     for qid, qtext in queries:
-        terms = set(simple_tokenize(qtext or ""))
+        qtext = qtext or ""
+        ph: list[tuple[str, ...]] = []
+        bare: list[str] = []
+        pos = 0
+        while True:
+            i = qtext.find('"', pos)
+            if i < 0:
+                bare.extend(simple_tokenize(qtext[pos:]))
+                break
+            bare.extend(simple_tokenize(qtext[pos:i]))
+            j = qtext.find('"', i + 1)
+            if j < 0:                      # unbalanced: literal tail
+                bare.extend(simple_tokenize(qtext[i + 1:]))
+                break
+            toks = tuple(simple_tokenize(qtext[i + 1:j]))
+            if len(toks) >= 2:
+                ph.append(toks)
+            else:
+                bare.extend(toks)
+            pos = j + 1
+        terms = set(bare) | {t for p in ph for t in p}
         if not terms:
             continue
         slot = len(qids)
         qids.append(qid)
         needed.append(len(terms))
+        phrases.append(ph)
         for t in terms:
             term2q.setdefault(t, []).append(slot)
-    return qids, needed, term2q
+    return qids, needed, term2q, phrases
 
 
 def percolate(docs_ds, queries: list[tuple[str, str]],
@@ -46,18 +72,29 @@ def percolate(docs_ds, queries: list[tuple[str, str]],
     match. Conjunctive stored queries over the simple analyzer."""
     compiled = compile_queries(queries)
 
+    def _has_phrase(toks: list[str], phrase: tuple[str, ...]) -> bool:
+        k = len(phrase)
+        first = phrase[0]
+        for i in range(len(toks) - k + 1):
+            if toks[i] == first and tuple(toks[i:i + k]) == phrase:
+                return True
+        return False
+
     def match_batch(b: pa.Table) -> pa.Table:
-        qids, needed, term2q = compiled
+        qids, needed, term2q, phrases = compiled
         out_q: list[str] = []
         out_d: list = []
         ids = b[id_col].to_pylist()
         for did, text in zip(ids, b[text_col].to_pylist()):
+            toks = simple_tokenize(text or "")
             counts: dict[int, int] = {}
-            for t in set(simple_tokenize(text or "")):
+            for t in set(toks):
                 for slot in term2q.get(t, ()):
                     counts[slot] = counts.get(slot, 0) + 1
             for slot, c in counts.items():
-                if c == needed[slot]:
+                if c != needed[slot]:
+                    continue
+                if all(_has_phrase(toks, p) for p in phrases[slot]):
                     out_q.append(qids[slot])
                     out_d.append(did)
         return pa.table({"qid": pa.array(out_q, pa.string()),

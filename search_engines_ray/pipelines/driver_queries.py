@@ -2018,6 +2018,56 @@ PERCOLATE_QUERIES = [("alert_fastsort", "fast sort"),
                      ("alert_pipeline", "merge hash line")]
 
 
+def q_percolate_phrase(sf_dir: str):
+    """Percolator with PHRASE constraints (Elasticsearch percolator
+    match_phrase): stored queries mixing bare terms and quoted
+    adjacency phrases — counting prefilter on all tokens, positional
+    verify only on survivors (the two-stage percolator)."""
+    import ray.data as rd
+    from ..functions.percolate import percolate
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    queries = [("p1", 'dup "fast sort"'),
+               ("p2", '"line dup"'),
+               ("p3", 'hash "merge sort" line')]
+    out = percolate(ds, queries).to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values(["qid", "doc_id"], ignore_index=True),
+        preserve_index=False)
+
+
+def _phrase_cond(words: tuple[str, ...]) -> str:
+    """EXISTS-joined adjacency over the positional token CTE."""
+    joins = " ".join(
+        f"join ptok t{i} on t{i}.doc_id = t0.doc_id "
+        f"and t{i}.pos = t0.pos + {i}"
+        for i in range(1, len(words)))
+    conds = " and ".join(f"t{i}.term = '{w}'"
+                         for i, w in enumerate(words))
+    return (f"exists (select 1 from ptok t0 {joins} "
+            f"where t0.doc_id = d.doc_id and {conds})")
+
+
+def _term_cond(w: str) -> str:
+    return (f"exists (select 1 from ptok t0 where t0.doc_id = d.doc_id "
+            f"and t0.term = '{w}')")
+
+
+SQL_PERCOLATE_PHRASE = f"""
+with ptok as ({POS_TOK_SQL})
+select 'p1' as qid, d.doc_id from documents d
+  where {_term_cond('dup')} and {_phrase_cond(('fast', 'sort'))}
+union all
+select 'p2', d.doc_id from documents d
+  where {_phrase_cond(('line', 'dup'))}
+union all
+select 'p3', d.doc_id from documents d
+  where {_term_cond('hash')} and {_term_cond('line')}
+        and {_phrase_cond(('merge', 'sort'))}
+order by qid, doc_id
+"""
+
+
 def q_percolate_matches(sf_dir: str):
     """Percolator (reverse search, Elasticsearch percolate / Lucene
     Monitor): three REGISTERED conjunctive queries stream-matched
@@ -6675,6 +6725,7 @@ QUERIES = {
     "suffix_search": q_suffix_search,
     "event_transitions": q_event_transitions,
     "attr_terms_agg": q_attr_terms_agg,
+    "percolate_phrase": q_percolate_phrase,
     "search_snippets": q_search_snippets,
     "eval_trec_extended": q_eval_trec_extended,
     "bm25_champion_top10": q_bm25_champion_top10,
@@ -6829,6 +6880,7 @@ ORACLE_SQL = {
     "suffix_search": SQL_SUFFIX_SEARCH,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "attr_terms_agg": SQL_ATTR_TERMS_AGG,
+    "percolate_phrase": SQL_PERCOLATE_PHRASE,
     "bm25_positionless_top10": SQL_INDEX_BM25_TOP10,
     "bm25_multifield_top10": SQL_BM25_MULTIFIELD_TOP10,
     "index_indri_top10": SQL_INDEX_INDRI_TOP10,
