@@ -475,6 +475,37 @@ class IndexReader:
                     & pc.ends_with(pc.field("term"), suffix)))
         return sorted(set(t["term"].to_pylist()))[:max_terms]
 
+    def terms_matching_regex(self, pattern: str, field: str,
+                             max_terms: int = 64) -> list[str]:
+        """All indexed terms of ``field`` FULLY matching ``pattern``
+        (anchored, Lucene RegexpQuery semantics), ascending, capped at
+        ``max_terms``. Same cost shape as the infix scan — a regex has
+        no byte-range to push down, so this scans the pruned ``term``
+        column and matches with Arrow's RE2 kernel (the same regex
+        engine family DuckDB uses, keeping oracle semantics aligned).
+        Invalid patterns raise at compile time, before any scan."""
+        if not pattern:
+            return []
+        import re as _re
+        _re.compile(pattern)  # surface bad patterns eagerly
+        base = os.path.join(self.index_dir, POSTINGS_DIR)
+        paths: list[str] = []
+        if os.path.isdir(base):
+            for d in sorted(os.listdir(base)):
+                full = os.path.join(base, d)
+                if d.startswith("bucket=") and os.path.isdir(full):
+                    paths.extend(os.path.join(full, f)
+                                 for f in sorted(os.listdir(full))
+                                 if f.endswith(".parquet"))
+        if not paths:
+            return []
+        t = pads.dataset(paths, format="parquet").to_table(
+            columns=["term"],
+            filter=((pc.field("field") == field)
+                    & pc.match_substring_regex(
+                        pc.field("term"), f"^(?:{pattern})$")))
+        return sorted(set(t["term"].to_pylist()))[:max_terms]
+
     def terms_within_distance(self, term: str, field: str,
                               max_distance: int = 2,
                               max_terms: int = 64) -> list[str]:

@@ -1850,6 +1850,33 @@ order by tf desc, doc_id asc limit 100
 """
 
 
+def q_regexp_search(sf_dir: str):
+    """Regexp-term retrieval (Lucene ``RegexpQuery``): ``/s.*t/``
+    rewrites to a #SYN of every indexed body term FULLY matching the
+    anchored pattern (Arrow RE2 kernel over the pruned term column,
+    capped at 64 by term asc — ``reader.terms_matching_regex``),
+    ranked boolean. The oracle mirrors the expansion with a
+    ``regexp_full_match`` vocab CTE (DuckDB's RE2 agrees with Arrow's
+    on this pattern class)."""
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, RankedBooleanModel())
+    res = engine.search("/s.*t/", k=100)
+    return _ranked_to_table(res)
+
+
+SQL_REGEXP_SEARCH = f"""
+with tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+vocab as (select distinct term from tok
+          where regexp_full_match(term, 's.*t')
+          order by term limit 64),
+syntf as (select doc_id, count(*)::double as tf from tok
+          where term in (select term from vocab) group by doc_id)
+select doc_id, floor(tf*1000000 + 0.5)/1000000 as score from syntf
+order by tf desc, doc_id asc limit 100
+"""
+
+
 def q_phrase_search(sf_dir: str):
     """Quoted-phrase retrieval (Lucene PhraseQuery sugar): ``"dup
     line"`` parses to #NEAR/1 adjacency, scored under BM25 #SUM next
@@ -6723,6 +6750,7 @@ QUERIES = {
     "attr_update_range_top10": q_attr_update_range_top10,
     "maxsim_top10": q_maxsim_top10,
     "suffix_search": q_suffix_search,
+    "regexp_search": q_regexp_search,
     "event_transitions": q_event_transitions,
     "attr_terms_agg": q_attr_terms_agg,
     "percolate_phrase": q_percolate_phrase,
@@ -6878,6 +6906,7 @@ ORACLE_SQL = {
     "attr_update_range_top10": SQL_ATTR_UPDATE_RANGE_TOP10,
     "maxsim_top10": SQL_MAXSIM_TOP10,
     "suffix_search": SQL_SUFFIX_SEARCH,
+    "regexp_search": SQL_REGEXP_SEARCH,
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "attr_terms_agg": SQL_ATTR_TERMS_AGG,
     "percolate_phrase": SQL_PERCOLATE_PHRASE,

@@ -540,7 +540,11 @@ class QueryEngine:
         / ``reader.terms_within_distance``)."""
         if isinstance(node, TermNode):
             terms = None
-            if (node.term.startswith("*") and node.term.endswith("*")
+            if (node.term.startswith("/") and node.term.endswith("/")
+                    and len(node.term) > 2):
+                terms = self.reader.terms_matching_regex(node.term[1:-1],
+                                                         node.field)
+            elif (node.term.startswith("*") and node.term.endswith("*")
                     and len(node.term) > 2):
                 terms = self.reader.terms_with_substring(node.term[1:-1],
                                                          node.field)

@@ -183,6 +183,14 @@ class QueryParser:
             base, suffix = tok.rsplit(".", 1)
             if suffix.lower() in KNOWN_FIELDS and base:
                 tok, field = base, suffix.lower()
+        if (not no_marker and len(tok) > 2 and tok.startswith("/")
+                and tok.endswith("/")):
+            # /pattern/ = REGEXP term (Lucene RegexpQuery syntax): the
+            # pattern bypasses the analyzer entirely (Lucene does not
+            # analyze regexp terms either) and the engine expands it
+            # against the indexed vocabulary at plan time
+            # (QueryEngine._expand_prefixes → terms_matching_regex).
+            return [TermNode(term=tok, field=field)]
         marker = ""
         lead = ""
         if no_marker:

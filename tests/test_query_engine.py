@@ -682,6 +682,40 @@ def test_infix_wildcard(toy_index):
     assert eng.search("*zzq*", k=10).num_rows == 0
 
 
+def test_regexp_term(toy_index):
+    """``/pattern/`` (Lucene RegexpQuery syntax) expands to a #SYN of
+    vocabulary terms FULLY matching the anchored pattern; the pattern
+    bypasses the analyzer and bad patterns raise eagerly."""
+    import pytest
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import RankedBooleanModel
+    from search_engines_ray.query.parser import QueryParser
+    p = QueryParser()
+    plan = p.parse("/b.own/")
+    assert plan.term == "/b.own/"            # analyzer bypassed
+    eng = QueryEngine(toy_index, RankedBooleanModel())
+    a = eng.search("/b.own/", k=10)          # matches only 'brown'
+    b = eng.search("brown", k=10)
+    assert a["external_id"].to_pylist() == b["external_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+    # anchored full-match: /own/ must NOT match 'brown'
+    assert toy_index.terms_matching_regex("own", "body") == []
+    # alternation unions like #SYN of the branches
+    terms = toy_index.terms_matching_regex("qu.*|fox", "body")
+    assert terms and all(t == "fox" or t.startswith("qu") for t in terms)
+    c = eng.search("#syn(" + " ".join(terms) + ")", k=10)
+    d = eng.search("/qu.*|fox/", k=10)
+    assert c["external_id"].to_pylist() == d["external_id"].to_pylist()
+    # zero-match: empty result, no crash
+    assert eng.search("/zzq+/", k=10).num_rows == 0
+    # invalid pattern surfaces as an error, not a silent empty scan
+    with pytest.raises(Exception):
+        toy_index.terms_matching_regex("(", "body")
+    # cap respected
+    assert len(toy_index.terms_matching_regex(".*", "body",
+                                              max_terms=2)) == 2
+
+
 def test_search_after_pagination(docs_index):
     """search_after(cursor of page N's last hit) == rows of page N+1 in
     the k=3·page search, across score ties; an exhausted cursor returns
