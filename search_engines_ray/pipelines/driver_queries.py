@@ -6072,6 +6072,82 @@ from fused order by raw desc, doc_id asc limit 10
 """
 
 
+def q_combsum_fusion(sf_dir: str):
+    """Score-based hybrid fusion (Fox & Shaw CombSUM/CombMNZ): the same
+    BM25 top-50 + embedding-cosine top-50 inputs as ``rrf_fusion_top10``
+    but fused on min-max-normalized SCORES — sum, and sum × systems-hit
+    (MNZ) — instead of ranks (``query.fusion.combsum_fuse``). Both
+    sides' raw scores are 6-dp rounded BEFORE normalization so the
+    min-max inputs are bit-identical to the oracle's; the fused score
+    rounds to 6 dp at the end like every ranked oracle. Returns both
+    methods as (method, doc_id, score) rows."""
+    import ray.data as rd
+    from ..functions.similarity import ann_cosine_topk
+    from ..functions.text import round6
+    from ..query.fusion import combsum_fuse
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    lex = engine.search(" ".join(BM25_QUERY_TERMS), k=50)
+    lex_ids = _docid_of_external(lex["external_id"].to_pylist())
+    lex_s6 = round6(lex["score"].to_numpy())
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qvec = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)[None, :]
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ann = ann_cosine_topk(ds, qvec, k=50, dtype=np.float64).to_pandas()
+    ann_s6 = round6(ann["score"].to_numpy())
+    systems = [(lex_ids, lex_s6), (ann["vec_id"].to_numpy(), ann_s6)]
+
+    out = []
+    for method, mnz in (("combsum", False), ("combmnz", True)):
+        f = combsum_fuse(systems, k=10, mnz=mnz)
+        out.append(pa.table({
+            "method": pa.array([method] * f.num_rows),
+            "doc_id": f["doc_id"],
+            "score": pa.array(round6(f["score"].to_numpy()))}))
+    return pa.concat_tables(out)
+
+
+SQL_COMBSUM_FUSION = f"""
+with bm as (
+  select doc_id, floor(raw*1000000 + 0.5)/1000000 as s6
+  from ( {_bm25_sql(BM25_QUERY_TERMS, 50, raw=True)} ) limit 50),
+bmn as (
+  select doc_id, case when max(s6) over () = min(s6) over () then 1.0
+    else (s6 - min(s6) over ()) / (max(s6) over () - min(s6) over ())
+    end as nv
+  from bm),
+q as (select embedding::DOUBLE[] as qv from embeddings where vec_id = 0),
+csim as (
+  select vec_id as doc_id,
+         floor(list_cosine_similarity(embedding::DOUBLE[], q.qv)*1000000
+               + 0.5)/1000000 as s6
+  from embeddings, q),
+ann as (select doc_id, s6 from csim order by s6 desc, doc_id asc limit 50),
+annn as (
+  select doc_id, case when max(s6) over () = min(s6) over () then 1.0
+    else (s6 - min(s6) over ()) / (max(s6) over () - min(s6) over ())
+    end as nv
+  from ann),
+fused as (
+  select coalesce(b.doc_id, a.doc_id) as doc_id,
+         coalesce(b.nv, 0) + coalesce(a.nv, 0) as ssum,
+         (case when b.doc_id is null then 0 else 1 end
+          + case when a.doc_id is null then 0 else 1 end) as nhit
+  from bmn b full outer join annn a on b.doc_id = a.doc_id),
+sum10 as (
+  select 'combsum' as method, doc_id,
+         floor(ssum*1000000 + 0.5)/1000000 as score
+  from fused order by ssum desc, doc_id asc limit 10),
+mnz10 as (
+  select 'combmnz' as method, doc_id,
+         floor(ssum*nhit*1000000 + 0.5)/1000000 as score
+  from fused order by ssum*nhit desc, doc_id asc limit 10)
+select * from sum10 union all select * from mnz10
+"""
+
+
 def q_span_first_search(sf_dir: str):
     """Lucene SpanFirstQuery: ``#FIRST/10(dup)`` keeps only the 'dup'
     occurrences among a doc's first 10 token positions — a derived Iop
@@ -6737,6 +6813,7 @@ QUERIES = {
     "tfidf_batch_distributed": q_tfidf_batch_distributed,
     "time_decay_top10": q_time_decay_top10,
     "rrf_fusion_top10": q_rrf_fusion_top10,
+    "combsum_fusion": q_combsum_fusion,
     "bm25_upsert_top10": q_bm25_upsert_top10,
     "span_first_search": q_span_first_search,
     "dismax_search": q_dismax_search,
@@ -6893,6 +6970,7 @@ ORACLE_SQL = {
     "tfidf_batch_distributed": SQL_TFIDF_BATCH_DISTRIBUTED,
     "time_decay_top10": SQL_TIME_DECAY_TOP10,
     "rrf_fusion_top10": SQL_RRF_FUSION_TOP10,
+    "combsum_fusion": SQL_COMBSUM_FUSION,
     "bm25_upsert_top10": SQL_BM25_UPSERT_TOP10,
     "span_first_search": SQL_SPAN_FIRST_SEARCH,
     "dismax_search": SQL_DISMAX_SEARCH,

@@ -797,3 +797,28 @@ def test_paired_ttest():
     assert same["t_stat"] == 0.0 and same["mean_diff"] == 0.0
     with pytest.raises(ValueError):
         paired_ttest([0.1], [0.2])
+
+
+def test_combsum_fusion_kernel():
+    """CombSUM/CombMNZ hand-check: min-max per system, sum; MNZ
+    multiplies by systems-retrieving; degenerate all-equal system
+    normalizes to 1; ties break by id asc."""
+    import numpy as np
+    from search_engines_ray.query.fusion import combsum_fuse
+    sysA = (np.array([1, 2, 3]), np.array([10.0, 5.0, 0.0]))   # → 1, .5, 0
+    sysB = (np.array([2, 4]), np.array([3.0, 1.0]))            # → 1, 0
+    f = combsum_fuse([sysA, sysB], k=10)
+    d = dict(zip(f["doc_id"].to_pylist(), f["score"].to_pylist()))
+    assert d == {1: 1.0, 2: 1.5, 3: 0.0, 4: 0.0}
+    # MNZ: doc 2 hit by both systems → ×2
+    m = combsum_fuse([sysA, sysB], k=10, mnz=True)
+    dm = dict(zip(m["doc_id"].to_pylist(), m["score"].to_pylist()))
+    assert dm == {1: 1.0, 2: 3.0, 3: 0.0, 4: 0.0}
+    # tie (3 vs 4 at 0.0) breaks by id asc in the emitted order
+    order = f["doc_id"].to_pylist()
+    assert order.index(3) < order.index(4)
+    # degenerate constant-score system → every doc contributes 1.0
+    g = combsum_fuse([(np.array([7, 8]), np.array([2.0, 2.0]))], k=10)
+    assert g["score"].to_pylist() == [1.0, 1.0]
+    # k cut respected
+    assert combsum_fuse([sysA, sysB], k=2).num_rows == 2
