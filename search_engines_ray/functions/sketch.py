@@ -115,6 +115,78 @@ def hyperloglog_distinct(ds, value_col: str, group_col: str, p: int = 12):
                                               batch_format="pandas")
 
 
+# sentinel groupby key for per-block decrements — real tokens are
+# [a-z0-9]+ so a NUL-prefixed key can never collide
+_MG_DEC_KEY = "\x00dec"
+
+
+def frequent_terms(ds, text_col: str = "text", k: int = 20,
+                   capacity: int = 4096) -> pa.Table:
+    """Heavy-hitter terms via a mergeable Misra-Gries summary
+    (Misra/Gries 1982; merge rule from Agarwal et al., PODS'12):
+    each block folds its token stream into ≤ ``capacity`` counters
+    (exact batch counts, then subtract the (capacity+1)-th largest and
+    drop ≤ 0), a ``groupby('term').sum`` merges summaries, and the
+    per-block decrements sum to the global error bound. → Arrow
+    (term, count_lo, count_hi) top-k by count_lo desc, term asc, with
+    ``count_lo ≤ true_count ≤ count_hi`` guaranteed, and any term whose
+    true count exceeds the total decrement guaranteed PRESENT.
+
+    The 100-TB shape: the exchange carries at most ``capacity`` rows
+    per block regardless of block vocabulary (boilerplate-heavy web
+    text can push per-block vocab into the millions), so map-side
+    output — and therefore shuffle width — is bounded by a knob, not
+    by the data. When every block's vocab fits ``capacity`` no
+    decrement happens and the result is EXACT (count_hi == count_lo) —
+    the oracle checks that regime; the pruning regime is covered by a
+    guarantee-checking unit test. Tokenization matches the simple
+    analyzer (lowercase, [a-z0-9]+ runs)."""
+    import re
+
+    tok_re = re.compile(r"[a-z0-9]+")
+
+    def summarize(b: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in b[text_col].to_pylist():
+            toks.extend(tok_re.findall((t or "").lower()))
+        if not toks:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        terms, cnts = np.unique(np.asarray(toks, dtype=object),
+                                return_counts=True)
+        cnts = cnts.astype(np.int64)
+        dec = 0
+        if terms.size > capacity:
+            # Misra-Gries prune: d = (capacity+1)-th largest counter;
+            # subtracting d and dropping ≤0 leaves ≤ capacity counters
+            d = int(np.partition(cnts, terms.size - capacity - 1)
+                    [terms.size - capacity - 1])
+            keep = cnts > d
+            terms, cnts, dec = terms[keep], cnts[keep] - d, d
+        out_t = list(terms)
+        out_c = list(cnts)
+        if dec:
+            out_t.append(_MG_DEC_KEY)
+            out_c.append(dec)
+        return pa.table({"term": pa.array(out_t, pa.string()),
+                         "cnt": pa.array(out_c, pa.int64())})
+
+    agg = (ds.map_batches(summarize, batch_format="pyarrow")
+           .groupby("term").sum("cnt")
+           .materialize())  # aggregated summaries: ≤ blocks×capacity rows
+    err_t = agg.filter(lambda r: r["term"] == _MG_DEC_KEY).take_all()
+    err = int(err_t[0]["sum(cnt)"]) if err_t else 0
+    top = (agg.filter(lambda r: r["term"] != _MG_DEC_KEY)
+           .sort(["sum(cnt)", "term"], descending=[True, False])
+           .limit(k).take_all())
+    return pa.table({
+        "term": pa.array([r["term"] for r in top], pa.string()),
+        "count_lo": pa.array([int(r["sum(cnt)"]) for r in top], pa.int64()),
+        "count_hi": pa.array([int(r["sum(cnt)"]) + err for r in top],
+                             pa.int64()),
+    })
+
+
 def value_quantiles(ds, value_col: str, group_col: str,
                     ps: tuple = (0.5, 0.9, 0.99)):
     """EXACT distributed quantiles of a 2-dp metric column via a

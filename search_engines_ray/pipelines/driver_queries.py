@@ -4274,6 +4274,29 @@ def _hll_sql() -> str:
 SQL_HLL_DISTINCT = _hll_sql()
 
 
+def q_frequent_terms(sf_dir: str):
+    """Heavy-hitter terms over ``documents`` via the mergeable
+    Misra-Gries summary (``functions.sketch.frequent_terms``): each
+    block emits ≤ capacity counters + its decrement, one groupby merges
+    them. At this capacity no block decrements, so the sketch is EXACT
+    (count_hi == count_lo) and the oracle is plain top-k term counts;
+    the pruning regime's lo/hi/presence guarantees are unit-tested
+    (``test_sketch``)."""
+    import ray.data as rd
+    from ..functions.sketch import frequent_terms
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return frequent_terms(ds, text_col="text", k=25, capacity=4096)
+
+
+SQL_FREQUENT_TERMS = f"""
+with tok as (
+  select unnest({SIMPLE_TOKS_SQL}) as term from documents)
+select term, count(*)::bigint as count_lo, count(*)::bigint as count_hi
+from tok group by term
+order by count_lo desc, term asc limit 25
+"""
+
+
 def q_value_quantiles(sf_dir: str):
     """Exact p50/p90/p99 of event value per event_type via the
     counting-histogram sketch (shuffle carries distinct cents, not
@@ -6708,6 +6731,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
     "hll_distinct": q_hll_distinct,
+    "frequent_terms": q_frequent_terms,
     "hash_sample": q_hash_sample,
     "topk_per_group": q_topk_per_group,
     "value_quantiles": q_value_quantiles,
@@ -6952,6 +6976,7 @@ ORACLE_SQL = {
     "hash_sample": SQL_HASH_SAMPLE,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "hll_distinct": SQL_HLL_DISTINCT,
+    "frequent_terms": SQL_FREQUENT_TERMS,
     "value_quantiles": SQL_VALUE_QUANTILES,
     "semijoin_urgent_lineitem": SQL_SEMIJOIN_URGENT_LINEITEM,
     "antijoin_idle_customers": SQL_ANTIJOIN_IDLE_CUSTOMERS,

@@ -97,3 +97,38 @@ def test_topk_per_group_matches_pandas(rd):
     pd.testing.assert_frame_equal(
         out[["user_id", "event_id", "value", "rank"]],
         ref[["user_id", "event_id", "value", "rank"]])
+
+
+def test_frequent_terms_misra_gries(rd):
+    """Exact regime (capacity ≥ block vocab): counts equal true counts
+    and count_hi == count_lo. Pruning regime (tiny capacity): the
+    Misra-Gries guarantees hold — count_lo ≤ true ≤ count_hi for every
+    emitted term, and every term whose true count exceeds the total
+    decrement is present."""
+    import collections
+    from search_engines_ray.functions.sketch import frequent_terms
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i:03d}" for i in range(40)]
+    # zipf-ish skew: w000 dominates, long tail
+    weights = 1.0 / np.arange(1, len(vocab) + 1) ** 1.3
+    weights /= weights.sum()
+    docs = [" ".join(rng.choice(vocab, size=30, p=weights))
+            for _ in range(200)]
+    true = collections.Counter(" ".join(docs).split())
+    ds = rd.from_items([{"text": t} for t in docs]).repartition(8)
+
+    exact = frequent_terms(ds, k=10, capacity=4096).to_pandas()
+    for _, r in exact.iterrows():
+        assert r["count_lo"] == true[r["term"]] == r["count_hi"]
+    want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(exact["term"]) == [t for t, _ in want]
+
+    pruned = frequent_terms(ds, k=40, capacity=5).to_pandas()
+    err = int(pruned["count_hi"].iloc[0] - pruned["count_lo"].iloc[0])
+    assert err > 0                       # the tiny capacity DID prune
+    for _, r in pruned.iterrows():
+        assert r["count_lo"] <= true[r["term"]] <= r["count_hi"]
+    emitted = set(pruned["term"])
+    for t, c in true.items():
+        if c > err:
+            assert t in emitted, (t, c, err)
