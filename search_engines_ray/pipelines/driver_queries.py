@@ -4409,6 +4409,54 @@ group by l_returnflag
 """
 
 
+def q_bloom_semijoin_high(sf_dir: str):
+    """Bloom-accelerated semijoin (``functions.join.bloom_semijoin``,
+    ``verify="shuffle"``): the 2-HIGH order keys become a broadcast
+    bit array (~1.25 B/key) that kills definite non-matches map-side;
+    only the bloom-surviving sliver of the lineitem stream enters the
+    exact tagged-union verify exchange — the key-set-too-big-to-
+    broadcast shape of ``semijoin_urgent_lineitem``. Same per-flag
+    aggregate, same SQL shape as the plain semijoin oracle."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from ..functions.join import bloom_semijoin
+
+    keys = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey"],
+                           filter=pc.field("o_orderpriority") == "2-HIGH")
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity",
+                                  "l_returnflag"])
+    hit = bloom_semijoin(li, keys, "l_orderkey", keys_col="o_orderkey",
+                         verify="shuffle")
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        qty = np.rint(b["l_quantity"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        df = pd.DataFrame({"l_returnflag": b["l_returnflag"].to_pylist(),
+                           "q": qty})
+        g = df.groupby("l_returnflag", sort=False)["q"]
+        out = pd.DataFrame({"n": g.size().astype(np.int64),
+                            "sum_qty": g.sum().astype(np.int64)})
+        return out.reset_index()
+
+    return hit.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_returnflag") \
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sum_qty", alias_name="sum_qty"))
+
+
+SQL_BLOOM_SEMIJOIN_HIGH = """
+select l_returnflag, count(*)::bigint as n,
+       sum(round(l_quantity)::bigint)::bigint as sum_qty
+from lineitem
+where l_orderkey in (select o_orderkey from orders
+                     where o_orderpriority = '2-HIGH')
+group by l_returnflag
+"""
+
+
 def q_antijoin_idle_customers(sf_dir: str):
     """Broadcast ANTI-semijoin: customers that never placed an URGENT
     order, counted per nation. The key side (distinct o_custkey of
@@ -6736,6 +6784,7 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "value_quantiles": q_value_quantiles,
     "semijoin_urgent_lineitem": q_semijoin_urgent_lineitem,
+    "bloom_semijoin_high": q_bloom_semijoin_high,
     "antijoin_idle_customers": q_antijoin_idle_customers,
     "broadcast_join_nation_revenue": q_broadcast_join_nation_revenue,
     "shuffle_join_priority_revenue": q_shuffle_join_priority_revenue,
@@ -6979,6 +7028,7 @@ ORACLE_SQL = {
     "frequent_terms": SQL_FREQUENT_TERMS,
     "value_quantiles": SQL_VALUE_QUANTILES,
     "semijoin_urgent_lineitem": SQL_SEMIJOIN_URGENT_LINEITEM,
+    "bloom_semijoin_high": SQL_BLOOM_SEMIJOIN_HIGH,
     "antijoin_idle_customers": SQL_ANTIJOIN_IDLE_CUSTOMERS,
     "broadcast_join_nation_revenue": SQL_BROADCAST_JOIN_NATION_REVENUE,
     "shuffle_join_priority_revenue": SQL_SHUFFLE_JOIN_PRIORITY_REVENUE,

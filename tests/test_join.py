@@ -156,3 +156,41 @@ def test_hash_join_rejects_widening_join_types(rd, fact, dim):
         broadcast_hash_join(rd.from_pandas(fact), rd.from_pandas(dim),
                             left_on="k", right_on="dk",
                             join_type="full outer")
+
+
+def test_bloom_semijoin_matches_isin(rd, fact, dim):
+    """Bloom prefilter + exact verify equals the plain semijoin in both
+    verify modes; verify=None is a superset (no false negatives); a
+    deliberately tiny bits_per_key forces false positives that the
+    verify pass must remove; string keys hash consistently too."""
+    from search_engines_ray.functions.join import bloom_semijoin
+    want = fact[fact["k"].isin(dim["dk"])] \
+        .sort_values(["k", "v"], ignore_index=True)
+    for verify in ("shuffle", "broadcast"):
+        out = bloom_semijoin(rd.from_pandas(fact).repartition(6),
+                             rd.from_pandas(dim), "k", keys_col="dk",
+                             verify=verify) \
+            .to_pandas().sort_values(["k", "v"], ignore_index=True)
+        pd.testing.assert_frame_equal(out[["k", "v"]], want, str(verify))
+    # 1 bit/key, 1 hash → heavy false positives; verify stays exact
+    out = bloom_semijoin(rd.from_pandas(fact).repartition(6),
+                         rd.from_pandas(dim), "k", keys_col="dk",
+                         bits_per_key=1, verify="shuffle") \
+        .to_pandas().sort_values(["k", "v"], ignore_index=True)
+    pd.testing.assert_frame_equal(out[["k", "v"]], want)
+    # approximate mode: superset, never loses a true match
+    approx = bloom_semijoin(rd.from_pandas(fact).repartition(6),
+                            rd.from_pandas(dim), "k", keys_col="dk",
+                            bits_per_key=1, verify=None).to_pandas()
+    got_pairs = set(map(tuple, approx[["k", "v"]].to_numpy()))
+    assert set(map(tuple, want.to_numpy())) <= got_pairs
+    # string keys
+    sfact = pd.DataFrame({"k": ["a", "b", "c", "d"] * 10,
+                          "v": np.arange(40, dtype=np.int64)})
+    sdim = pd.DataFrame({"k": ["b", "d"]})
+    sout = bloom_semijoin(rd.from_pandas(sfact), rd.from_pandas(sdim),
+                          "k", verify="shuffle").to_pandas()
+    assert set(sout["k"]) == {"b", "d"} and len(sout) == 20
+    with pytest.raises(ValueError, match="verify"):
+        bloom_semijoin(rd.from_pandas(fact), rd.from_pandas(dim), "k",
+                       keys_col="dk", verify="bogus")
