@@ -5050,6 +5050,72 @@ order by raw desc, doc_id asc limit 10
 """
 
 
+def q_significant_terms(sf_dir: str):
+    """ES ``significant_terms`` over a search RESULT SET: terms
+    overrepresented in the BM25 top-50 docs vs the corpus background,
+    scored by JLH = (fg% − bg%)·(fg%/bg%), min fg_df 3, positively
+    significant only. Foreground term sets come from the index's
+    FORWARD term vectors (result-set-sized fetch, the PRF pattern);
+    background df is a metadata-only run scan (``postings_meta``, no
+    blob decode). → (term, fg_df, bg_df, score) top-15 by raw score
+    desc, term asc."""
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    res = engine.search(" ".join(BM25_QUERY_TERMS), k=50)
+    ids = reader.internal_docids_for(res["external_id"].to_pylist())
+    tvs = reader.term_vectors([int(i) for i in ids], "body")
+    fg_n = float(len(tvs))
+    fg_df: dict[str, int] = {}
+    for terms, _pos, _len in tvs.values():
+        for t in set(terms):
+            fg_df[t] = fg_df.get(t, 0) + 1
+    cand = sorted(t for t, c in fg_df.items() if c >= 3)
+    meta = reader.postings_meta(cand, "body")
+    bg_df: dict[str, int] = {}
+    if meta is not None:
+        for t, d in zip(meta["term"].to_pylist(), meta["df"].to_pylist()):
+            bg_df[t] = bg_df.get(t, 0) + d
+    n = float(reader.doc_count("body"))
+    rows = []
+    for t in cand:
+        fgp = fg_df[t] / fg_n
+        bgp = bg_df.get(t, 0) / n
+        if bgp <= 0.0 or fgp <= bgp:
+            continue
+        raw = (fgp - bgp) * (fgp / bgp)
+        rows.append((t, fg_df[t], bg_df[t], raw))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    rows = rows[:15]
+    return pa.table({
+        "term": pa.array([r[0] for r in rows], pa.string()),
+        "fg_df": pa.array([r[1] for r in rows], pa.int64()),
+        "bg_df": pa.array([r[2] for r in rows], pa.int64()),
+        "score": pa.array(round6(np.array([r[3] for r in rows],
+                                          dtype=np.float64))),
+    })
+
+
+SQL_SIGNIFICANT_TERMS = f"""
+with t as (select doc_id, {SIMPLE_TOKS_SQL} as toks from documents),
+tok as (select doc_id, unnest(toks) as term from t),
+bm as ( {_bm25_sql(BM25_QUERY_TERMS, 50, raw=True)} ),
+fgn as (select count(*)::double as fn from bm),
+nn as (select count(*)::double as n from t where len(toks) > 0),
+fg as (select term, count(distinct tok.doc_id)::bigint as fg_df
+       from tok where tok.doc_id in (select doc_id from bm)
+       group by term having count(distinct tok.doc_id) >= 3),
+bg as (select term, count(distinct doc_id)::bigint as bg_df
+       from tok group by term),
+s as (select fg.term, fg.fg_df, bg.bg_df,
+        ((fg.fg_df / fgn.fn) - (bg.bg_df / nn.n))
+          * ((fg.fg_df / fgn.fn) / (bg.bg_df / nn.n)) as raw
+      from fg join bg using (term), fgn, nn
+      where (fg.fg_df / fgn.fn) > (bg.bg_df / nn.n))
+select term, fg_df, bg_df, floor(raw*1000000 + 0.5)/1000000 as score
+from s order by raw desc, term asc limit 15
+"""
+
+
 def q_distinctive_terms(sf_dir: str):
     """Top-5 distinctive terms per doc (tf desc, df asc, term asc) —
     integer-exact tf·idf-style doc profiling; one term-keyed exchange
@@ -6850,6 +6916,7 @@ QUERIES = {
     "dup_span_stats": q_dup_span_stats,
     "kwic_snippets": q_kwic_snippets,
     "distinctive_terms": q_distinctive_terms,
+    "significant_terms": q_significant_terms,
     "unigram_surprisal": q_unigram_surprisal,
     "facet_counts": q_facet_counts,
     "bm25_filtered_top10": q_bm25_filtered_top10,
@@ -6954,6 +7021,7 @@ ORACLE_SQL = {
     "dup_span_stats": SQL_DUP_SPAN_STATS,
     "kwic_snippets": SQL_KWIC_SNIPPETS,
     "distinctive_terms": SQL_DISTINCTIVE_TERMS,
+    "significant_terms": SQL_SIGNIFICANT_TERMS,
     "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
     "facet_counts": SQL_FACET_COUNTS,
     "bm25_filtered_top10": SQL_BM25_FILTERED_TOP10,
