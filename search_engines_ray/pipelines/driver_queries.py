@@ -1197,6 +1197,47 @@ order by raw desc, doc_id asc limit 10
 """
 
 
+def q_phrase_prefix_search(sf_dir: str):
+    """ES ``match_phrase_prefix``: a phrase whose LAST term is a
+    wildcard — ``#near/1(fast s*)`` composes the existing plan-time
+    prefix rewrite (``s*`` → #SYN of the ≤64 vocab expansions) under
+    the positional #NEAR kernel, scored BM25 over the derived list.
+    tf stays the SQL-expressible adjacency pair count: one position
+    holds one term, and 'fast' is not s-prefixed, so no two greedy
+    matches can share a position even with the multi-term #SYN arg."""
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    res = engine.search("#sum(#near/1(fast s*))", k=10)
+    return _ranked_to_table(res)
+
+
+SQL_PHRASE_PREFIX_SEARCH = f"""
+with tok as ({POS_TOK_SQL}),
+vocab as (select distinct term from tok where term like 's%'
+          order by term limit 64),
+neartf as (
+  select a.doc_id, count(*)::double as tf
+  from tok a join tok b on a.doc_id = b.doc_id and b.pos = a.pos + 1
+  where a.term = 'fast' and b.term in (select term from vocab)
+  group by a.doc_id),
+doclen as (select doc_id, count(*)::double as dl from tok group by doc_id),
+stats as (select
+  (select count(*) from documents)::double as n,
+  (select count(*) from doclen)::double as dc,
+  (select sum(dl) from doclen)::double as suml),
+dfv as (select count(*)::double as df from neartf),
+scored as (
+  select neartf.doc_id,
+         greatest(0.0, ln((stats.n - dfv.df + 0.5)/(dfv.df + 0.5)))
+         * (neartf.tf / (neartf.tf + 1.2*((1.0-0.75)
+            + 0.75*doclen.dl/(stats.suml/stats.dc)))) as raw
+  from neartf join doclen using (doc_id)
+  cross join stats cross join dfv)
+select doc_id, floor(raw*1000000 + 0.5)/1000000 as score from scored
+order by raw desc, doc_id asc limit 10
+"""
+
+
 def q_near1_bm25_top10(sf_dir: str):
     """BM25 #SCORE over a DERIVED #NEAR/1 inverted list: df/ctf come
     from the match list itself (QryIop.getDf/getCtf semantics), and the
@@ -6885,6 +6926,7 @@ QUERIES = {
     "bm25_batch_distributed": q_bm25_batch_distributed,
     "near1_ranked": q_near1_ranked,
     "near1_bm25_top10": q_near1_bm25_top10,
+    "phrase_prefix_search": q_phrase_prefix_search,
     "near1_bm25_distributed": q_near1_bm25_distributed,
     "token_stats": q_token_stats,
     "embedding_dedup": q_embedding_dedup,
@@ -7160,6 +7202,7 @@ ORACLE_SQL = {
     "bm25_batch_distributed": SQL_BM25_BATCH_DISTRIBUTED,
     "near1_ranked": SQL_NEAR1_RANKED,
     "near1_bm25_top10": SQL_NEAR1_BM25_TOP10,
+    "phrase_prefix_search": SQL_PHRASE_PREFIX_SEARCH,
     "near1_bm25_distributed": SQL_NEAR1_BM25_TOP10,
     "sdm_structured_distributed": SQL_SDM_STRUCTURED,
     "syn_search": SQL_SYN_SEARCH,
