@@ -1340,3 +1340,122 @@ def bigram_lm_perplexity(ds, text_col: str = "text",
                          "bits": pa.array(round6(bits))})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def phrase_did_you_mean(ds, query: str, text_col: str = "text",
+                        max_distance: int = 2, cand_k: int = 8,
+                        num_parts: int = 64) -> pa.Table:
+    """Phrase-level did-you-mean for a 2-term query: per-term spelling
+    candidates (vocab terms within ``max_distance`` edits, top
+    ``cand_k`` by (distance, −df, term) — the ``spell_suggest`` rule)
+    re-ranked by CORPUS BIGRAM plausibility: the winning suggestion
+    maximizes (bigram count desc, total edit distance asc, c1 asc,
+    c2 asc). → Arrow (query, suggestion, bigram_n, total_distance),
+    one row — empty if either term has no candidate in range.
+
+    Shape: candidate generation is the partitioned-vocab local-winner
+    pattern (each hash partition emits its own within-distance matches,
+    ≤ partition-vocab DP calls, merged driver-side and cut to cand_k);
+    the bigram pass pre-aggregates per batch and only the ≤ cand_k²
+    candidate pairs survive the map, so the driver fold sees a few
+    rows per block. Two corpus passes total, no all-to-all exchange."""
+    from collections import Counter
+    from zlib import crc32
+
+    from ..analysis.tokenizer import simple_tokenize
+
+    qtoks = simple_tokenize(query or "")
+    if len(qtoks) != 2:
+        raise ValueError("phrase_did_you_mean is defined for 2-term "
+                         f"queries, got {len(qtoks)} terms")
+    q1, q2 = qtoks
+
+    def partial(b: pa.Table) -> pa.Table:
+        df: dict[str, int] = {}
+        for t in b[text_col].to_pylist():
+            for w in set(simple_tokenize(t or "")):
+                df[w] = df.get(w, 0) + 1
+        terms = list(df.keys())
+        parts = np.concatenate([
+            np.fromiter((crc32(t.encode()) % num_parts for t in terms),
+                        dtype=np.int32, count=len(terms)),
+            np.array([-1], dtype=np.int32)])
+        return pa.table({"part": pa.array(parts),
+                         "term": pa.array(terms + [""], pa.string()),
+                         "df": pa.array(np.concatenate([
+                             np.fromiter(df.values(), np.int64,
+                                         count=len(df)),
+                             np.array([0], dtype=np.int64)]))})
+
+    def local_cands(vdf: pd.DataFrame):
+        vdf = vdf[vdf["part"] >= 0]
+        cols = {"query_term": pd.Series([], dtype=object),
+                "cand": pd.Series([], dtype=object),
+                "dist": pd.Series([], dtype=np.int64),
+                "df": pd.Series([], dtype=np.int64)}
+        if vdf.empty:
+            return pd.DataFrame(cols)
+        s = vdf.groupby("term", sort=True)["df"].sum()
+        rows = []
+        for q in (q1, q2):
+            for v, dfv in zip(s.index, s.to_numpy(np.int64)):
+                if abs(len(v) - len(q)) > max_distance:
+                    continue
+                d = _levenshtein(q, v)
+                if d <= max_distance:
+                    rows.append((q, v, d, int(dfv)))
+        if not rows:
+            return pd.DataFrame(cols)
+        return pd.DataFrame(rows, columns=["query_term", "cand",
+                                           "dist", "df"])
+
+    ct = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(local_cands, batch_format="pandas") \
+        .to_pandas()
+    cands: dict[str, list[str]] = {}
+    for q in (q1, q2):
+        sub = ct[ct["query_term"] == q] \
+            .sort_values(["dist", "df", "cand"],
+                         ascending=[True, False, True], kind="mergesort")
+        cands[q] = list(sub["cand"].head(cand_k))
+    if not cands[q1] or not cands[q2]:
+        return pa.table({"query": pa.array([], pa.string()),
+                         "suggestion": pa.array([], pa.string()),
+                         "bigram_n": pa.array([], pa.int64()),
+                         "total_distance": pa.array([], pa.int64())})
+    c1set, c2set = set(cands[q1]), set(cands[q2])
+
+    def big_partial(b: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in b[text_col].to_pylist():
+            toks = simple_tokenize(t or "")
+            for a, bb in zip(toks, toks[1:]):
+                if a in c1set and bb in c2set:
+                    c[(a, bb)] += 1
+        ks = list(c.keys())
+        return pa.table({
+            "c1": pa.array([p[0] for p in ks], pa.string()),
+            "c2": pa.array([p[1] for p in ks], pa.string()),
+            "n": pa.array(np.fromiter(c.values(), np.int64, count=len(c)))})
+
+    big: dict[tuple, int] = {}
+    for b in ds.map_batches(big_partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for a, bb, n in zip(b["c1"].to_pylist(), b["c2"].to_pylist(),
+                            b["n"].to_pylist()):
+            big[(a, bb)] = big.get((a, bb), 0) + n
+
+    d1 = {r["cand"]: r["dist"] for _, r in
+          ct[ct["query_term"] == q1].iterrows()}
+    d2 = {r["cand"]: r["dist"] for _, r in
+          ct[ct["query_term"] == q2].iterrows()}
+    best = min(((c1, c2) for c1 in cands[q1] for c2 in cands[q2]),
+               key=lambda p: (-big.get(p, 0), d1[p[0]] + d2[p[1]],
+                              p[0], p[1]))
+    return pa.table({
+        "query": pa.array([f"{q1} {q2}"], pa.string()),
+        "suggestion": pa.array([f"{best[0]} {best[1]}"], pa.string()),
+        "bigram_n": pa.array([big.get(best, 0)], pa.int64()),
+        "total_distance": pa.array([d1[best[0]] + d2[best[1]]],
+                                   pa.int64()),
+    })

@@ -5329,6 +5329,48 @@ select query_term, suggestion, distance, df from r where rn = 1
 """
 
 
+def q_did_you_mean_phrase(sf_dir: str):
+    """Phrase-level did-you-mean ('fsat sortt' → 'fast sort'): per-term
+    spell candidates (the ``spell_suggest`` (distance, −df, term) rule,
+    top-8) re-ranked by corpus BIGRAM counts — the suggestion maximizes
+    (bigram count, −total edit distance, terms asc). Two corpus passes,
+    no all-to-all; candidate pairs (≤64) are the only bigrams that
+    survive the map."""
+    import ray.data as rd
+    from ..functions.text import phrase_did_you_mean
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return phrase_did_you_mean(ds, "fsat sortt")
+
+
+SQL_DID_YOU_MEAN_PHRASE = f"""
+with tokl as (select doc_id, {SIMPLE_TOKS_SQL} as toks from documents),
+tokd as (select doc_id, unnest(list_distinct(toks)) as term from tokl),
+v as (select term, count(*)::bigint as df from tokd group by term),
+c1 as (select term, df, levenshtein('fsat', term)::bigint as d from v
+       where levenshtein('fsat', term) <= 2),
+r1 as (select *, row_number() over (order by d, df desc, term) as rn
+       from c1),
+c2 as (select term, df, levenshtein('sortt', term)::bigint as d from v
+       where levenshtein('sortt', term) <= 2),
+r2 as (select *, row_number() over (order by d, df desc, term) as rn
+       from c2),
+tok as ({POS_TOK_SQL}),
+big as (select a.term as t1, b.term as t2, count(*)::bigint as n
+        from tok a join tok b
+          on a.doc_id = b.doc_id and b.pos = a.pos + 1
+        group by a.term, b.term),
+pairs as (
+  select r1.term as w1, r2.term as w2, coalesce(big.n, 0) as n,
+         r1.d + r2.d as td
+  from r1 cross join r2
+  left join big on big.t1 = r1.term and big.t2 = r2.term
+  where r1.rn <= 8 and r2.rn <= 8)
+select 'fsat sortt' as query, w1 || ' ' || w2 as suggestion,
+       n::bigint as bigram_n, td::bigint as total_distance
+from pairs order by n desc, td asc, w1 asc, w2 asc limit 1
+"""
+
+
 def q_chunk_documents(sf_dir: str):
     """Training-data chunking: overlapping 32-token windows every 24
     tokens (final partial window kept, md5 of each chunk verified) —
@@ -6971,6 +7013,7 @@ QUERIES = {
     "bm25_positionless_top10": q_bm25_positionless_top10,
     "prefix_suggest": q_prefix_suggest,
     "spell_suggest": q_spell_suggest,
+    "did_you_mean_phrase": q_did_you_mean_phrase,
     "chunk_documents": q_chunk_documents,
     "strip_html": q_strip_html,
     "decontaminate": q_decontaminate,
@@ -7069,6 +7112,7 @@ ORACLE_SQL = {
     "bm25_filtered_top10": SQL_BM25_FILTERED_TOP10,
     "prefix_suggest": SQL_PREFIX_SUGGEST,
     "spell_suggest": SQL_SPELL_SUGGEST,
+    "did_you_mean_phrase": SQL_DID_YOU_MEAN_PHRASE,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "strip_html": SQL_STRIP_HTML,
     "decontaminate": SQL_DECONTAMINATE,

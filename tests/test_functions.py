@@ -822,3 +822,25 @@ def test_combsum_fusion_kernel():
     assert g["score"].to_pylist() == [1.0, 1.0]
     # k cut respected
     assert combsum_fuse([sysA, sysB], k=2).num_rows == 2
+
+
+def test_phrase_did_you_mean(ray_session):
+    """Bigram plausibility overrides per-term best: 'grn apple' must
+    pick 'green apple' (frequent bigram) over a higher-df unigram
+    correction; clean terms self-correct at distance 0; a 1-term query
+    is rejected."""
+    import ray.data as rd
+    from search_engines_ray.functions.text import phrase_did_you_mean
+    docs = (["green apple pie"] * 5 + ["grain silo store"] * 9
+            + ["grain apple never"])  # 'grain' outranks 'green' by df
+    ds = rd.from_items([{"text": t} for t in docs]).repartition(4)
+    out = phrase_did_you_mean(ds, "grn apple").to_pandas()
+    assert out.loc[0, "suggestion"] == "green apple"
+    assert out.loc[0, "bigram_n"] == 5
+    # exact phrase passes through at distance 0
+    ok = phrase_did_you_mean(ds, "grain silo").to_pandas()
+    assert ok.loc[0, "suggestion"] == "grain silo"
+    assert ok.loc[0, "total_distance"] == 0
+    import pytest
+    with pytest.raises(ValueError, match="2-term"):
+        phrase_did_you_mean(ds, "apple")
