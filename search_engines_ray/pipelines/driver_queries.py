@@ -5329,6 +5329,33 @@ select query_term, suggestion, distance, df from r where rn = 1
 """
 
 
+def q_boosting_search(sf_dir: str):
+    """ES ``boosting`` query: BM25 over the standard 3-term positive
+    clause, with docs also containing 'scan' demoted ×0.5 BEFORE the
+    top-10 cut (``QueryEngine.search_boosting``) — soft negation, vs
+    ``negation_search``'s hard MUST_NOT."""
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    res = engine.search_boosting(" ".join(BM25_QUERY_TERMS), "scan",
+                                 negative_boost=0.5, k=10)
+    return _ranked_to_table(res)
+
+
+SQL_BOOSTING_SEARCH = f"""
+with pos as ( {_bm25_sql(BM25_QUERY_TERMS, 10**9, raw=True)} ),
+tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+neg as (select distinct doc_id from tok where term = 'scan'),
+boosted as (
+  select pos.doc_id,
+         pos.raw * (case when neg.doc_id is null then 1.0 else 0.5 end)
+           as raw
+  from pos left join neg using (doc_id))
+select doc_id, floor(raw*1000000 + 0.5)/1000000 as score from boosted
+order by raw desc, doc_id asc limit 10
+"""
+
+
 def q_did_you_mean_phrase(sf_dir: str):
     """Phrase-level did-you-mean ('fsat sortt' → 'fast sort'): per-term
     spell candidates (the ``spell_suggest`` (distance, −df, term) rule,
@@ -7014,6 +7041,7 @@ QUERIES = {
     "prefix_suggest": q_prefix_suggest,
     "spell_suggest": q_spell_suggest,
     "did_you_mean_phrase": q_did_you_mean_phrase,
+    "boosting_search": q_boosting_search,
     "chunk_documents": q_chunk_documents,
     "strip_html": q_strip_html,
     "decontaminate": q_decontaminate,
@@ -7113,6 +7141,7 @@ ORACLE_SQL = {
     "prefix_suggest": SQL_PREFIX_SUGGEST,
     "spell_suggest": SQL_SPELL_SUGGEST,
     "did_you_mean_phrase": SQL_DID_YOU_MEAN_PHRASE,
+    "boosting_search": SQL_BOOSTING_SEARCH,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "strip_html": SQL_STRIP_HTML,
     "decontaminate": SQL_DECONTAMINATE,

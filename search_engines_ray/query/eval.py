@@ -637,6 +637,45 @@ class QueryEngine:
         return rank_results_candidates(docids, scores,
                                        self.reader.external_ids_for, k)
 
+    def search_boosting(self, positive: str, negative: str,
+                        negative_boost: float = 0.5,
+                        k: int = 100) -> pa.Table:
+        """ES ``boosting`` query: positive-clause candidates keep their
+        score, but candidates ALSO matching the negative clause are
+        demoted by ×``negative_boost`` instead of excluded — the soft
+        form of the MUST_NOT filter in ``search``'s ``-term`` handling.
+        The negative clause is a bag of terms (OR semantics, like
+        MUST_NOT); its postings only mask the positive candidate set —
+        no extra scoring pass, no corpus pass. Demotion happens BEFORE
+        the top-k cut (a demoted head doc can drop out of the page)."""
+        plan = self.parser.parse(positive, self.model.default_op)
+        if plan is None:
+            return _empty_results()
+        plan = self._expand_prefixes(plan)
+        cache = self._fetch(plan)
+        self._build_dlut(cache)
+        scored = self._eval_sop(plan, cache)
+        docids, scores = scored.docids, scored.scores.astype(np.float64,
+                                                             copy=True)
+        field = self.parser.default_field
+        terms = [t for tok in negative.split()
+                 for t in self.parser.analyzer.analyze_query_token(tok)]
+        got = self.reader.postings_many(terms, field, positions=False) \
+            if terms else {}
+        neg = _union([InvList.from_posting(p).docids
+                      for p in got.values() if p is not None])
+        if neg.size:
+            hit = np.isin(docids, neg)
+            scores[hit] *= float(negative_boost)
+        dels = self.reader.deleted_docids()
+        if dels.size:
+            idx = np.searchsorted(dels, docids)
+            idx[idx == dels.size] = 0
+            keep = dels[idx] != docids
+            docids, scores = docids[keep], scores[keep]
+        return rank_results_candidates(docids, scores,
+                                       self.reader.external_ids_for, k)
+
     def search_after(self, query: str, after: tuple, k: int = 100,
                      allowed: np.ndarray | None = None,
                      synonyms: dict | None = None) -> pa.Table:

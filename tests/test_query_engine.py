@@ -818,3 +818,35 @@ def test_distributed_span_first_matches_driver(docs_index):
         docs_index.index_dir, [("1", q)], BM25Model(), k=30).to_pandas()
     assert list(dist["external_id"]) == list(drv["external_id"])
     np.testing.assert_allclose(dist["score"], drv["score"], rtol=1e-12)
+
+
+def test_boosting_query_demotes(toy_index):
+    """ES boosting query: a negative match multiplies the positive
+    score by negative_boost before the top-k cut; boost 1.0 is a
+    no-op; boost 0 floors demoted docs but keeps them (soft MUST_NOT);
+    an unmatched negative clause changes nothing."""
+    import numpy as np
+    from search_engines_ray.query.eval import QueryEngine
+    from search_engines_ray.query.models import BM25Model
+    eng = QueryEngine(toy_index, BM25Model(k1=1.2, b=0.75))
+    base = eng.search("quick fox", k=10)
+    noop = eng.search_boosting("quick fox", "zzznope", 0.5, k=10)
+    assert base["external_id"].to_pylist() == noop["external_id"].to_pylist()
+    assert base["score"].to_pylist() == noop["score"].to_pylist()
+    same = eng.search_boosting("quick fox", "brown", 1.0, k=10)
+    assert base["score"].to_pylist() == same["score"].to_pylist()
+    boosted = eng.search_boosting("quick fox", "brown", 0.5, k=10)
+    b0 = dict(zip(base["external_id"].to_pylist(),
+                  base["score"].to_pylist()))
+    b1 = dict(zip(boosted["external_id"].to_pylist(),
+                  boosted["score"].to_pylist()))
+    assert set(b0) == set(b1)            # soft: nobody excluded
+    neg_ids = {e for e, _, in b0.items()
+               if eng.search("brown", k=100)["external_id"].to_pylist()
+               .count(e)}
+    assert neg_ids                        # fixture has an overlap
+    for e in b0:
+        want = b0[e] * 0.5 if e in neg_ids else b0[e]
+        np.testing.assert_allclose(b1[e], want, rtol=1e-12)
+    floor = eng.search_boosting("quick fox", "brown", 0.0, k=10)
+    assert set(floor["external_id"].to_pylist()) == set(b0)
