@@ -44,6 +44,7 @@ from ..analysis.tokenizer import Analyzer, analyzer_for_mode
 from ..index.build import POSTINGS_DIR, term_bucket
 from ..index.reader import IndexReader
 from ..index.varbyte import decode_postings
+from .eval import expand_wildcards
 from .models import BM25Model
 
 _DOC_BITS = 44
@@ -1229,7 +1230,9 @@ def bm25_structured_batch_search(index_dir: str,
     iop_plans_by_field: dict[str, dict[str, "IopNode"]] = {}
     iop_leaves: dict[str, list[tuple[int, int]]] = {}
     for qid, q in queries:
-        plan = parser.parse(q, "#sum")
+        # same plan-time wildcard/fuzzy/regexp -> #SYN rewrite as the
+        # driver engine, so wildcards mean the same thing on this path
+        plan = expand_wildcards(parser.parse(q, "#sum"), reader)
         counts: dict[str, int] = {}
         for leaf in leaves_of(plan):
             if isinstance(leaf, TermNode):
@@ -1466,7 +1469,7 @@ def indri_structured_batch_search(index_dir: str,
     q_subtrees: list[list[tuple[float, dict]]] = []
     for qid, q in queries:
         subs: list[tuple[float, dict]] = []
-        plan = parser.parse(q, "#and")
+        plan = expand_wildcards(parser.parse(q, "#and"), reader)
         if plan is not None:
             parts: list = []
             spine(plan, 1.0, parts)

@@ -531,50 +531,7 @@ class QueryEngine:
         raise ValueError(f"unknown Sop #{op}")
 
     def _expand_prefixes(self, node: PlanNode) -> PlanNode:
-        """Rewrite wildcard TermNodes (``fa*`` prefix / ``fat~1`` fuzzy,
-        parser-marked) into a ``#SYN`` of the matching indexed terms —
-        Lucene's PrefixQuery/FuzzyQuery → term-disjunction rewrite.
-        Zero matches keeps the marked term, which fetches as an empty
-        posting list; one match collapses to the plain term. Expansion
-        hits the vocabulary metadata only (``reader.terms_with_prefix``
-        / ``reader.terms_within_distance``)."""
-        if isinstance(node, TermNode):
-            terms = None
-            if (node.term.startswith("/") and node.term.endswith("/")
-                    and len(node.term) > 2):
-                terms = self.reader.terms_matching_regex(node.term[1:-1],
-                                                         node.field)
-            elif (node.term.startswith("*") and node.term.endswith("*")
-                    and len(node.term) > 2):
-                terms = self.reader.terms_with_substring(node.term[1:-1],
-                                                         node.field)
-            elif node.term.startswith("*") and len(node.term) > 1:
-                terms = self.reader.terms_with_suffix(node.term[1:],
-                                                      node.field)
-            elif node.term.endswith("*") and len(node.term) > 1:
-                terms = self.reader.terms_with_prefix(node.term[:-1],
-                                                      node.field)
-            elif (len(node.term) > 2 and node.term[-2] == "~"
-                    and node.term[-1] in "012"):
-                terms = self.reader.terms_within_distance(
-                    node.term[:-2], node.field,
-                    max_distance=int(node.term[-1]))
-            if terms is not None:
-                if not terms:
-                    return node
-                if len(terms) == 1:
-                    return TermNode(term=terms[0], field=node.field)
-                return IopNode(op="syn",
-                               args=[TermNode(term=t, field=node.field)
-                                     for t in terms])
-            return node
-        if isinstance(node, ScoreNode):
-            node.child = self._expand_prefixes(node.child)
-            return node
-        if isinstance(node, (IopNode, SopNode)):
-            node.args = [self._expand_prefixes(a) for a in node.args]
-            return node
-        return node
+        return expand_wildcards(node, self.reader)
 
     # ---- public API ----
     def search(self, query: str, k: int = 100,
@@ -895,3 +852,49 @@ def _empty_results(with_qid: bool = False) -> pa.Table:
     if with_qid:
         cols["qid"] = pa.array([], pa.string())
     return pa.table(cols)
+
+
+def expand_wildcards(node, reader):
+    """Rewrite wildcard TermNodes (``fa*`` prefix / ``*ab*`` infix /
+    ``*ab`` suffix / ``fat~1`` fuzzy / ``/pat/`` regexp, parser-marked)
+    into a ``#SYN`` of the matching indexed terms — Lucene's
+    PrefixQuery/FuzzyQuery/RegexpQuery → term-disjunction rewrite.
+    Zero matches keeps the marked term, which fetches as an empty
+    posting list; one match collapses to the plain term. Expansion hits
+    the vocabulary metadata only. Shared by the interactive engine
+    (``QueryEngine._expand_prefixes``) and the distributed structured
+    batch paths, so a wildcard means the same thing on every path."""
+    if node is None:
+        return None
+    if isinstance(node, TermNode):
+        terms = None
+        if (node.term.startswith("/") and node.term.endswith("/")
+                and len(node.term) > 2):
+            terms = reader.terms_matching_regex(node.term[1:-1], node.field)
+        elif (node.term.startswith("*") and node.term.endswith("*")
+                and len(node.term) > 2):
+            terms = reader.terms_with_substring(node.term[1:-1], node.field)
+        elif node.term.startswith("*") and len(node.term) > 1:
+            terms = reader.terms_with_suffix(node.term[1:], node.field)
+        elif node.term.endswith("*") and len(node.term) > 1:
+            terms = reader.terms_with_prefix(node.term[:-1], node.field)
+        elif (len(node.term) > 2 and node.term[-2] == "~"
+                and node.term[-1] in "012"):
+            terms = reader.terms_within_distance(
+                node.term[:-2], node.field, max_distance=int(node.term[-1]))
+        if terms is not None:
+            if not terms:
+                return node
+            if len(terms) == 1:
+                return TermNode(term=terms[0], field=node.field)
+            return IopNode(op="syn",
+                           args=[TermNode(term=t, field=node.field)
+                                 for t in terms])
+        return node
+    if isinstance(node, ScoreNode):
+        node.child = expand_wildcards(node.child, reader)
+        return node
+    if isinstance(node, (IopNode, SopNode)):
+        node.args = [expand_wildcards(a, reader) for a in node.args]
+        return node
+    return node

@@ -850,3 +850,33 @@ def test_boosting_query_demotes(toy_index):
         np.testing.assert_allclose(b1[e], want, rtol=1e-12)
     floor = eng.search_boosting("quick fox", "brown", 0.0, k=10)
     assert set(floor["external_id"].to_pylist()) == set(b0)
+
+
+def test_distributed_wildcard_matches_driver(docs_index):
+    """Wildcard / regexp terms expand identically on the distributed
+    structured path (expand_wildcards is shared plan-time code), so
+    both engines return rank- and score-identical results."""
+    from search_engines_ray.query.distributed import (
+        bm25_structured_batch_search, indri_structured_batch_search,
+    )
+    bm = BM25Model()
+    engine = QueryEngine(docs_index, bm)
+    queries = [("1", "#sum(fas* dup)"), ("2", "#sum(/l.ne/ dup)"),
+               ("3", "#sum(#near/1(fast so*))")]
+    dist = bm25_structured_batch_search(docs_index.index_dir, queries,
+                                        bm, k=20).to_pandas()
+    for qid, q in queries:
+        drv = engine.search(q, k=20).to_pandas()
+        sub = dist[dist["qid"] == qid].reset_index(drop=True)
+        assert list(sub["external_id"]) == list(drv["external_id"]), qid
+        np.testing.assert_allclose(sub["score"], drv["score"], rtol=1e-12)
+    ind = IndriModel(mu=2500, lambda_=0.4)
+    iengine = QueryEngine(docs_index, ind)
+    iqueries = [("1", "#and(fas* line)")]
+    idist = indri_structured_batch_search(docs_index.index_dir, iqueries,
+                                          ind, k=20).to_pandas()
+    for qid, q in iqueries:
+        drv = iengine.search(q, k=20).to_pandas()
+        sub = idist[idist["qid"] == qid].reset_index(drop=True)
+        assert list(sub["external_id"]) == list(drv["external_id"]), qid
+        np.testing.assert_allclose(sub["score"], drv["score"], rtol=1e-12)
