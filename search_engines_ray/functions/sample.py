@@ -198,3 +198,36 @@ def weighted_sample(ds, weight_col: str, k: int = 100,
     return ds.map_batches(partial, batch_format="pyarrow") \
         .repartition(1) \
         .map_batches(final, batch_format="pyarrow", batch_size=None)
+
+
+def shuffle_to_shards(ds, num_shards: int = 8, id_col: str = "doc_id"):
+    """Deterministic global shuffle into training shards: shard =
+    md5(id) % num_shards, position = rank of (md5(id), id) within the
+    shard. → Dataset (``id_col``, shard, pos). The md5 permutation
+    makes the "shuffle" reproducible across runs and partitionings AND
+    auditable by SQL — the properties ``random_shuffle`` cannot give a
+    resumable training-export pipeline. Same keyed-permutation
+    rationale as ``hash_sample``.
+
+    Shape at 100 TB: one hash-partitioned exchange keyed by shard (ids
+    only — callers join payloads back or write partitioned by shard);
+    the per-shard (hash, id) sort IS the within-shard training order,
+    so no second pass is needed. Each shard group must fit a worker's
+    heap — size num_shards ≈ n_docs · 16 B / 1 GB accordingly."""
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        h = _id_hash64(ids)
+        return pa.table({
+            id_col: b[id_col],
+            "shard": pa.array((h % np.uint64(num_shards)).astype(np.int32)),
+            "h": pa.array(h.astype(np.uint64)),
+        })
+
+    def order(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", id_col], kind="mergesort",
+                          ignore_index=True)
+        g["pos"] = np.arange(len(g), dtype=np.int64)
+        return g[[id_col, "shard", "pos"]]
+
+    return ds.map_batches(assign, batch_format="pyarrow") \
+        .groupby("shard").map_groups(order, batch_format="pandas")

@@ -4653,6 +4653,29 @@ from r where sample_rank < 100
 """
 
 
+def q_shuffle_export(sf_dir: str):
+    """Deterministic training-shard shuffle: md5(id) picks the shard
+    and the within-shard order — reproducible across runs and
+    partitionings, auditable by SQL, resumable per shard
+    (``sample.shuffle_to_shards``); one shard-keyed exchange."""
+    import ray.data as rd
+    from ..functions.sample import shuffle_to_shards
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+    return shuffle_to_shards(ds, num_shards=8)
+
+
+SQL_SHUFFLE_EXPORT = """
+with h as (select doc_id,
+                  ('0x' || substr(md5(doc_id::varchar), 1, 16))::ubigint as h
+           from documents)
+select doc_id, (h % 8)::int as shard,
+       (row_number() over (partition by h % 8 order by h, doc_id)
+        - 1)::bigint as pos
+from h
+"""
+
+
 def q_topk_per_group(sf_dir: str):
     """Top-3 events by value per user (ties by smallest event_id) —
     per-batch partial top-k bounds the shuffle to candidates."""
@@ -6957,6 +6980,7 @@ QUERIES = {
     "hll_distinct": q_hll_distinct,
     "frequent_terms": q_frequent_terms,
     "hash_sample": q_hash_sample,
+    "shuffle_export": q_shuffle_export,
     "topk_per_group": q_topk_per_group,
     "value_quantiles": q_value_quantiles,
     "semijoin_urgent_lineitem": q_semijoin_urgent_lineitem,
@@ -7206,6 +7230,7 @@ ORACLE_SQL = {
     "sessionize": SQL_SESSIONIZE,
     "asof_join": SQL_ASOF_JOIN,
     "hash_sample": SQL_HASH_SAMPLE,
+    "shuffle_export": SQL_SHUFFLE_EXPORT,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "hll_distinct": SQL_HLL_DISTINCT,
     "frequent_terms": SQL_FREQUENT_TERMS,

@@ -132,3 +132,24 @@ def test_frequent_terms_misra_gries(rd):
     for t, c in true.items():
         if c > err:
             assert t in emitted, (t, c, err)
+
+
+def test_shuffle_to_shards_deterministic(rd):
+    """Every id lands in exactly one shard with contiguous 0-based
+    positions; the assignment is invariant to input partitioning; the
+    md5 keying spreads ids across all shards."""
+    from search_engines_ray.functions.sample import shuffle_to_shards
+    ids = pd.DataFrame({"doc_id": np.arange(1000, dtype=np.int64)})
+    a = shuffle_to_shards(rd.from_pandas(ids), num_shards=8) \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    b = shuffle_to_shards(rd.from_pandas(ids).repartition(7),
+                          num_shards=8) \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 1000 and a["doc_id"].is_unique
+    assert set(a["shard"]) == set(range(8))
+    for s, g in a.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g)))
+    # the shuffle is not the identity order
+    first = a[a["shard"] == 0].sort_values("pos")["doc_id"].to_numpy()
+    assert not np.array_equal(first, np.sort(first))
