@@ -309,3 +309,73 @@ select {group_col},
             else floor(raw + 0.5) end::bigint as n_distinct_est
 from est
 """
+
+
+def percentile_ranks(ds, value_col: str, group_col: str,
+                     values: tuple = (10.0, 50.0, 100.0)):
+    """EXACT inverse of :func:`value_quantiles` (ES
+    ``percentile_ranks`` agg): for each probe value v, the percentage
+    of rows with value ≤ v per group, from the same distributed
+    (group, cents, n) counting-histogram — the shuffle carries distinct
+    cents, never rows. → Dataset (``group_col``, v, pct) with
+    pct = 100·|{x ≤ v}|/n computed in doubles and mirrored literally
+    in SQL (:func:`percentile_ranks_sql`)."""
+    merge_parts = 64
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        cents = np.rint(np.asarray(
+            b[value_col].to_numpy(zero_copy_only=False),
+            dtype=np.float64) * 100.0).astype(np.int64)
+        df = pd.DataFrame({group_col: b[group_col].to_pylist(),
+                           "cents": cents})
+        out = df.groupby([group_col, "cents"], sort=False) \
+            .size().rename("n").reset_index()
+        out["part"] = (out["cents"] % merge_parts).astype(np.int32)
+        return out
+
+    def merge_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby([group_col, "cents"], sort=False)["n"] \
+            .sum().reset_index()
+
+    counts = ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None) \
+        .groupby("part").map_groups(merge_sum, batch_format="pandas")
+
+    probes = tuple(float(v) for v in values)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["cents"].to_numpy())
+        cents = g["cents"].to_numpy()[order]
+        cum = np.cumsum(g["n"].to_numpy()[order])
+        tot = float(cum[-1])
+        out_v, out_p = [], []
+        for v in probes:
+            vc = int(np.rint(v * 100.0))
+            i = int(np.searchsorted(cents, vc, side="right"))
+            le = float(cum[i - 1]) if i > 0 else 0.0
+            out_v.append(v)
+            out_p.append(100.0 * le / tot)
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]] * len(probes),
+                             "v": np.asarray(out_v, dtype=np.float64),
+                             "pct": np.asarray(out_p, dtype=np.float64)})
+
+    return counts.groupby(group_col).map_groups(finalize,
+                                                batch_format="pandas")
+
+
+def percentile_ranks_sql(table: str, value_col: str, group_col: str,
+                         values: tuple = (10.0, 50.0, 100.0)) -> str:
+    """DuckDB mirror of :func:`percentile_ranks` (identical cents
+    comparison and double division)."""
+    vals = ", ".join(f"({float(v)!r}::double)" for v in values)
+    return f"""
+with c as (select {group_col}, round({value_col} * 100)::bigint as cents
+           from {table}),
+t as (select {group_col}, count(*)::bigint as tot from c group by 1)
+select t.{group_col}, q.v,
+       100.0 * (select count(*) from c
+                where c.{group_col} = t.{group_col}
+                  and c.cents <= round(q.v * 100)::bigint)::double
+             / t.tot::double as pct
+from t cross join (values {vals}) q(v)
+"""

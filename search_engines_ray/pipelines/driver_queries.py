@@ -4295,6 +4295,27 @@ from events e left join m on m.event_id = e.event_id and m.rn = 1
 """
 
 
+def q_percentile_ranks(sf_dir: str):
+    """ES percentile_ranks agg (inverse quantiles): % of event values
+    ≤ each probe per event_type, exact, from the same distinct-cents
+    counting histogram as ``value_quantiles``."""
+    import ray.data as rd
+    from ..functions.sketch import percentile_ranks
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return percentile_ranks(ds, value_col="value", group_col="event_type",
+                            values=(10.0, 50.0, 100.0))
+
+
+def _percentile_ranks_sql() -> str:
+    from ..functions.sketch import percentile_ranks_sql
+    return percentile_ranks_sql("events", "value", "event_type",
+                                values=(10.0, 50.0, 100.0))
+
+
+SQL_PERCENTILE_RANKS = _percentile_ranks_sql()
+
+
 def q_hll_distinct(sf_dir: str):
     """Distributed HyperLogLog (p=12) distinct-text count per language —
     the mergeable-sketch pattern: per-batch registers, groupby max-merge,
@@ -6983,6 +7004,7 @@ QUERIES = {
     "shuffle_export": q_shuffle_export,
     "topk_per_group": q_topk_per_group,
     "value_quantiles": q_value_quantiles,
+    "percentile_ranks": q_percentile_ranks,
     "semijoin_urgent_lineitem": q_semijoin_urgent_lineitem,
     "bloom_semijoin_high": q_bloom_semijoin_high,
     "antijoin_idle_customers": q_antijoin_idle_customers,
@@ -7235,6 +7257,7 @@ ORACLE_SQL = {
     "hll_distinct": SQL_HLL_DISTINCT,
     "frequent_terms": SQL_FREQUENT_TERMS,
     "value_quantiles": SQL_VALUE_QUANTILES,
+    "percentile_ranks": SQL_PERCENTILE_RANKS,
     "semijoin_urgent_lineitem": SQL_SEMIJOIN_URGENT_LINEITEM,
     "bloom_semijoin_high": SQL_BLOOM_SEMIJOIN_HIGH,
     "antijoin_idle_customers": SQL_ANTIJOIN_IDLE_CUSTOMERS,

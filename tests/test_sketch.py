@@ -153,3 +153,28 @@ def test_shuffle_to_shards_deterministic(rd):
     # the shuffle is not the identity order
     first = a[a["shard"] == 0].sort_values("pos")["doc_id"].to_numpy()
     assert not np.array_equal(first, np.sort(first))
+
+
+def test_percentile_ranks_exact(rd):
+    """pct(v) == 100·|{x ≤ v}|/n per group (2-dp cents grid), invariant
+    to partitioning; 0% below min, 100% at max."""
+    from search_engines_ray.functions.sketch import percentile_ranks
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b"], 500),
+        "value": np.round(rng.uniform(0, 100, 1000), 2),
+    })
+    probes = (0.0, 25.0, 50.0, 100.0)
+    out = percentile_ranks(rd.from_pandas(df).repartition(6), "value",
+                           "g", values=probes) \
+        .to_pandas().sort_values(["g", "v"], ignore_index=True)
+    for _, r in out.iterrows():
+        sub = df[df["g"] == r["g"]]["value"]
+        want = 100.0 * (np.rint(sub * 100) <= np.rint(r["v"] * 100)).sum() \
+            / len(sub)
+        assert r["pct"] == pytest.approx(want, abs=1e-12), (r["g"], r["v"])
+    assert (out[out["v"] == 100.0]["pct"] == 100.0).all()
+    out1 = percentile_ranks(rd.from_pandas(df), "value", "g",
+                            values=probes) \
+        .to_pandas().sort_values(["g", "v"], ignore_index=True)
+    pd.testing.assert_frame_equal(out, out1)
