@@ -441,3 +441,70 @@ def maxsim_topk(ds, queries: np.ndarray, k: int = 10,
         "score": pa.array(out["s6"].to_numpy(np.int64) / 1e6,
                           pa.float64()),
     })
+
+
+def mmr_rerank(ds, qvec: np.ndarray, k: int = 5, lambda_: float = 0.7,
+               cand_k: int = 20, vec_col: str = "embedding",
+               id_col: str = "vec_id") -> pa.Table:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein, SIGIR'98): greedily pick argmax of
+    ``λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`` from the exact cosine
+    top-``cand_k`` candidates — the embedding-space sibling of the
+    intent-aware xQuAD/PM2 rerankers. → Arrow (rank, id, score).
+
+    Distribution shape: candidate retrieval is the distributed exact
+    top-k (``ann_cosine_topk``); the greedy loop runs driver-side over
+    the cand_k² sim matrix — candidate-sized, like the fusion ops.
+    rel and pairwise sims are 6-dp rounded BEFORE the loop so every
+    comparison (including ties, broken by id asc) is bit-reproducible
+    in the unrolled SQL mirror."""
+    import pyarrow.compute as pc
+
+    from .text import round6
+
+    q = np.asarray(qvec, dtype=np.float64).reshape(1, -1)
+    ann = ann_cosine_topk(ds, q, k=cand_k, dtype=np.float64).to_pandas()
+    ann["r6"] = round6(ann["score"].to_numpy())
+    ann = ann.sort_values(["r6", id_col], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    cand_ids = ann[id_col].to_numpy()
+    rel = dict(zip(cand_ids.tolist(), ann["r6"].tolist()))
+
+    id_set = set(int(i) for i in cand_ids)
+
+    def keep(b: pa.Table) -> pa.Table:
+        mask = [int(i) in id_set for i in b[id_col].to_pylist()]
+        return b.filter(pa.array(mask))
+
+    ct = pa.concat_tables([
+        b for b in ds.map_batches(keep, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows])
+    ids = ct[id_col].to_pylist()
+    V = _normalize(_as_matrix(ct[vec_col], np.float64))
+    sims = round6((V @ V.T).ravel()).reshape(len(ids), len(ids))
+    pos = {int(i): j for j, i in enumerate(ids)}
+
+    selected: list[int] = []
+    scores: list[float] = []
+    remaining = [int(i) for i in cand_ids]
+    while remaining and len(selected) < k:
+        best, best_sc = None, None
+        for d in remaining:            # id-asc-stable: remaining keeps
+            r = rel[d]                 # the (r6 desc, id asc) order, so
+            if selected:               # strict > keeps the first max
+                pen = max(sims[pos[d], pos[s]] for s in selected)
+                sc = lambda_ * r - (1.0 - lambda_) * pen
+            else:
+                sc = lambda_ * r
+            if best is None or sc > best_sc or (sc == best_sc
+                                                and d < best):
+                best, best_sc = d, sc
+        selected.append(best)
+        scores.append(best_sc)
+        remaining.remove(best)
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(selected) + 1, dtype=np.int64)),
+        id_col: pa.array(selected, pa.int64()),
+        "score": pa.array(round6(np.asarray(scores, dtype=np.float64))),
+    })

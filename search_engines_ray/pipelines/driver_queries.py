@@ -6363,6 +6363,62 @@ from fused order by raw desc, doc_id asc limit 10
 """
 
 
+def q_mmr_rerank(sf_dir: str):
+    """Embedding-space MMR diversification (λ=0.7, top-5 of the cosine
+    top-20 for vec 0's embedding) — ``similarity.mmr_rerank``. The
+    oracle unrolls the 5 greedy steps as CTEs (the HITS pattern);
+    rel/sims are 6-dp rounded before the loop and the penalty
+    coefficient is written ``(1.0-0.7)`` on both sides so every float
+    comparison is bit-identical."""
+    import ray.data as rd
+    from ..functions.similarity import mmr_rerank
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qvec = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return mmr_rerank(ds, qvec, k=5, lambda_=0.7, cand_k=20)
+
+
+def _mmr_step(i: int) -> str:
+    """CTEs for greedy step i ≥ 2: score remaining candidates against
+    sel{i-1}, pick the max (sc desc, vec_id asc), extend the set."""
+    return f"""
+m{i} as (select c.vec_id, 0.7*c.r6 - (1.0-0.7)*(
+           select max(s.s6) from sims s
+           where s.a = c.vec_id
+             and s.b in (select vec_id from sel{i-1})) as sc
+         from cand c
+         where c.vec_id not in (select vec_id from sel{i-1})),
+s{i} as (select vec_id, sc from m{i} order by sc desc, vec_id asc limit 1),
+sel{i} as (select vec_id from sel{i-1} union all select vec_id from s{i})"""
+
+
+SQL_MMR_RERANK = f"""
+with q as (select embedding::DOUBLE[] as qv from embeddings
+           where vec_id = 0),
+c0 as (select vec_id,
+              floor(list_cosine_similarity(embedding::DOUBLE[], q.qv)
+                    *1000000 + 0.5)/1000000 as r6,
+              embedding::DOUBLE[] as v
+       from embeddings, q),
+cand as (select * from c0 order by r6 desc, vec_id asc limit 20),
+sims as (select a.vec_id as a, b.vec_id as b,
+                floor(list_cosine_similarity(a.v, b.v)*1000000
+                      + 0.5)/1000000 as s6
+         from cand a join cand b on a.vec_id <> b.vec_id),
+s1 as (select vec_id, 0.7*r6 as sc from cand
+       order by r6 desc, vec_id asc limit 1),
+sel1 as (select vec_id from s1),{_mmr_step(2)},{_mmr_step(3)},{_mmr_step(4)},{_mmr_step(5)}
+select rank, vec_id, floor(sc*1000000 + 0.5)/1000000 as score from (
+  select 1::bigint as rank, vec_id, sc from s1
+  union all select 2::bigint, vec_id, sc from s2
+  union all select 3::bigint, vec_id, sc from s3
+  union all select 4::bigint, vec_id, sc from s4
+  union all select 5::bigint, vec_id, sc from s5)
+order by rank
+"""
+
+
 def q_combsum_fusion(sf_dir: str):
     """Score-based hybrid fusion (Fox & Shaw CombSUM/CombMNZ): the same
     BM25 top-50 + embedding-cosine top-50 inputs as ``rrf_fusion_top10``
@@ -7113,6 +7169,7 @@ QUERIES = {
     "time_decay_top10": q_time_decay_top10,
     "rrf_fusion_top10": q_rrf_fusion_top10,
     "combsum_fusion": q_combsum_fusion,
+    "mmr_rerank": q_mmr_rerank,
     "bm25_upsert_top10": q_bm25_upsert_top10,
     "span_first_search": q_span_first_search,
     "dismax_search": q_dismax_search,
@@ -7277,6 +7334,7 @@ ORACLE_SQL = {
     "time_decay_top10": SQL_TIME_DECAY_TOP10,
     "rrf_fusion_top10": SQL_RRF_FUSION_TOP10,
     "combsum_fusion": SQL_COMBSUM_FUSION,
+    "mmr_rerank": SQL_MMR_RERANK,
     "bm25_upsert_top10": SQL_BM25_UPSERT_TOP10,
     "span_first_search": SQL_SPAN_FIRST_SEARCH,
     "dismax_search": SQL_DISMAX_SEARCH,

@@ -844,3 +844,26 @@ def test_phrase_did_you_mean(ray_session):
     import pytest
     with pytest.raises(ValueError, match="2-term"):
         phrase_did_you_mean(ds, "apple")
+
+
+def test_mmr_demotes_near_duplicates(ray_session):
+    """MMR picks the most relevant vector first, then prefers a diverse
+    vector over a near-duplicate of the first even when the duplicate
+    has higher relevance; lambda=1 reduces to plain relevance order."""
+    import ray.data as rd
+    import numpy as np
+    from search_engines_ray.functions.similarity import mmr_rerank
+    # query NOT collinear with any vector (else rel == sim-to-first and
+    # every MMR score collapses to (2λ−1)·rel, a degenerate tie)
+    q = np.array([1.0, 0.3])
+    vecs = [
+        {"vec_id": 0, "embedding": [1.0, 0.25]},     # closest to q
+        {"vec_id": 1, "embedding": [1.0, 0.2]},      # near-dup of 0
+        {"vec_id": 2, "embedding": [0.3, 1.0]},      # diverse, lower rel
+    ]
+    ds = rd.from_items(vecs)
+    out = mmr_rerank(ds, q, k=3, lambda_=0.5, cand_k=3).to_pandas()
+    assert list(out["vec_id"]) == [0, 2, 1]
+    assert list(out["rank"]) == [1, 2, 3]
+    plain = mmr_rerank(ds, q, k=3, lambda_=1.0, cand_k=3).to_pandas()
+    assert list(plain["vec_id"]) == [0, 1, 2]
