@@ -470,11 +470,10 @@ def mmr_rerank(ds, qvec: np.ndarray, k: int = 5, lambda_: float = 0.7,
     cand_ids = ann[id_col].to_numpy()
     rel = dict(zip(cand_ids.tolist(), ann["r6"].tolist()))
 
-    id_set = set(int(i) for i in cand_ids)
+    want = pa.array(np.asarray(cand_ids, dtype=np.int64))
 
     def keep(b: pa.Table) -> pa.Table:
-        mask = [int(i) in id_set for i in b[id_col].to_pylist()]
-        return b.filter(pa.array(mask))
+        return b.filter(pc.is_in(pc.cast(b[id_col], pa.int64()), want))
 
     ct = pa.concat_tables([
         b for b in ds.map_batches(keep, batch_format="pyarrow")
