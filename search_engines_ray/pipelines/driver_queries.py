@@ -848,6 +848,52 @@ order by raw desc, doc_id asc limit 10
 """
 
 
+def q_rescore_indri_top10(sf_dir: str):
+    """Two-phase retrieval (ES rescore / the recall-then-precision
+    pattern): BM25 recalls the top-100, Indri re-scores ONLY those
+    candidates (``search(allowed=...)`` — corpus statistics stay
+    corpus-wide, top-10 cut after the filter). The rescore window
+    is candidate-sized; the second phase never touches the corpus."""
+    reader = get_index(sf_dir, "simple")
+    bm = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    recall = bm.search(" ".join(BM25_QUERY_TERMS), k=100)
+    allowed = reader.internal_docids_for(
+        recall["external_id"].to_pylist())
+    ind = QueryEngine(reader, IndriModel(mu=2500, lambda_=0.4))
+    res = ind.search(" ".join(BM25_QUERY_TERMS), k=10, allowed=allowed)
+    return _ranked_to_table(res)
+
+
+SQL_RESCORE_INDRI_TOP10 = f"""
+with recall as ( {_bm25_sql(BM25_QUERY_TERMS, 100, raw=True)} ),
+tok as (
+  select doc_id, unnest({SIMPLE_TOKS_SQL}) as term from documents),
+doclen as (select doc_id, count(*)::double as dl from tok group by doc_id),
+suml as (select sum(dl)::double as v from doclen),
+qterms as (select * from (values ('dup'),('line'),('hash')) t(term)),
+ctfs as (select term, count(*)::double as ctf from tok
+         where term in (select term from qterms) group by term),
+tfs as (select doc_id, term, count(*)::double as tf from tok
+        where term in (select term from qterms) group by doc_id, term),
+cands as (select distinct doc_id from tfs
+          where doc_id in (select doc_id from recall)),
+cells as (
+  select c.doc_id, q.term,
+         coalesce(tfs.tf, 0.0) as tf, ctfs.ctf, doclen.dl
+  from cands c cross join qterms q
+  join ctfs on ctfs.term = q.term
+  join doclen on doclen.doc_id = c.doc_id
+  left join tfs on tfs.doc_id = c.doc_id and tfs.term = q.term),
+scored as (
+  select doc_id,
+         product(pow((1.0-0.4)*(tf + 2500.0*(ctf/suml.v))/(dl + 2500.0)
+                     + 0.4*(ctf/suml.v), 1.0/3.0)) as raw
+  from cells cross join suml group by doc_id)
+select doc_id, floor(raw*1000000 + 0.5)/1000000 as score from scored
+order by raw desc, doc_id asc limit 10
+"""
+
+
 def q_indri_explain_top10(sf_dir: str):
     """Indri explain parity: one row per (top-10 doc, query term)
     INCLUDING absent terms (their Dirichlet default score is part of the
@@ -7071,6 +7117,7 @@ QUERIES = {
     "index_bm25_maxscore_top10": q_index_bm25_maxscore_top10,
     "bm25_multifield_top10": q_bm25_multifield_top10,
     "index_indri_top10": q_index_indri_top10,
+    "rescore_indri_top10": q_rescore_indri_top10,
     "indri_batch_distributed": q_indri_batch_distributed,
     "wsum_indri_top10": q_wsum_indri_top10,
     "wand_indri_top10": q_wand_indri_top10,
@@ -7355,6 +7402,7 @@ ORACLE_SQL = {
     "bm25_positionless_top10": SQL_INDEX_BM25_TOP10,
     "bm25_multifield_top10": SQL_BM25_MULTIFIELD_TOP10,
     "index_indri_top10": SQL_INDEX_INDRI_TOP10,
+    "rescore_indri_top10": SQL_RESCORE_INDRI_TOP10,
     "indri_batch_distributed": SQL_INDEX_INDRI_TOP10,
     "wsum_indri_top10": SQL_WSUM_INDRI_TOP10,
     "wand_indri_top10": SQL_WAND_INDRI_TOP10,
