@@ -848,6 +848,42 @@ order by raw desc, doc_id asc limit 10
 """
 
 
+def q_rare_terms(sf_dir: str):
+    """ES ``rare_terms`` agg: body terms with global df ≤ 100, term asc,
+    capped at 50 — computed as a Ray Data pipeline OVER THE INDEX'S
+    POSTINGS FILES (term/field/df columns only, blobs never read):
+    per-salt run dfs sum in one term-keyed groupby, the long tail is
+    filtered AFTER the sum (a run-level df ≤ 2 pre-filter would drop
+    split terms incorrectly)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ..index.build import POSTINGS_DIR
+    reader = get_index(sf_dir, "simple")
+    ds = rd.read_parquet(os.path.join(reader.index_dir, POSTINGS_DIR),
+                         columns=["term", "field", "df"],
+                         filter=pc.field("field") == "body")
+
+    def rare_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less_equal(b["sum(df)"], 100))
+
+    rows = (ds.groupby("term").sum("df")
+            .map_batches(rare_only, batch_format="pyarrow")
+            .sort("term").limit(50).take_all())
+    return pa.table({
+        "term": pa.array([r["term"] for r in rows], pa.string()),
+        "df": pa.array([int(r["sum(df)"]) for r in rows], pa.int64()),
+    })
+
+
+SQL_RARE_TERMS = f"""
+with tok as (
+  select doc_id, unnest(list_distinct({SIMPLE_TOKS_SQL})) as term
+  from documents),
+v as (select term, count(*)::bigint as df from tok group by term)
+select term, df from v where df <= 100 order by term asc limit 50
+"""
+
+
 def q_rescore_indri_top10(sf_dir: str):
     """Two-phase retrieval (ES rescore / the recall-then-precision
     pattern): BM25 recalls the top-100, Indri re-scores ONLY those
@@ -7118,6 +7154,7 @@ QUERIES = {
     "bm25_multifield_top10": q_bm25_multifield_top10,
     "index_indri_top10": q_index_indri_top10,
     "rescore_indri_top10": q_rescore_indri_top10,
+    "rare_terms": q_rare_terms,
     "indri_batch_distributed": q_indri_batch_distributed,
     "wsum_indri_top10": q_wsum_indri_top10,
     "wand_indri_top10": q_wand_indri_top10,
@@ -7403,6 +7440,7 @@ ORACLE_SQL = {
     "bm25_multifield_top10": SQL_BM25_MULTIFIELD_TOP10,
     "index_indri_top10": SQL_INDEX_INDRI_TOP10,
     "rescore_indri_top10": SQL_RESCORE_INDRI_TOP10,
+    "rare_terms": SQL_RARE_TERMS,
     "indri_batch_distributed": SQL_INDEX_INDRI_TOP10,
     "wsum_indri_top10": SQL_WSUM_INDRI_TOP10,
     "wand_indri_top10": SQL_WAND_INDRI_TOP10,
