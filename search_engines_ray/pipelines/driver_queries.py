@@ -6727,6 +6727,36 @@ from documents group by 1 order by 1
 """
 
 
+def q_date_histogram_cumulative(sf_dir: str):
+    """ES pipeline aggregation (``cumulative_sum`` over a
+    ``date_histogram``): the minute-bucket counts from the distributed
+    forward-plane pass, then the running total — a driver-side cumsum
+    over the bucket-sized result (pipeline aggs post-process the
+    parent agg's buckets; they never touch the corpus)."""
+    from ..index.inspect import attribute_histogram
+    reader = _docvalues_index(sf_dir)
+    t = attribute_histogram(reader.index_dir, "ts",
+                            bucket_us=60_000_000)
+    if hasattr(t, "to_pandas"):
+        t = t.to_pandas()
+    t = t.sort_values("bucket", ignore_index=True)
+    t["cum_docs"] = t["n_docs"].cumsum().astype(np.int64)
+    return pa.table({"bucket": pa.array(t["bucket"], pa.int64()),
+                     "n_docs": pa.array(t["n_docs"], pa.int64()),
+                     "cum_docs": pa.array(t["cum_docs"], pa.int64())})
+
+
+SQL_DATE_HISTOGRAM_CUMULATIVE = f"""
+with h as (
+  select (({_TS_BASE_US} + doc_id*1000000) // 60000000)::bigint as bucket,
+         count(*)::bigint as n_docs
+  from documents group by 1)
+select bucket, n_docs,
+       (sum(n_docs) over (order by bucket))::bigint as cum_docs
+from h order by bucket
+"""
+
+
 def q_index_synonym_search(sf_dir: str):
     """INDEX-TIME synonyms (Lucene SynonymFilter, posIncrement=0; the
     build-plane twin of the query-time ``synonym_search``): the index
@@ -7259,6 +7289,7 @@ QUERIES = {
     "dismax_search": q_dismax_search,
     "ann_filtered_top10": q_ann_filtered_top10,
     "date_histogram": q_date_histogram,
+    "date_histogram_cumulative": q_date_histogram_cumulative,
     "index_synonym_search": q_index_synonym_search,
     "bigram_perplexity": q_bigram_perplexity,
     "label_centroids": q_label_centroids,
@@ -7424,6 +7455,7 @@ ORACLE_SQL = {
     "dismax_search": SQL_DISMAX_SEARCH,
     "ann_filtered_top10": SQL_ANN_FILTERED_TOP10,
     "date_histogram": SQL_DATE_HISTOGRAM,
+    "date_histogram_cumulative": SQL_DATE_HISTOGRAM_CUMULATIVE,
     "index_synonym_search": SQL_INDEX_SYNONYM_SEARCH,
     "bigram_perplexity": SQL_BIGRAM_PERPLEXITY,
     "label_centroids": SQL_LABEL_CENTROIDS,
