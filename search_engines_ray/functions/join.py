@@ -311,10 +311,26 @@ def bloom_semijoin(ds, keys, key_col: str, keys_col: str | None = None,
         raise ValueError(f"verify={verify!r}")
     # distinct key hashes, gathered as uint64 (8 B/key, not raw keys)
     _HK = "bloom_semijoin16"  # exactly-16-byte siphash key, both sides
+
+    def _key_hash(vals) -> np.ndarray:
+        # canonicalize numeric width/signedness before hashing:
+        # pd.util.hash_array hashes the width-preserved reinterpretation
+        # (int32 -1 != int64 -1), so an int32 fact column probing an
+        # int64 key set would silently false-negative without this
+        a = np.asarray(vals)
+        if a.dtype.kind == "i":
+            a = a.astype(np.int64, copy=False)
+        elif a.dtype.kind == "u":
+            a = a.astype(np.uint64, copy=False)
+        elif a.dtype.kind == "f":
+            a = a.astype(np.float64, copy=False)
+        return pd.util.hash_array(a, hash_key=_HK, categorize=False)
+
+    # per-batch unique BEFORE the concat so driver memory is bounded by
+    # per-batch distinct counts, not raw key rows (duplicated key
+    # columns are the norm when the key side derives from a fact table)
     kh = np.unique(np.concatenate([
-        pd.util.hash_array(
-            np.asarray(b[keys_col].to_numpy(zero_copy_only=False)),
-            hash_key=_HK, categorize=False)
+        np.unique(_key_hash(b[keys_col].to_numpy(zero_copy_only=False)))
         for b in keys.select_columns([keys_col])
         .iter_batches(batch_size=None, batch_format="pyarrow")
         if b.num_rows] or [np.empty(0, np.uint64)]))
@@ -333,9 +349,7 @@ def bloom_semijoin(ds, keys, key_col: str, keys_col: str | None = None,
     def bloom_filt(b: pa.Table) -> pa.Table:
         from ..util import proc_cached
         bb = proc_cached(cache_key, lambda: ray.get(bits_ref))
-        h = pd.util.hash_array(
-            np.asarray(b[key_col].to_numpy(zero_copy_only=False)),
-            hash_key=_HK, categorize=False)
+        h = _key_hash(b[key_col].to_numpy(zero_copy_only=False))
         g2 = (h * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
         mask = np.ones(len(h), dtype=bool)
         for i in range(k_hashes):

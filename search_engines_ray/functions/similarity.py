@@ -457,16 +457,30 @@ def mmr_rerank(ds, qvec: np.ndarray, k: int = 5, lambda_: float = 0.7,
     the cand_k² sim matrix — candidate-sized, like the fusion ops.
     rel and pairwise sims are 6-dp rounded BEFORE the loop so every
     comparison (including ties, broken by id asc) is bit-reproducible
-    in the unrolled SQL mirror."""
+    in the unrolled SQL mirror; the ``cand_k`` boundary itself is cut
+    on the ROUNDED score too (with id tie-break), fetching a small
+    over-sample so rounded ties straddling the raw-score cut resolve
+    identically on both sides."""
     import pyarrow.compute as pc
 
     from .text import round6
 
+    def _empty() -> pa.Table:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+
     q = np.asarray(qvec, dtype=np.float64).reshape(1, -1)
-    ann = ann_cosine_topk(ds, q, k=cand_k, dtype=np.float64).to_pandas()
+    # over-fetch so the r6-rounded candidate cut (the oracle's cut) is
+    # insensitive to raw-vs-rounded ordering at the cand_k boundary
+    ann = ann_cosine_topk(ds, q, k=cand_k + 8,
+                          dtype=np.float64).to_pandas()
+    if ann.empty:
+        return _empty()
     ann["r6"] = round6(ann["score"].to_numpy())
     ann = ann.sort_values(["r6", id_col], ascending=[False, True],
-                          kind="mergesort").reset_index(drop=True)
+                          kind="mergesort").reset_index(drop=True) \
+        .head(cand_k)
     cand_ids = ann[id_col].to_numpy()
     rel = dict(zip(cand_ids.tolist(), ann["r6"].tolist()))
 
@@ -475,10 +489,13 @@ def mmr_rerank(ds, qvec: np.ndarray, k: int = 5, lambda_: float = 0.7,
     def keep(b: pa.Table) -> pa.Table:
         return b.filter(pc.is_in(pc.cast(b[id_col], pa.int64()), want))
 
-    ct = pa.concat_tables([
+    batches = [
         b for b in ds.map_batches(keep, batch_format="pyarrow")
         .iter_batches(batch_size=None, batch_format="pyarrow")
-        if b.num_rows])
+        if b.num_rows]
+    if not batches:
+        return _empty()
+    ct = pa.concat_tables(batches)
     ids = ct[id_col].to_pylist()
     V = _normalize(_as_matrix(ct[vec_col], np.float64))
     sims = round6((V @ V.T).ravel()).reshape(len(ids), len(ids))

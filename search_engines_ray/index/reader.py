@@ -392,6 +392,21 @@ class IndexReader:
                              if f.endswith(".parquet"))
         return paths
 
+    def _postings_paths(self) -> list[str]:
+        """Every postings parquet file across all term buckets, sorted —
+        the full-vocabulary scan input shared by the wildcard/fuzzy/
+        regexp expansions (hash bucketing cannot prune any of them)."""
+        base = os.path.join(self.index_dir, POSTINGS_DIR)
+        paths: list[str] = []
+        if os.path.isdir(base):
+            for d in sorted(os.listdir(base)):
+                full = os.path.join(base, d)
+                if d.startswith("bucket=") and os.path.isdir(full):
+                    paths.extend(os.path.join(full, f)
+                                 for f in sorted(os.listdir(full))
+                                 if f.endswith(".parquet"))
+        return paths
+
     def terms_with_prefix(self, prefix: str, field: str,
                           max_terms: int = 64) -> list[str]:
         """All indexed terms of ``field`` starting with ``prefix``,
@@ -403,15 +418,7 @@ class IndexReader:
         pushed to parquet row groups."""
         if not prefix:
             return []
-        base = os.path.join(self.index_dir, POSTINGS_DIR)
-        paths: list[str] = []
-        if os.path.isdir(base):
-            for d in sorted(os.listdir(base)):
-                full = os.path.join(base, d)
-                if d.startswith("bucket=") and os.path.isdir(full):
-                    paths.extend(os.path.join(full, f)
-                                 for f in sorted(os.listdir(full))
-                                 if f.endswith(".parquet"))
+        paths = self._postings_paths()
         if not paths:
             return []
         hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
@@ -432,15 +439,7 @@ class IndexReader:
         column and substring-matches vectorized in Arrow."""
         if not sub:
             return []
-        base = os.path.join(self.index_dir, POSTINGS_DIR)
-        paths: list[str] = []
-        if os.path.isdir(base):
-            for d in sorted(os.listdir(base)):
-                full = os.path.join(base, d)
-                if d.startswith("bucket=") and os.path.isdir(full):
-                    paths.extend(os.path.join(full, f)
-                                 for f in sorted(os.listdir(full))
-                                 if f.endswith(".parquet"))
+        paths = self._postings_paths()
         if not paths:
             return []
         t = pads.dataset(paths, format="parquet").to_table(
@@ -458,15 +457,7 @@ class IndexReader:
         ``term`` column + vectorized Arrow ends-with."""
         if not suffix:
             return []
-        base = os.path.join(self.index_dir, POSTINGS_DIR)
-        paths: list[str] = []
-        if os.path.isdir(base):
-            for d in sorted(os.listdir(base)):
-                full = os.path.join(base, d)
-                if d.startswith("bucket=") and os.path.isdir(full):
-                    paths.extend(os.path.join(full, f)
-                                 for f in sorted(os.listdir(full))
-                                 if f.endswith(".parquet"))
+        paths = self._postings_paths()
         if not paths:
             return []
         t = pads.dataset(paths, format="parquet").to_table(
@@ -486,17 +477,13 @@ class IndexReader:
         Invalid patterns raise at compile time, before any scan."""
         if not pattern:
             return []
-        import re as _re
-        _re.compile(pattern)  # surface bad patterns eagerly
-        base = os.path.join(self.index_dir, POSTINGS_DIR)
-        paths: list[str] = []
-        if os.path.isdir(base):
-            for d in sorted(os.listdir(base)):
-                full = os.path.join(base, d)
-                if d.startswith("bucket=") and os.path.isdir(full):
-                    paths.extend(os.path.join(full, f)
-                                 for f in sorted(os.listdir(full))
-                                 if f.endswith(".parquet"))
+        # validate with the SAME engine that will scan (Arrow RE2) —
+        # Python re accepts constructs RE2 rejects (lookahead,
+        # backreferences) and vice versa, so compiling here with re
+        # would not actually guarantee the scan cannot fail mid-flight
+        pc.match_substring_regex(pa.array([], type=pa.string()),
+                                 pattern=f"^(?:{pattern})$")
+        paths = self._postings_paths()
         if not paths:
             return []
         t = pads.dataset(paths, format="parquet").to_table(
@@ -521,15 +508,7 @@ class IndexReader:
         if not term or max_distance < 0:
             return []
         from ..functions.text import _levenshtein
-        base = os.path.join(self.index_dir, POSTINGS_DIR)
-        paths: list[str] = []
-        if os.path.isdir(base):
-            for d in sorted(os.listdir(base)):
-                full = os.path.join(base, d)
-                if d.startswith("bucket=") and os.path.isdir(full):
-                    paths.extend(os.path.join(full, f)
-                                 for f in sorted(os.listdir(full))
-                                 if f.endswith(".parquet"))
+        paths = self._postings_paths()
         if not paths:
             return []
         t = pads.dataset(paths, format="parquet").to_table(

@@ -4429,7 +4429,14 @@ def q_frequent_terms(sf_dir: str):
     import ray.data as rd
     from ..functions.sketch import frequent_terms
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-    return frequent_terms(ds, text_col="text", k=25, capacity=4096)
+    t = frequent_terms(ds, text_col="text", k=25, capacity=4096)
+    if t.num_rows and not pa.compute.all(
+            pa.compute.equal(t["count_hi"], t["count_lo"])).as_py():
+        raise AssertionError(
+            "frequent_terms left the exact regime (a block's vocab "
+            "exceeded capacity=4096) — raise capacity so the exact "
+            "oracle comparison stays valid")
+    return t
 
 
 SQL_FREQUENT_TERMS = f"""

@@ -194,3 +194,23 @@ def test_bloom_semijoin_matches_isin(rd, fact, dim):
     with pytest.raises(ValueError, match="verify"):
         bloom_semijoin(rd.from_pandas(fact), rd.from_pandas(dim), "k",
                        keys_col="dk", verify="bogus")
+
+
+def test_bloom_semijoin_cross_dtype_keys(rd):
+    """int32/float64 fact keys probing an int64 key set must not
+    false-negative: the hash canonicalizes numeric width before
+    probing (negative values exercise the signed reinterpretation)."""
+    from search_engines_ray.functions.join import bloom_semijoin
+    fact32 = pd.DataFrame({
+        "k": np.array([-3, -1, 0, 5, 9, 12], dtype=np.int32),
+        "v": np.arange(6, dtype=np.int64)})
+    keys64 = pd.DataFrame({"k": np.array([-3, 5, 999], dtype=np.int64)})
+    out = bloom_semijoin(rd.from_pandas(fact32), rd.from_pandas(keys64),
+                         "k", verify="broadcast").to_pandas()
+    assert sorted(out["k"].tolist()) == [-3, 5]
+    factf = pd.DataFrame({
+        "k": np.array([5.0, 7.0, -3.0], dtype=np.float64),
+        "v": np.arange(3, dtype=np.int64)})
+    outf = bloom_semijoin(rd.from_pandas(factf), rd.from_pandas(factf),
+                          "k", verify="shuffle").to_pandas()
+    assert len(outf) == 3          # self-join keeps everything
