@@ -11,13 +11,23 @@ from .events import (
     tumbling_window_aggregate,
 )
 from .graph import connected_components
-from .join import broadcast_hash_join, broadcast_semijoin, shuffle_hash_join
-from .sample import hash_sample, stratified_sample, topk_per_group
-from .sketch import hyperloglog_distinct, value_quantiles
-from .similarity import ann_cosine_topk, ivf_ann_topk, lsh_ann_topk
+from .join import (
+    bloom_semijoin, broadcast_hash_join, broadcast_semijoin,
+    shuffle_hash_join,
+)
+from .sample import (
+    hash_sample, shuffle_to_shards, stratified_sample, topk_per_group,
+    weighted_sample,
+)
+from .sketch import (
+    frequent_terms, hyperloglog_distinct, percentile_ranks,
+    value_quantiles,
+)
+from .similarity import ann_cosine_topk, ivf_ann_topk, lsh_ann_topk, mmr_rerank
 from .text import (
-    best_passage, doc_fingerprint, heuristic_filter, language_id, pii_scrub,
-    quality_scores, repetition_stats, token_stats, top_bigrams,
+    best_passage, doc_fingerprint, heuristic_filter, language_id,
+    phrase_did_you_mean, pii_scrub, quality_scores, repetition_stats,
+    spell_suggest, token_stats, top_bigrams,
 )
 
 __all__ = [
@@ -32,12 +42,15 @@ __all__ = [
     "sliding_window_aggregate",
     "tumbling_window_aggregate",
     "connected_components",
-    "broadcast_hash_join", "broadcast_semijoin", "shuffle_hash_join",
-    "hash_sample", "stratified_sample", "topk_per_group",
-    "hyperloglog_distinct",
+    "bloom_semijoin", "broadcast_hash_join", "broadcast_semijoin",
+    "shuffle_hash_join",
+    "hash_sample", "shuffle_to_shards", "stratified_sample",
+    "topk_per_group", "weighted_sample",
+    "frequent_terms", "hyperloglog_distinct", "percentile_ranks",
     "value_quantiles",
-    "ann_cosine_topk", "ivf_ann_topk", "lsh_ann_topk",
+    "ann_cosine_topk", "ivf_ann_topk", "lsh_ann_topk", "mmr_rerank",
     "best_passage",
     "doc_fingerprint", "heuristic_filter", "language_id", "pii_scrub",
-    "quality_scores", "repetition_stats", "token_stats", "top_bigrams",
+    "phrase_did_you_mean", "quality_scores", "repetition_stats",
+    "spell_suggest", "token_stats", "top_bigrams",
 ]
