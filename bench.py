@@ -210,9 +210,18 @@ def run_bench() -> dict:
                 text_col="text", id_col="url").materialize()
     t_exact = time.time() - t0
 
+    # Misra-Gries heavy-hitter sketch over the full page corpus (added
+    # with the op in r4): capacity-bounded per-block summaries + one
+    # term groupby — the tokenize-dominated sketch throughput number
+    from search_engines_ray.functions.sketch import frequent_terms
+    t0 = time.time()
+    frequent_terms(ray.data.read_parquet(pages_dir, columns=["text"]),
+                   text_col="text", k=25, capacity=65536)
+    t_mg = time.time() - t0
+
     ray.shutdown()
     total = (t_build + t_bm25 + t_structured + t_dist + t_dist_structured
-             + t_dist_indri + t_sigs + t_minhash + t_exact)
+             + t_dist_indri + t_sigs + t_minhash + t_exact + t_mg)
     return {
         "metric": "index_build_plus_query_batch",
         "value": round(total, 3),
@@ -227,6 +236,7 @@ def run_bench() -> dict:
             "minhash_signatures": round(t_sigs, 3),
             "minhash_lsh_dedup": round(t_minhash, 3),
             "exact_dedup": round(t_exact, 3),
+            "frequent_terms_mg": round(t_mg, 3),
         },
         "minhash_sig_docs_per_sec": round(n_docs / t_sigs, 1),
         "sf": SF_DIR,
