@@ -1459,3 +1459,96 @@ def phrase_did_you_mean(ds, query: str, text_col: str = "text",
         "total_distance": pa.array([d1[best[0]] + d2[best[1]]],
                                    pa.int64()),
     })
+
+
+def group_significant_terms(ds, group_col: str = "lang",
+                            text_col: str = "text", k: int = 5,
+                            min_fg_df: int = 3,
+                            num_parts: int = 64) -> pa.Table:
+    """Per-GROUP significant terms (the facet-level sibling of the
+    result-set ``significant_terms`` entry): for each group value,
+    the terms overrepresented in that group's docs vs the corpus,
+    JLH-scored — ``(fg% − bg%)·(fg%/bg%)`` with fg% = group df /
+    group size, bg% = corpus df / corpus size, min ``min_fg_df``,
+    positively significant only. → Arrow (group, term, fg_df, bg_df,
+    score) top-k per group by raw desc, term asc.
+
+    Shape: per-batch doc-distinct (group, term) Counter partials keyed
+    by a term-hash partition, so a term's rows across ALL groups
+    co-locate — the corpus df is a local sum inside the partition, and
+    each partition emits only its own per-group top-k (≤ parts ×
+    groups × k rows reach the driver). Group sizes are a tiny separate
+    aggregate, broadcast into the partition closure."""
+    from collections import Counter
+    from zlib import crc32
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..analysis.tokenizer import simple_tokenize
+
+    sz = ds.groupby(group_col).aggregate(Count(alias_name="n")).take_all()
+    n_g = {r[group_col]: float(r["n"]) for r in sz}
+    n_total = float(sum(r["n"] for r in sz))
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = Counter()
+        for g, t in zip(b[group_col].to_pylist(), b[text_col].to_pylist()):
+            for w in set(simple_tokenize(t or "")):
+                c[(g, w)] += 1
+        ks = list(c.keys())
+        parts = np.concatenate([
+            np.fromiter((crc32(t.encode()) % num_parts for _, t in ks),
+                        dtype=np.int32, count=len(ks)),
+            np.array([-1], dtype=np.int32)])
+        return pa.table({
+            "part": pa.array(parts),
+            group_col: pa.array([g for g, _ in ks] + [""], pa.string()),
+            "term": pa.array([t for _, t in ks] + [""], pa.string()),
+            "n": pa.array(np.concatenate([
+                np.fromiter(c.values(), np.int64, count=len(c)),
+                np.array([0], dtype=np.int64)]))})
+
+    def local_top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["part"] >= 0]
+        cols = {group_col: pd.Series([], dtype=object),
+                "term": pd.Series([], dtype=object),
+                "fg_df": pd.Series([], dtype=np.int64),
+                "bg_df": pd.Series([], dtype=np.int64),
+                "raw": pd.Series([], dtype=np.float64)}
+        if g.empty:
+            return pd.DataFrame(cols)
+        fg = g.groupby([group_col, "term"], sort=False)["n"].sum() \
+            .reset_index().rename(columns={"n": "fg_df"})
+        bg = fg.groupby("term", sort=False)["fg_df"].sum() \
+            .rename("bg_df").reset_index()
+        m = fg.merge(bg, on="term")
+        m = m[m["fg_df"] >= min_fg_df]
+        if m.empty:
+            return pd.DataFrame(cols)
+        gs = m[group_col].map(n_g).to_numpy(np.float64)
+        fgp = m["fg_df"].to_numpy(np.float64) / gs
+        bgp = m["bg_df"].to_numpy(np.float64) / n_total
+        raw = (fgp - bgp) * (fgp / bgp)
+        m = m.assign(raw=raw)[fgp > bgp]
+        out = m.sort_values(["raw", "term"], ascending=[False, True],
+                            kind="mergesort").groupby(group_col,
+                                                      sort=False).head(k)
+        return out[[group_col, "term", "fg_df", "bg_df", "raw"]]
+
+    rows = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(local_top, batch_format="pandas") \
+        .to_pandas()
+    out = rows.sort_values(["raw", "term"], ascending=[False, True],
+                           kind="mergesort").groupby(group_col,
+                                                     sort=False).head(k)
+    out = out.sort_values([group_col, "raw", "term"],
+                          ascending=[True, False, True],
+                          kind="mergesort", ignore_index=True)
+    return pa.table({
+        group_col: pa.array(out[group_col], pa.string()),
+        "term": pa.array(out["term"], pa.string()),
+        "fg_df": pa.array(out["fg_df"].to_numpy(np.int64)),
+        "bg_df": pa.array(out["bg_df"].to_numpy(np.int64)),
+        "score": pa.array(round6(out["raw"].to_numpy(np.float64))),
+    })

@@ -5315,6 +5315,41 @@ select doc_id, term, tf, df, rnk::bigint as rank from r where rnk <= 5
 """
 
 
+def q_group_significant_terms(sf_dir: str):
+    """Per-language significant terms (the facet-level JLH sibling of
+    ``significant_terms``): which terms characterize each lang subset
+    vs the corpus — ``text.group_significant_terms``, one term-keyed
+    exchange, corpus df summed inside the term partition, per-part
+    top-k before the driver merge."""
+    import ray.data as rd
+    from ..functions.text import group_significant_terms
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "text"])
+    return group_significant_terms(ds, group_col="lang", k=5)
+
+
+SQL_GROUP_SIGNIFICANT_TERMS = f"""
+with t as (select lang, doc_id, {SIMPLE_TOKS_SQL} as toks from documents),
+tokd as (select lang, doc_id, unnest(list_distinct(toks)) as term from t),
+fg as (select lang, term, count(*)::bigint as fg_df
+       from tokd group by lang, term),
+sz as (select lang, count(*)::double as n_g from documents group by lang),
+nn as (select count(*)::double as n from documents),
+bg as (select term, sum(fg_df)::bigint as bg_df from fg group by term),
+s as (select fg.lang, fg.term, fg.fg_df, bg.bg_df,
+        ((fg.fg_df / sz.n_g) - (bg.bg_df / nn.n))
+          * ((fg.fg_df / sz.n_g) / (bg.bg_df / nn.n)) as raw
+      from fg join bg using (term) join sz using (lang), nn
+      where fg.fg_df >= 3
+        and (fg.fg_df / sz.n_g) > (bg.bg_df / nn.n)),
+r as (select *, row_number() over (partition by lang
+        order by raw desc, term asc) as rnk from s)
+select lang, term, fg_df, bg_df,
+       floor(raw*1000000 + 0.5)/1000000 as score
+from r where rnk <= 5
+"""
+
+
 def q_unigram_surprisal(sf_dir: str):
     """CCNet-style LM quality score: mean per-token surprisal under a
     corpus-fit add-one unigram LM (= log2 unigram perplexity), token
@@ -7251,6 +7286,7 @@ QUERIES = {
     "kwic_snippets": q_kwic_snippets,
     "distinctive_terms": q_distinctive_terms,
     "significant_terms": q_significant_terms,
+    "group_significant_terms": q_group_significant_terms,
     "unigram_surprisal": q_unigram_surprisal,
     "facet_counts": q_facet_counts,
     "bm25_filtered_top10": q_bm25_filtered_top10,
@@ -7360,6 +7396,7 @@ ORACLE_SQL = {
     "kwic_snippets": SQL_KWIC_SNIPPETS,
     "distinctive_terms": SQL_DISTINCTIVE_TERMS,
     "significant_terms": SQL_SIGNIFICANT_TERMS,
+    "group_significant_terms": SQL_GROUP_SIGNIFICANT_TERMS,
     "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
     "facet_counts": SQL_FACET_COUNTS,
     "bm25_filtered_top10": SQL_BM25_FILTERED_TOP10,

@@ -867,3 +867,27 @@ def test_mmr_demotes_near_duplicates(ray_session):
     assert list(out["rank"]) == [1, 2, 3]
     plain = mmr_rerank(ds, q, k=3, lambda_=1.0, cand_k=3).to_pandas()
     assert list(plain["vec_id"]) == [0, 1, 2]
+
+
+def test_group_significant_terms(ray_session):
+    """A term concentrated in one group dominates that group's JLH
+    ranking; a uniformly-distributed term is never positively
+    significant; partitioning invariance holds."""
+    import ray.data as rd
+    import pandas as pd
+    from search_engines_ray.functions.text import group_significant_terms
+    docs = ([{"lang": "aa", "text": "common special"}] * 10
+            + [{"lang": "aa", "text": "common"}] * 2
+            + [{"lang": "bb", "text": "common plain"}] * 12)
+    ds = rd.from_items(docs)
+    out = group_significant_terms(ds, group_col="lang", k=3,
+                                  min_fg_df=3).to_pandas()
+    aa = out[out["lang"] == "aa"]
+    assert list(aa["term"])[0] == "special"       # concentrated term wins
+    assert "common" not in set(out["term"])       # uniform term filtered
+    bb = out[out["lang"] == "bb"]
+    assert list(bb["term"]) == ["plain"]
+    out8 = group_significant_terms(ds.repartition(8), group_col="lang",
+                                   k=3, min_fg_df=3).to_pandas()
+    pd.testing.assert_frame_equal(out.reset_index(drop=True),
+                                  out8.reset_index(drop=True))
