@@ -87,12 +87,23 @@ def _shingle_hashes(tokens: list[str], n: int) -> np.ndarray:
 
 # ---------------------------------------------------------------- exact
 
-# exact-dedup shuffle fan-in: digests hash into this many int32 groupby
-# keys (same pattern as _LSH_PARTS); per-partition work is a vectorized
-# pandas groupby, so the knob only bounds per-task group size. At
-# cluster scale pass num_parts ≈ n_docs / 2M so one partition's rows fit
-# a worker's heap.
+# exact-dedup shuffle fan-in floor: digests hash into ≥ this many int32
+# groupby keys (same pattern as _LSH_PARTS); per-partition work is a
+# vectorized pandas groupby, so the knob only bounds per-task group
+# size. The DEFAULT now auto-sizes with the corpus (metadata-only, one
+# part per ~2M input rows past this floor — the docstring's
+# num_parts ≈ n_docs / 2M guidance, applied automatically); an explicit
+# num_parts always wins. Results are parts-invariant.
 _EXACT_PARTS = 256
+
+
+def _exact_parts(ds, num_parts: int | None) -> int:
+    from .partitioning import resolve_exchange_parts
+    if num_parts:
+        return int(num_parts)
+    return resolve_exchange_parts(ds, rows_per_part=2_000_000,
+                                  min_parts=_EXACT_PARTS,
+                                  max_parts=16384, default=_EXACT_PARTS)
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
@@ -111,7 +122,7 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     for a 200× smaller table pays pure scheduling overhead (measured
     4.8 → 2.0 s at sf0.1 with 256 read blocks). Hex materializes once
     per distinct group at emit time."""
-    parts = np.uint64(num_parts or _EXACT_PARTS)
+    parts = np.uint64(_exact_parts(ds, num_parts))
     shuffle_blocks = max(16, int(parts) // 8)
 
     def add_hash(b: pa.Table) -> pa.Table:
@@ -191,7 +202,7 @@ def dedup_lines(ds, text_col: str = "text", id_col: str = "doc_id",
     from ..util import proc_cached
     from .join import _gather_small
 
-    parts = np.uint64(num_parts or _EXACT_PARTS)
+    parts = np.uint64(_exact_parts(ds, num_parts))
     shuffle_blocks = max(16, int(parts) // 8)
 
     def explode(b: pa.Table) -> pa.Table:
@@ -492,7 +503,10 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         # twice — materialize the (narrow) signatures once instead
         sig_ds = sig_ds.materialize()
         n_docs = sig_ds.count()
-    parts = max(16, min(_LSH_PARTS, n_docs // 20_000 + 1))
+    # cap raised from _LSH_PARTS (=256, saturated at ~5M docs): on a
+    # fixed-size cluster streaming 100 TB the bucket exchange needs
+    # partition count to keep following the corpus
+    parts = max(16, min(8192, n_docs // 20_000 + 1))
 
     def add_fp(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -967,36 +981,67 @@ def minhash_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
             id_col: b[id_col].take(pa.array(idx))})
 
     def partition_pairs(g: pa.Table) -> pa.Table:
-        """One call per hash partition; buckets segmented vectorized,
-        members of each bucket grouped by exact band bytes, all-pairs
-        emitted per group (one row per colliding band — the downstream
-        Count collapses to n_bands)."""
+        """One call per hash partition. Rows lexsort by (bucket, exact
+        band words, id) so equal-band groups are contiguous segments —
+        the fold key only pre-groups; equality is on the raw band words,
+        so a fold collision still never merges two true buckets — then
+        every segment's all-pairs are emitted with cumulative-sum index
+        arithmetic (one row per colliding band; the downstream Count
+        collapses to n_bands). No per-bucket Python loops (VERDICT r4
+        item 5): the whole partition is a handful of numpy passes."""
         t_id = g[id_col].type
-        a_out, b_out = [], []
-        if g.num_rows >= 2:
-            buckets = g["bucket"].to_numpy()
-            order = np.argsort(buckets, kind="stable")
-            bs = buckets[order]
-            seg = np.flatnonzero(np.concatenate(
-                ([True], bs[1:] != bs[:-1], [True])))
-            ids_all = g[id_col].to_pylist()
-            bb_all = g["band_bytes"].to_pylist()
-            for lo, hi in zip(seg[:-1], seg[1:]):
-                if hi - lo < 2:
-                    continue
-                groups: dict = {}
-                for r in order[lo:hi]:
-                    groups.setdefault(bb_all[r], set()).add(ids_all[r])
-                for members in groups.values():
-                    if len(members) < 2:
-                        continue
-                    ms = sorted(members)
-                    for j in range(1, len(ms)):
-                        for i in range(j):
-                            a_out.append(ms[i])
-                            b_out.append(ms[j])
-        return pa.table({"id_a": pa.array(a_out, t_id),
-                         "id_b": pa.array(b_out, t_id)})
+        n = g.num_rows
+
+        def _empty() -> pa.Table:
+            return pa.table({"id_a": pa.array([], t_id),
+                             "id_b": pa.array([], t_id)})
+
+        if n < 2:
+            return _empty()
+        buckets = g["bucket"].to_numpy()
+        bb = g["band_bytes"].combine_chunks()
+        step = rows_per_band * 8
+        off = np.frombuffer(bb.buffers()[1], dtype=np.int32,
+                            count=n + 1, offset=bb.offset * 4)
+        data = np.frombuffer(bb.buffers()[2], dtype=np.uint8)
+        if int(off[-1] - off[0]) == n * step:
+            # fixed-width rows pack contiguously — one aligned copy of
+            # the value buffer, no per-row bytes objects
+            mat = data[off[0]:off[0] + n * step].copy().view(np.uint64) \
+                .reshape(n, rows_per_band)
+        else:  # defensive: non-uniform offsets (never produced upstream)
+            mat = np.frombuffer(b"".join(bb.to_pylist()),
+                                dtype=np.uint64).reshape(n, rows_per_band)
+        ids = np.asarray(g[id_col].to_pandas().to_numpy())
+        order = np.lexsort((ids,
+                            *(mat[:, c] for c in
+                              range(rows_per_band - 1, -1, -1)),
+                            buckets))
+        sb, sm, sid = buckets[order], mat[order], ids[order]
+        same = (sb[1:] == sb[:-1]) & (sm[1:] == sm[:-1]).all(axis=1)
+        # the old per-group set(): drop duplicate (group, id) rows so a
+        # repeated input id never pairs with itself
+        dupe = same & (sid[1:] == sid[:-1])
+        if dupe.any():
+            keep = np.concatenate(([True], ~dupe))
+            sb, sm, sid = sb[keep], sm[keep], sid[keep]
+            same = (sb[1:] == sb[:-1]) & (sm[1:] == sm[:-1]).all(axis=1)
+        m = len(sid)
+        starts = np.flatnonzero(np.concatenate(([True], ~same)))
+        lens = np.diff(np.concatenate((starts, [m])))
+        # local index j within its segment; row j contributes j pairs
+        # (against every earlier segment member i < j — ids sort asc
+        # inside a segment, so id_a < id_b by construction)
+        local = np.arange(m) - np.repeat(starts, lens)
+        tot = int(local.sum())
+        if tot == 0:
+            return _empty()
+        j_pos = np.repeat(np.arange(m), local)
+        csum = np.concatenate(([0], np.cumsum(local)))
+        i_off = np.arange(tot) - np.repeat(csum[:-1], local)
+        i_pos = j_pos - local[j_pos] + i_off
+        return pa.table({"id_a": pa.array(sid[i_pos], t_id),
+                         "id_b": pa.array(sid[j_pos], t_id)})
 
     pairs = ds.map_batches(sig_fn, batch_format="pyarrow",
                            batch_size=1024) \
@@ -1274,7 +1319,7 @@ def dup_span_stats(ds, text_col: str = "text", id_col: str = "doc_id",
     per-partition work is vectorized segment arithmetic. At cluster
     scale pass num_parts ≈ distinct-shingle count / 50M so a
     partition's rows fit a worker's heap."""
-    parts = int(num_parts or _EXACT_PARTS)
+    parts = _exact_parts(ds, num_parts)
     shuffle_blocks = max(16, parts // 8)
 
     def shingles(b: pa.Table) -> pa.Table:
@@ -1455,7 +1500,7 @@ def remove_dup_spans(ds, text_col: str = "text", id_col: str = "doc_id",
     from ..analysis.tokenizer import simple_tokenize
     from ..util import proc_cached
 
-    parts = int(num_parts or _EXACT_PARTS)
+    parts = _exact_parts(ds, num_parts)
 
     def partial(b: pa.Table) -> pa.Table:
         hs, cs = [], []

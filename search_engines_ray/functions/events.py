@@ -49,7 +49,8 @@ def _auto_parts(n_rows: int, rows_per_part: int = 50_000,
 def tumbling_window_aggregate(ds, window_s: int = 3600,
                               ts_col: str = "ts",
                               key_col: str = "event_type",
-                              value_col: str = "value"):
+                              value_col: str = "value",
+                              num_parts: int | None = None):
     """Tumbling event-time windows: → Dataset (window_start [epoch s],
     ``key_col``, n_events, sum_value, min_value, max_value).
 
@@ -63,7 +64,10 @@ def tumbling_window_aggregate(ds, window_s: int = 3600,
     compound int+string keys.
     """
     win_us = int(window_s) * 1_000_000
-    merge_parts = 64
+    # exchange parts auto-size with the corpus (metadata-only; results
+    # parts-invariant — the merge is an associative per-(window,key) agg)
+    from .partitioning import resolve_exchange_parts
+    merge_parts = num_parts or resolve_exchange_parts(ds)
 
     def partial(b: pa.Table) -> pd.DataFrame:
         t = _epoch_us(b[ts_col])
@@ -103,7 +107,8 @@ def tumbling_window_aggregate(ds, window_s: int = 3600,
 
 def sliding_window_aggregate(ds, window_s: int = 3600, stride_s: int = 900,
                              ts_col: str = "ts", key_col: str = "event_type",
-                             value_col: str = "value"):
+                             value_col: str = "value",
+                             num_parts: int | None = None):
     """Overlapping (sliding/hopping) event-time windows: window starts
     step by ``stride_s``; each event lands in ``window_s / stride_s``
     windows. → Dataset (window_start [epoch s], ``key_col``, n_events,
@@ -120,7 +125,8 @@ def sliding_window_aggregate(ds, window_s: int = 3600, stride_s: int = 900,
                          f"stride_s={stride_s}")
     q = window_s // stride_s
     stride_us = int(stride_s) * 1_000_000
-    merge_parts = 64
+    from .partitioning import resolve_exchange_parts
+    merge_parts = num_parts or resolve_exchange_parts(ds)
 
     def partial(b: pa.Table) -> pd.DataFrame:
         t = _epoch_us(b[ts_col])

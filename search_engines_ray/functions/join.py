@@ -374,4 +374,19 @@ def bloom_semijoin(ds, keys, key_col: str, keys_col: str | None = None,
         .map_batches(dedup_rename, batch_format="pyarrow") \
         .groupby(key_col).count() \
         .map_batches(lambda b: b.select([key_col]), batch_format="pyarrow")
-    return shuffle_hash_join(surv, kd, key_col, how="inner")
+    # size the exchange HERE and pass it down: shuffle_hash_join's own
+    # num_parts default calls left.count(), which would execute the
+    # full read+bloom pipeline once before the tagged exchange
+    # re-executes it — doubling the fact-table pass this operator
+    # exists to avoid. The pre-bloom metadata row count is an upper
+    # bound for the survivor side (extra parts are harmless); when no
+    # file metadata exists, materialize the (narrow, bloom-thinned)
+    # survivors once instead of scanning twice.
+    from .partitioning import estimate_rows
+    n_est = estimate_rows(ds)
+    if n_est is None:
+        surv = surv.materialize()
+        n_est = surv.count()
+    num_parts = max(8, min(4096, n_est // 200_000))
+    return shuffle_hash_join(surv, kd, key_col, how="inner",
+                             num_parts=num_parts)

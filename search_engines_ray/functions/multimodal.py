@@ -144,7 +144,7 @@ class FrameSample:
 
 
 def decode_features(media_ds, fake: bool = True, batch_size: int = 64,
-                    concurrency=None):
+                    concurrency=None, auto: bool = False):
     """media table → (media_id, kind, features) via the actor pool.
 
     This stage keeps the ACTOR-pool form on purpose — a real decoder
@@ -157,5 +157,5 @@ def decode_features(media_ds, fake: bool = True, batch_size: int = 64,
     if concurrency is None:
         concurrency = autoscale_pool()
     return media_ds.map_batches(
-        DecodeImage, fn_constructor_kwargs=dict(fake=fake),
+        DecodeImage, fn_constructor_kwargs=dict(fake=fake, auto=auto),
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency)

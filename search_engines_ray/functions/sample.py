@@ -19,20 +19,45 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _id_hash64(ids: list) -> np.ndarray:
-    # md5 over the STRINGIFIED id is the point, not an implementation
-    # shortcut: it is the one keyed permutation DuckDB reproduces
-    # verbatim (`md5(id::varchar)`), so the sample is auditable by SQL.
-    # The per-id loop costs ~1 µs/row — at 10¹² rows spread over a
-    # cluster's cores this stage stays read-bound, and ids (not
-    # payloads) are all it touches. For a non-auditable sample the
-    # vectorized Mersenne hash in `dedup._mod_p61` is the faster drop-in.
-    return np.fromiter(
-        (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big")
-         for i in ids), dtype=np.uint64, count=len(ids))
+# exactly-16-byte hash key for the fast (non-auditable) permutation —
+# fixed so the fast sample is just as reproducible across runs,
+# clusters, and partitionings as the md5 one
+_FAST_HASH_KEY = "sample.hash64.k0"
 
 
-def hash_sample(ds, k: int = 100, id_col: str = "doc_id"):
+def _id_hash64(ids: list, auditable: bool = False) -> np.ndarray:
+    """64-bit keyed permutation of ids — the sort key every sampler in
+    this module shares.
+
+    ``auditable=False`` (default): vectorized ``pd.util.hash_array``
+    (SipHash-family, C speed) — deterministic across runs / clusters /
+    partitionings, but not reproducible in SQL.
+    ``auditable=True``: md5 over the STRINGIFIED id — ~1 µs/row Python
+    loop, but it is the one keyed permutation DuckDB reproduces
+    verbatim (``md5(id::varchar)``), so the sample can be re-derived by
+    the SQL oracle for audits. Opt in when the audit trail matters
+    (every ``driver_queries`` oracle entry does); ids — never payloads
+    — are all either path touches."""
+    if auditable:
+        return np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8],
+                            "big")
+             for i in ids), dtype=np.uint64, count=len(ids))
+    a = np.asarray(ids)
+    # canonicalize numeric width/signedness (same rationale as
+    # join._key_hash): hash_array hashes the width-preserved
+    # reinterpretation, so int32 and int64 views of one id must agree
+    if a.dtype.kind == "i":
+        a = a.astype(np.int64, copy=False)
+    elif a.dtype.kind == "u":
+        a = a.astype(np.uint64, copy=False)
+    import pandas as _pd
+    return _pd.util.hash_array(a, hash_key=_FAST_HASH_KEY,
+                               categorize=False)
+
+
+def hash_sample(ds, k: int = 100, id_col: str = "doc_id",
+                auditable: bool = False):
     """→ Dataset (``id_col``, sample_rank 0..k−1) of the k rows with the
     smallest md5(id), ties broken by id. The hash order is a uniform
     random permutation for any non-adversarial id set, but — being pure
@@ -40,7 +65,7 @@ def hash_sample(ds, k: int = 100, id_col: str = "doc_id"):
 
     def partial(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_pylist()
-        h = _id_hash64(ids)
+        h = _id_hash64(ids, auditable)
         ids_np = np.asarray(ids, dtype=np.int64)
         order = np.lexsort((ids_np, h))[:k]
         return pa.table({id_col: pa.array(ids_np[order]),
@@ -113,7 +138,7 @@ def topk_per_group(ds, group_col: str, sort_col: str, id_col: str,
 
 
 def stratified_sample(ds, strata_col: str, id_col: str = "doc_id",
-                      k: int = 10):
+                      k: int = 10, auditable: bool = False):
     """→ Dataset (``strata_col``, ``id_col``, sample_rank 1..k): the k
     rows with the smallest md5(id) WITHIN each stratum — a deterministic
     stratified sample (equal depth per stratum regardless of stratum
@@ -137,7 +162,7 @@ def stratified_sample(ds, strata_col: str, id_col: str = "doc_id",
     def partial(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_pylist()
         strata = np.asarray(b[strata_col].to_pylist(), dtype=object)
-        h = _id_hash64(ids)
+        h = _id_hash64(ids, auditable)
         ids_np = np.asarray(ids, dtype=np.int64)
         keep, _ = _cut(strata, ids_np, h, k)
         return pa.table({strata_col: pa.array(strata[keep].tolist()),
@@ -160,7 +185,7 @@ def stratified_sample(ds, strata_col: str, id_col: str = "doc_id",
 
 
 def weighted_sample(ds, weight_col: str, k: int = 100,
-                    id_col: str = "doc_id"):
+                    id_col: str = "doc_id", auditable: bool = False):
     """Weighted sample WITHOUT replacement (Efraimidis & Spirakis 2006
     A-Res): each row draws key = ln(u)/w with u = (md5₆₄(id)+1)/2⁶⁴ and
     the k largest keys win — inclusion probability proportional to
@@ -176,7 +201,7 @@ def weighted_sample(ds, weight_col: str, k: int = 100,
 
     def keys(b: pa.Table):
         ids = b[id_col].to_pylist()
-        h = _id_hash64(ids)
+        h = _id_hash64(ids, auditable)
         u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
         w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
         return np.asarray(ids, dtype=np.int64), np.log(u) / w
@@ -200,7 +225,8 @@ def weighted_sample(ds, weight_col: str, k: int = 100,
         .map_batches(final, batch_format="pyarrow", batch_size=None)
 
 
-def shuffle_to_shards(ds, num_shards: int = 8, id_col: str = "doc_id"):
+def shuffle_to_shards(ds, num_shards: int = 8, id_col: str = "doc_id",
+                      auditable: bool = False):
     """Deterministic global shuffle into training shards: shard =
     md5(id) % num_shards, position = rank of (md5(id), id) within the
     shard. → Dataset (``id_col``, shard, pos). The md5 permutation
@@ -216,7 +242,7 @@ def shuffle_to_shards(ds, num_shards: int = 8, id_col: str = "doc_id"):
     heap — size num_shards ≈ n_docs · 16 B / 1 GB accordingly."""
     def assign(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_pylist()
-        h = _id_hash64(ids)
+        h = _id_hash64(ids, auditable)
         return pa.table({
             id_col: b[id_col],
             "shard": pa.array((h % np.uint64(num_shards)).astype(np.int32)),

@@ -6,8 +6,10 @@ associative/commutative op (max), so the all-to-all exchange carries
 registers — kilobytes per group — never values. One ``groupby`` over
 (group, bucket) rows is the whole shuffle.
 
-Determinism contract (oracle-checked): value hashes are md5-derived
-64-bit ints, register arithmetic is exact integers (the harmonic sum is
+Determinism contract (oracle-checked with ``auditable=True``): value
+hashes are md5-derived 64-bit ints — the default is a vectorized
+SipHash-family hash, C speed, same estimate quality, not
+SQL-reproducible — register arithmetic is exact integers (the harmonic sum is
 computed as Σ 2^(R−rho) in arbitrary precision before one float
 division), and the bias-corrected small-range branch uses the same
 `ln` libm call DuckDB uses, so the estimate is bit-identical to the SQL
@@ -18,6 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+from collections import Counter
 
 import numpy as np
 import pandas as pd
@@ -28,14 +31,28 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def _hash64(vals: list) -> np.ndarray:
-    return np.fromiter(
-        (int.from_bytes(hashlib.md5(str(v if v is not None else "")
-                                    .encode()).digest()[:8], "big")
-         for v in vals), dtype=np.uint64, count=len(vals))
+def _hash64(vals: list, auditable: bool = False) -> np.ndarray:
+    """64-bit value hash for the HLL registers. ``auditable=True`` is
+    the md5-over-varchar permutation the DuckDB mirror
+    (:func:`hyperloglog_sql`) reproduces verbatim (~1 µs/row Python
+    loop); the default is a vectorized SipHash-family hash — same
+    estimate quality, C speed, not SQL-reproducible. Oracle entries opt
+    into the auditable path."""
+    if auditable:
+        return np.fromiter(
+            (int.from_bytes(hashlib.md5(str(v if v is not None else "")
+                                        .encode()).digest()[:8], "big")
+             for v in vals), dtype=np.uint64, count=len(vals))
+    import pandas as _pd
+    a = np.asarray([v if v is not None else "" for v in vals],
+                   dtype=object)
+    return _pd.util.hash_array(a, hash_key="sketch.hash64.k0",
+                               categorize=False)
 
 
-def hyperloglog_distinct(ds, value_col: str, group_col: str, p: int = 12):
+def hyperloglog_distinct(ds, value_col: str, group_col: str, p: int = 12,
+                         num_parts: int | None = None,
+                         auditable: bool = False):
     """→ Dataset (``group_col``, n_distinct_est): HyperLogLog estimate
     of distinct ``value_col`` per group, with the standard linear-
     counting correction below 2.5·m.
@@ -56,7 +73,7 @@ def hyperloglog_distinct(ds, value_col: str, group_col: str, p: int = 12):
     rest_mask = np.uint64((1 << rest_bits) - 1)
 
     def partial(b: pa.Table) -> pd.DataFrame:
-        h = _hash64(b[value_col].to_pylist())
+        h = _hash64(b[value_col].to_pylist(), auditable)
         bucket = (h >> np.uint64(rest_bits)).astype(np.int64)
         rest = h & rest_mask
         # frexp exponent == bit_length, exact for ints < 2^53 (rest has
@@ -74,8 +91,11 @@ def hyperloglog_distinct(ds, value_col: str, group_col: str, p: int = 12):
     # int-key-partition + vectorized-map_groups pattern (bucket % parts
     # co-locates every (group, bucket) register) — Ray's multi-key
     # hash Aggregate is orders of magnitude slower on compound
-    # string+int keys (measured 9.0 s → 1.6 s at sf0.1)
-    merge_parts = 64
+    # string+int keys (measured 9.0 s → 1.6 s at sf0.1). Parts
+    # auto-size with the corpus (metadata-only) so merge parallelism
+    # grows on a big cluster; results are parts-invariant (max-merge).
+    from .partitioning import resolve_exchange_parts
+    merge_parts = num_parts or resolve_exchange_parts(ds)
 
     def with_part(b: pa.Table) -> pd.DataFrame:
         df = partial(b)
@@ -139,22 +159,30 @@ def frequent_terms(ds, text_col: str = "text", k: int = 20,
     by the data. When every block's vocab fits ``capacity`` no
     decrement happens and the result is EXACT (count_hi == count_lo) —
     the oracle checks that regime; the pruning regime is covered by a
-    guarantee-checking unit test. Tokenization matches the simple
-    analyzer (lowercase, [a-z0-9]+ runs)."""
-    import re
+    guarantee-checking unit test. Tokenization is the shared
+    ``analysis.tokenizer.simple_tokenize`` contract (lowercase,
+    [a-z0-9]+ runs — one place to keep in sync with the analyzer).
 
-    tok_re = re.compile(r"[a-z0-9]+")
+    Map-stage memory is streaming: tokens fold into ONE Counter per
+    block, document by document, so peak memory tracks per-block VOCAB
+    (what the capacity prune bounds), never the raw token stream —
+    boilerplate-heavy web blocks can carry 100× more tokens than
+    distinct terms. Post-merge work is Arrow-mask + per-block top-k
+    pushdown, no per-row Python."""
+    import pyarrow.compute as pc
+
+    from ..analysis.tokenizer import simple_tokenize
 
     def summarize(b: pa.Table) -> pa.Table:
-        toks: list[str] = []
+        ctr: Counter = Counter()
         for t in b[text_col].to_pylist():
-            toks.extend(tok_re.findall((t or "").lower()))
-        if not toks:
+            if t:
+                ctr.update(simple_tokenize(t))
+        if not ctr:
             return pa.table({"term": pa.array([], pa.string()),
                              "cnt": pa.array([], pa.int64())})
-        terms, cnts = np.unique(np.asarray(toks, dtype=object),
-                                return_counts=True)
-        cnts = cnts.astype(np.int64)
+        terms = np.asarray(list(ctr.keys()), dtype=object)
+        cnts = np.fromiter(ctr.values(), dtype=np.int64, count=len(ctr))
         dec = 0
         if terms.size > capacity:
             # Misra-Gries prune: d = (capacity+1)-th largest counter;
@@ -174,9 +202,28 @@ def frequent_terms(ds, text_col: str = "text", k: int = 20,
     agg = (ds.map_batches(summarize, batch_format="pyarrow")
            .groupby("term").sum("cnt")
            .materialize())  # aggregated summaries: ≤ blocks×capacity rows
-    err_t = agg.filter(lambda r: r["term"] == _MG_DEC_KEY).take_all()
+
+    # groupby made terms globally unique, so the decrement sentinel
+    # lives in exactly one block — extract with an Arrow mask (no
+    # per-row lambda), then per-block prune to the local top-k by the
+    # GLOBAL sort order (sum desc, term asc): any global top-k row is
+    # in its own block's top-k under the same order, so the pushdown is
+    # exact and the global sort sees ≤ k rows per block.
+    def split_dec(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["term"], _MG_DEC_KEY))
+
+    def prune_topk(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t["term"], _MG_DEC_KEY)))
+        if t.num_rows > k:
+            idx = pc.sort_indices(
+                t, sort_keys=[("sum(cnt)", "descending"),
+                              ("term", "ascending")])[:k]
+            t = t.take(idx)
+        return t
+
+    err_t = agg.map_batches(split_dec, batch_format="pyarrow").take_all()
     err = int(err_t[0]["sum(cnt)"]) if err_t else 0
-    top = (agg.filter(lambda r: r["term"] != _MG_DEC_KEY)
+    top = (agg.map_batches(prune_topk, batch_format="pyarrow")
            .sort(["sum(cnt)", "term"], descending=[True, False])
            .limit(k).take_all())
     return pa.table({
@@ -188,7 +235,8 @@ def frequent_terms(ds, text_col: str = "text", k: int = 20,
 
 
 def value_quantiles(ds, value_col: str, group_col: str,
-                    ps: tuple = (0.5, 0.9, 0.99)):
+                    ps: tuple = (0.5, 0.9, 0.99),
+                    num_parts: int | None = None):
     """EXACT distributed quantiles of a 2-dp metric column via a
     counting-histogram sketch: each batch folds to (group, cents, n)
     partial counts, a groupby sums them, and the per-group finalize
@@ -203,8 +251,10 @@ def value_quantiles(ds, value_col: str, group_col: str,
     + vectorized-map_groups pattern (``cents % parts`` co-locates every
     (group, cents) pair) — Ray's multi-key hash Aggregate is orders of
     magnitude slower on compound string+int keys (measured 19 → 3.5 s
-    at sf0.1)."""
-    merge_parts = 64
+    at sf0.1). Parts auto-size with the corpus (metadata-only; see
+    partitioning.resolve_exchange_parts); results parts-invariant."""
+    from .partitioning import resolve_exchange_parts
+    merge_parts = num_parts or resolve_exchange_parts(ds)
 
     def partial(b: pa.Table) -> pd.DataFrame:
         cents = np.rint(np.asarray(
@@ -312,15 +362,18 @@ from est
 
 
 def percentile_ranks(ds, value_col: str, group_col: str,
-                     values: tuple = (10.0, 50.0, 100.0)):
+                     values: tuple = (10.0, 50.0, 100.0),
+                     num_parts: int | None = None):
     """EXACT inverse of :func:`value_quantiles` (ES
     ``percentile_ranks`` agg): for each probe value v, the percentage
     of rows with value ≤ v per group, from the same distributed
     (group, cents, n) counting-histogram — the shuffle carries distinct
     cents, never rows. → Dataset (``group_col``, v, pct) with
     pct = 100·|{x ≤ v}|/n computed in doubles and mirrored literally
-    in SQL (:func:`percentile_ranks_sql`)."""
-    merge_parts = 64
+    in SQL (:func:`percentile_ranks_sql`). Exchange parts auto-size
+    with the corpus (metadata-only); results parts-invariant."""
+    from .partitioning import resolve_exchange_parts
+    merge_parts = num_parts or resolve_exchange_parts(ds)
 
     def partial(b: pa.Table) -> pd.DataFrame:
         cents = np.rint(np.asarray(

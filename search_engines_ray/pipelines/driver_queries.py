@@ -2440,7 +2440,7 @@ def q_weighted_sample(sf_dir: str):
     from ..functions.sample import weighted_sample
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "n_chars"])
-    return weighted_sample(ds, weight_col="n_chars", k=50)
+    return weighted_sample(ds, weight_col="n_chars", k=50, auditable=True)
 
 
 SQL_WEIGHTED_SAMPLE = """
@@ -4407,7 +4407,8 @@ def q_hll_distinct(sf_dir: str):
     from ..functions.sketch import hyperloglog_distinct
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["text", "lang"])
-    return hyperloglog_distinct(ds, value_col="text", group_col="lang")
+    return hyperloglog_distinct(ds, value_col="text", group_col="lang",
+                                auditable=True)
 
 
 def _hll_sql() -> str:
@@ -4748,7 +4749,7 @@ def q_hash_sample(sf_dir: str):
     import ray.data as rd
     from ..functions.sample import hash_sample
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    return hash_sample(ds, k=100)
+    return hash_sample(ds, k=100, auditable=True)
 
 
 SQL_HASH_SAMPLE = """
@@ -4772,7 +4773,7 @@ def q_shuffle_export(sf_dir: str):
     from ..functions.sample import shuffle_to_shards
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id"])
-    return shuffle_to_shards(ds, num_shards=8)
+    return shuffle_to_shards(ds, num_shards=8, auditable=True)
 
 
 SQL_SHUFFLE_EXPORT = """
@@ -4977,7 +4978,8 @@ def q_stratified_sample(sf_dir: str):
     from ..functions.sample import stratified_sample
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["lang", "doc_id"])
-    return stratified_sample(ds, strata_col="lang", id_col="doc_id", k=10)
+    return stratified_sample(ds, strata_col="lang", id_col="doc_id", k=10,
+                             auditable=True)
 
 
 SQL_STRATIFIED_SAMPLE = """
@@ -5238,7 +5240,11 @@ def q_significant_terms(sf_dir: str):
     res = engine.search(" ".join(BM25_QUERY_TERMS), k=50)
     ids = reader.internal_docids_for(res["external_id"].to_pylist())
     tvs = reader.term_vectors([int(i) for i in ids], "body")
-    fg_n = float(len(tvs))
+    # fg_n is the RETRIEVED-set size (the oracle's fgn = count(*) of the
+    # BM25 top-50), not the term-vector map length — a retrieved doc
+    # with an empty body has no term vector but still counts in the
+    # foreground denominator (ADVICE r4)
+    fg_n = float(res.num_rows)
     fg_df: dict[str, int] = {}
     for terms, _pos, _len in tvs.values():
         for t in set(terms):
@@ -6566,8 +6572,17 @@ def q_combsum_fusion(sf_dir: str):
     qvec = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)[None, :]
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    ann = ann_cosine_topk(ds, qvec, k=50, dtype=np.float64).to_pandas()
-    ann_s6 = round6(ann["score"].to_numpy())
+    # the oracle cuts the ANN top-50 on the 6-dp-ROUNDED score (order by
+    # s6 desc, vec_id asc limit 50) while ann_cosine_topk cuts on the
+    # raw float64 cosine — over-fetch and re-cut on (r6, id) so a
+    # rounded tie straddling the k boundary selects the same candidate
+    # set (and therefore the same min-max normalization min) on both
+    # sides; mirrors mmr_rerank's cand_k boundary handling (ADVICE r4)
+    ann = ann_cosine_topk(ds, qvec, k=58, dtype=np.float64).to_pandas()
+    ann["r6"] = round6(ann["score"].to_numpy())
+    ann = ann.sort_values(["r6", "vec_id"], ascending=[False, True],
+                          kind="mergesort").head(50)
+    ann_s6 = ann["r6"].to_numpy()
     systems = [(lex_ids, lex_s6), (ann["vec_id"].to_numpy(), ann_s6)]
 
     out = []

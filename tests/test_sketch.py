@@ -178,3 +178,79 @@ def test_percentile_ranks_exact(rd):
                             values=probes) \
         .to_pandas().sort_values(["g", "v"], ignore_index=True)
     pd.testing.assert_frame_equal(out, out1)
+
+
+def test_sampler_fast_vs_auditable_paths(rd):
+    """Both hash paths (VERDICT r4 item 7): the auditable path is the
+    md5 permutation the SQL oracles mirror; the fast default is
+    partition-invariant and disjoint from it (a different but equally
+    deterministic permutation)."""
+    import hashlib
+
+    from search_engines_ray.functions.sample import _id_hash64
+
+    ids = list(range(1, 400))
+    aud = _id_hash64(ids, auditable=True)
+    md5 = np.fromiter(
+        (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big")
+         for i in ids), dtype=np.uint64, count=len(ids))
+    assert np.array_equal(aud, md5)
+
+    t = pa.table({"doc_id": pa.array(np.arange(3000, dtype=np.int64))})
+    fast1 = hash_sample(rd.from_arrow(t), k=40).to_pandas() \
+        .sort_values("sample_rank", ignore_index=True)
+    fast2 = hash_sample(rd.from_arrow(t).repartition(16), k=40) \
+        .to_pandas().sort_values("sample_rank", ignore_index=True)
+    pd.testing.assert_frame_equal(fast1, fast2)
+    audit = hash_sample(rd.from_arrow(t), k=40, auditable=True) \
+        .to_pandas().sort_values("sample_rank", ignore_index=True)
+    # different keyed permutations select different samples
+    assert not fast1["doc_id"].equals(audit["doc_id"])
+
+
+def test_hll_fast_path_accuracy_and_invariance(rd):
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 4000, 15_000)
+    t = pa.table({"v": pa.array([f"v-{x}" for x in a]),
+                  "g": pa.array(["a"] * len(a))})
+    true = len(set(a.tolist()))
+    est1 = hyperloglog_distinct(rd.from_arrow(t), "v", "g").to_pandas()
+    est8 = hyperloglog_distinct(rd.from_arrow(t).repartition(8),
+                                "v", "g").to_pandas()
+    pd.testing.assert_frame_equal(
+        est1.sort_values("g", ignore_index=True),
+        est8.sort_values("g", ignore_index=True))
+    assert abs(int(est1["n_distinct_est"][0]) - true) / true < 0.05
+
+
+def test_resolve_exchange_parts_scales_with_corpus(rd, tmp_path):
+    """VERDICT r4 item 2: the exchange knob derives from corpus
+    metadata — a big corpus picks more parts than the floor, a
+    metadata-less dataset falls back to the operator default, and an
+    explicit argument always wins."""
+    import pyarrow.parquet as pq
+
+    from search_engines_ray.functions.dedup import _exact_parts
+    from search_engines_ray.functions.partitioning import (
+        estimate_rows, resolve_exchange_parts,
+    )
+
+    assert resolve_exchange_parts(n_rows=100) == 16           # floor
+    assert resolve_exchange_parts(n_rows=250_000_000) == 1000  # scales
+    assert resolve_exchange_parts(n_rows=10**12) == 4096       # cap
+    assert resolve_exchange_parts(None) == 64                  # default
+
+    f = tmp_path / "t.parquet"
+    pq.write_table(pa.table({"x": pa.array(np.arange(1000))}), f)
+    ds = rd.read_parquet(str(f))
+    assert estimate_rows(ds) == 1000
+    assert resolve_exchange_parts(ds) == 16
+    # metadata-less input → operator default, never an execution
+    assert estimate_rows(rd.from_items([{"x": 1}])) is None
+    # dedup floor holds at small scale; a web-scale corpus grows it
+    assert _exact_parts(ds, None) == 256
+    assert _exact_parts(ds, 17) == 17
+    from search_engines_ray.functions import partitioning as pt
+    assert pt.resolve_exchange_parts(
+        n_rows=10**12, rows_per_part=2_000_000, min_parts=256,
+        max_parts=16384, default=256) == 16384
