@@ -2077,6 +2077,56 @@ def q_indri_federated_top10(sf_dir: str):
     return _ranked_to_table(res)
 
 
+def q_near1_bm25_federated(sf_dir: str):
+    """Federated STRUCTURED search (r5 — VERDICT r4 item 1): the
+    derived #NEAR/1 BM25 query of ``near1_bm25_top10`` answered over
+    TWO independently-built half-corpus segments. Segments partition
+    docids, so the derived list's global df/ctf is the SUM of the
+    per-segment derived df/ctf (phase A of
+    ``query/federated.py``; the reference's QryIop.getDf/getCtf over
+    the merged index) and phase B scores each segment with those sums
+    patched in. Oracle: the single-index #NEAR BM25 SQL — rankings
+    must be merge-identical."""
+    from ..query.federated import FederatedEngine
+    readers = [IndexReader(p)
+               for p in get_half_index_paths(sf_dir, "simple")]
+    eng = FederatedEngine(readers, BM25Model(k1=1.2, b=0.75))
+    res = eng.search(NEAR1_BM25_QUERY, k=10)
+    return _ranked_to_table(res)
+
+
+def q_sdm_federated_top10(sf_dir: str):
+    """Federated SDM (the reference's structured golden workload,
+    ``Indri-Sdm.teIn`` shape, on the engine's true cluster-deployment
+    unit): #WAND of a bag-of-words #AND and an ordered-phrase #NEAR/1
+    #AND, scored Indri over TWO segments with cross-segment derived
+    ctf feeding every default (tf=0) score. Oracle: the single-index
+    SDM SQL (``sdm_structured_distributed``'s mirror) — rankings must
+    be merge-identical."""
+    from ..query.federated import FederatedEngine
+    readers = [IndexReader(p)
+               for p in get_half_index_paths(sf_dir, "simple")]
+    eng = FederatedEngine(readers, IndriModel(mu=2500, lambda_=0.4))
+    res = eng.search("#wand( 0.7 #and( fast sort ) "
+                     "0.3 #and( #near/1( fast sort ) ) )", k=10)
+    return _ranked_to_table(res)
+
+
+def q_phrase_prefix_federated(sf_dir: str):
+    """Federated match_phrase_prefix: the ``#near/1(fast s*)`` query of
+    ``phrase_prefix_search`` over two segments — the wildcard expands
+    over the UNION vocabulary (Lucene MultiReader rewrite: same order,
+    same 64-term budget as the merged dictionary) and the derived
+    positional list scores with cross-segment df/ctf. Oracle: the
+    single-index SQL."""
+    from ..query.federated import FederatedEngine
+    readers = [IndexReader(p)
+               for p in get_half_index_paths(sf_dir, "simple")]
+    eng = FederatedEngine(readers, BM25Model(k1=1.2, b=0.75))
+    res = eng.search("#sum(#near/1(fast s*))", k=10)
+    return _ranked_to_table(res)
+
+
 def q_bm25f_top10(sf_dir: str):
     """BM25F (Zaragoza & Robertson 2004): per-field length-normalized
     tf pooled with field weights into ONE saturation, idf over the
@@ -7392,6 +7442,9 @@ QUERIES = {
     "msm_distributed": q_msm_distributed,
     "bm25_federated_top10": q_bm25_federated_top10,
     "indri_federated_top10": q_indri_federated_top10,
+    "near1_bm25_federated": q_near1_bm25_federated,
+    "sdm_federated_top10": q_sdm_federated_top10,
+    "phrase_prefix_federated": q_phrase_prefix_federated,
     # rows-only (full-analyzer token chains — oracle-checked via their
     # simple-analyzer twins above — plus sketches/LSH float paths and
     # iterative algorithms with pytest-reference oracles)
@@ -7471,6 +7524,9 @@ ORACLE_SQL = {
     "msm_distributed": SQL_MSM_SEARCH,
     "bm25_federated_top10": SQL_INDEX_BM25_TOP10,
     "indri_federated_top10": SQL_INDEX_INDRI_TOP10,
+    "near1_bm25_federated": SQL_NEAR1_BM25_TOP10,
+    "sdm_federated_top10": SQL_SDM_STRUCTURED,
+    "phrase_prefix_federated": SQL_PHRASE_PREFIX_SEARCH,
     "repetition_stats": SQL_REPETITION_STATS,
     "heuristic_filter": SQL_HEURISTIC_FILTER,
     "pii_scrub": SQL_PII_SCRUB,

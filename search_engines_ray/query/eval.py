@@ -292,6 +292,16 @@ class QueryEngine:
         # instead of parquet (the reference leans on Lucene's mmap page
         # cache for the same effect). Keyed by (term, field, with_pos).
         self._post_cache: dict = {}
+        # federated hooks (query/federated.py): derived-Iop stats
+        # override — (field, repr(node)) → (df, ctf) — lets a
+        # multi-segment caller patch a derived list's df/ctf with the
+        # CROSS-SEGMENT sums (QryIop.getDf/getCtf over the merged
+        # index) while evaluation stays segment-local; the inv cache
+        # makes the federated two-phase evaluate each Iop subtree once
+        # per segment (phase A derives + caches, phase B scores).
+        # Both are index properties, valid across queries.
+        self.iop_stats_override: dict = {}
+        self._iop_inv_cache: dict = {}
 
     # ---- plan-wide postings fetch ----
     def _collect_terms(self, node: PlanNode, under_iop: bool, acc: dict):
@@ -349,6 +359,20 @@ class QueryEngine:
 
     # ---- Iop plane ----
     def _eval_iop(self, node, cache) -> InvList:
+        if isinstance(node, IopNode):
+            key = (node.field_name, repr(node))
+            inv = self._iop_inv_cache.get(key)
+            if inv is None:
+                inv = self._iop_inv_cache[key] = eval_iop_tree(node, cache)
+            g = self.iop_stats_override.get(key)
+            if g is not None:
+                # same clone-with-global-stats move _GlobalStatsView
+                # makes for plain terms; an empty local list still
+                # carries global stats (Indri's default score needs the
+                # global ctf in a segment with zero local matches)
+                inv = InvList(inv.docids, inv.tfs, inv.positions,
+                              int(g[0]), int(g[1]), inv.field)
+            return inv
         return eval_iop_tree(node, cache)
 
     # ---- Sop plane ----
@@ -563,6 +587,19 @@ class QueryEngine:
             from .parser import expand_synonyms
             plan = expand_synonyms(plan, synonyms, self.parser.analyzer)
         plan = self._expand_prefixes(plan)
+        return self.search_plan(plan, k=k, neg_tokens=neg_tokens,
+                                allowed=allowed)
+
+    def search_plan(self, plan: PlanNode, k: int = 100,
+                    neg_tokens: tuple = (),
+                    allowed: np.ndarray | None = None) -> pa.Table:
+        """Evaluate a PRE-PARSED, PRE-EXPANDED plan — the entry the
+        federated engine uses so wildcard/fuzzy rewrites happen ONCE
+        over the union vocabulary (not per segment) and derived-Iop
+        stats overrides apply to an identical tree in every segment.
+        Same result contract as :meth:`search`."""
+        if plan is None:
+            return _empty_results()
         cache = self._fetch(plan)
         self._build_dlut(cache)
         scored = self._eval_sop(plan, cache)

@@ -15,11 +15,21 @@ evaluates independently (the per-segment work ships to where the
 segment lives; here it runs driver-side like ``QueryEngine``), and the
 merge is k·N rows — no shuffle anywhere.
 
-v1 scope: plans over plain TERM leaves (any Sop combinator, BM25 /
-Indri / boolean models). Positional operators and wildcard/fuzzy
-markers raise — a derived list's df/ctf needs the two-phase evaluation
-``distributed.py`` does per salt (same pattern, segment-keyed), and
-vocabulary expansion must be over the union vocabulary.
+Structured queries (r5 — the reference's SDM workload,
+``Indri-Sdm.teIn``, ``QryIopNear.java``) run the salt-grain two-phase
+pattern of ``distributed.py:_derive_lists`` at SEGMENT grain: phase A
+evaluates every positional/derived subtree (#NEAR/#WINDOW/#SYN/...)
+once per segment — segments partition docids, so the derived list's
+GLOBAL df/ctf (what the reference scores with,
+``QryIop.java:139-151``) is the sum of the per-segment derived
+df/ctf — and phase B scores each segment with those sums patched onto
+the locally-derived lists (``QueryEngine.iop_stats_override``; the
+per-segment derived InvLists are cached so each subtree evaluates
+once). Wildcard / fuzzy / regexp markers rewrite over the UNION
+vocabulary (``_UnionVocab`` — Lucene MultiReader rewrite semantics:
+same ordering, same ``max_terms`` budget as the merged dictionary),
+then every segment evaluates the identical expanded plan
+(``QueryEngine.search_plan``).
 """
 
 from __future__ import annotations
@@ -91,29 +101,73 @@ class _GlobalStatsView:
         return out
 
 
-def _collect_plain_terms(node: PlanNode, default_ok: bool, acc: dict):
+class _UnionVocab:
+    """Vocabulary facade over all segments for the wildcard / fuzzy /
+    regexp rewrites — Lucene MultiReader rewrite semantics: expansion
+    runs over the UNION term dictionary with the same per-method
+    ordering and the same ``max_terms`` budget as a single reader, so
+    the federated rewrite selects exactly the terms the merged index
+    would. (Cutting the union of per-segment top-``max_terms`` lists
+    to ``max_terms`` is exact: any term among the union's first
+    ``max_terms`` under the method's order has fewer than ``max_terms``
+    union terms — hence fewer segment-local terms — ahead of it, so it
+    is inside its own segment's capped list.)"""
+
+    def __init__(self, readers: list[IndexReader]):
+        self._readers = readers
+
+    def _merged(self, lists, max_terms: int) -> list[str]:
+        return sorted(set().union(*map(set, lists)))[:max_terms]
+
+    def terms_with_prefix(self, prefix, field, max_terms: int = 64):
+        return self._merged([r.terms_with_prefix(prefix, field, max_terms)
+                             for r in self._readers], max_terms)
+
+    def terms_with_substring(self, sub, field, max_terms: int = 64):
+        return self._merged([r.terms_with_substring(sub, field, max_terms)
+                             for r in self._readers], max_terms)
+
+    def terms_with_suffix(self, suffix, field, max_terms: int = 64):
+        return self._merged([r.terms_with_suffix(suffix, field, max_terms)
+                             for r in self._readers], max_terms)
+
+    def terms_matching_regex(self, pattern, field, max_terms: int = 64):
+        return self._merged([r.terms_matching_regex(pattern, field,
+                                                    max_terms)
+                             for r in self._readers], max_terms)
+
+    def terms_within_distance(self, term, field, max_distance: int = 2,
+                              max_terms: int = 64):
+        # per-segment order is (distance asc, term asc): re-rank the
+        # union under the same key with the same DP the readers use
+        from ..functions.text import _levenshtein
+        cand = set().union(*(set(r.terms_within_distance(
+            term, field, max_distance=max_distance, max_terms=max_terms))
+            for r in self._readers))
+        ranked = sorted((_levenshtein(term, t), t) for t in cand)
+        return [t for _, t in ranked[:max_terms]]
+
+
+def _collect_plain_terms(node: PlanNode, acc: dict, iops: dict,
+                         under_iop: bool = False):
+    """Walk the (already wildcard-expanded) plan: every TermNode's term
+    lands in ``acc[field]`` (Iop ARGUMENT terms included — their
+    postings drive presence routing, and global df/ctf are harmless to
+    them since derived evaluation reads positions only), and every
+    maximal Iop subtree lands in ``iops[(field, repr)]`` for the
+    two-phase derived-stats pass."""
     if isinstance(node, TermNode):
-        if node.term.endswith("*") or (
-                len(node.term) > 2 and node.term[-2] == "~"
-                and node.term[-1] in "012"):
-            raise NotImplementedError(
-                "federated v1: wildcard/fuzzy expansion needs the union "
-                f"vocabulary ({node.term!r})")
         acc.setdefault(node.field, set()).add(node.term)
     elif isinstance(node, IopNode):
-        if node.op != "score":
-            raise NotImplementedError(
-                "federated v1: positional/derived operators need "
-                f"two-phase global df/ctf (#{node.op})")
+        if not under_iop:
+            iops[(node.field_name, repr(node))] = node
+        for a in node.args:
+            _collect_plain_terms(a, acc, iops, under_iop=True)
     elif isinstance(node, ScoreNode):
-        child = node.child
-        if not isinstance(child, TermNode):
-            raise NotImplementedError(
-                "federated v1: #SCORE over derived lists unsupported")
-        _collect_plain_terms(child, default_ok, acc)
+        _collect_plain_terms(node.child, acc, iops, under_iop=under_iop)
     elif isinstance(node, SopNode):
         for a in node.args:
-            _collect_plain_terms(a, default_ok, acc)
+            _collect_plain_terms(a, acc, iops, under_iop=under_iop)
 
 
 class FederatedEngine:
@@ -145,13 +199,21 @@ class FederatedEngine:
         self._df_ctf: dict = {}
         self._presence: dict = {}        # (term, field) -> {segment idx}
         self._seg_maxtf: dict = {}       # (seg, term, field) -> max_tf
+        # derived-Iop GLOBAL stats — (field, repr) -> (Σdf, Σctf) over
+        # segments; SHARED as every engine's iop_stats_override so a
+        # phase-A sum becomes visible to all segments at once (an index
+        # property like _df_ctf: grows, never invalidates)
+        self._iop_global: dict = {}
+        self._vocab = _UnionVocab(readers)
         self.last_skipped = 0            # routing introspection
         self.last_early_stopped = 0      # UB-termination introspection
         self._engines = []
         for r in readers:
             view = _GlobalStatsView(r, self.n_docs, self.field_stats,
                                     self._df_ctf)
-            self._engines.append(QueryEngine(view, self.model, self.parser))
+            eng = QueryEngine(view, self.model, self.parser)
+            eng.iop_stats_override = self._iop_global
+            self._engines.append(eng)
 
     def _global_df_ctf(self, acc: dict) -> tuple[dict, dict]:
         """→ (global (term, field) → (df, ctf) sums, (term, field) →
@@ -197,16 +259,22 @@ class FederatedEngine:
         top-k, and the driver merges N·k rows. ``-term`` MUST_NOT
         clauses apply per segment (docid filters need no global
         stats); routing collects only the positive terms."""
+        from .eval import expand_wildcards
         from .parser import split_negations
-        positive, _negs = split_negations(query)
+        positive, negs = split_negations(query)
         plan = self.parser.parse(positive, self.model.default_op) \
             if positive.strip() else None
         if plan is None:
             return pa.table({"external_id": pa.array([], pa.string()),
                              "score": pa.array([], pa.float64()),
                              "rank": pa.array([], pa.int32())})
+        # wildcard/fuzzy/regexp rewrite ONCE over the union vocabulary
+        # (MultiReader semantics) — segments then evaluate the identical
+        # expanded plan via search_plan, never re-expanding locally
+        plan = expand_wildcards(plan, self._vocab)
         acc: dict = {}
-        _collect_plain_terms(plan, True, acc)
+        iops: dict = {}
+        _collect_plain_terms(plan, acc, iops)
         missing = {f: {t for t in ts if (t, f) not in self._df_ctf}
                    for f, ts in acc.items()}
         missing = {f: ts for f, ts in missing.items() if ts}
@@ -218,6 +286,35 @@ class FederatedEngine:
             self._df_ctf.update(fresh)
             for key, segs in pres.items():
                 self._presence.setdefault(key, set()).update(segs)
+        # ---- phase A (structured plans): derive every Iop subtree per
+        # segment and sum (df, ctf) across segments — segments
+        # partition docids, so the sums ARE the merged index's derived
+        # stats (QryIop.getDf/getCtf). Each per-segment derived InvList
+        # is cached inside its engine (_iop_inv_cache), so phase B
+        # re-uses the evaluation instead of re-running the kernels.
+        # Only segments holding at least one argument term can derive a
+        # non-empty list; the rest contribute (0, 0) without a fetch.
+        if iops:
+            from .eval import InvList
+        for ikey, node in iops.items():
+            if ikey in self._iop_global:
+                continue
+            args: dict = {}
+            _collect_plain_terms(node, args, {}, under_iop=True)
+            arg_keys = [(t, f) for f, ts in args.items() for t in ts]
+            gdf = gctf = 0
+            for i, eng in enumerate(self._engines):
+                if not any(i in self._presence.get(kk, ())
+                           for kk in arg_keys):
+                    # no argument postings here: derived list is empty
+                    # by construction — pin the cache without a fetch
+                    eng._iop_inv_cache.setdefault(
+                        ikey, InvList.empty(ikey[0]))
+                    continue
+                inv = eng._eval_iop(node, eng._fetch(node))
+                gdf += int(inv.df)
+                gctf += int(inv.ctf)
+            self._iop_global[ikey] = (gdf, gctf)
         # ---- segment routing (shard selection): a segment with ZERO
         # local postings for every query term cannot contribute a
         # candidate under BM25/boolean (candidates ⊆ posting unions) —
@@ -233,7 +330,11 @@ class FederatedEngine:
         self.last_skipped = len(self._engines) - len(live)
         self.last_early_stopped = 0
         from .models import BM25Model
-        if early_stop and live and isinstance(self.model, BM25Model):
+        # UB early termination needs block-max (max_tf) metadata, which
+        # derived lists don't have — structured plans take the full
+        # best-bound-free scan (still exact, still routed)
+        if early_stop and live and not iops \
+                and isinstance(self.model, BM25Model):
             # ---- UB early termination across segments (tiered shard
             # retrieval): per segment, score ≤ Σ_t mult·idf_t(global) ·
             # max_tf/(max_tf + k1·(1−b)) — tfw is increasing in tf and
@@ -266,7 +367,8 @@ class FederatedEngine:
                 if kth is not None and ub[i] < kth:
                     self.last_early_stopped = len(order_live) - pos
                     break
-                parts.append(self._engines[i].search(query, k=k))
+                parts.append(self._engines[i].search_plan(
+                    plan, k=k, neg_tokens=negs))
                 if sum(p.num_rows for p in parts) >= k:
                     m0 = pa.concat_tables(parts)
                     o0 = pc.sort_indices(m0, sort_keys=[
@@ -274,7 +376,9 @@ class FederatedEngine:
                         ("external_id", "ascending")])
                     kth = m0.take(o0[k - 1:k])["score"][0].as_py()
         else:
-            parts = [self._engines[i].search(query, k=k) for i in live]
+            parts = [self._engines[i].search_plan(plan, k=k,
+                                                  neg_tokens=negs)
+                     for i in live]
         if not parts:
             return pa.table({"external_id": pa.array([], pa.string()),
                              "score": pa.array([], pa.float64()),

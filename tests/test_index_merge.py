@@ -298,9 +298,8 @@ def test_federated_matches_full(merged_and_full):
     the ONE-PASS full build (same global stats by addition) for BM25,
     Indri and ranked boolean — the virtual (MultiReader) counterpart of
     the physical-merge parity above. Also: engine reuse across queries
-    (the shared df/ctf cache) and the v1 positional/wildcard guards."""
-    import pytest as _pytest
-
+    (the shared df/ctf cache) and the r5 structured/wildcard paths
+    (two-phase derived stats at segment grain, union-vocab rewrite)."""
     from search_engines_ray.query.eval import QueryEngine
     from search_engines_ray.query.federated import FederatedEngine
     from search_engines_ray.query.models import (
@@ -326,12 +325,38 @@ def test_federated_matches_full(merged_and_full):
                 want["external_id"].to_pylist(), (type(model).__name__, q)
             assert got["score"].to_pylist() == want["score"].to_pylist(), \
                 (type(model).__name__, q)
-    # v1 guards
-    fed = FederatedEngine(segs, BM25Model())
-    with _pytest.raises(NotImplementedError):
-        fed.search("#sum(#near/1(quick fox) lazy)", k=10)
-    with _pytest.raises(NotImplementedError):
-        fed.search("qui*", k=10)
+    # r5: the former v1 guards became parity cases — positional /
+    # derived subtrees score with CROSS-SEGMENT derived df/ctf
+    # (QryIop.getDf/getCtf over the merged index), wildcards expand
+    # over the UNION vocabulary; both must be merge-identical
+    structured = [
+        (BM25Model(k1=1.2, b=0.75), "#sum(#near/1(quick fox) lazy)"),
+        (BM25Model(k1=1.2, b=0.75), "#sum(#window/3(quick lazy) cat)"),
+        (BM25Model(k1=1.2, b=0.75), "#sum(#syn(quick fox) lazy)"),
+        (BM25Model(k1=1.2, b=0.75), "qui*"),
+        (BM25Model(k1=1.2, b=0.75), "#sum(#near/1(quick fo*))"),
+        (IndriModel(mu=2500, lambda_=0.4),
+         "#wand(0.7 #and(quick fox) 0.3 #and(#near/1(quick fox)))"),
+        (IndriModel(mu=2500, lambda_=0.4),
+         "#wand(0.6 #and(quick fox) 0.2 #and(#near/1(quick fox)) "
+         "0.2 #and(#window/8(quick fox)))"),
+    ]
+    for model, q in structured:
+        fed = FederatedEngine(segs, model)
+        got = fed.search(q, k=10)
+        want = QueryEngine(full, model).search(q, k=10)
+        assert got["external_id"].to_pylist() == \
+            want["external_id"].to_pylist(), (type(model).__name__, q)
+        assert got["score"].to_pylist() == want["score"].to_pylist(), \
+            (type(model).__name__, q)
+    # engine reuse: the derived-stats cache must stay valid across
+    # queries sharing an Iop subtree (index property, like _df_ctf)
+    fed = FederatedEngine(segs, BM25Model(k1=1.2, b=0.75))
+    for q in ("#sum(#near/1(quick fox) lazy)",
+              "#sum(#near/1(quick fox) cat)"):
+        got = fed.search(q, k=10)
+        want = QueryEngine(full, BM25Model(k1=1.2, b=0.75)).search(q, k=10)
+        assert got["score"].to_pylist() == want["score"].to_pylist(), q
 
 
 def test_federated_segment_routing(merged_and_full):
