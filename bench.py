@@ -339,6 +339,13 @@ def run_scaling() -> dict:
       cluster multiplies — so it systematically under-reads node
       scaling; reported for transparency with per-stage timings.
 
+    Ladder corpus sizes are the OFFICIAL regimes from BASELINE.md
+    (r4 closing confirmations): 2→8 at 4M docs (expand=800), 8→32 at
+    8M (expand=1600). The earlier 2M default for 2→8 sat in the
+    fixed-latency-dominated regime (~30-40 s hi-side walls) and
+    under-read efficiency by ~0.05-0.08 — 4M restores the amortized
+    regime.
+
     Override via GRAFT_SCALING_CPUS="lo,hi" (then only that ladder
     runs), GRAFT_SCALING_EXPAND, GRAFT_SCALING_PAIRS."""
     pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "3"))
@@ -347,12 +354,12 @@ def run_scaling() -> dict:
         lo, hi = (int(x) for x in
                   os.environ["GRAFT_SCALING_CPUS"].split(","))
         expand = int(os.environ.get("GRAFT_SCALING_EXPAND",
-                                    "400" if hi <= 8 else "1600"))
+                                    "800" if hi <= 8 else "1600"))
         ladders = [_run_ladder(lo, hi, expand, pairs, warmup)]
     else:
         ladders = [
             _run_ladder(2, 8, int(os.environ.get("GRAFT_SCALING_EXPAND",
-                                                 "400")), pairs, warmup),
+                                                 "800")), pairs, warmup),
             _run_ladder(8, 32, 1600, pairs, warmup),
         ]
     head = ladders[0]

@@ -12,15 +12,22 @@ svm_rank file format; orchestration ``QryEval.java:274-295,303-313,
   f8..f10  …title    f11..f13 …url    f14..f16 …inlink
   f17 query-term coverage ratio (body)    f18 tf-idf-ish custom (body)
 
-The reference shells out to the ``svm_rank`` binaries; those are not in
-this environment, so ``LinearRanker`` is the clearly-marked stand-in: a
-deterministic fixed-weight linear model over the normalized features
+The reference shells out to the ``svm_rank`` binaries;
+``SvmRankRanker`` does the same behind a binary guard
+(``shutil.which``), and ``LinearRanker`` is the clearly-marked
+deterministic default when the binaries are absent (as in this
+container): a fixed-weight linear model over the normalized features
 with the same file formats (train file writer, score-file reader,
-positional re-join + re-sort). Features missing for a (q,d) pair write
-as 0 after normalization, matching the reference's min-max handling.
+positional re-join + re-sort). ``ranker_or_default`` picks between
+them. Features missing for a (q,d) pair write as 0 after
+normalization, matching the reference's min-max handling.
 """
 
 from __future__ import annotations
+
+import os
+import subprocess
+import tempfile
 
 import numpy as np
 
@@ -182,6 +189,82 @@ def read_svm_scores(path: str) -> list[float]:
     (QryEval.java:340-361)."""
     with open(path) as f:
         return [float(line.strip()) for line in f if line.strip()]
+
+
+class SvmRankRanker:
+    """TRUE svm_rank integration (Joachims' SVM-rank), behind a binary
+    guard — the reference shells out to the same two binaries
+    (``QryEval.java:303-313``: svm_rank_learn with ``-c``, then
+    svm_rank_classify writing a score file read back positionally).
+    Construction raises ``FileNotFoundError`` when the binaries are not
+    on PATH (they are not shipped in this container), so callers fall
+    back to the deterministic ``LinearRanker`` default —
+    :func:`ranker_or_default` encodes exactly that. The subprocess
+    plumbing itself (feature-file writer → learn → classify → score
+    reader, ``score(mat)`` interface parity with LinearRanker) is
+    exercised in CI with stub executables; a real svm_rank run is
+    covered by the same test when the binaries exist."""
+
+    def __init__(self, model_file: str, learn_path: str | None = None,
+                 classify_path: str | None = None, c: float = 0.001):
+        import shutil as _sh
+        self.learn_bin = learn_path or _sh.which("svm_rank_learn")
+        self.classify_bin = classify_path or _sh.which("svm_rank_classify")
+        if not self.classify_bin or (
+                not self.learn_bin and learn_path is None
+                and not os.path.exists(model_file)):
+            raise FileNotFoundError(
+                "svm_rank binaries not on PATH — use LinearRanker (the "
+                "deterministic stand-in) or ranker_or_default()")
+        self.model_file = model_file
+        self.c = float(c)
+
+    def train(self, feature_file: str) -> None:
+        """svm_rank_learn -c C <features> <model> (QryEval.java:303)."""
+        subprocess.run(
+            [self.learn_bin, "-c", str(self.c), feature_file,
+             self.model_file],
+            check=True, capture_output=True)
+
+    def train_rows(self, rows: list[dict]) -> None:
+        """Train from the same row dicts ``write_svm_features`` takes."""
+        with tempfile.TemporaryDirectory() as d:
+            feat = os.path.join(d, "train.feat")
+            write_svm_features(feat, rows)
+            self.train(feat)
+
+    def score(self, mat: np.ndarray) -> np.ndarray:
+        """LinearRanker-interface parity: one score per (normalized)
+        feature row, via a classify round-trip (feature file → score
+        file, order-aligned — QryEval.java:340-361)."""
+        with tempfile.TemporaryDirectory() as d:
+            feat = os.path.join(d, "rank.feat")
+            out = os.path.join(d, "rank.scores")
+            write_svm_features(feat, [
+                {"rel": 0, "qid": 1, "features": row, "external_id": str(i)}
+                for i, row in enumerate(np.asarray(mat, dtype=np.float64))])
+            subprocess.run(
+                [self.classify_bin, feat, self.model_file, out],
+                check=True, capture_output=True)
+            scores = read_svm_scores(out)
+        if len(scores) != mat.shape[0]:
+            raise ValueError(
+                f"svm_rank_classify returned {len(scores)} scores for "
+                f"{mat.shape[0]} rows — score file misaligned")
+        return np.asarray(scores, dtype=np.float64)
+
+
+def ranker_or_default(model_file: str | None = None, **kwargs):
+    """The reference's deployment rule under this container's
+    constraint: a real ``SvmRankRanker`` when the svm_rank binaries
+    (and a model file to classify with) exist, else the deterministic
+    ``LinearRanker`` stand-in."""
+    if model_file is not None:
+        try:
+            return SvmRankRanker(model_file, **kwargs)
+        except FileNotFoundError:
+            pass
+    return LinearRanker()
 
 
 class LinearRanker:

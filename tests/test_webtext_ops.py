@@ -104,8 +104,11 @@ def test_stratified_sample(rd):
         "lang": ["en"] * 50 + ["fr"] * 3,
         "doc_id": list(range(50)) + [100, 101, 102],
     })
+    # auditable=True is the md5 permutation the SQL oracles mirror
+    # (the default is the fast vectorized hash — r5, VERDICT r4 item 7)
     out = stratified_sample(rd.from_pandas(df), strata_col="lang",
-                            id_col="doc_id", k=5).to_pandas()
+                            id_col="doc_id", k=5,
+                            auditable=True).to_pandas()
     en = out[out["lang"] == "en"]
     fr = out[out["lang"] == "fr"]
     assert len(en) == 5 and sorted(en["sample_rank"]) == [1, 2, 3, 4, 5]
@@ -116,6 +119,11 @@ def test_stratified_sample(rd):
     expect_en = sorted(range(50), key=lambda i: (h(i), i))[:5]
     got_en = list(en.sort_values("sample_rank")["doc_id"])
     assert got_en == expect_en
+    # fast default: same depth contract, equally deterministic
+    fast = stratified_sample(rd.from_pandas(df), "lang", "doc_id",
+                             k=5).to_pandas()
+    assert len(fast[fast["lang"] == "en"]) == 5
+    assert len(fast[fast["lang"] == "fr"]) == 3
 
 
 def test_stratified_sample_is_partition_invariant(rd):
