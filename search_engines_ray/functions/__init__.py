@@ -19,6 +19,7 @@ from .sample import (
     hash_sample, shuffle_to_shards, stratified_sample, topk_per_group,
     weighted_sample,
 )
+from .partitioning import estimate_rows, resolve_exchange_parts
 from .sketch import (
     frequent_terms, hyperloglog_distinct, percentile_ranks,
     value_quantiles,
@@ -44,6 +45,7 @@ __all__ = [
     "connected_components",
     "bloom_semijoin", "broadcast_hash_join", "broadcast_semijoin",
     "shuffle_hash_join",
+    "estimate_rows", "resolve_exchange_parts",
     "hash_sample", "shuffle_to_shards", "stratified_sample",
     "topk_per_group", "weighted_sample",
     "frequent_terms", "hyperloglog_distinct", "percentile_ranks",

@@ -561,33 +561,124 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         lambda b: b[(b["is_rep"] == 1).to_numpy()][[id_col, "minhash"]],
         batch_format="pandas")
 
-    def explode_bands(b: pa.Table) -> pa.Table:
-        """(bucket, rep_id, minhash) rows — the full signature travels
-        with its band rows so bucket verification needs no further
-        join, and after the collapse it travels once per DISTINCT
-        signature. The bucket key is ONE uint64 (vectorized
-        multiply-xor fold of the band values, band index salted in): a
-        collision merely merges two buckets — extra signature
-        compares, never a wrong pair, since every cross-signature pair
-        is similarity-verified."""
+    # ---- banding, TWO light exchanges (r5, found by the 8M-doc scale
+    # rehearsal): the old single exchange shipped the FULL signature
+    # with every band row — bands × ~1 KB per distinct doc ≈ 16 KB/doc,
+    # ~127 GB at 8M distinct docs, which blew straight through the
+    # object store into disk-full spilling. On a mostly-distinct corpus
+    # (the realistic web shape once exact copies are collapsed) almost
+    # all buckets are singletons, so signatures are only ever NEEDED
+    # for members of non-trivial buckets. Exchange 1 ships (bucket,
+    # id) only (~256 B/doc) and keeps the members of buckets with ≥ 2
+    # distinct ids; exchange 2 is an id-keyed co-group that attaches
+    # each requested member's signature (signature bytes move once per
+    # requesting bucket, for CANDIDATE docs only) and re-partitions by
+    # bucket for the unchanged in-bucket verification. Same fold keys,
+    # same member sets, same Jaccard verification — bit-identical
+    # output; only the exchange volume changed: O(candidate sigs)
+    # instead of O(corpus × bands) signature bytes.
+
+    def explode_light(b: pa.Table) -> pa.Table:
         n = b.num_rows
         if n == 0:
             return pa.table({"part": pa.array([], pa.int32()),
                              "bucket": pa.array([], pa.uint64()),
-                             id_col: b[id_col],
-                             "minhash": pa.array([], pa.binary())})
-        sigs_list = b["minhash"].to_pylist()
-        sig = np.frombuffer(b"".join(sigs_list), dtype=np.uint64) \
-            .reshape(n, bands, rows_per_band)
+                             id_col: b[id_col]})
+        sig = np.frombuffer(b"".join(b["minhash"].to_pylist()),
+                            dtype=np.uint64).reshape(n, bands,
+                                                     rows_per_band)
         hv = _band_fold(sig).reshape(-1)
         idx = np.repeat(np.arange(n), bands)
         return pa.table({
             "part": pa.array((hv % np.uint64(parts)).astype(np.int32)),
             "bucket": pa.array(hv),
-            id_col: b[id_col].take(pa.array(idx)),
-            "minhash": pa.array([sigs_list[i] for i in idx], pa.binary())})
+            id_col: b[id_col].take(pa.array(idx))})
 
-    banded = reps.map_batches(explode_bands, batch_format="pyarrow")
+    def nontrivial_members(g: pa.Table) -> pd.DataFrame:
+        """Per bucket-hash partition: (bucket, id) rows for members of
+        buckets holding ≥ 2 distinct ids — the only docs whose
+        signatures the verify stage will ever read. Vectorized segment
+        arithmetic, no per-bucket Python."""
+        empty = pd.DataFrame({"bucket": pd.Series([], dtype=np.uint64),
+                              id_col: pd.Series([], dtype=object)})
+        if g.num_rows < 2:
+            return empty
+        buckets = g["bucket"].to_numpy()
+        ids = np.asarray(g[id_col].to_pandas().to_numpy())
+        order = np.lexsort((ids, buckets))
+        sb, sid = buckets[order], ids[order]
+        # drop duplicate (bucket, id) rows, then keep segments ≥ 2
+        dupe = (sb[1:] == sb[:-1]) & (sid[1:] == sid[:-1])
+        keep = np.concatenate(([True], ~dupe))
+        sb, sid = sb[keep], sid[keep]
+        bound = np.concatenate(([True], sb[1:] != sb[:-1]))
+        starts = np.flatnonzero(bound)
+        lens = np.diff(np.concatenate((starts, [len(sb)])))
+        big = np.repeat(lens >= 2, lens)
+        if not big.any():
+            return empty
+        return pd.DataFrame({"bucket": sb[big], id_col: sid[big]})
+
+    requests = reps.map_batches(explode_light, batch_format="pyarrow") \
+        .groupby("part").map_groups(nontrivial_members,
+                                    batch_format="pyarrow")
+
+    # id-keyed co-group: tagged union of sig rows and request rows,
+    # partitioned by hash(id) — each partition merges its complete id
+    # slice and emits (bucket-part, bucket, id, minhash) for the
+    # verify stage (the shuffle_hash_join pattern, inlined because the
+    # output needs a second partition key)
+    _JK = "minhash_sig_join16"
+
+    def _id_part(vals) -> np.ndarray:
+        a = np.asarray(vals)
+        if a.dtype.kind == "i":
+            a = a.astype(np.int64, copy=False)
+        h = pd.util.hash_array(a, hash_key=_JK, categorize=False)
+        return (h % np.uint64(parts)).astype(np.int32)
+
+    def tag_sig(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "jpart": pa.array(_id_part(
+                b[id_col].to_numpy(zero_copy_only=False))),
+            id_col: b[id_col],
+            "bucket": pa.array(np.zeros(b.num_rows, np.uint64)),
+            "minhash": b["minhash"],
+            "side": pa.array(np.zeros(b.num_rows, np.int8))})
+
+    def tag_req(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "jpart": pa.array(_id_part(
+                b[id_col].to_numpy(zero_copy_only=False))),
+            id_col: b[id_col],
+            "bucket": b["bucket"],
+            "minhash": pa.array([b""] * b.num_rows, pa.binary()),
+            "side": pa.array(np.ones(b.num_rows, np.int8))})
+
+    def attach_sigs(g: pa.Table) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        empty = pd.DataFrame({
+            "part": pd.Series([], dtype=np.int32),
+            "bucket": pd.Series([], dtype=np.uint64),
+            id_col: pd.Series([], dtype=object),
+            "minhash": pd.Series([], dtype=object)})
+        req = np.flatnonzero(side == 1)
+        if req.size == 0:
+            return empty
+        sig_rows = np.flatnonzero(side == 0)
+        ids = np.asarray(g[id_col].to_pandas().to_numpy())
+        sigs_all = g["minhash"].to_pylist()
+        lut = {ids[i]: sigs_all[i] for i in sig_rows}
+        buckets = g["bucket"].to_numpy()
+        return pd.DataFrame({
+            "part": (buckets[req] % np.uint64(parts)).astype(np.int32),
+            "bucket": buckets[req],
+            id_col: ids[req],
+            "minhash": [lut[ids[i]] for i in req]})
+
+    banded = reps.map_batches(tag_sig, batch_format="pyarrow") \
+        .union(requests.map_batches(tag_req, batch_format="pyarrow")) \
+        .groupby("jpart").map_groups(attach_sigs, batch_format="pyarrow")
 
     def partition_pairs(g: pa.Table) -> pd.DataFrame:
         """One call per HASH PARTITION (bucket % _LSH_PARTS), not per

@@ -692,3 +692,47 @@ def test_full_lifecycle_compose(tmp_path, ray_session):
     assert ea["external_id"].to_pylist() == ef["external_id"].to_pylist()
     assert np.allclose(ea["score"].to_numpy(), ef["score"].to_numpy(),
                        rtol=0, atol=1e-12)
+
+
+def test_union_vocab_cap_matches_merged(tmp_path, ray_session):
+    """_UnionVocab's cut-to-max_terms over per-segment capped lists must
+    equal the MERGED dictionary's capped expansion even when the union
+    exceeds the budget (>64 prefix matches split across segments) —
+    the exactness claim in its docstring, exercised at the boundary."""
+    import pandas as pd
+    import ray.data as rd
+
+    from search_engines_ray.index import (
+        IndexBuildConfig, IndexReader, build_index,
+    )
+    from search_engines_ray.query.federated import _UnionVocab
+
+    # 150 prefix-sharing terms, interleaved across two segments so each
+    # segment's capped top-64 differs from the union's top-64
+    terms = [f"zz{i:03d}" for i in range(150)]
+    rows = [{"url": f"http://x.example.com/{i}", "text": t,
+             "title": t} for i, t in enumerate(terms)]
+    df = pd.DataFrame(rows)
+    cfg = dict(fields={"body": "text"}, num_buckets=4,
+               docid_partitions=2, merge_salts=2)
+    dirs = {}
+    for name, part in (("full", df), ("a", df.iloc[::2]),
+                       ("b", df.iloc[1::2])):
+        d = str(tmp_path / name)
+        build_index(rd.from_pandas(part.reset_index(drop=True)), d,
+                    IndexBuildConfig(**cfg), input_token=name,
+                    resume=False)
+        dirs[name] = d
+    full = IndexReader(dirs["full"])
+    vocab = _UnionVocab([IndexReader(dirs["a"]), IndexReader(dirs["b"])])
+    want = full.terms_with_prefix("zz", "body")
+    got = vocab.terms_with_prefix("zz", "body")
+    assert len(want) == 64 and got == want
+    assert vocab.terms_with_substring("z0", "body") == \
+        full.terms_with_substring("z0", "body")
+    assert vocab.terms_with_suffix("9", "body") == \
+        full.terms_with_suffix("9", "body")
+    assert vocab.terms_matching_regex("zz0.*", "body") == \
+        full.terms_matching_regex("zz0.*", "body")
+    assert vocab.terms_within_distance("zz000", "body") == \
+        full.terms_within_distance("zz000", "body")
