@@ -16,8 +16,8 @@ from .join import (
     shuffle_hash_join,
 )
 from .sample import (
-    hash_sample, shuffle_to_shards, stratified_sample, topk_per_group,
-    weighted_sample,
+    dataset_split, hash_sample, shuffle_to_shards, stratified_sample,
+    topk_per_group, weighted_sample,
 )
 from .partitioning import estimate_rows, resolve_exchange_parts
 from .sketch import (
@@ -28,7 +28,7 @@ from .similarity import ann_cosine_topk, ivf_ann_topk, lsh_ann_topk, mmr_rerank
 from .text import (
     best_passage, doc_fingerprint, heuristic_filter, language_id,
     phrase_did_you_mean, pii_scrub, quality_scores, repetition_stats,
-    spell_suggest, token_stats, top_bigrams,
+    spell_suggest, token_stats, top_bigrams, vocab_stats,
 )
 
 __all__ = [
@@ -46,7 +46,7 @@ __all__ = [
     "bloom_semijoin", "broadcast_hash_join", "broadcast_semijoin",
     "shuffle_hash_join",
     "estimate_rows", "resolve_exchange_parts",
-    "hash_sample", "shuffle_to_shards", "stratified_sample",
+    "dataset_split", "hash_sample", "shuffle_to_shards", "stratified_sample",
     "topk_per_group", "weighted_sample",
     "frequent_terms", "hyperloglog_distinct", "percentile_ranks",
     "value_quantiles",
@@ -54,5 +54,5 @@ __all__ = [
     "best_passage",
     "doc_fingerprint", "heuristic_filter", "language_id", "pii_scrub",
     "phrase_did_you_mean", "quality_scores", "repetition_stats",
-    "spell_suggest", "token_stats", "top_bigrams",
+    "spell_suggest", "token_stats", "top_bigrams", "vocab_stats",
 ]

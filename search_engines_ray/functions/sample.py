@@ -231,6 +231,45 @@ def weighted_sample(ds, weight_col: str, k: int = 100,
         .map_batches(final, batch_format="pyarrow", batch_size=None)
 
 
+def dataset_split(ds, fractions: tuple = (0.98, 0.01, 0.01),
+                  names: tuple = ("train", "val", "test"),
+                  id_col: str = "doc_id", auditable: bool = False):
+    """Deterministic train/val/test assignment — the standard LLM-corpus
+    split: bucket = hash(id) mod 10⁶, mapped to splits by cumulative
+    fraction thresholds. → Dataset (``id_col``, split).
+
+    MAP-ONLY: no shuffle, no state, no driver pass — the one split
+    design that stays correct under retries, re-partitioning, and
+    incremental corpus growth (a doc's split never changes when other
+    docs arrive, unlike positional splits). ``auditable=True`` uses
+    the md5 permutation so the assignment is re-derivable in SQL
+    (``md5(id::varchar)`` — the oracle path); the default is the fast
+    vectorized hash. Fractions must sum to 1 within 1e-9."""
+    if len(fractions) != len(names):
+        raise ValueError(f"{len(fractions)} fractions vs "
+                         f"{len(names)} names")
+    if abs(sum(fractions) - 1.0) > 1e-9:
+        raise ValueError(f"fractions sum to {sum(fractions)!r}, not 1")
+    m = 1_000_000
+    # integer thresholds: bucket < t1 -> names[0], < t2 -> names[1], …
+    bounds = np.cumsum(
+        np.round(np.asarray(fractions, dtype=np.float64) * m)
+    ).astype(np.int64)
+    bounds[-1] = m
+    names = tuple(str(n) for n in names)
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        bucket = (_id_hash64(ids, auditable)
+                  % np.uint64(m)).astype(np.int64)
+        idx = np.searchsorted(bounds, bucket, side="right")
+        return pa.table({
+            id_col: b[id_col],
+            "split": pa.array([names[i] for i in idx], pa.string())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def shuffle_to_shards(ds, num_shards: int = 8, id_col: str = "doc_id",
                       auditable: bool = False):
     """Deterministic global shuffle into training shards: shard =

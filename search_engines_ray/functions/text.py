@@ -1552,3 +1552,70 @@ def group_significant_terms(ds, group_col: str = "lang",
         "bg_df": pa.array(out["bg_df"].to_numpy(np.int64)),
         "score": pa.array(round6(out["raw"].to_numpy(np.float64))),
     })
+
+
+def vocab_stats(ds, text_col: str = "text",
+                num_parts: int | None = None) -> "pa.Table":
+    """Corpus vocabulary statistics — the Zipf/Heaps profile a corpus
+    audit reads before training: → one-row Arrow (n_tokens, n_types,
+    n_hapax, max_tf). ``n_hapax`` (terms occurring once) is the classic
+    OCR-garbage / tail-noise signal; ``max_tf`` bounds the head.
+
+    100-TB shape: per-block Counter fold (exchange carries one row per
+    distinct term per block), one term-keyed hash-partition exchange
+    with vectorized per-part merges, per-part scalar partials (types /
+    hapax / tokens / max are all distributive over disjoint term
+    partitions), and a ≤ parts-row driver sum. Tokenization is the
+    shared ``simple_tokenize`` contract."""
+    from collections import Counter
+    from zlib import crc32
+
+    from .partitioning import resolve_exchange_parts
+    parts = num_parts or resolve_exchange_parts(ds)
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in b[text_col].to_pylist():
+            c.update(simple_tokenize(t or ""))
+        terms = list(c.keys())
+        # crc32 like top_bigrams: str hash() is process-salted, and the
+        # per-part scalar fold is only exact if every worker routes a
+        # term to the same partition; sentinel keeps the schema alive
+        pt = np.concatenate([
+            np.fromiter((crc32(g.encode()) % parts for g in terms),
+                        dtype=np.int32, count=len(terms)),
+            np.array([-1], dtype=np.int32)])
+        return pa.table({
+            "part": pa.array(pt),
+            "term": pa.array(terms + [""], pa.string()),
+            "cnt": pa.array(np.concatenate([
+                np.fromiter(c.values(), dtype=np.int64, count=len(c)),
+                np.array([0], dtype=np.int64)]))})
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["part"] >= 0]
+        if not len(g):
+            return pd.DataFrame({"n_tokens": pd.Series([], dtype=np.int64),
+                                 "n_types": pd.Series([], dtype=np.int64),
+                                 "n_hapax": pd.Series([], dtype=np.int64),
+                                 "max_tf": pd.Series([], dtype=np.int64)})
+        tot = g.groupby("term", sort=False)["cnt"].sum()
+        v = tot.to_numpy()
+        return pd.DataFrame({
+            "n_tokens": np.array([v.sum()], dtype=np.int64),
+            "n_types": np.array([v.size], dtype=np.int64),
+            "n_hapax": np.array([int((v == 1).sum())], dtype=np.int64),
+            "max_tf": np.array([v.max()], dtype=np.int64)})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("part").map_groups(per_part, batch_format="pandas") \
+        .take_all()
+    n_tokens = sum(int(r["n_tokens"]) for r in rows)
+    n_types = sum(int(r["n_types"]) for r in rows)
+    n_hapax = sum(int(r["n_hapax"]) for r in rows)
+    max_tf = max((int(r["max_tf"]) for r in rows), default=0)
+    return pa.table({
+        "n_tokens": pa.array([n_tokens], pa.int64()),
+        "n_types": pa.array([n_types], pa.int64()),
+        "n_hapax": pa.array([n_hapax], pa.int64()),
+        "max_tf": pa.array([max_tf], pa.int64())})

@@ -1471,6 +1471,59 @@ from documents
 """
 
 
+def q_vocab_stats(sf_dir: str):
+    """Corpus vocabulary profile (Zipf/Heaps audit before training):
+    n_tokens / n_types / hapax count / max term frequency, one
+    term-keyed exchange of per-block Counter partials
+    (``text.vocab_stats``). All four scalars are distributive over
+    disjoint term partitions, mirrored literally in SQL."""
+    import ray.data as rd
+    from ..functions.text import vocab_stats
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return vocab_stats(ds)
+
+
+SQL_VOCAB_STATS = f"""
+with t as (select {SIMPLE_TOKS_SQL} as toks from documents),
+tok as (select unnest(toks) as term from t),
+tf as (select term, count(*)::bigint as cnt from tok group by term)
+select coalesce(sum(cnt), 0)::bigint as n_tokens,
+       count(*)::bigint as n_types,
+       coalesce(sum(case when cnt = 1 then 1 else 0 end), 0)::bigint
+         as n_hapax,
+       coalesce(max(cnt), 0)::bigint as max_tf
+from tf
+"""
+
+
+def q_dataset_split(sf_dir: str):
+    """Deterministic train/val/test split (98/1/1) — hash-bucket
+    assignment, MAP-ONLY (no shuffle, no state): a doc's split never
+    changes under retries, re-partitioning, or corpus growth
+    (``sample.dataset_split``, auditable md5 path so the oracle
+    re-derives every assignment)."""
+    import ray.data as rd
+    from ..functions.sample import dataset_split
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+    return dataset_split(ds, fractions=(0.98, 0.01, 0.01),
+                         names=("train", "val", "test"),
+                         auditable=True)
+
+
+SQL_DATASET_SPLIT = """
+with b as (select doc_id,
+    (('0x' || substr(md5(doc_id::varchar), 1, 16))::ubigint
+     % 1000000)::bigint as bucket
+  from documents)
+select doc_id,
+  case when bucket < 980000 then 'train'
+       when bucket < 990000 then 'val'
+       else 'test' end as split
+from b
+"""
+
+
 def q_ann_cosine_top10(sf_dir: str):
     import ray.data as rd
     from ..functions.similarity import ann_cosine_topk
@@ -7321,6 +7374,8 @@ QUERIES = {
     "phrase_prefix_search": q_phrase_prefix_search,
     "near1_bm25_distributed": q_near1_bm25_distributed,
     "token_stats": q_token_stats,
+    "vocab_stats": q_vocab_stats,
+    "dataset_split": q_dataset_split,
     "embedding_dedup": q_embedding_dedup,
     "simhash_pairs": q_simhash_pairs,
     "minhash_candidate_pairs": q_minhash_candidate_pairs,
@@ -7622,6 +7677,8 @@ ORACLE_SQL = {
     "near_search": SQL_NEAR_SEARCH,
     "window_search": SQL_WINDOW_SEARCH,
     "token_stats": SQL_TOKEN_STATS,
+    "vocab_stats": SQL_VOCAB_STATS,
+    "dataset_split": SQL_DATASET_SPLIT,
     "embedding_dedup": SQL_EMBEDDING_DEDUP,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "simhash_dedup": SQL_SIMHASH_DEDUP,

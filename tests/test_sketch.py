@@ -254,3 +254,38 @@ def test_resolve_exchange_parts_scales_with_corpus(rd, tmp_path):
     assert pt.resolve_exchange_parts(
         n_rows=10**12, rows_per_part=2_000_000, min_parts=256,
         max_parts=16384, default=256) == 16384
+
+
+def test_dataset_split_deterministic_and_validated(rd):
+    from search_engines_ray.functions.sample import dataset_split
+    t = pa.table({"doc_id": pa.array(np.arange(5000, dtype=np.int64))})
+    one = dataset_split(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    many = dataset_split(rd.from_arrow(t).repartition(16)).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(one, many)
+    frac = one["split"].value_counts(normalize=True)
+    assert 0.96 < frac.get("train", 0) < 0.995
+    assert set(one["split"]) <= {"train", "val", "test"}
+    # growth invariance: a doc's split never changes when docs arrive
+    half = dataset_split(rd.from_arrow(t.slice(0, 2500))).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        half, one[one["doc_id"] < 2500].reset_index(drop=True))
+    with pytest.raises(ValueError):
+        dataset_split(rd.from_arrow(t), fractions=(0.9, 0.2))
+    with pytest.raises(ValueError):
+        dataset_split(rd.from_arrow(t), fractions=(0.5,),
+                      names=("a", "b"))
+
+
+def test_vocab_stats_parts_invariant(rd):
+    from search_engines_ray.functions.text import vocab_stats
+    texts = ["fast sort merge fast", "merge line", "", "unique hapax"]
+    t = pa.table({"text": pa.array(texts)})
+    a = vocab_stats(rd.from_arrow(t)).to_pydict()
+    b = vocab_stats(rd.from_arrow(t).repartition(4),
+                    num_parts=3).to_pydict()
+    assert a == b
+    assert a["n_tokens"] == [8] and a["n_types"] == [6]
+    assert a["n_hapax"] == [4] and a["max_tf"] == [2]
