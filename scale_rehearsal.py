@@ -82,24 +82,32 @@ def main() -> dict:
         shutil.rmtree(docs_dir, ignore_errors=True)
         import numpy as np
 
+        # 50k-word synthetic vocabulary for the distinct variants:
+        # seeded draws give pairwise shingle Jaccard ≈ 0 (the
+        # distinct-doc regime a real web corpus is in after exact
+        # collapse). The first r5 cut permuted the base doc's own
+        # tokens instead — for SHORT docs, permutations of few tokens
+        # share most 3-gram shingles, which silently recreated the
+        # dup-heavy stress regime at 16M and thrashed the LSH sort.
+        vocab = np.array([f"w{k:05d}" for k in range(50_000)],
+                         dtype=object)
+
         def replicate_realistic(b: pa.Table) -> pa.Table:
             # per source doc: variant 0 = original; every 10th variant
             # an EXACT copy (≈10% dup rate); the rest content-distinct
-            # (seeded token permutation kills the shingle overlap the
-            # one-marker bench variants keep)
             out_id, out_tx = [], []
             for i, t in zip(b["doc_id"].to_pylist(),
                             b["text"].to_pylist()):
-                toks = (t or "").split()
+                n = max(len((t or "").split()), 8)
+                rng = np.random.default_rng(i)   # per-base seed —
+                # deterministic regardless of batch partitioning
+                draws = rng.integers(0, len(vocab), size=(EXPAND, n))
                 for j in range(EXPAND):
                     out_id.append(i * EXPAND + j)
                     if j == 0 or (j % 10 == 5):
                         out_tx.append(t or "")
                     else:
-                        rng = np.random.default_rng(i * EXPAND + j)
-                        perm = rng.permutation(len(toks))
-                        out_tx.append(
-                            " ".join([toks[p] for p in perm] + [f"v{j}"]))
+                        out_tx.append(" ".join(vocab[draws[j]]))
             return pa.table({"doc_id": pa.array(out_id, pa.int64()),
                              "text": pa.array(out_tx, pa.string())})
         ray.data.read_parquet(f"{SF_DIR}/documents.parquet",
