@@ -444,7 +444,8 @@ def _sig_fold(sig2d: np.ndarray) -> np.ndarray:
 
 def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 128, bands: int = 16, shingle: int = 3,
-                      jaccard_threshold: float = 0.8):
+                      jaccard_threshold: float = 0.8,
+                      attach_route: str = "auto"):
     """→ Dataset (doc_id, canonical_id) for docs in near-dup groups.
 
     signatures → GLOBAL identical-signature collapse (one shuffle keyed
@@ -461,6 +462,12 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     the in-bucket pairwise work. After the collapse the banding cost
     scales with DISTINCT content. On a corpus with no duplicates the
     collapse adds one signature-sized shuffle — the documented price.
+    ``attach_route`` picks how candidate signatures reach their verify
+    buckets: ``"auto"`` broadcasts the (bucket, id) request table when
+    it fits a 256 MiB guard (the realistic regime — signatures then
+    never enter an exchange except the candidates') and falls back to
+    the id-keyed co-group when it doesn't (the dup-heavy regime);
+    ``"broadcast"`` / ``"cogroup"`` force a route (parity-tested).
     A 64-bit fingerprint collision merges two docs without
     verification (~2⁻⁶⁴ per pair) — the same accepted risk class as
     the uint64 bucket key. 'Verified' still means the full-signature
@@ -621,64 +628,8 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     requests = reps.map_batches(explode_light, batch_format="pyarrow") \
         .groupby("part").map_groups(nontrivial_members,
-                                    batch_format="pyarrow")
-
-    # id-keyed co-group: tagged union of sig rows and request rows,
-    # partitioned by hash(id) — each partition merges its complete id
-    # slice and emits (bucket-part, bucket, id, minhash) for the
-    # verify stage (the shuffle_hash_join pattern, inlined because the
-    # output needs a second partition key)
-    _JK = "minhash_sig_join16"
-
-    def _id_part(vals) -> np.ndarray:
-        a = np.asarray(vals)
-        if a.dtype.kind == "i":
-            a = a.astype(np.int64, copy=False)
-        h = pd.util.hash_array(a, hash_key=_JK, categorize=False)
-        return (h % np.uint64(parts)).astype(np.int32)
-
-    def tag_sig(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "jpart": pa.array(_id_part(
-                b[id_col].to_numpy(zero_copy_only=False))),
-            id_col: b[id_col],
-            "bucket": pa.array(np.zeros(b.num_rows, np.uint64)),
-            "minhash": b["minhash"],
-            "side": pa.array(np.zeros(b.num_rows, np.int8))})
-
-    def tag_req(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "jpart": pa.array(_id_part(
-                b[id_col].to_numpy(zero_copy_only=False))),
-            id_col: b[id_col],
-            "bucket": b["bucket"],
-            "minhash": pa.array([b""] * b.num_rows, pa.binary()),
-            "side": pa.array(np.ones(b.num_rows, np.int8))})
-
-    def attach_sigs(g: pa.Table) -> pd.DataFrame:
-        side = g["side"].to_numpy()
-        empty = pd.DataFrame({
-            "part": pd.Series([], dtype=np.int32),
-            "bucket": pd.Series([], dtype=np.uint64),
-            id_col: pd.Series([], dtype=object),
-            "minhash": pd.Series([], dtype=object)})
-        req = np.flatnonzero(side == 1)
-        if req.size == 0:
-            return empty
-        sig_rows = np.flatnonzero(side == 0)
-        ids = np.asarray(g[id_col].to_pandas().to_numpy())
-        sigs_all = g["minhash"].to_pylist()
-        lut = {ids[i]: sigs_all[i] for i in sig_rows}
-        buckets = g["bucket"].to_numpy()
-        return pd.DataFrame({
-            "part": (buckets[req] % np.uint64(parts)).astype(np.int32),
-            "bucket": buckets[req],
-            id_col: ids[req],
-            "minhash": [lut[ids[i]] for i in req]})
-
-    banded = reps.map_batches(tag_sig, batch_format="pyarrow") \
-        .union(requests.map_batches(tag_req, batch_format="pyarrow")) \
-        .groupby("jpart").map_groups(attach_sigs, batch_format="pyarrow")
+                                    batch_format="pyarrow") \
+        .materialize()
 
     def partition_pairs(g: pa.Table) -> pd.DataFrame:
         """One call per HASH PARTITION (bucket % _LSH_PARTS), not per
@@ -762,6 +713,139 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
                                             "canonical_id": out_canon}))
         return pd.concat(frames).drop_duplicates(ignore_index=True) \
             if frames else empty
+
+    # ---- signature attach, TWO routes (r5, 16M-doc rehearsal round 2):
+    # on a realistic corpus the request table is near-EMPTY (a 225k-rep
+    # probe measured 0 non-trivial buckets), so pushing the WHOLE
+    # signature table through an id-keyed co-group just to meet ~zero
+    # requests re-sorts ~1 KB/doc a second time — at 16M docs that
+    # second full-corpus sort was pure spill grind. Route A (requests
+    # fit a byte guard — the realistic regime): gather the (bucket, id)
+    # requests to the driver, broadcast them once, and FILTER the reps
+    # map-side with a sorted probe — zero signature bytes enter any
+    # exchange except the candidates'. Route B (guard exceeded — the
+    # dup-heavy regime, where candidates ARE corpus-scale): the tagged
+    # id-keyed co-group below, whose volume is then proportional to
+    # genuine candidates anyway.
+    import ray
+
+    from .join import _gather_small
+    if attach_route not in ("auto", "broadcast", "cogroup"):
+        raise ValueError(f"attach_route={attach_route!r}")
+    req_t = None
+    if attach_route != "cogroup":
+        try:
+            req_t = _gather_small(requests, max_broadcast_bytes=256 << 20,
+                                  what="LSH candidate requests")
+        except ValueError:
+            if attach_route == "broadcast":
+                raise
+            req_t = None
+
+    if req_t is not None and req_t.num_rows == 0:
+        # every bucket is a singleton: no cross-signature candidates,
+        # the collapse edges are the entire answer
+        return _compress_canonical(member_edges, id_col)
+
+    if req_t is not None:
+        rid = np.asarray(req_t[id_col].to_pandas().to_numpy())
+        rb = req_t["bucket"].to_numpy()
+        order = np.argsort(rid, kind="stable")
+        rid, rb = rid[order], rb[order]
+        req_ref = ray.put((rid, rb))
+        cache_key = ("lsh_req_bcast", req_ref.hex())
+
+        def attach_bcast(b: pa.Table) -> pa.Table:
+            from ..util import proc_cached
+            rid_s, rb_s = proc_cached(cache_key,
+                                      lambda: ray.get(req_ref))
+            ids = np.asarray(b[id_col].to_pandas().to_numpy())
+            lo = np.searchsorted(rid_s, ids, side="left")
+            hi = np.searchsorted(rid_s, ids, side="right")
+            hit = np.flatnonzero(hi > lo)
+            if hit.size == 0:
+                return pa.table({
+                    "part": pa.array([], pa.int32()),
+                    "bucket": pa.array([], pa.uint64()),
+                    id_col: b[id_col].slice(0, 0),
+                    "minhash": pa.array([], pa.binary())})
+            sigs = b["minhash"].to_pylist()
+            out_b, out_i, out_s = [], [], []
+            for r in hit:                  # candidate rows only
+                for k in range(lo[r], hi[r]):
+                    out_b.append(rb_s[k])
+                    out_i.append(ids[r])
+                    out_s.append(sigs[r])
+            ob = np.asarray(out_b, dtype=np.uint64)
+            return pa.table({
+                "part": pa.array((ob % np.uint64(parts)).astype(np.int32)),
+                "bucket": pa.array(ob),
+                id_col: pa.array(out_i,
+                                 b.schema.field(id_col).type),
+                "minhash": pa.array(out_s, pa.binary())})
+
+        banded = reps.map_batches(attach_bcast, batch_format="pyarrow")
+        rep_pairs = banded.groupby("part").map_groups(
+            partition_pairs, batch_format="pyarrow")
+        return _compress_canonical(member_edges.union(rep_pairs), id_col)
+
+    # id-keyed co-group: tagged union of sig rows and request rows,
+    # partitioned by hash(id) — each partition merges its complete id
+    # slice and emits (bucket-part, bucket, id, minhash) for the
+    # verify stage (the shuffle_hash_join pattern, inlined because the
+    # output needs a second partition key)
+    _JK = "minhash_sig_join16"
+
+    def _id_part(vals) -> np.ndarray:
+        a = np.asarray(vals)
+        if a.dtype.kind == "i":
+            a = a.astype(np.int64, copy=False)
+        h = pd.util.hash_array(a, hash_key=_JK, categorize=False)
+        return (h % np.uint64(parts)).astype(np.int32)
+
+    def tag_sig(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "jpart": pa.array(_id_part(
+                b[id_col].to_numpy(zero_copy_only=False))),
+            id_col: b[id_col],
+            "bucket": pa.array(np.zeros(b.num_rows, np.uint64)),
+            "minhash": b["minhash"],
+            "side": pa.array(np.zeros(b.num_rows, np.int8))})
+
+    def tag_req(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "jpart": pa.array(_id_part(
+                b[id_col].to_numpy(zero_copy_only=False))),
+            id_col: b[id_col],
+            "bucket": b["bucket"],
+            "minhash": pa.array([b""] * b.num_rows, pa.binary()),
+            "side": pa.array(np.ones(b.num_rows, np.int8))})
+
+    def attach_sigs(g: pa.Table) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        empty = pd.DataFrame({
+            "part": pd.Series([], dtype=np.int32),
+            "bucket": pd.Series([], dtype=np.uint64),
+            id_col: pd.Series([], dtype=object),
+            "minhash": pd.Series([], dtype=object)})
+        req = np.flatnonzero(side == 1)
+        if req.size == 0:
+            return empty
+        sig_rows = np.flatnonzero(side == 0)
+        ids = np.asarray(g[id_col].to_pandas().to_numpy())
+        sigs_all = g["minhash"].to_pylist()
+        lut = {ids[i]: sigs_all[i] for i in sig_rows}
+        buckets = g["bucket"].to_numpy()
+        return pd.DataFrame({
+            "part": (buckets[req] % np.uint64(parts)).astype(np.int32),
+            "bucket": buckets[req],
+            id_col: ids[req],
+            "minhash": [lut[ids[i]] for i in req]})
+
+    banded = reps.map_batches(tag_sig, batch_format="pyarrow") \
+        .union(requests.map_batches(tag_req, batch_format="pyarrow")) \
+        .groupby("jpart").map_groups(attach_sigs, batch_format="pyarrow")
+
 
     rep_pairs = banded.groupby("part").map_groups(
         partition_pairs, batch_format="pyarrow")

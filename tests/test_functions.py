@@ -930,3 +930,38 @@ def test_group_significant_terms(ray_session):
                                    k=3, min_fg_df=3).to_pandas()
     pd.testing.assert_frame_equal(out.reset_index(drop=True),
                                   out8.reset_index(drop=True))
+
+
+def test_minhash_attach_routes_agree(ray_session):
+    """r5: the two signature-attach routes — broadcast requests (the
+    realistic-corpus fast path) and the id-keyed co-group (the
+    dup-heavy fallback) — must produce identical canonical maps; the
+    auto route guards on request bytes and an invalid route raises."""
+    import ray.data as rd
+
+    import pytest as _pytest
+
+    from search_engines_ray.functions import minhash_lsh_dedup
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [{"doc_id": i, "text": f"unique doc {i} filler content "
+                                  f"number w{i:05d} extra pad tokens"}
+            for i in range(30)]
+    rows += [
+        {"doc_id": 100, "text": base},
+        {"doc_id": 101, "text": base},                          # exact
+        {"doc_id": 102, "text": base.replace("kappa", "lambda")},  # near
+    ]
+    ds = rd.from_items(rows)
+
+    def canon(route):
+        out = minhash_lsh_dedup(ds, jaccard_threshold=0.5,
+                                attach_route=route).to_pandas()
+        return dict(zip(out["doc_id"], out["canonical_id"]))
+
+    a = canon("broadcast")
+    b = canon("cogroup")
+    c = canon("auto")
+    assert a == b == c
+    assert a.get(101) == 100 and a.get(102) == 100
+    with _pytest.raises(ValueError):
+        minhash_lsh_dedup(ds, attach_route="nope")
