@@ -601,13 +601,16 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             "bucket": pa.array(hv),
             id_col: b[id_col].take(pa.array(idx))})
 
-    def nontrivial_members(g: pa.Table) -> pd.DataFrame:
+    def nontrivial_members(g: pa.Table) -> pa.Table:
         """Per bucket-hash partition: (bucket, id) rows for members of
         buckets holding ≥ 2 distinct ids — the only docs whose
         signatures the verify stage will ever read. Vectorized segment
-        arithmetic, no per-bucket Python."""
-        empty = pd.DataFrame({"bucket": pd.Series([], dtype=np.uint64),
-                              id_col: pd.Series([], dtype=object)})
+        arithmetic, no per-bucket Python. Returns Arrow with the id
+        column's REAL type even when empty — a dtype-object empty
+        pandas frame would crash the downstream gather's schema
+        conversion on the common all-singleton corpus (review r5)."""
+        empty = pa.table({"bucket": pa.array([], pa.uint64()),
+                          id_col: pa.array([], g.schema.field(id_col).type)})
         if g.num_rows < 2:
             return empty
         buckets = g["bucket"].to_numpy()
@@ -624,7 +627,9 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         big = np.repeat(lens >= 2, lens)
         if not big.any():
             return empty
-        return pd.DataFrame({"bucket": sb[big], id_col: sid[big]})
+        return pa.table({"bucket": pa.array(sb[big]),
+                         id_col: pa.array(sid[big],
+                                          g.schema.field(id_col).type)})
 
     requests = reps.map_batches(explode_light, batch_format="pyarrow") \
         .groupby("part").map_groups(nontrivial_members,
@@ -794,7 +799,8 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
     # slice and emits (bucket-part, bucket, id, minhash) for the
     # verify stage (the shuffle_hash_join pattern, inlined because the
     # output needs a second partition key)
-    _JK = "minhash_sig_join16"
+    _JK = "minhash.sigjoin0"  # exactly-16-byte key (pandas requires it
+    # on the string-id path; the numeric path ignores it — review r5)
 
     def _id_part(vals) -> np.ndarray:
         a = np.asarray(vals)
@@ -821,13 +827,14 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
             "minhash": pa.array([b""] * b.num_rows, pa.binary()),
             "side": pa.array(np.ones(b.num_rows, np.int8))})
 
-    def attach_sigs(g: pa.Table) -> pd.DataFrame:
+    def attach_sigs(g: pa.Table) -> pa.Table:
         side = g["side"].to_numpy()
-        empty = pd.DataFrame({
-            "part": pd.Series([], dtype=np.int32),
-            "bucket": pd.Series([], dtype=np.uint64),
-            id_col: pd.Series([], dtype=object),
-            "minhash": pd.Series([], dtype=object)})
+        id_type = g.schema.field(id_col).type
+        empty = pa.table({
+            "part": pa.array([], pa.int32()),
+            "bucket": pa.array([], pa.uint64()),
+            id_col: pa.array([], id_type),
+            "minhash": pa.array([], pa.binary())})
         req = np.flatnonzero(side == 1)
         if req.size == 0:
             return empty
@@ -836,11 +843,13 @@ def minhash_lsh_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
         sigs_all = g["minhash"].to_pylist()
         lut = {ids[i]: sigs_all[i] for i in sig_rows}
         buckets = g["bucket"].to_numpy()
-        return pd.DataFrame({
-            "part": (buckets[req] % np.uint64(parts)).astype(np.int32),
-            "bucket": buckets[req],
-            id_col: ids[req],
-            "minhash": [lut[ids[i]] for i in req]})
+        return pa.table({
+            "part": pa.array((buckets[req]
+                              % np.uint64(parts)).astype(np.int32)),
+            "bucket": pa.array(buckets[req]),
+            id_col: pa.array(ids[req], id_type),
+            "minhash": pa.array([lut[ids[i]] for i in req],
+                                pa.binary())})
 
     banded = reps.map_batches(tag_sig, batch_format="pyarrow") \
         .union(requests.map_batches(tag_req, batch_format="pyarrow")) \
@@ -1179,7 +1188,7 @@ def minhash_candidate_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         off = np.frombuffer(bb.buffers()[1], dtype=np.int32,
                             count=n + 1, offset=bb.offset * 4)
         data = np.frombuffer(bb.buffers()[2], dtype=np.uint8)
-        if int(off[-1] - off[0]) == n * step:
+        if (np.diff(off) == step).all():
             # fixed-width rows pack contiguously — one aligned copy of
             # the value buffer, no per-row bytes objects
             mat = data[off[0]:off[0] + n * step].copy().view(np.uint64) \

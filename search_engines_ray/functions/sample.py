@@ -54,6 +54,11 @@ def _id_hash64(ids: list, auditable: bool = False) -> np.ndarray:
         a = a.astype(np.int64, copy=False)
     elif a.dtype.kind == "u":
         a = a.astype(np.uint64, copy=False)
+    elif a.dtype.kind not in "f":
+        # string/mixed ids: np.asarray yields a '<U' array, which
+        # hash_array rejects — it needs dtype=object (review r5; URL
+        # ids are the norm for dataset_split / shuffle_to_shards)
+        a = a.astype(object)
     import pandas as _pd
     return _pd.util.hash_array(a, hash_key=_FAST_HASH_KEY,
                                categorize=False)
@@ -61,10 +66,12 @@ def _id_hash64(ids: list, auditable: bool = False) -> np.ndarray:
 
 def hash_sample(ds, k: int = 100, id_col: str = "doc_id",
                 auditable: bool = False):
-    """→ Dataset (``id_col``, sample_rank 0..k−1) of the k rows with the
-    smallest md5(id), ties broken by id. The hash order is a uniform
-    random permutation for any non-adversarial id set, but — being pure
-    content arithmetic — identical on every run and every cluster."""
+    """→ Dataset (``id_col``, sample_rank 0..k−1) of the k rows with
+    the smallest keyed hash of the id (the fast permutation by
+    default; ``auditable=True`` → md5, re-derivable in SQL), ties
+    broken by id. Either hash order is a uniform random permutation
+    for any non-adversarial id set, but — being pure content
+    arithmetic — identical on every run and every cluster."""
 
     def partial(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_pylist()
@@ -146,10 +153,13 @@ def topk_per_group(ds, group_col: str, sort_col: str, id_col: str,
 def stratified_sample(ds, strata_col: str, id_col: str = "doc_id",
                       k: int = 10, auditable: bool = False):
     """→ Dataset (``strata_col``, ``id_col``, sample_rank 1..k): the k
-    rows with the smallest md5(id) WITHIN each stratum — a deterministic
-    stratified sample (equal depth per stratum regardless of stratum
-    skew), auditable in SQL as ``row_number() over (partition by stratum
-    order by md5(id::varchar), id) <= k``. Per-batch partial cut bounds
+    rows with the smallest keyed id hash WITHIN each stratum — a
+    deterministic stratified sample (equal depth per stratum regardless
+    of stratum skew). With ``auditable=True`` the hash is md5 and the
+    sample is SQL-re-derivable as ``row_number() over (partition by
+    stratum order by md5(id::varchar), id) <= k``; the default fast
+    hash keeps the same depth/determinism contract without the SQL
+    mirror. Per-batch partial cut bounds
     the merge at k × strata × blocks rows; strata counts are small by
     definition (languages, sources, buckets), so the final cut runs on
     one tiny block."""

@@ -6680,11 +6680,21 @@ def q_combsum_fusion(sf_dir: str):
     # raw float64 cosine — over-fetch and re-cut on (r6, id) so a
     # rounded tie straddling the k boundary selects the same candidate
     # set (and therefore the same min-max normalization min) on both
-    # sides; mirrors mmr_rerank's cand_k boundary handling (ADVICE r4)
-    ann = ann_cosine_topk(ds, qvec, k=58, dtype=np.float64).to_pandas()
-    ann["r6"] = round6(ann["score"].to_numpy())
-    ann = ann.sort_values(["r6", "vec_id"], ascending=[False, True],
-                          kind="mergesort").head(50)
+    # sides (ADVICE r4). The fetch is TIE-GROUP-COMPLETE, not a fixed
+    # buffer: rounding is monotone, so once the smallest fetched r6 is
+    # strictly below the boundary value every unfetched row is too —
+    # grow the fetch until that holds (or the corpus is exhausted)
+    kk, n_total = 58, t.num_rows
+    while True:
+        ann = ann_cosine_topk(ds, qvec, k=kk, dtype=np.float64).to_pandas()
+        ann["r6"] = round6(ann["score"].to_numpy())
+        cut = ann.sort_values(["r6", "vec_id"], ascending=[False, True],
+                              kind="mergesort").head(50)
+        if len(ann) < kk or kk >= n_total or len(ann) <= 50 \
+                or float(ann["r6"].min()) < float(cut["r6"].iloc[-1]):
+            ann = cut
+            break
+        kk = min(kk * 4, n_total)
     ann_s6 = ann["r6"].to_numpy()
     systems = [(lex_ids, lex_s6), (ann["vec_id"].to_numpy(), ann_s6)]
 

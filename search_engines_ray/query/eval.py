@@ -299,8 +299,14 @@ class QueryEngine:
         # index) while evaluation stays segment-local; the inv cache
         # makes the federated two-phase evaluate each Iop subtree once
         # per segment (phase A derives + caches, phase B scores).
-        # Both are index properties, valid across queries.
+        # Both are index properties, valid across queries. The inv
+        # cache only fills when a federated caller opts in
+        # (cache_iop_lists) — a long-lived single-index engine
+        # evaluates each subtree once per search anyway, and caching
+        # candidate-sized derived lists per distinct query shape would
+        # grow memory without bound (review r5).
         self.iop_stats_override: dict = {}
+        self.cache_iop_lists: bool = False
         self._iop_inv_cache: dict = {}
 
     # ---- plan-wide postings fetch ----
@@ -363,7 +369,9 @@ class QueryEngine:
             key = (node.field_name, repr(node))
             inv = self._iop_inv_cache.get(key)
             if inv is None:
-                inv = self._iop_inv_cache[key] = eval_iop_tree(node, cache)
+                inv = eval_iop_tree(node, cache)
+                if self.cache_iop_lists:
+                    self._iop_inv_cache[key] = inv
             g = self.iop_stats_override.get(key)
             if g is not None:
                 # same clone-with-global-stats move _GlobalStatsView

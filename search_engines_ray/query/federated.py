@@ -213,6 +213,9 @@ class FederatedEngine:
                                     self._df_ctf)
             eng = QueryEngine(view, self.model, self.parser)
             eng.iop_stats_override = self._iop_global
+            # phase A derives + caches, phase B reuses — the one caller
+            # that needs derived lists to survive across _eval_iop calls
+            eng.cache_iop_lists = True
             self._engines.append(eng)
 
     def _global_df_ctf(self, acc: dict) -> tuple[dict, dict]:

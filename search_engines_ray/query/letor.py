@@ -221,6 +221,14 @@ class SvmRankRanker:
 
     def train(self, feature_file: str) -> None:
         """svm_rank_learn -c C <features> <model> (QryEval.java:303)."""
+        if not self.learn_bin:
+            # classify-only construction (model file existed): a train
+            # call must fail with the real reason, not a subprocess
+            # TypeError on a None argv (review r5)
+            raise FileNotFoundError(
+                "svm_rank_learn not on PATH — this SvmRankRanker was "
+                "constructed classify-only against an existing model "
+                "file")
         subprocess.run(
             [self.learn_bin, "-c", str(self.c), feature_file,
              self.model_file],

@@ -965,3 +965,58 @@ def test_minhash_attach_routes_agree(ray_session):
     assert a.get(101) == 100 and a.get(102) == 100
     with _pytest.raises(ValueError):
         minhash_lsh_dedup(ds, attach_route="nope")
+
+
+def test_minhash_dupfree_and_string_id_corpora(ray_session):
+    """Review r5 regressions: (a) a duplicate-free corpus (every LSH
+    bucket a singleton) must return an empty canonical map, not crash
+    in the empty-request gather; (b) string id columns must work on
+    BOTH attach routes (the cogroup hash key must be exactly 16
+    bytes)."""
+    import ray.data as rd
+
+    from search_engines_ray.functions import minhash_lsh_dedup
+    uniq = rd.from_items(
+        [{"doc_id": i, "text": f"totally unique document {i} about "
+                               f"topic w{i:05d} with filler tokens"}
+         for i in range(25)])
+    out = minhash_lsh_dedup(uniq, jaccard_threshold=0.5).to_pandas()
+    assert len(out) == 0
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    rows = [{"doc_id": f"http://x.example.com/{i}",
+             "text": f"unique doc {i} filler w{i:05d} pad tokens"}
+            for i in range(10)]
+    rows += [{"doc_id": "http://x.example.com/a", "text": base},
+             {"doc_id": "http://x.example.com/b", "text": base},
+             {"doc_id": "http://x.example.com/c",
+              "text": base.replace("kappa", "lambda")}]
+    ds = rd.from_items(rows)
+    for route in ("broadcast", "cogroup"):
+        out = minhash_lsh_dedup(ds, jaccard_threshold=0.5,
+                                attach_route=route).to_pandas()
+        m = dict(zip(out["doc_id"], out["canonical_id"]))
+        assert m.get("http://x.example.com/b") == "http://x.example.com/a", route
+        assert m.get("http://x.example.com/c") == "http://x.example.com/a", route
+
+
+def test_samplers_fast_path_string_ids(ray_session):
+    """Review r5 regression: the fast (default) hash must accept string
+    id columns — URL ids are the norm for dataset_split and
+    shuffle_to_shards."""
+    import ray.data as rd
+
+    from search_engines_ray.functions.sample import (
+        dataset_split, hash_sample, shuffle_to_shards,
+    )
+    ds = rd.from_items([{"doc_id": f"http://e.com/{i}"}
+                        for i in range(300)])
+    sp = dataset_split(ds).to_pandas()
+    assert len(sp) == 300 and set(sp["split"]) <= {"train", "val", "test"}
+    sh = shuffle_to_shards(ds, num_shards=4).to_pandas()
+    assert len(sh) == 300 and sh["shard"].between(0, 3).all()
+    # hash_sample coerces ids to int64 internally, so string ids stay
+    # the md5/auditable path's job — not asserted here
+    hs = hash_sample(rd.from_items([{"doc_id": i} for i in range(300)]),
+                     k=10).to_pandas()
+    assert len(hs) == 10
