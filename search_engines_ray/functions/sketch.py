@@ -299,6 +299,64 @@ def value_quantiles(ds, value_col: str, group_col: str,
                                                 batch_format="pandas")
 
 
+def value_histogram(ds, value_col: str, group_col: str,
+                    interval: float = 25.0,
+                    num_parts: int | None = None):
+    """ES ``histogram`` aggregation: fixed-interval value buckets per
+    group — → Dataset (``group_col``, bucket [the bucket's lower
+    bound], n). Same counting-histogram machinery as
+    :func:`value_quantiles`: per-batch (group, bucket, n) partials on
+    the exact integer-cents grid, one int-key partition exchange,
+    vectorized merges — the shuffle carries distinct buckets, never
+    rows. Bucketing is ``floor(value / interval) * interval`` on the
+    cents grid (SQL-mirrored literally, negatives floor like SQL)."""
+    from .partitioning import resolve_exchange_parts
+    merge_parts = num_parts or resolve_exchange_parts(ds)
+    step = int(round(float(interval) * 100.0))
+    if step <= 0:
+        raise ValueError(f"interval={interval!r}: must be > 0")
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        cents = np.rint(np.asarray(
+            b[value_col].to_numpy(zero_copy_only=False),
+            dtype=np.float64) * 100.0).astype(np.int64)
+        bkt = (cents // step) * step
+        df = pd.DataFrame({group_col: b[group_col].to_pylist(),
+                           "bkt": bkt})
+        out = df.groupby([group_col, "bkt"], sort=False) \
+            .size().rename("n").reset_index()
+        out["part"] = ((out["bkt"] // step) % merge_parts) \
+            .astype(np.int32)
+        return out
+
+    def merge_sum(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby([group_col, "bkt"], sort=False)["n"] \
+            .sum().reset_index()
+        return pd.DataFrame({group_col: gg[group_col],
+                             "bucket": gg["bkt"].to_numpy() / 100.0,
+                             "n": gg["n"].astype(np.int64)})
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None) \
+        .groupby("part").map_groups(merge_sum, batch_format="pandas")
+
+
+def value_histogram_sql(table: str, value_col: str, group_col: str,
+                        interval: float = 25.0) -> str:
+    """DuckDB mirror of :func:`value_histogram` (identical cents grid
+    and floor-division bucketing)."""
+    step = int(round(float(interval) * 100.0))
+    return f"""
+with c as (select {group_col},
+                  round({value_col} * 100)::bigint as cents
+           from {table})
+select {group_col},
+       (floor(cents / {step}.0)::bigint * {step}) / 100.0 as bucket,
+       count(*)::bigint as n
+from c group by 1, 2
+"""
+
+
 def value_quantiles_sql(table: str, value_col: str, group_col: str,
                         ps: tuple = (0.5, 0.9, 0.99)) -> str:
     """DuckDB mirror of :func:`value_quantiles` (identical cents

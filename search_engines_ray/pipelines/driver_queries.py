@@ -4571,6 +4571,28 @@ def _quantiles_sql() -> str:
 SQL_VALUE_QUANTILES = _quantiles_sql()
 
 
+def q_value_histogram(sf_dir: str):
+    """ES ``histogram`` aggregation: fixed-interval (25.0) buckets of
+    event value per event_type — the counting-histogram exchange of
+    ``value_quantiles`` at bucket grain (``sketch.value_histogram``;
+    distinct buckets cross the shuffle, never rows)."""
+    import ray.data as rd
+    from ..functions.sketch import value_histogram
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return value_histogram(ds, value_col="value", group_col="event_type",
+                           interval=25.0)
+
+
+def _histogram_sql() -> str:
+    from ..functions.sketch import value_histogram_sql
+    return value_histogram_sql("events", "value", "event_type",
+                               interval=25.0)
+
+
+SQL_VALUE_HISTOGRAM = _histogram_sql()
+
+
 def q_quality_quantile_gate(sf_dir: str):
     """Global-statistic-then-filter composition: the corpus median of
     n_chars computes distributively (exact counting-histogram
@@ -5515,6 +5537,52 @@ m as (select doc_id from tok where term in ('fast','sort','merge')
       group by doc_id having count(distinct term) = 3)
 select lang, count(*)::bigint as n
 from documents join m using (doc_id) group by lang
+"""
+
+
+def q_top_hits_per_lang(sf_dir: str):
+    """ES ``top_hits`` inside a ``terms`` aggregation: the BM25 match
+    set's top-3 hits PER LANGUAGE facet — SERP-style grouped results.
+    Shape: the candidate score set (small) broadcasts against the
+    streamed documents table for the facet attach (the fact table
+    never shuffles — ``facet_counts``' pattern), then one per-facet
+    vectorized top-k cut; ranks are cut on the RAW score exactly like
+    every ranked oracle, 6-dp rounding at emit only."""
+    import ray.data as rd
+    from ..functions.join import broadcast_hash_join
+    from ..functions.text import round6
+    reader = get_index(sf_dir, "simple")
+    engine = QueryEngine(reader, BM25Model(k1=1.2, b=0.75))
+    res = engine.search(" ".join(BM25_QUERY_TERMS), k=10**9)
+    ids = _docid_of_external(res["external_id"].to_pylist())
+    small = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.asarray(ids, np.int64)),
+        "score": res["score"]}))
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    joined = broadcast_hash_join(docs, small, "doc_id")
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "doc_id"], ascending=[False, True],
+                          kind="mergesort", ignore_index=True).head(3)
+        return pd.DataFrame({
+            "lang": g["lang"],
+            "doc_id": g["doc_id"].astype(np.int64),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            "score": round6(g["score"].to_numpy())})
+
+    return joined.groupby("lang").map_groups(cut, batch_format="pandas")
+
+
+SQL_TOP_HITS_PER_LANG = f"""
+with bm as ( {_bm25_sql(BM25_QUERY_TERMS, 1000000000, raw=True)} ),
+r as (select d.lang, bm.doc_id, bm.raw,
+        row_number() over (partition by d.lang
+                           order by bm.raw desc, bm.doc_id asc) as rnk
+      from bm join documents d using (doc_id))
+select lang, doc_id, rnk::bigint as rank,
+       floor(raw*1000000 + 0.5)/1000000 as score
+from r where rnk <= 3
 """
 
 
@@ -7342,6 +7410,7 @@ QUERIES = {
     "shuffle_export": q_shuffle_export,
     "topk_per_group": q_topk_per_group,
     "value_quantiles": q_value_quantiles,
+    "value_histogram": q_value_histogram,
     "percentile_ranks": q_percentile_ranks,
     "semijoin_urgent_lineitem": q_semijoin_urgent_lineitem,
     "bloom_semijoin_high": q_bloom_semijoin_high,
@@ -7419,6 +7488,7 @@ QUERIES = {
     "group_significant_terms": q_group_significant_terms,
     "unigram_surprisal": q_unigram_surprisal,
     "facet_counts": q_facet_counts,
+    "top_hits_per_lang": q_top_hits_per_lang,
     "bm25_filtered_top10": q_bm25_filtered_top10,
     "bm25_merged_top10": q_bm25_merged_top10,
     "bm25_merged3_top10": q_bm25_merged3_top10,
@@ -7532,6 +7602,7 @@ ORACLE_SQL = {
     "group_significant_terms": SQL_GROUP_SIGNIFICANT_TERMS,
     "unigram_surprisal": SQL_UNIGRAM_SURPRISAL,
     "facet_counts": SQL_FACET_COUNTS,
+    "top_hits_per_lang": SQL_TOP_HITS_PER_LANG,
     "bm25_filtered_top10": SQL_BM25_FILTERED_TOP10,
     "prefix_suggest": SQL_PREFIX_SUGGEST,
     "spell_suggest": SQL_SPELL_SUGGEST,
@@ -7609,6 +7680,7 @@ ORACLE_SQL = {
     "hll_distinct": SQL_HLL_DISTINCT,
     "frequent_terms": SQL_FREQUENT_TERMS,
     "value_quantiles": SQL_VALUE_QUANTILES,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
     "percentile_ranks": SQL_PERCENTILE_RANKS,
     "semijoin_urgent_lineitem": SQL_SEMIJOIN_URGENT_LINEITEM,
     "bloom_semijoin_high": SQL_BLOOM_SEMIJOIN_HIGH,

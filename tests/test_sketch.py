@@ -289,3 +289,22 @@ def test_vocab_stats_parts_invariant(rd):
     assert a == b
     assert a["n_tokens"] == [8] and a["n_types"] == [6]
     assert a["n_hapax"] == [4] and a["max_tf"] == [2]
+
+
+def test_value_histogram_exact(rd):
+    from search_engines_ray.functions.sketch import value_histogram
+    t = pa.table({
+        "g": pa.array(["a"] * 6 + ["b"] * 3),
+        "v": pa.array([0.0, 10.0, 24.99, 25.0, 60.0, -1.0,
+                       49.99, 50.0, 50.01]),
+    })
+    out = value_histogram(rd.from_arrow(t), "v", "g", interval=25.0) \
+        .to_pandas().sort_values(["g", "bucket"], ignore_index=True)
+    got = {(r.g, r.bucket): r.n for r in out.itertuples()}
+    # floor semantics: -1.0 -> bucket -25; 24.99 stays in 0; 25.0 opens 25
+    assert got == {("a", -25.0): 1, ("a", 0.0): 3, ("a", 25.0): 1,
+                   ("a", 50.0): 1, ("b", 25.0): 1, ("b", 50.0): 2}
+    many = value_histogram(rd.from_arrow(t).repartition(5), "v", "g",
+                           interval=25.0, num_parts=3).to_pandas() \
+        .sort_values(["g", "bucket"], ignore_index=True)
+    pd.testing.assert_frame_equal(out, many)
