@@ -22,7 +22,7 @@ from .sample import (
 from .partitioning import estimate_rows, resolve_exchange_parts
 from .sketch import (
     frequent_terms, hyperloglog_distinct, percentile_ranks,
-    value_quantiles,
+    value_histogram, value_quantiles, value_stats,
 )
 from .similarity import ann_cosine_topk, ivf_ann_topk, lsh_ann_topk, mmr_rerank
 from .text import (
@@ -49,6 +49,7 @@ __all__ = [
     "dataset_split", "hash_sample", "shuffle_to_shards", "stratified_sample",
     "topk_per_group", "weighted_sample",
     "frequent_terms", "hyperloglog_distinct", "percentile_ranks",
+    "value_histogram", "value_stats",
     "value_quantiles",
     "ann_cosine_topk", "ivf_ann_topk", "lsh_ann_topk", "mmr_rerank",
     "best_passage",

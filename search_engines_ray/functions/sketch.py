@@ -341,6 +341,91 @@ def value_histogram(ds, value_col: str, group_col: str,
         .groupby("part").map_groups(merge_sum, batch_format="pandas")
 
 
+def value_stats(ds, value_col: str, group_col: str,
+                num_parts: int | None = None):
+    """ES ``extended_stats`` aggregation, BIT-EXACT under any
+    partitioning: per-group count / min / max / mean / population
+    variance of a 2-dp metric. → Dataset (``group_col``, n, min_value,
+    max_value, mean, variance), mean/variance 6-dp rounded.
+
+    The distributed-variance trap is float partials: Σx and Σx² in
+    doubles depend on summation order, so results drift with block
+    boundaries. Here every partial is an EXACT integer on the cents
+    grid (Σc and Σc² per (group, block); the merge sums as arbitrary-
+    precision Python ints, so 10¹²-row corpora cannot overflow), and
+    the single float conversion happens once, in the finalize, with
+    the same expression the SQL mirror uses — associative by
+    construction, identical on every run. Exchange: one row per group
+    per block."""
+    from .partitioning import resolve_exchange_parts
+    merge_parts = num_parts or resolve_exchange_parts(ds)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        cents = np.rint(np.asarray(
+            b[value_col].to_numpy(zero_copy_only=False),
+            dtype=np.float64) * 100.0).astype(np.int64)
+        df = pd.DataFrame({group_col: b[group_col].to_pylist(),
+                           "c": cents})
+        g = df.groupby(group_col, sort=False)["c"]
+        out = pd.DataFrame({
+            "n": g.size().astype(np.int64),
+            "s": g.sum().astype(object),          # exact int partials
+            # chunked exact Σc²: each 64k-row chunk's int64 dot stays
+            # exact for |values| ≤ ~120k on the 2-dp grid; chunks sum
+            # as Python ints (no overflow at any corpus size)
+            "ss": g.apply(lambda v: sum(
+                int(np.dot(ch, ch)) for ch in np.array_split(
+                    v.to_numpy(), max(1, v.size // 65536 + 1)))
+            ).astype(object),
+            "mn": g.min().astype(np.int64),
+            "mx": g.max().astype(np.int64),
+        }).reset_index()
+        h = pd.util.hash_array(
+            np.asarray(out[group_col].to_numpy(), dtype=object),
+            hash_key="sketch.statpart0", categorize=False)
+        out["part"] = (h % np.uint64(merge_parts)).astype(np.int32)
+        return out
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, sub in g.groupby(group_col, sort=False):
+            n = int(sub["n"].sum())
+            s = sum(int(x) for x in sub["s"])     # arbitrary precision
+            ss = sum(int(x) for x in sub["ss"])
+            mean = (float(s) / n) / 100.0
+            var = ((float(ss) - float(s) * float(s) / n) / n) / 10000.0
+            rows.append((key, n, int(sub["mn"].min()) / 100.0,
+                         int(sub["mx"].max()) / 100.0,
+                         math.floor(mean * 1e6 + 0.5) / 1e6,
+                         math.floor(var * 1e6 + 0.5) / 1e6))
+        return pd.DataFrame(rows, columns=[
+            group_col, "n", "min_value", "max_value", "mean", "variance"])
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None) \
+        .groupby("part").map_groups(finalize, batch_format="pandas")
+
+
+def value_stats_sql(table: str, value_col: str, group_col: str) -> str:
+    """DuckDB mirror of :func:`value_stats` — the identical exact-int
+    cents sums (sum(bigint) is hugeint: exact) converted to doubles in
+    the same final expression."""
+    return f"""
+with c as (select {group_col},
+                  round({value_col} * 100)::bigint as cents
+           from {table}),
+a as (select {group_col}, count(*)::bigint as n,
+             sum(cents) as s, sum(cents * cents) as ss,
+             min(cents) as mn, max(cents) as mx
+      from c group by 1)
+select {group_col}, n, mn / 100.0 as min_value, mx / 100.0 as max_value,
+       floor(((s::double / n) / 100.0) * 1000000 + 0.5) / 1000000 as mean,
+       floor((((ss::double - s::double * s::double / n) / n) / 10000.0)
+             * 1000000 + 0.5) / 1000000 as variance
+from a
+"""
+
+
 def value_histogram_sql(table: str, value_col: str, group_col: str,
                         interval: float = 25.0) -> str:
     """DuckDB mirror of :func:`value_histogram` (identical cents grid

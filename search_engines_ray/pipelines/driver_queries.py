@@ -4571,6 +4571,27 @@ def _quantiles_sql() -> str:
 SQL_VALUE_QUANTILES = _quantiles_sql()
 
 
+def q_value_stats(sf_dir: str):
+    """ES ``extended_stats``: count/min/max/mean/population-variance of
+    event value per event_type, bit-exact under any partitioning —
+    integer-cents Σc/Σc² partials merge as arbitrary-precision ints and
+    convert to doubles once, in the same final expression the SQL
+    mirror uses (``sketch.value_stats``)."""
+    import ray.data as rd
+    from ..functions.sketch import value_stats
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return value_stats(ds, value_col="value", group_col="event_type")
+
+
+def _stats_sql() -> str:
+    from ..functions.sketch import value_stats_sql
+    return value_stats_sql("events", "value", "event_type")
+
+
+SQL_VALUE_STATS = _stats_sql()
+
+
 def q_value_histogram(sf_dir: str):
     """ES ``histogram`` aggregation: fixed-interval (25.0) buckets of
     event value per event_type — the counting-histogram exchange of
@@ -7411,6 +7432,7 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "value_quantiles": q_value_quantiles,
     "value_histogram": q_value_histogram,
+    "value_stats": q_value_stats,
     "percentile_ranks": q_percentile_ranks,
     "semijoin_urgent_lineitem": q_semijoin_urgent_lineitem,
     "bloom_semijoin_high": q_bloom_semijoin_high,
@@ -7681,6 +7703,7 @@ ORACLE_SQL = {
     "frequent_terms": SQL_FREQUENT_TERMS,
     "value_quantiles": SQL_VALUE_QUANTILES,
     "value_histogram": SQL_VALUE_HISTOGRAM,
+    "value_stats": SQL_VALUE_STATS,
     "percentile_ranks": SQL_PERCENTILE_RANKS,
     "semijoin_urgent_lineitem": SQL_SEMIJOIN_URGENT_LINEITEM,
     "bloom_semijoin_high": SQL_BLOOM_SEMIJOIN_HIGH,

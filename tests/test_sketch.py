@@ -308,3 +308,24 @@ def test_value_histogram_exact(rd):
                            interval=25.0, num_parts=3).to_pandas() \
         .sort_values(["g", "bucket"], ignore_index=True)
     pd.testing.assert_frame_equal(out, many)
+
+
+def test_value_stats_bit_exact_across_partitioning(rd):
+    from search_engines_ray.functions.sketch import value_stats
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b"], 600),
+        "value": np.round(rng.uniform(-50, 150, 1200), 2)})
+    one = value_stats(rd.from_pandas(df), "value", "g").to_pandas() \
+        .sort_values("g", ignore_index=True)
+    many = value_stats(rd.from_pandas(df).repartition(9), "value", "g",
+                       num_parts=3).to_pandas() \
+        .sort_values("g", ignore_index=True)
+    pd.testing.assert_frame_equal(one, many)   # BIT-exact, not approx
+    for _, r in one.iterrows():
+        sub = np.rint(df[df["g"] == r["g"]]["value"].to_numpy() * 100)
+        assert r["n"] == len(sub)
+        assert r["min_value"] == sub.min() / 100.0
+        assert r["max_value"] == sub.max() / 100.0
+        assert abs(r["mean"] - sub.mean() / 100.0) < 1e-6
+        assert abs(r["variance"] - sub.var() / 10000.0) < 1e-5
